@@ -1,0 +1,4 @@
+from .registry import QUERIES, StarQuery, load_tables, register  # noqa: F401
+
+# Importing the query modules populates the registry.
+from . import star_queries  # noqa: E402,F401

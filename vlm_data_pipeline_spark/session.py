@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-conscious defaults.
+
+Local testing runs on ``local[N]`` (one JVM); the configuration is chosen so
+the same logical plans survive a multi-executor cluster at 100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join selection)
+- shuffle partitions sized to cores locally (override per deployment)
+- Arrow enabled for every pandas-UDF boundary
+- session timezone pinned to UTC so results are oracle-comparable
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "vlm_data_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``shuffle_partitions`` defaults to the core count: on local mode more
+    partitions than cores only adds task-scheduling overhead, while on a
+    real cluster the deployment should override this (or rely on AQE
+    coalescing, which is enabled).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
+        # refuses by default; read as long and convert at the source wrapper
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
