@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": sec, ...},
+   "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count-collect of the
+result), mirroring how the reference's wall-clock numbers in BASELINE.md are
+end-to-end single-run times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Headline set: one per operator family that dominates runtime at scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "qa_object_count",
+    "j_star_revenue",
+    "j8_pairwise_selfjoin",
+    "j9_asof_prior_view",
+    "w1_rank_topk",
+    "w2_first_per_group",
+    "o4_deterministic_sample",
+    "event_tumbling_window",
+    "a10_quality_audit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from vlm_data_pipeline_spark.plans import QUERIES
+    from vlm_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("vlm-bench", cpus=cpus)
+
+    # Warm the JVM/codegen path once so per-query times measure the
+    # queries, not session bring-up.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
