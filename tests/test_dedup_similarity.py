@@ -1,0 +1,72 @@
+"""Structural properties of the dedup / similarity operators that the
+value-hash oracle can't express: LSH recall vs. brute force, fingerprint
+sensitivity, ANN subset relation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vlm_data_pipeline_spark.operators import dedup, similarity
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_full_recall_on_planted_pairs(spark, sf_dir):
+    """At threshold 0.8 the banding S-curve collides ~97% of true pairs;
+    on the planted near-dups (Jaccard ≥ 0.97) recall must be total."""
+    docs = _docs(spark, sf_dir)
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, block_cols=[], threshold=0.8
+        ).collect()
+    }
+    assert exact, "test data must contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_exact_dedup_winner_is_min_id(spark, sf_dir):
+    groups = dedup.exact_dedup_groups(_docs(spark, sf_dir)).collect()
+    assert groups, "planted bag-fingerprint duplicates expected"
+    assert all(g.n_dups >= 1 for g in groups)
+
+
+def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
+    """Planted near-dup pairs should have far smaller Hamming distance
+    between SimHash fingerprints than random pairs."""
+    docs = _docs(spark, sf_dir)
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    pairs = dedup.ngram_jaccard_pairs(docs, block_cols=[], threshold=0.9).collect()
+    assert pairs
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    near = [ham(fps[p.id_a], fps[p.id_b]) for p in pairs]
+    ids = sorted(fps)
+    random_pairs = [(ids[i], ids[i + 7]) for i in range(0, 200, 11)]
+    far = [ham(fps[a], fps[b]) for a, b in random_pairs]
+    assert max(near) < min(16, sum(far) / len(far)), (near, far)
+
+
+def test_lsh_ann_results_subset_of_brute_force_universe(spark, sf_dir):
+    """Every LSH neighbor must carry the same cosine the brute-force path
+    computes, and per-query results are ranked prefixes of the bucket."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = similarity.brute_force_topk(emb, queries, k=1000)
+    lsh = similarity.lsh_ann_topk(emb, queries, dim=64, k=5)
+    b = {(r.query_id, r.neighbor_id): r.cosine for r in brute.collect()}
+    for r in lsh.collect():
+        assert (r.query_id, r.neighbor_id) in b
+        assert abs(b[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12

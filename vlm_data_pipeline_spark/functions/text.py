@@ -1,0 +1,145 @@
+"""Text-analysis column library for LLM-corpus pipelines (SURVEY §7.1 step 7
+scale extensions; no reference analogue — the reference is vision-only).
+
+Everything here is a pure Column expression (JVM-side, whole-stage codegen):
+no Python UDFs in any hot path. The hash primitives are md5-derived so an
+external engine (the DuckDB oracle) can reproduce them bit-for-bit —
+``xxhash64`` would be faster but is Spark-private; at cluster scale swap
+``HASH_IMPL`` to xxhash64 and regenerate oracles accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Portable deterministic hashes
+# ---------------------------------------------------------------------------
+
+
+def hash32(col: Column) -> Column:
+    """First 8 hex chars of md5 → int in [0, 2^32). Portable to any engine."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash60(col: Column) -> Column:
+    """First 15 hex chars of md5 → int in [0, 2^60). Positive BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def seeded_hash60(seed: Column, col: Column) -> Column:
+    return hash60(F.concat(seed.cast("string"), F.lit(":"), col))
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped. ArrayType(StringType)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined with '_'. Empty array when < n tokens."""
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            "_", *[F.element_at(toks, (i + off).cast("int")) for off in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (exact-dedup key)
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """md5 of the sorted distinct token multiset — a canonical bag-of-words
+    fingerprint: word-order-insensitive, duplication-insensitive. Two docs
+    that are shuffles/near-copies of the same vocabulary collide, which is
+    exactly the normalization an exact-dedup pass wants before the more
+    expensive MinHash stage."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-SENSITIVE polynomial fingerprint: sum(hash32(token) * position).
+
+    Distinguishes reorderings that ``doc_fingerprint`` collapses. Exact
+    BIGINT arithmetic → portable and associativity-safe.
+    """
+    return F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: hash32(t) * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+# A small English stopword core: enough signal for ratio features.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / lexical-diversity / stopword features, all exact ratios of
+    integers (deterministic doubles)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    nd = n.cast("double")
+    return {
+        "n_tokens": n,
+        "n_chars": F.length(text),
+        "stopword_ratio": F.when(n > 0, n_stop.cast("double") / nd).otherwise(0.0),
+        "uniq_ratio": F.when(n > 0, n_uniq.cast("double") / nd).otherwise(0.0),
+        "mean_word_len": F.when(n > 0, total_len.cast("double") / nd).otherwise(0.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+# Tiny per-language marker lexicons (public common-word lists). The heuristic
+# votes by marker hits; ties broken by language code order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "los", "las", "es", "y", "que", "de"),
+    "fr": ("le", "la", "les", "et", "est", "que", "une", "dans"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "bu4"),
+}
+
+
+def lang_marker_hits(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }

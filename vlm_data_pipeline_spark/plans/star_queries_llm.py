@@ -1,0 +1,448 @@
+"""LLM-data-pipeline operator queries (dedup / similarity / text analysis /
+multimodal) over the driver's documents & embeddings tables, with DuckDB
+oracles — batch 3 of the registry.
+
+These are the BASELINE.json north-star extensions: no reference analogue
+(the reference is a vision pipeline); each query demonstrates the library
+operator in ``operators/dedup.py``, ``operators/similarity.py`` and
+``functions/text.py`` on the synthetic corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup, similarity
+from .registry import load_tables, register
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+# tokens: whitespace split, empties dropped (mirror of functions.text.tokens)
+_D_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+# distinct word 3-grams (mirror of functions.text.word_shingles, n=3)
+_D_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),"
+    " i -> concat(w[i], '_', w[i+1], '_', w[i+2]))) ELSE [] END"
+)
+
+
+def _d_hash32(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def _d_hash60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def _d_intvec(expr: str, scale: int = 10**4) -> str:
+    return (
+        f"list_transform({expr}, x -> cast(round(cast(x as DOUBLE) * {scale}) as BIGINT))"
+    )
+
+
+_D_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT fp, keep_id, n_dups FROM (
+        SELECT md5(array_to_string(list_sort(list_distinct({_D_TOKS})), ' ')) AS fp,
+               min(doc_id) AS keep_id,
+               count(*) - 1 AS n_dups,
+               count(*) AS gs
+        FROM documents
+        GROUP BY 1
+    ) WHERE gs > 1
+    """,
+    "Exact deduplication (extension): canonical bag-of-words fingerprint → "
+    "hash groupBy → min-id winner. One md5 per doc; the shuffle carries "
+    "(fingerprint, id) only — the cheap first pass before MinHash at corpus "
+    "scale. Library: operators.dedup.exact_dedup_groups.",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dedup.exact_dedup_groups(docs)
+
+
+_MINHASH_K, _MINHASH_BANDS, _MINHASH_R = 12, 4, 3
+_D_SEEDED = _d_hash60("concat(cast(j as VARCHAR), ':', s)")
+_D_SIG = (
+    f"list_transform(range(0, {_MINHASH_K}), j -> list_min(list_transform(sh,"
+    f" s -> {_D_SEEDED})))"
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_D_TOKS} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, {_D_SHINGLES} AS sh FROM toks
+    ), sig AS (
+        SELECT doc_id, sh, {_D_SIG} AS sig FROM sh WHERE len(sh) > 0
+    ), banded AS (
+        SELECT doc_id, sh, b.b AS band,
+               md5(array_to_string(sig[b.b * {_MINHASH_R} + 1 : b.b * {_MINHASH_R} + {_MINHASH_R}], ',')) AS bucket
+        FROM sig, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           (cast(len(list_intersect(sh_a, sh_b)) as DOUBLE)
+            / cast(len(list_distinct(list_concat(sh_a, sh_b))) as DOUBLE)) AS jaccard
+    FROM cand
+    WHERE (cast(len(list_intersect(sh_a, sh_b)) as DOUBLE)
+           / cast(len(list_distinct(list_concat(sh_a, sh_b))) as DOUBLE)) >= 0.8
+    """,
+    "MinHash+LSH near-duplicate detection (extension; Broder resemblance, "
+    "MMDS ch.3): shingle → 12-perm MinHash (pure column math, no shuffle) → "
+    "4 bands of 3 → bucket self-join → exact-Jaccard verify ≥ 0.8. "
+    "Candidate volume is O(colliding pairs), not O(n²) — the standard "
+    "web-scale dedup pipeline as DataFrame ops. Library: "
+    "operators.dedup.minhash_lsh_pairs.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_D_TOKS}) AS t FROM documents
+    ), hashed AS (
+        SELECT doc_id, {_d_hash32("t")} AS h FROM tok
+    ), bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, cast({fp} as BIGINT) AS simhash FROM bits
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(32),
+    "SimHash fingerprinting (extension; Charikar '02): every token votes ±1 "
+    "on each of 32 bits of its hash; the sign pattern is the fingerprint. "
+    "One explode + one 32-conditional-sum groupBy — a single shuffle "
+    "carrying (doc_id, hash). Hamming-close fingerprints = near-dups. "
+    "Library: operators.dedup.simhash_fingerprints.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dedup.simhash_fingerprints(docs, bits=32)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_D_TOKS} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, lang, {_D_SHINGLES} AS sh FROM toks
+    ), nz AS (
+        SELECT * FROM sh WHERE len(sh) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           (cast(len(list_intersect(a.sh, b.sh)) as DOUBLE)
+            / cast(len(list_distinct(list_concat(a.sh, b.sh))) as DOUBLE)) AS jaccard
+    FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE (cast(len(list_intersect(a.sh, b.sh)) as DOUBLE)
+           / cast(len(list_distinct(list_concat(a.sh, b.sh))) as DOUBLE)) >= 0.8
+    """,
+    "Blocked exact n-gram Jaccard (extension): all pairs within a language "
+    "block, 3-gram resemblance ≥ 0.8. The block bounds the quadratic term "
+    "(Σ|block|² not |corpus|²); the unblocked path is dedup_minhash_lsh. "
+    "Library: operators.dedup.ngram_jaccard_pairs.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dedup.ngram_jaccard_pairs(docs, block_cols=["lang"], threshold=0.8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (
+        SELECT label, vec_id, {_d_intvec("embedding")} AS iv FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (cast({_D_DOT.format(a="a.iv", b="b.iv")} as DOUBLE) / 100000000.0) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE (cast({_D_DOT.format(a="a.iv", b="b.iv")} as DOUBLE) / 100000000.0) >= 0.35
+    """,
+    "Embedding-cosine near-dup pairs (extension): blocked on the label "
+    "column, exact integer-scaled dot product (unit vectors → dot = "
+    "cosine), threshold 0.35 (the synthetic vectors are near-orthogonal; "
+    "real corpora use ~0.95). Library: operators.dedup."
+    "embedding_neardup_pairs.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return dedup.embedding_neardup_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_brute_force_topk",
+    f"""
+    WITH v AS (
+        SELECT vec_id, {_d_intvec("embedding")} AS iv FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, iv AS qv FROM v WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               (cast({_D_DOT.format(a="q.qv", b="c.iv")} as DOUBLE) / 100000000.0) AS cosine
+        FROM v c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    "Brute-force cosine top-k ANN baseline (extension): broadcast the tiny "
+    "query side, stream the corpus, exact integer-scaled dots, per-query "
+    "top-k window. Shuffle-free until the final top-k. Library: "
+    "operators.similarity.brute_force_topk.",
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def _srp_oracle(planes: int = 8, dim: int = 64) -> str:
+    plane_hash = _d_hash32("concat(cast({p} as VARCHAR), '_', cast(p2[2] as VARCHAR))")
+    w = f"({plane_hash} % 2001 - 1000)"
+    plane_dots = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(iv, range(0, {dim})),"
+        f" p2 -> p2[1] * {w.format(p=p)})) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, {_d_intvec("embedding")} AS iv FROM embeddings
+    ), bucketed AS (
+        SELECT vec_id, iv, cast({plane_dots} as BIGINT) AS bucket FROM v
+    ), q AS (
+        SELECT vec_id AS query_id, iv AS qv, bucket FROM bucketed WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               (cast({_D_DOT.format(a="q.qv", b="c.iv")} as DOUBLE) / 100000000.0) AS cosine
+        FROM bucketed c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    _srp_oracle(8, 64),
+    "Hyperplane-LSH ANN (extension; Charikar SRP): 8 deterministic "
+    "hash-derived hyperplanes → sign bits → bucket id; candidates share the "
+    "bucket; exact rerank inside. Replaces the cross product with "
+    "O(collisions) at corpus scale; recall tunes via planes / OR-tables. "
+    "Library: operators.similarity.lsh_ann_topk.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_ann_topk(emb, queries, dim=64, k=5, planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_D_STOP = "', '".join(T.STOPWORDS)
+
+
+@register(
+    "text_quality_features",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, text, {_D_TOKS} AS w FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           length(text) AS n_chars,
+           (cast(len(list_filter(w, t -> t IN ('{_D_STOP}'))) as DOUBLE)
+            / cast(len(w) as DOUBLE)) AS stopword_ratio,
+           (cast(len(list_distinct(w)) as DOUBLE) / cast(len(w) as DOUBLE)) AS uniq_ratio,
+           (cast(list_sum(list_transform(w, t -> length(t))) as DOUBLE)
+            / cast(len(w) as DOUBLE)) AS mean_word_len
+    FROM toks WHERE len(w) > 0
+    """,
+    "Quality scoring (extension): token/char counts, stopword ratio, "
+    "lexical diversity, mean word length — all exact integer ratios, pure "
+    "codegen, no shuffle. Library: functions.text.quality_features.",
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    feats = T.quality_features(F.col("text"))
+    return (
+        docs.filter(T.token_count(F.col("text")) > 0)
+        .select(
+            "doc_id",
+            feats["n_tokens"].alias("n_tokens"),
+            feats["n_chars"].alias("n_chars"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+            feats["uniq_ratio"].alias("uniq_ratio"),
+            feats["mean_word_len"].alias("mean_word_len"),
+        )
+    )
+
+
+def _langid_case(hits: dict[str, str]) -> str:
+    # priority = language-code order on ties (deterministic argmax)
+    langs = sorted(hits)
+    clauses = []
+    for i, lang in enumerate(langs):
+        others = [o for o in langs[i + 1 :]]
+        cond = " AND ".join(f"{hits[lang]} >= {hits[o]}" for o in others) or "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+_D_LANG_HITS = {
+    lang: "len(list_filter(w, t -> t IN ('" + "', '".join(markers) + "')))"
+    for lang, markers in T.LANG_MARKERS.items()
+}
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_D_TOKS} AS w FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           {_langid_case(_D_LANG_HITS)} AS pred_lang,
+           {_D_LANG_HITS["en"]} AS en_hits
+    FROM toks
+    """,
+    "Language identification heuristic (extension): per-language marker-"
+    "lexicon hit counts, deterministic argmax (ties → code order). The "
+    "marker sets are tiny broadcast literals; scoring is per-row codegen. "
+    "Library: functions.text.lang_marker_hits.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = T.tokens(F.col("text"))
+    hits = {lang: T.lang_marker_hits(F.col("text"))[lang] for lang in T.LANG_MARKERS}
+    langs = sorted(hits)
+    pred = None
+    for i, lang in enumerate(reversed(langs)):
+        pred = F.lit(lang) if pred is None else pred
+        idx = len(langs) - 1 - i
+        cond = None
+        for o in langs[idx + 1 :]:
+            c = hits[lang] >= hits[o]
+            cond = c if cond is None else (cond & c)
+        if cond is not None:
+            pred = F.when(cond, lang).otherwise(pred)
+    assert w is not None
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("pred_lang"),
+        hits["en"].alias("en_hits"),
+    )
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, text, {_D_TOKS} AS w FROM documents
+    )
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp,
+           list_sum(list_transform(list_zip(w, range(1, len(w) + 1)),
+                p -> {_d_hash32("p[1]")} * p[2])) AS rolling_fp
+    FROM toks
+    """,
+    "Document fingerprinting (extension): order-insensitive bag fingerprint "
+    "(md5 of sorted vocab) + order-sensitive polynomial rolling hash "
+    "(Σ hash32(tok)·pos, exact BIGINT). The pair distinguishes shuffles "
+    "from true copies. Library: functions.text.doc_fingerprint / "
+    "rolling_fingerprint.",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.doc_fingerprint(F.col("text")).alias("bag_fp"),
+        T.rolling_fingerprint(toks).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_stats",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           CASE WHEN octet_length(encode(text)) > 400 THEN 'large'
+                WHEN octet_length(encode(text)) > 200 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM documents
+    """,
+    "Multimodal binary-column plumbing (extension): payloads as opaque "
+    "binary with typed metadata — byte length, checksum, size class. The "
+    "decode/feature-extract path over real image/audio bytes is the "
+    "mapInPandas stage in sources/multimodal.py (stubbed decoders; "
+    "schema/batching real).",
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    payload = F.encode(F.col("text"), "UTF-8")
+    n_bytes = F.length(payload)
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.md5(F.col("text")).alias("checksum"),
+        F.when(n_bytes > 400, "large")
+        .when(n_bytes > 200, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
