@@ -1,0 +1,151 @@
+"""QA task generators on the analytic fixture: expected answers, filters,
+dedupe, multiple-choice structure, and determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.fixtures import fixture_frames
+from vlm_data_pipeline_spark.qa import TASKS, generate_all, qa_summary
+from vlm_data_pipeline_spark.qa import tasks2d, tasks3d
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    df = fixture_frames(spark)
+    df.cache().count()
+    return df
+
+
+def _by_image(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.metadata["image_id"], []).append(r)
+    return out
+
+
+def test_object_count_values(frames):
+    rows = tasks3d.object_count(frames).collect()
+    by_img = _by_image(rows)
+    # f2: 3 chairs + 1 table → 4 objects total ≤ 10 → category-specific on
+    # the modal category (chair, count 3)
+    (f2,) = by_img["f2"]
+    assert f2.question == "How many chairs are visible in this image?"
+    assert f2.answer == "3"
+    # f6: single lamp
+    (f6,) = by_img["f6"]
+    assert f6.answer == "1" and "lamp" in f6.question
+    # f3 (no boxes) absent
+    assert "f3" not in by_img
+
+
+def test_object_3d_size_answer_structure(frames):
+    rows = tasks3d.object_3d_size(frames).collect()
+    by_img = _by_image(rows)
+    # f2 has 2 categories → 2 questions (per-category dedupe)
+    assert len(by_img["f2"]) == 2
+    for r in rows:
+        assert r.answer in ("A", "B", "C", "D")
+        correct = r.metadata["answer_value"]
+        assert correct in r.options
+        # answer letter points at the correct value
+        assert r.options[ord(r.answer) - 65] == correct
+    # f2 table: max dim 2.4 m → 240.0 cm
+    table = [r for r in by_img["f2"] if "table" in r.question][0]
+    assert table.metadata["correct_size_cm"] == "240.0"
+
+
+def test_cam_obj_distance_values(frames):
+    rows = tasks3d.cam_obj_distance(frames).collect()
+    by_img = _by_image(rows)
+    # f6 lamp at (0.6, 0.8, 0) → distance exactly 1.0
+    (f6,) = by_img["f6"]
+    assert f6.answer == "1.0"
+    # f1 chair at (0,0,2) → 2.0; table at (3,0,2) → sqrt(13)≈3.6
+    f1 = {r.metadata["category"]: r.answer for r in by_img["f1"]}
+    assert f1 == {"chair": "2.0", "table": "3.6"}
+
+
+def test_obj_obj_distance_filters_and_value(frames):
+    rows = tasks3d.obj_obj_distance(frames).collect()
+    by_img = _by_image(rows)
+    # f1: unit cubes 3 m apart → min vertex distance 2.0
+    (f1,) = by_img["f1"]
+    assert f1.answer == "2.0"
+    # f4: gaps 0.05 (<0.2) and 28.5/27.45 (>20) all filtered
+    assert "f4" not in by_img
+
+
+def test_obj_obj_rel_pos(frames):
+    rows = tasks3d.obj_obj_rel_pos(frames).collect()
+    by_img = _by_image(rows)
+    # f4 has null extrinsics → excluded entirely
+    assert "f4" not in by_img
+    # f1 pair: A at x=0, B at x=3 → only horizontal aspect (left) available
+    (f1,) = by_img["f1"]
+    assert f1.answer == "left"
+    assert f1.metadata["horizontal_relation"] == "Left"
+    assert f1.metadata["depth_relation"] == "Same depth"
+
+
+def test_cam_obj_rel_dist_consistency(frames):
+    rows = tasks3d.cam_obj_rel_dist(frames).collect()
+    assert rows
+    for r in rows:
+        d1, d2 = float(r.metadata["distance1"]), float(r.metadata["distance2"])
+        closest = r.metadata["object1"] if d1 < d2 else r.metadata["object2"]
+        farthest = r.metadata["object1"] if d1 > d2 else r.metadata["object2"]
+        if r.metadata["variant"] == "v1_closest":
+            assert r.answer == closest
+        else:
+            assert r.answer == farthest
+    # null-extrinsics frame excluded
+    assert all(r.metadata["image_id"] != "f4" for r in rows)
+
+
+def test_2d_tasks(frames):
+    # object_count_2d: only f5 has 2D boxes → 4 objects
+    rows = tasks2d.object_count_2d(frames).collect()
+    assert len(rows) == 1 and rows[0].answer == "4"
+    # object_count_mc: chair appears 3× in f5 (class_3 parses to chair,
+    # plus two literal chairs) → one MC question
+    mc = tasks2d.object_count_mc(frames).collect()
+    assert len(mc) == 1
+    assert mc[0].metadata["correct_count"] == "3"
+    assert mc[0].options[ord(mc[0].answer) - 65] == mc[0].metadata["answer_value"]
+    # bbox_2d_size: tiny box (area 6) filtered; others ≥ 100 px² pass
+    sizes = tasks2d.bbox_2d_size(frames).collect()
+    cats = {r.metadata["category"] for r in sizes}
+    assert "tiny" not in cats and "chair" in cats
+    # object_2d_size: class_3 → chair via mapping; area/width/height answer
+    s2 = tasks2d.object_2d_size(frames).collect()
+    assert all(r.metadata["category"] != "tiny" for r in s2)
+
+
+def test_class_category_parsing(frames):
+    rows = tasks3d.cam_obj_distance(frames).collect()
+    f5 = {r.metadata["category"]: r.metadata["readable_category"]
+          for r in rows if r.metadata["image_id"] == "f5"}
+    assert f5["class_3"] == "chair"
+    assert f5["class_999"] == "object_999"
+
+
+def test_generate_all_and_summary(frames):
+    all_qa = generate_all(frames)
+    summary = {r.task: r.n_questions for r in qa_summary(all_qa).collect()}
+    assert set(summary) == set(TASKS)
+    assert all(n > 0 for n in summary.values())
+
+
+def test_determinism(frames):
+    """Hash-seeded draws: identical output across runs and partitionings."""
+    a = sorted(
+        (r.id, r.question, r.answer, tuple(r.options or []))
+        for r in tasks3d.object_3d_size(frames).collect()
+    )
+    b = sorted(
+        (r.id, r.question, r.answer, tuple(r.options or []))
+        for r in tasks3d.object_3d_size(frames.repartition(7)).collect()
+    )
+    assert a == b

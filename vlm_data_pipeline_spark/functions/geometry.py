@@ -1,0 +1,264 @@
+"""3D/2D box geometry as native Column expressions (SURVEY §2.9 F3-F6).
+
+Behavioral parity targets (semantics, not code — the reference computes these
+row-at-a-time with numpy):
+
+- oriented vertices from 9-DoF box, R = Rz(roll)·Ry(yaw)·Rx(pitch)
+  (QA_generation/utils/geometry.py:26-95). NOTE the reference quirk: stored
+  angles are *normalized* (deg/180 ∈ [-1,1], data_processing/utils.py:28-43)
+  but fed to sin/cos as radians unchanged — we reproduce exactly that.
+- min vertex-pair distance between boxes (geometry.py:98-118)
+- camera distance: ||center|| — camera at origin in camera space
+  (geometry.py:401-421); vertex-min variant (geometry.py:165-189)
+- max dimension (geometry.py:121-132)
+- strict interval relations at 0.1 m (geometry.py:222-269) and
+  center-diff relations (geometry.py:424-495)
+- multi-encoding 2D bbox normalization (geometry.py:272-335)
+- angle normalization to [-1, 1] (data_processing/utils.py:28-43)
+
+Everything here is whole-stage-codegen'd: no UDF, no shuffle — per-row math
+that scales linearly to any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+THRESHOLD_M = 0.1  # spatial-relation separation threshold (meters)
+
+
+# ---------------------------------------------------------------------------
+# Scalar box properties
+# ---------------------------------------------------------------------------
+
+
+def max_dimension(box: Column) -> Column:
+    """Largest of the three box dimensions, meters."""
+    return F.greatest(box["xl"], box["yl"], box["zl"])
+
+
+def center_distance(box: Column) -> Column:
+    """Distance camera→box center; boxes are camera-space, camera at origin."""
+    return F.sqrt(box["x"] ** 2 + box["y"] ** 2 + box["z"] ** 2)
+
+
+def normalize_angle_deg(deg: Column) -> Column:
+    """Degrees → [-1, 1] (value/180 after wrapping to (-180, 180])."""
+    return (((deg % 360) + 540) % 360 - 180) / 180.0
+
+
+# ---------------------------------------------------------------------------
+# Oriented vertices
+# ---------------------------------------------------------------------------
+
+_CORNER_SIGNS = [
+    (-1, -1, -1),
+    (1, -1, -1),
+    (1, 1, -1),
+    (-1, 1, -1),
+    (-1, -1, 1),
+    (1, -1, 1),
+    (1, 1, 1),
+    (-1, 1, 1),
+]
+
+
+def box_vertices(box: Column) -> Column:
+    """8 oriented corners as array<array<double>> (8×3).
+
+    R = Rz(roll)·Ry(yaw)·Rx(pitch) applied to the ±half-dim corner lattice,
+    then translated by the center — nine closed-form rotation entries as
+    cos/sin column expressions, fully unrolled for codegen.
+    """
+    p, yw, r = box["pitch"], box["yaw"], box["roll"]
+    cp, sp = F.cos(p), F.sin(p)
+    cy, sy = F.cos(yw), F.sin(yw)
+    cr, sr = F.cos(r), F.sin(r)
+
+    # R = Rz(roll) @ Ry(yaw) @ Rx(pitch)
+    r00 = cr * cy
+    r01 = cr * sy * sp - sr * cp
+    r02 = cr * sy * cp + sr * sp
+    r10 = sr * cy
+    r11 = sr * sy * sp + cr * cp
+    r12 = sr * sy * cp - cr * sp
+    r20 = -sy
+    r21 = cy * sp
+    r22 = cy * cp
+
+    hx, hy, hz = box["xl"] / 2, box["yl"] / 2, box["zl"] / 2
+    verts = []
+    for sx, sy_, sz in _CORNER_SIGNS:
+        lx, ly, lz = sx * hx, sy_ * hy, sz * hz
+        verts.append(
+            F.array(
+                box["x"] + r00 * lx + r01 * ly + r02 * lz,
+                box["y"] + r10 * lx + r11 * ly + r12 * lz,
+                box["z"] + r20 * lx + r21 * ly + r22 * lz,
+            )
+        )
+    return F.array(*verts)
+
+
+# ---------------------------------------------------------------------------
+# Distances
+# ---------------------------------------------------------------------------
+
+
+def _pair_dist(v1: Column, v2: Column) -> Column:
+    return F.sqrt(
+        (v1[0] - v2[0]) ** 2 + (v1[1] - v2[1]) ** 2 + (v1[2] - v2[2]) ** 2
+    )
+
+
+def min_vertex_distance(verts_a: Column, verts_b: Column) -> Column:
+    """Min Euclidean distance over the 8×8 vertex pairs of two boxes."""
+    return F.array_min(
+        F.flatten(
+            F.transform(
+                verts_a,
+                lambda v1: F.transform(verts_b, lambda v2: _pair_dist(v1, v2)),
+            )
+        )
+    )
+
+
+def min_camera_vertex_distance(verts: Column) -> Column:
+    """Min distance from the camera (origin) to any vertex."""
+    return F.array_min(
+        F.transform(
+            verts, lambda v: F.sqrt(v[0] ** 2 + v[1] ** 2 + v[2] ** 2)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relative position
+# ---------------------------------------------------------------------------
+
+
+def center_diff_relations(box_a: Column, box_b: Column) -> Column:
+    """Center-difference spatial relations of A w.r.t. B in camera frame
+    (+X right, +Y down, +Z forward), 0.1 m dead zone.
+
+    Returns struct(depth_rel, horizontal_rel, vertical_rel,
+    depth_diff, horizontal_diff, vertical_diff, center_distance).
+    """
+    dz = box_a["z"] - box_b["z"]
+    dx = box_a["x"] - box_b["x"]
+    dy = box_a["y"] - box_b["y"]
+    t = F.lit(THRESHOLD_M)
+    depth = (
+        F.when(F.abs(dz) < t, "Same depth").when(dz < 0, "Nearer").otherwise("Farther")
+    )
+    horiz = (
+        F.when(F.abs(dx) < t, "Same horizontal position")
+        .when(dx < 0, "Left")
+        .otherwise("Right")
+    )
+    vert = (
+        F.when(F.abs(dy) < t, "Same vertical position")
+        .when(dy < 0, "Above")
+        .otherwise("Below")
+    )
+    return F.struct(
+        depth.alias("depth_rel"),
+        horiz.alias("horizontal_rel"),
+        vert.alias("vertical_rel"),
+        dz.alias("depth_diff"),
+        dx.alias("horizontal_diff"),
+        dy.alias("vertical_diff"),
+        F.sqrt(dx**2 + dy**2 + dz**2).alias("center_distance"),
+    )
+
+
+def strict_interval_relations(verts_a: Column, verts_b: Column) -> Column:
+    """Strict relations: A is Left of B only if A's whole x-interval lies
+    more than 0.1 m below B's, etc. Null when intervals overlap.
+
+    Returns struct(depth_rel, horizontal_rel, vertical_rel), each nullable.
+    """
+
+    def axis(i: int) -> tuple[Column, Column, Column, Column]:
+        a_vals = F.transform(verts_a, lambda v: v[i])
+        b_vals = F.transform(verts_b, lambda v: v[i])
+        return (
+            F.array_min(a_vals),
+            F.array_max(a_vals),
+            F.array_min(b_vals),
+            F.array_max(b_vals),
+        )
+
+    t = F.lit(THRESHOLD_M)
+    ax_min, ax_max, bx_min, bx_max = axis(0)
+    ay_min, ay_max, by_min, by_max = axis(1)
+    az_min, az_max, bz_min, bz_max = axis(2)
+    depth = (
+        F.when(az_max < bz_min - t, "Near")
+        .when(az_min > bz_max + t, "Far")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    horiz = (
+        F.when(ax_max < bx_min - t, "Left")
+        .when(ax_min > bx_max + t, "Right")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    vert = (
+        F.when(ay_max < by_min - t, "Up")
+        .when(ay_min > by_max + t, "Down")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return F.struct(
+        depth.alias("depth_rel"),
+        horiz.alias("horizontal_rel"),
+        vert.alias("vertical_rel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Camera helpers
+# ---------------------------------------------------------------------------
+
+
+def camera_position(extrinsics: Column) -> Column:
+    """Camera position = translation column of a 4×4 camera-to-world matrix;
+    null-safe (COCO frames carry no extrinsics)."""
+    return F.when(
+        extrinsics.isNotNull() & (F.size(extrinsics) == 4),
+        F.array(extrinsics[0][3], extrinsics[1][3], extrinsics[2][3]),
+    )
+
+
+def uses_extrinsics(camera: Column) -> Column:
+    return camera["extrinsics"].isNotNull()
+
+
+# ---------------------------------------------------------------------------
+# 2D boxes (multi-encoding normalization)
+# ---------------------------------------------------------------------------
+
+
+def bbox2d_xywh(box: Column) -> Column:
+    """Canonical (x, y, w, h) from the corner-encoded 2D box struct."""
+    return F.struct(
+        box["x_min"].cast("double").alias("x"),
+        box["y_min"].cast("double").alias("y"),
+        (box["x_max"] - box["x_min"]).cast("double").alias("w"),
+        (box["y_max"] - box["y_min"]).cast("double").alias("h"),
+    )
+
+
+def bbox2d_area(box: Column) -> Column:
+    """Area: explicit area field when present, else w×h."""
+    computed = ((box["x_max"] - box["x_min"]) * (box["y_max"] - box["y_min"])).cast(
+        "double"
+    )
+    return F.coalesce(box["area"].cast("double"), computed)
+
+
+def bbox2d_center(box: Column) -> Column:
+    return F.struct(
+        ((box["x_min"] + box["x_max"]) / 2.0).alias("cx"),
+        ((box["y_min"] + box["y_max"]) / 2.0).alias("cy"),
+    )

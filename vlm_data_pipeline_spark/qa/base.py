@@ -1,0 +1,115 @@
+"""Shared pieces of the QA task generators (SURVEY §3.3).
+
+The reference materializes every frame into a Python list and loops
+(QA_generation/utils/data_loader.py:18-53 — its scalability wall); here each
+task is a DataFrame expression tree over the shared ``frames``/``instances``
+lineage, so Catalyst prunes columns per task and nothing materializes until
+the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# Representative class-id → name dimension (QA_generation/utils/
+# class_mapping.py:8-66 carries ~300 Matterport entries; deployments pass
+# their full mapping — semantics, not contents, are what we reproduce).
+CLASS_NAMES: dict[int, str] = {
+    1: "wall", 2: "floor", 3: "chair", 4: "door", 5: "table",
+    6: "picture", 7: "cabinet", 8: "cushion", 9: "window", 10: "sofa",
+    11: "bed", 12: "curtain", 14: "plant", 15: "sink", 18: "toilet",
+    19: "stool", 22: "tv_monitor", 24: "shower", 26: "bathtub",
+    28: "counter", 33: "desk", 38: "lamp", 40: "mirror", 84: "shelving",
+}
+
+
+def parse_class_category(cat: Column, mapping: dict[int, str] | None = None) -> Column:
+    """'class_X' → human name, unknown ids → 'object_X', other strings pass
+    through (QA_generation/utils/class_mapping.py:87-103)."""
+    mapping = mapping if mapping is not None else CLASS_NAMES
+    suffix = F.regexp_extract(cat, r"^class_(\d+)$", 1)
+    mapped: Column = F.format_string("object_%s", suffix)
+    for cid, name in sorted(mapping.items()):
+        mapped = F.when(suffix == str(cid), name).otherwise(mapped)
+    return F.when(suffix != "", mapped).otherwise(cat)
+
+
+def explode_boxes_3d(frames: DataFrame) -> DataFrame:
+    """frames → per-box instances view (FIXTURES.md §2): posexplode keeps
+    the in-frame position, the dedupe/ordering key everywhere."""
+    return frames.select(
+        "dataset",
+        "split",
+        "image_id",
+        "scene_id",
+        "frame_id",
+        "camera",
+        F.posexplode("bounding_boxes_3d").alias("pos", "box"),
+    )
+
+
+def explode_boxes_2d(frames: DataFrame) -> DataFrame:
+    return frames.select(
+        "dataset",
+        "split",
+        "image_id",
+        "scene_id",
+        "frame_id",
+        F.posexplode("bounding_boxes_2d").alias("pos", "box"),
+    )
+
+
+def with_qa_ids(df: DataFrame, task: str, *order_cols: str) -> DataFrame:
+    """Deterministic '{dataset}_{task}_{NNNNNN}' ids (qa_base.py:55).
+
+    The reference numbers rows with a mutable counter in visit order; a
+    distributed engine derives the same shape from a window over a total
+    order (image_id + task-specific tiebreakers).
+    """
+    w = W.partitionBy("dataset").orderBy(*[F.col(c) for c in order_cols])
+    n = F.row_number().over(w) - 1
+    return df.withColumn(
+        "id",
+        F.format_string("%s_%s_%06d", F.col("dataset"), F.lit(task), n),
+    )
+
+
+def meta(**kv: Column) -> Column:
+    """metadata map<string,string> with stable key order."""
+    pairs: list[Column] = []
+    for k in sorted(kv):
+        pairs.append(F.lit(k))
+        pairs.append(kv[k].cast("string"))
+    return F.create_map(*pairs)
+
+
+def finalize(
+    df: DataFrame,
+    task: str,
+    order_cols: list[str],
+    question: Column,
+    answer: Column,
+    answer_type: str,
+    metadata: Column,
+    options: Column | None = None,
+) -> DataFrame:
+    """Project the canonical QA_PAIR columns (schemas.QA_PAIR)."""
+    out = df.withColumn("question", question).withColumn(
+        "answer", answer.cast("string")
+    )
+    out = with_qa_ids(out, task, *order_cols)
+    opts = (
+        options.cast("array<string>")
+        if options is not None
+        else F.lit(None).cast("array<string>")
+    )
+    return out.select(
+        "id",
+        "question",
+        "answer",
+        F.lit(answer_type).alias("answer_type"),
+        opts.alias("options"),
+        metadata.alias("metadata"),
+    )

@@ -1,0 +1,72 @@
+"""Task routing + union + summary (SURVEY §3.3, K3/E1/A9).
+
+Mirrors generate_qa.py's per-dataset flow: route tasks by available box
+modality (P1, generate_qa.py:110-122), union task outputs into the combined
+set (E1), aggregate the summary (A9) — all as lazy lineages over one shared
+frames scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import tasks2d, tasks3d
+
+TASKS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    # 3D (config.py DATASETS task lists)
+    "object_count": tasks3d.object_count,
+    "object_3d_size": tasks3d.object_3d_size,
+    "cam_obj_distance": tasks3d.cam_obj_distance,
+    "obj_obj_distance": tasks3d.obj_obj_distance,
+    "obj_obj_rel_pos": tasks3d.obj_obj_rel_pos,
+    "cam_obj_rel_dist": tasks3d.cam_obj_rel_dist,
+    # 2D
+    "object_count_2d": tasks2d.object_count_2d,
+    "object_count_mc": tasks2d.object_count_mc,
+    "bbox_2d_size": tasks2d.bbox_2d_size,
+    "object_2d_size": tasks2d.object_2d_size,
+}
+
+TASKS_3D = {k for k in TASKS if not k.endswith("2d") and k != "object_count_mc"}
+
+
+def generate_all(
+    frames: DataFrame, tasks: list[str] | None = None
+) -> DataFrame:
+    """Union of all task outputs over one frames lineage, with a task
+    column (the all_qa_pairs.json analogue, generate_qa.py:134-144)."""
+    names = tasks or list(TASKS)
+    outs = []
+    for name in names:
+        fr = frames
+        # bbox-availability routing (P1): 3D tasks need 3D boxes, 2D need 2D
+        if name in TASKS_3D:
+            fr = fr.filter(F.size("bounding_boxes_3d") > 0)
+        else:
+            fr = fr.filter(F.size("bounding_boxes_2d") > 0)
+        outs.append(
+            TASKS[name](fr).withColumn("task", F.lit(name))
+        )
+    combined = outs[0]
+    for o in outs[1:]:
+        combined = combined.unionByName(o)
+    return combined
+
+
+def qa_summary(all_qa: DataFrame) -> DataFrame:
+    """Per-task question counts + answer-type mix (generate_qa.py:147-163,
+    analyze_qa_improvements.py:50-98)."""
+    return all_qa.groupBy("task").agg(
+        F.count("*").alias("n_questions"),
+        F.countDistinct(F.col("metadata")["image_id"]).alias("n_images"),
+        F.sum(F.when(F.col("answer_type") == "multiple_choice", 1).otherwise(0)).alias(
+            "n_multiple_choice"
+        ),
+        F.sum(F.when(F.col("answer_type") == "numerical", 1).otherwise(0)).alias(
+            "n_numerical"
+        ),
+        F.sum(F.when(F.col("answer_type") == "text", 1).otherwise(0)).alias("n_text"),
+    )

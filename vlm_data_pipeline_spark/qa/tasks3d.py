@@ -1,0 +1,413 @@
+"""The six 3D QA tasks as DataFrame transforms (SURVEY §2, tasks routed by
+QA_generation/config.py:80-88; every task takes the canonical ``frames`` DF
+and returns QA_PAIR rows).
+
+Shuffle budget per task (the 100 TB view):
+- object_count: one shuffle (groupBy image×category), one window on the
+  tiny aggregate.
+- 3d_size / cam_obj_distance: one window (first-per-category dedupe) —
+  the dedupe-before-compute pattern, geometry runs on survivors only.
+- obj_obj_distance / rel_pos: one co-partitioned self-join on image_id
+  (J8); per-frame fanout is the skew unit — cap/salt at ingestion.
+- cam_obj_rel_dist: ZERO shuffles — pure per-row array programs over the
+  boxes array (sampling, distances, ranking all inside the row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import detrandom as R
+from ..functions import geometry as G
+from .base import explode_boxes_3d, finalize, meta, parse_class_category
+
+# Parameters mirror QA_generation/config.py:90-137
+P_COUNT = {"min_objects": 1, "max_objects_for_category_specific": 10}
+P_SIZE = {"num_options": 4, "pct": (0.4, 1.8), "decimals": 1}
+P_CAM = {"min_distance": 0.1, "decimals": 1}
+P_OBJ = {"min_distance": 0.2, "max_distance": 20.0, "decimals": 1}
+P_RELDIST = {"v1_samples": 2, "min_diff": 0.15}
+
+
+def object_count(frames: DataFrame) -> DataFrame:
+    """Per-frame category counts → one question per frame: category-specific
+    (modal category) when few objects, else total count
+    (tasks_3d/object_count_qa.py:46-100)."""
+    inst = explode_boxes_3d(frames).withColumn(
+        "rcat", parse_class_category(F.col("box.category"))
+    )
+    counts = (
+        inst.filter(F.col("rcat") != "unknown")
+        .groupBy("dataset", "image_id", "scene_id", "frame_id", "rcat")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= P_COUNT["min_objects"])
+    )
+    per_frame = counts.groupBy("dataset", "image_id", "scene_id", "frame_id").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_cats"),
+        # modal category; ties → lexicographically-first (deterministic
+        # stand-in for the reference's dict-order max)
+        F.min_by(F.col("rcat"), F.struct(-F.col("cnt"), F.col("rcat"))).alias(
+            "top_cat"
+        ),
+        F.max(F.col("cnt")).alias("top_cnt"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("rcat", "cnt")))
+        ).alias("cat_counts"),
+    )
+    specific = (F.col("n_cats") == 1) | (
+        F.col("total") <= P_COUNT["max_objects_for_category_specific"]
+    )
+    question = F.when(
+        specific,
+        F.format_string("How many %ss are visible in this image?", F.col("top_cat")),
+    ).otherwise(F.lit("How many objects are visible in this image?"))
+    answer = F.when(specific, F.col("top_cnt")).otherwise(F.col("total"))
+    md = meta(
+        image_id=F.col("image_id"),
+        scene_id=F.coalesce(F.col("scene_id"), F.lit("")),
+        frame_id=F.coalesce(F.col("frame_id"), F.lit("")),
+        question_type=F.when(specific, "category_specific").otherwise("total_count"),
+        target_category=F.when(specific, F.col("top_cat")).otherwise("all_objects"),
+        total_objects=F.col("total"),
+        category_counts=F.to_json(F.col("cat_counts")),
+        unit=F.lit("count"),
+    )
+    return finalize(
+        per_frame, "object_count", ["image_id"], question, answer, "numerical", md
+    )
+
+
+def _first_per_category(frames: DataFrame) -> DataFrame:
+    """W2 dedupe: one box per (frame, category), earliest in-frame position
+    (object_3d_size_qa.py:32-42 asked_categories set)."""
+    inst = explode_boxes_3d(frames)
+    w = W.partitionBy("dataset", "image_id", F.col("box.category")).orderBy("pos")
+    return inst.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+def object_3d_size(frames: DataFrame) -> DataFrame:
+    """Max-dimension multiple choice in cm, percent distractors 0.4–1.8×
+    (tasks_3d/object_3d_size_qa.py:52-100)."""
+    first = _first_per_category(frames)
+    sized = first.withColumn(
+        "max_dim_cm", G.max_dimension(F.col("box")) * 100
+    ).withColumn("rcat", parse_class_category(F.col("box.category")))
+    opts = R.percent_distractors(
+        F.col("max_dim_cm"),
+        P_SIZE["num_options"],
+        *P_SIZE["pct"],
+        P_SIZE["decimals"],
+        F.col("image_id"),
+        F.lit("object_3d_size"),
+        F.col("box.category"),
+    )
+    mc = R.multiple_choice(opts, F.col("image_id"), F.lit("3dsize"), F.col("box.category"))
+    withmc = sized.withColumn("mc", mc)
+    md = meta(
+        image_id=F.col("image_id"),
+        scene_id=F.coalesce(F.col("scene_id"), F.lit("")),
+        category=F.col("box.category"),
+        readable_category=F.col("rcat"),
+        correct_size_cm=F.round(F.col("max_dim_cm"), 1),
+        answer_value=F.col("mc.answer_value"),
+        unit=F.lit("centimeters"),
+    )
+    return finalize(
+        withmc,
+        "object_3d_size",
+        ["image_id", "pos"],
+        F.format_string(
+            "What is the length of the longest dimension of the %s in centimeters?",
+            F.col("rcat"),
+        ),
+        F.col("mc.answer"),
+        "multiple_choice",
+        md,
+        options=F.col("mc.options"),
+    )
+
+
+def cam_obj_distance(frames: DataFrame) -> DataFrame:
+    """Camera→object-center distance, numerical, ≥ 0.1 m, 1 decimal
+    (tasks_3d/cam_obj_distance_qa.py:56-93; improved_distance uses ‖center‖
+    since boxes are camera-space, geometry.py:401-421)."""
+    first = _first_per_category(frames)
+    d = first.withColumn("dist_m", G.center_distance(F.col("box"))).filter(
+        F.col("dist_m") >= P_CAM["min_distance"]
+    )
+    d = d.withColumn("rcat", parse_class_category(F.col("box.category"))).withColumn(
+        "dist_r", F.round("dist_m", P_CAM["decimals"])
+    )
+    md = meta(
+        image_id=F.col("image_id"),
+        scene_id=F.coalesce(F.col("scene_id"), F.lit("")),
+        frame_id=F.coalesce(F.col("frame_id"), F.lit("")),
+        category=F.col("box.category"),
+        readable_category=F.col("rcat"),
+        distance_meters=F.col("dist_r"),
+        unit=F.lit("meters"),
+        uses_extrinsics=G.uses_extrinsics(F.col("camera")),
+    )
+    return finalize(
+        d,
+        "cam_obj_distance",
+        ["image_id", "pos"],
+        F.format_string(
+            "What is the approximate distance (in meters) between the camera and "
+            "the nearest point of the %s?",
+            F.col("rcat"),
+        ),
+        F.col("dist_r"),
+        "numerical",
+        md,
+    )
+
+
+def _box_pairs(frames: DataFrame) -> DataFrame:
+    """J8: all unordered in-frame box pairs via co-partitioned self-join."""
+    inst = explode_boxes_3d(frames).select(
+        "dataset", "image_id", "scene_id", "frame_id", "camera", "pos", "box"
+    )
+    a = inst.alias("a")
+    b = inst.alias("b")
+    return a.join(
+        b,
+        (F.col("a.dataset") == F.col("b.dataset"))
+        & (F.col("a.image_id") == F.col("b.image_id"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.dataset").alias("dataset"),
+        F.col("a.image_id").alias("image_id"),
+        F.col("a.scene_id").alias("scene_id"),
+        F.col("a.frame_id").alias("frame_id"),
+        F.col("a.camera").alias("camera"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+        F.col("a.box").alias("box_a"),
+        F.col("b.box").alias("box_b"),
+    )
+
+
+def obj_obj_distance(frames: DataFrame) -> DataFrame:
+    """Min vertex-pair distance per in-frame pair, 0.2–20 m, 1 decimal
+    (tasks_3d/obj_obj_distance_qa.py:52-92, geometry.py:98-118)."""
+    pairs = _box_pairs(frames)
+    d = (
+        pairs.withColumn(
+            "dist_m",
+            G.min_vertex_distance(
+                G.box_vertices(F.col("box_a")), G.box_vertices(F.col("box_b"))
+            ),
+        )
+        .filter(
+            (F.col("dist_m") >= P_OBJ["min_distance"])
+            & (F.col("dist_m") <= P_OBJ["max_distance"])
+        )
+        .withColumn("dist_r", F.round("dist_m", P_OBJ["decimals"]))
+    )
+    md = meta(
+        image_id=F.col("image_id"),
+        scene_id=F.coalesce(F.col("scene_id"), F.lit("")),
+        frame_id=F.coalesce(F.col("frame_id"), F.lit("")),
+        object1_category=F.col("box_a.category"),
+        object2_category=F.col("box_b.category"),
+        distance_meters=F.col("dist_r"),
+        unit=F.lit("meters"),
+    )
+    return finalize(
+        d,
+        "obj_obj_distance",
+        ["image_id", "pos_a", "pos_b"],
+        F.format_string(
+            "What is the distance between the %s and the %s in meters?",
+            F.col("box_a.category"),
+            F.col("box_b.category"),
+        ),
+        F.col("dist_r"),
+        "numerical",
+        md,
+    )
+
+
+def obj_obj_rel_pos(frames: DataFrame, require_extrinsics: bool = True) -> DataFrame:
+    """Center-diff spatial relation per pair; one aspect chosen by a
+    hash-seeded draw among the non-'Same' aspects
+    (tasks_3d/obj_obj_rel_pos_qa.py:55-140, geometry.py:424-495)."""
+    pairs = _box_pairs(frames)
+    if require_extrinsics:
+        pairs = pairs.filter(G.uses_extrinsics(F.col("camera")))
+    rel = pairs.withColumn(
+        "rels", G.center_diff_relations(F.col("box_a"), F.col("box_b"))
+    )
+    rel = rel.withColumn(
+        "rcat_a", parse_class_category(F.col("box_a.category"))
+    ).withColumn("rcat_b", parse_class_category(F.col("box_b.category")))
+
+    aspects = F.filter(
+        F.array(
+            F.struct(
+                F.lit("depth").alias("aspect"),
+                F.when(F.col("rels.depth_rel") == "Nearer", "nearer")
+                .when(F.col("rels.depth_rel") == "Farther", "farther")
+                .alias("ans"),
+            ),
+            F.struct(
+                F.lit("horizontal").alias("aspect"),
+                F.when(F.col("rels.horizontal_rel") == "Left", "left")
+                .when(F.col("rels.horizontal_rel") == "Right", "right")
+                .alias("ans"),
+            ),
+            F.struct(
+                F.lit("vertical").alias("aspect"),
+                F.when(F.col("rels.vertical_rel") == "Above", "above")
+                .when(F.col("rels.vertical_rel") == "Below", "below")
+                .alias("ans"),
+            ),
+        ),
+        lambda s: s["ans"].isNotNull(),
+    )
+    picked = rel.withColumn("aspects", aspects).filter(F.size("aspects") > 0)
+    idx = (
+        R.randint(
+            0, 2, F.col("image_id"), F.lit("relpos"), F.col("pos_a"), F.col("pos_b")
+        )
+        % F.size("aspects")
+        + 1
+    )
+    picked = picked.withColumn("chosen", F.element_at(F.col("aspects"), idx))
+    question = (
+        F.when(
+            F.col("chosen.aspect") == "depth",
+            F.format_string(
+                "Is the %s nearer or farther than the %s from the camera?",
+                F.col("rcat_a"),
+                F.col("rcat_b"),
+            ),
+        )
+        .when(
+            F.col("chosen.aspect") == "horizontal",
+            F.format_string(
+                "Is the %s to the left or right of the %s from the camera's "
+                "perspective?",
+                F.col("rcat_a"),
+                F.col("rcat_b"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "Is the %s above or below the %s from the camera's perspective?",
+                F.col("rcat_a"),
+                F.col("rcat_b"),
+            )
+        )
+    )
+    md = meta(
+        image_id=F.col("image_id"),
+        object1_category=F.col("box_a.category"),
+        object2_category=F.col("box_b.category"),
+        object1_readable_category=F.col("rcat_a"),
+        object2_readable_category=F.col("rcat_b"),
+        aspect=F.col("chosen.aspect"),
+        depth_relation=F.col("rels.depth_rel"),
+        horizontal_relation=F.col("rels.horizontal_rel"),
+        vertical_relation=F.col("rels.vertical_rel"),
+        center_distance=F.col("rels.center_distance"),
+        uses_extrinsics=G.uses_extrinsics(F.col("camera")),
+    )
+    return finalize(
+        picked,
+        "obj_obj_rel_pos",
+        ["image_id", "pos_a", "pos_b"],
+        question,
+        F.col("chosen.ans"),
+        "text",
+        md,
+    )
+
+
+def cam_obj_rel_dist(frames: DataFrame) -> DataFrame:
+    """v1 closest/farthest pair questions — a per-row array program, zero
+    shuffles (tasks_3d/cam_obj_rel_dist_qa.py:61-113): per frame, sample
+    2 distinct boxes with hash-seeded draws, compare camera vertex-min
+    distances. Requires extrinsics like the reference (camera position)."""
+    boxed = frames.filter(
+        G.uses_extrinsics(F.col("camera")) & (F.size("bounding_boxes_3d") >= 2)
+    )
+    # distances: vertex-min to the camera position from extrinsics
+    cam = G.camera_position(F.col("camera.extrinsics"))
+    dists = F.transform(
+        F.col("bounding_boxes_3d"),
+        lambda b: F.array_min(
+            F.transform(
+                G.box_vertices(b),
+                lambda v: F.sqrt(
+                    (v[0] - cam[0]) ** 2 + (v[1] - cam[1]) ** 2 + (v[2] - cam[2]) ** 2
+                ),
+            )
+        ),
+    )
+    n = F.size("bounding_boxes_3d")
+    samples = []
+    for s in range(P_RELDIST["v1_samples"]):
+        i1 = R.randint(0, 10**6, F.col("image_id"), F.lit(f"rd{s}a")) % n
+        i2 = (
+            i1 + 1 + R.randint(0, 10**6, F.col("image_id"), F.lit(f"rd{s}b")) % (n - 1)
+        ) % n
+        samples.append(F.struct(i1.alias("i1"), i2.alias("i2")))
+    sampled = (
+        boxed.withColumn("dists", dists)
+        .withColumn("samp", F.explode(F.slice(F.array(*samples), 1, P_RELDIST["v1_samples"])))
+        .withColumn("b1", F.element_at(F.col("bounding_boxes_3d"), F.col("samp.i1") + 1))
+        .withColumn("b2", F.element_at(F.col("bounding_boxes_3d"), F.col("samp.i2") + 1))
+        .withColumn("d1", F.element_at(F.col("dists"), F.col("samp.i1") + 1))
+        .withColumn("d2", F.element_at(F.col("dists"), F.col("samp.i2") + 1))
+        .dropDuplicates(["dataset", "image_id", "samp"])
+    )
+    # closest + farthest variants, exploded into two rows per sample
+    variants = F.explode(
+        F.array(
+            F.struct(
+                F.lit("v1_closest").alias("variant"),
+                F.format_string(
+                    "Which object is closest to the camera, %s or %s?",
+                    F.col("b1.category"),
+                    F.col("b2.category"),
+                ).alias("question"),
+                F.when(F.col("d1") < F.col("d2"), F.col("b1.category"))
+                .otherwise(F.col("b2.category"))
+                .alias("answer"),
+            ),
+            F.struct(
+                F.lit("v1_farthest").alias("variant"),
+                F.format_string(
+                    "Which object is farthest from the camera, %s or %s?",
+                    F.col("b1.category"),
+                    F.col("b2.category"),
+                ).alias("question"),
+                F.when(F.col("d1") > F.col("d2"), F.col("b1.category"))
+                .otherwise(F.col("b2.category"))
+                .alias("answer"),
+            ),
+        )
+    )
+    v = sampled.withColumn("qa", variants)
+    md = meta(
+        image_id=F.col("image_id"),
+        variant=F.col("qa.variant"),
+        object1=F.col("b1.category"),
+        object2=F.col("b2.category"),
+        distance1=F.round(F.col("d1"), 2),
+        distance2=F.round(F.col("d2"), 2),
+    )
+    return finalize(
+        v,
+        "cam_obj_rel_dist",
+        ["image_id", "samp.i1", "samp.i2", "qa.variant"],
+        F.col("qa.question"),
+        F.col("qa.answer"),
+        "text",
+        md,
+    )
