@@ -16,9 +16,107 @@ from pyspark.sql import functions as F
 
 from ..enrich import apply_codebook, build_codebook, label_histogram
 from ..qa import generate_all, qa_summary
+from ..sources.coco import heuristic_lift_2d_to_3d
 from ..sources.json_frames import dataset_summary, parameter_audit
 from ..sources.star_frames import synthetic_frames
-from .registry import register
+from .registry import load_tables, register
+
+
+_LIFT_ORACLE = """
+WITH boxes AS (
+    SELECT
+        l_orderkey * 10 + l_linenumber AS fid,
+        CAST(l_partkey % 500 AS INT) AS x_min,
+        CAST(l_suppkey % 400 AS INT) AS y_min,
+        CAST(l_partkey % 500 + 20 + l_partkey % 100 AS INT) AS x_max,
+        CAST(l_suppkey % 400 + 20 + (l_linenumber * 7) % 60 AS INT) AS y_max,
+        1.0 + CAST(l_partkey % 40 AS DOUBLE) AS d
+    FROM lineitem
+), lifted AS (
+    SELECT
+        fid,
+        ((x_min + x_max) / 2.0 - 640 / 2.0) * d / (640 * 0.7) AS x,
+        ((y_min + y_max) / 2.0 - 480 / 2.0) * d / (480 * 0.7) AS y,
+        d AS z,
+        ABS((x_max - x_min) * d / (640 * 0.7)) AS xl,
+        ABS((y_max - y_min) * d / (480 * 0.7)) AS yl,
+        GREATEST(
+            LEAST(ABS((x_max - x_min) * d / (640 * 0.7)),
+                  ABS((y_max - y_min) * d / (480 * 0.7))) * 0.8,
+            (((d + 1.0) - (d - 1.0)) / 4.0) * 2.0
+        ) AS zl
+    FROM boxes
+)
+SELECT fid, ROUND(x, 6) AS x, ROUND(y, 6) AS y, ROUND(z, 6) AS z,
+       ROUND(xl, 6) AS xl, ROUND(yl, 6) AS yl, ROUND(zl, 6) AS zl
+FROM lifted
+WHERE xl >= 0.05 AND yl >= 0.05 AND zl >= 0.05
+"""
+
+
+@register(
+    "m1_heuristic_lift_2d_to_3d",
+    _LIFT_ORACLE,
+    "M1 tail (coco_processor.py:121-232): median-depth 2D→3D box lifting as "
+    "pure column math — heuristic intrinsics fx=0.7·W, center/extent "
+    "unprojection, depth-extent floor, minimum-size predicates. One 2D box "
+    "per lineitem row synthesized from integer columns; the oracle "
+    "replicates the closed-form arithmetic in SQL. Rounded to 6 dp on both "
+    "sides (pure per-row math, no accumulation-order risk, but double "
+    "literals keep bit-identity honest).",
+)
+def m1_heuristic_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    d = 1.0 + (F.col("l_partkey") % 40).cast("double")
+    box = F.struct(
+        (F.col("l_partkey") % 500).cast("int").alias("x_min"),
+        (F.col("l_suppkey") % 400).cast("int").alias("y_min"),
+        (F.col("l_partkey") % 500 + 20 + F.col("l_partkey") % 100)
+        .cast("int")
+        .alias("x_max"),
+        (F.col("l_suppkey") % 400 + 20 + (F.col("l_linenumber") * 7) % 60)
+        .cast("int")
+        .alias("y_max"),
+        F.lit(None).cast("int").alias("instance_id"),
+        F.lit(None).cast("int").alias("area"),
+        F.lit("c").alias("category"),
+    )
+    frames = li.select(
+        F.lit("star").alias("dataset"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("fid"),
+        F.struct(
+            F.lit(None).cast("double").alias("fx"),
+            F.lit(None).cast("double").alias("fy"),
+            F.lit(None).cast("double").alias("cx"),
+            F.lit(None).cast("double").alias("cy"),
+            F.lit(640).alias("image_width"),
+            F.lit(480).alias("image_height"),
+            F.lit(None).cast("array<array<double>>").alias("intrinsics"),
+            F.lit(None).cast("array<array<double>>").alias("extrinsics"),
+        ).alias("camera"),
+        F.struct(
+            F.lit(True).alias("present"),
+            F.lit(100).alias("valid_pixels"),
+            F.lit(100).alias("total_pixels"),
+            (d - 1.0).alias("min"),
+            (d + 1.0).alias("max"),
+            d.alias("median"),
+            d.alias("mean"),
+        ).alias("depth_stats"),
+        F.array(box).alias("bounding_boxes_2d"),
+        F.lit("none").alias("depth_type"),
+    )
+    lifted = heuristic_lift_2d_to_3d(frames)
+    b = F.explode("bounding_boxes_3d").alias("b")
+    return lifted.select("fid", b).select(
+        "fid",
+        F.round("b.x", 6).alias("x"),
+        F.round("b.y", 6).alias("y"),
+        F.round("b.z", 6).alias("z"),
+        F.round("b.xl", 6).alias("xl"),
+        F.round("b.yl", 6).alias("yl"),
+        F.round("b.zl", 6).alias("zl"),
+    )
 
 
 @register(

@@ -1,1 +1,10 @@
-from . import json_frames, star_frames  # noqa: F401
+from . import (  # noqa: F401
+    coco,
+    hypersim,
+    json_frames,
+    matterport,
+    objectron,
+    star_frames,
+    sunrgbd,
+    taskonomy,
+)

@@ -1,0 +1,128 @@
+"""Objectron ingest adapter (SURVEY §2.1 S6, §2.3 P6, §2.7 O3).
+
+The reference (data_processing/objectron_processor.py:40-304) parses
+``.pbdata`` protobuf sequences (camera intrinsics 9-float, view matrix
+16-float, per-object 2D/3D keypoints), strides every 10th frame, drops
+objects with <9 3D keypoints and frames with no objects, and derives
+video/category ids from the ``<category>/batch-<b>_<n>.pbdata`` layout.
+
+Spark-first: ``binaryFile`` fans sequence files across executors; an
+injectable parser decodes each inside ``mapInPandas`` (the generated pb2
+module is an optional dep — absent here, the default raises
+NotImplementedError; tests inject a deterministic fake so the stride /
+predicate / id-derivation plumbing is fully exercised). The frame stride
+runs *inside* the parser so skipped frames are never materialized (the
+reference's own optimization, objectron_processor.py:126-128); the keypoint
+predicates are DataFrame filters after decode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["PB_FRAME", "read_pbdata_frames", "objectron_filter", "parse_video_ids"]
+
+PB_FRAME = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("timestamp_us", T.LongType()),
+        T.StructField("intrinsics", T.ArrayType(T.DoubleType())),  # 9 floats
+        T.StructField("view_matrix", T.ArrayType(T.DoubleType())),  # 16 floats
+        T.StructField(
+            "objects",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("category", T.StringType()),
+                        T.StructField(
+                            "keypoints_3d", T.ArrayType(T.ArrayType(T.DoubleType()))
+                        ),
+                        T.StructField(
+                            "keypoints_2d", T.ArrayType(T.ArrayType(T.DoubleType()))
+                        ),
+                        T.StructField("visibility", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _default_pbdata_parser(
+    path: str, content: bytes, stride: int
+) -> list[dict[str, Any]]:
+    try:
+        from objectron.schema import annotation_data_pb2  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - pb2 not in this container
+        raise NotImplementedError(
+            "Objectron .pbdata decoding needs the generated protobuf module "
+            "(objectron.schema.annotation_data_pb2), not installed in this "
+            "environment. Inject a parser via read_pbdata_frames(..., "
+            "parser=...); the binaryFile fan-out, in-parser stride, and "
+            "keypoint predicates are fully wired."
+        ) from exc
+    raise NotImplementedError  # pragma: no cover
+
+
+def read_pbdata_frames(
+    spark: SparkSession,
+    pattern: str,
+    stride: int = 10,
+    parser: Callable[[str, bytes, int], list[dict[str, Any]]] | None = None,
+) -> DataFrame:
+    """S6 + O3: distributed ``.pbdata`` decode with in-parser frame stride.
+
+    One sequence file ≈ one video; files are the unit of parallelism. The
+    stride is applied while iterating ``frame_annotations`` so skipped
+    frames cost nothing (objectron_processor.py:126-128).
+    """
+    parse = parser or _default_pbdata_parser
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PB_FRAME.fields]
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse(path, content, stride))
+            yield pd.DataFrame(rows, columns=cols)
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pbdata")
+        .option("recursiveFileLookup", "true")
+        .load(pattern)
+        .select("path", "content")
+    )
+    return binary.mapInPandas(decode, schema=PB_FRAME)
+
+
+def objectron_filter(frames: DataFrame) -> DataFrame:
+    """P6: keep objects with ≥9 3D keypoints, then frames with ≥1 object
+    (objectron_processor.py:84-94,163-164,209-210) — array filter + size
+    predicate, no shuffle."""
+    return frames.withColumn(
+        "objects",
+        F.filter(
+            F.coalesce(F.col("objects"), F.array()),
+            lambda o: F.size(F.coalesce(o["keypoints_3d"], F.array())) >= 9,
+        ),
+    ).filter(F.size("objects") > 0)
+
+
+def parse_video_ids(frames: DataFrame) -> DataFrame:
+    """S10: derive category / video_id from the ``<category>/batch-B_N``
+    path layout (objectron_processor.py:295-304) with one regexp each."""
+    return frames.withColumns(
+        {
+            "category": F.regexp_extract(F.col("path"), r"([^/]+)/[^/]+\.pbdata$", 1),
+            "video_id": F.regexp_extract(F.col("path"), r"([^/]+)\.pbdata$", 1),
+        }
+    )
