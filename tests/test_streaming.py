@@ -1,0 +1,101 @@
+"""Structured Streaming extension: every streaming query must agree with the
+same transformation run in batch over the same finite input (the
+batch-equivalence rule from SURVEY §7.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_SMALL
+from vlm_data_pipeline_spark import streaming
+
+
+def run_stream(df, tmp_path, name: str, output_mode: str = "complete"):
+    """Drain a finite stream through a memory sink with availableNow."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def as_sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return lambda: streaming.stream_events(spark, SF_DIR_SMALL)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return streaming.batch_events(spark, SF_DIR_SMALL)
+
+
+def test_tumbling_batch_equivalence(spark, tmp_path, events_stream, events_batch):
+    got = run_stream(
+        streaming.tumbling_event_stats(events_stream()), tmp_path, "tumbling"
+    )
+    want = streaming.tumbling_event_stats(events_batch)
+    assert as_sorted_rows(got) == as_sorted_rows(want)
+    assert got.count() > 0
+
+
+def test_sliding_batch_equivalence(spark, tmp_path, events_stream, events_batch):
+    got = run_stream(
+        streaming.sliding_event_stats(events_stream()), tmp_path, "sliding"
+    )
+    want = streaming.sliding_event_stats(events_batch)
+    assert as_sorted_rows(got) == as_sorted_rows(want)
+    # sliding windows overlap: strictly more windows than events span / slide
+    assert got.count() > streaming.tumbling_event_stats(events_batch).count() / 2
+
+
+def test_session_window_batch_equivalence(spark, tmp_path, events_stream, events_batch):
+    got = run_stream(
+        streaming.session_window_stats(events_stream()), tmp_path, "sessions"
+    )
+    want = streaming.session_window_stats(events_batch)
+    assert as_sorted_rows(got) == as_sorted_rows(want)
+    # agrees with the batch sessionization on total session count
+    n_sessions = got.count()
+    assert n_sessions >= events_batch.select("user_id").distinct().count()
+
+
+def test_streaming_dedupe(spark, tmp_path, events_stream, events_batch):
+    got = run_stream(
+        streaming.dedupe_events(events_stream()).select("event_id"),
+        tmp_path,
+        "dedup",
+        output_mode="append",
+    )
+    assert got.count() == events_batch.select("event_id").distinct().count()
+
+
+def test_running_user_totals_stateful(spark, tmp_path, events_stream, events_batch):
+    got = run_stream(
+        streaming.running_user_totals(events_stream()),
+        tmp_path,
+        "running",
+        output_mode="update",
+    )
+    # update mode: keep the last emitted row per user (the final totals)
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_total").alias("value_total"),
+        )
+        .withColumn("value_total", F.round("value_total", 2))
+    )
+    want = streaming.running_user_totals(events_batch).withColumn(
+        "value_total", F.round("value_total", 2)
+    )
+    assert as_sorted_rows(final) == as_sorted_rows(want)

@@ -22,6 +22,65 @@ from ..sources.star_frames import synthetic_frames
 from .registry import load_tables, register
 
 
+_SESSION_WINDOW_ORACLE = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+                     >= 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT user_id, ts, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+    FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       (cast(sum(cast(round(value * 100) as BIGINT)) as DOUBLE) / 100.0)
+           AS value_sum
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "event_session_window_native",
+    _SESSION_WINDOW_ORACLE,
+    "Streaming extension (SURVEY §2.12 — labeled as such): Spark's native "
+    "session_window operator (30-min inactivity gap) in its batch form; "
+    "vlm_data_pipeline_spark/streaming/events.py runs the identical "
+    "function as a watermarked stream (equivalence pinned by "
+    "tests/test_streaming.py). Oracle derives the same gap sessions with "
+    "lag/running-sum SQL; the session end is last-event + gap on both "
+    "sides; value sums in exact integer cents.",
+)
+def event_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.exact import exact_sum
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 _LIFT_ORACLE = """
 WITH boxes AS (
     SELECT
