@@ -1,0 +1,199 @@
+"""Evaluation metric operators (SURVEY §2.11 — vendored Objectron eval lib).
+
+The reference vendors Google's Objectron evaluation code: point-in-box
+tests (box.py:158-176), sampling-based IoU (iou.py:36-70), VOC-style
+average precision (metrics.py:31-99), and accuracy-under-threshold
+(metrics.py:101-117). Nothing in the pipeline invokes them; we expose the
+same capabilities as engine operators because a training-data pipeline at
+scale needs detection-quality metrics as first-class aggregations.
+
+Spark-first split:
+- axis-aligned IoU (2D and 3D) → closed-form column expressions (codegen);
+- oriented-box membership / sampling IoU → vectorized numpy inside a
+  pandas UDF (matrix work, the documented slow path);
+- average precision → pure window-function relational algebra: cumulative
+  TP/FP by descending score, monotonic precision via a reverse running
+  max, AP = Σ Δrecall · p_mono — one shuffle per group, no driver loop,
+  oracle-expressible in ANSI SQL;
+- accuracy-under-threshold → one conditional aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "iou_2d",
+    "aabb_iou_3d",
+    "box_as_array",
+    "monte_carlo_iou_3d_udf",
+    "average_precision",
+    "accuracy_under_threshold",
+]
+
+
+def _overlap(lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column) -> Column:
+    return F.greatest(F.least(hi_a, hi_b) - F.greatest(lo_a, lo_b), F.lit(0.0))
+
+
+def iou_2d(a: Column, b: Column) -> Column:
+    """Exact IoU of two corner-encoded 2D boxes (x_min..y_max structs)."""
+    ix = _overlap(
+        a["x_min"].cast("double"), a["x_max"].cast("double"),
+        b["x_min"].cast("double"), b["x_max"].cast("double"),
+    )
+    iy = _overlap(
+        a["y_min"].cast("double"), a["y_max"].cast("double"),
+        b["y_min"].cast("double"), b["y_max"].cast("double"),
+    )
+    inter = ix * iy
+    area = lambda bb: (  # noqa: E731
+        (bb["x_max"] - bb["x_min"]).cast("double")
+        * (bb["y_max"] - bb["y_min"]).cast("double")
+    )
+    union = area(a) + area(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def aabb_iou_3d(a: Column, b: Column) -> Column:
+    """Exact IoU of two 9-DoF boxes *ignoring rotation* (axis-aligned form —
+    the fast path; oriented boxes go through the sampling UDF)."""
+    dims = (("x", "xl"), ("y", "yl"), ("z", "zl"))
+    inter = F.lit(1.0)
+    for c, l in dims:
+        inter = inter * _overlap(
+            a[c] - a[l] / 2, a[c] + a[l] / 2, b[c] - b[l] / 2, b[c] + b[l] / 2
+        )
+    vol = lambda bb: bb["xl"] * bb["yl"] * bb["zl"]  # noqa: E731
+    union = vol(a) + vol(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def box_as_array(box: Column) -> Column:
+    """9-DoF struct → flat array<double> (the sampling UDF's wire format:
+    Arrow ships primitive arrays cheaply; struct inputs to scalar pandas
+    UDFs are not supported)."""
+    return F.array(
+        *[box[f].cast("double") for f in ("x", "y", "z", "xl", "yl", "zl", "pitch", "yaw", "roll")]
+    )
+
+
+def monte_carlo_iou_3d_udf(n_samples: int = 2048):
+    """Sampling IoU of two *oriented* 9-DoF boxes (iou.py:36-70 semantics).
+
+    Returns a pandas UDF ``(box_as_array(a), box_as_array(b), seed long) →
+    double``. Per row: draw ``n_samples`` points uniformly inside each box
+    (local frame → rotate Rz·Ry·Rx → translate), count how many fall inside
+    the other box (inverse-rotate membership test, box.py:158-176), and
+    combine with the reference's volume-normalized two-sided estimate.
+    Deterministic: numpy Generator seeded from the per-row seed column.
+    Angles are the stored normalized [-1,1] values (×π = radians).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def rot(pitch: float, yaw: float, roll: float) -> np.ndarray:
+        p, y, r = pitch * np.pi, yaw * np.pi, roll * np.pi
+        cp, sp, cy, sy, cr, sr = np.cos(p), np.sin(p), np.cos(y), np.sin(y), np.cos(r), np.sin(r)
+        rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+        return rz @ ry @ rx
+
+    def one_iou(a, b, seed: int) -> float:
+        rng = np.random.default_rng(seed)
+        boxes = []
+        for bb in (np.asarray(a), np.asarray(b)):
+            boxes.append((bb[0:3], bb[3:6], rot(bb[6], bb[7], bb[8])))
+        vols = [float(np.prod(d)) for _, d, _ in boxes]
+        hits = []
+        for (c_s, d_s, r_s), (c_o, d_o, r_o) in (
+            (boxes[0], boxes[1]),
+            (boxes[1], boxes[0]),
+        ):
+            local = (rng.random((n_samples, 3)) - 0.5) * d_s
+            world = local @ r_s.T + c_s
+            other_local = (world - c_o) @ r_o  # R⁻¹ = Rᵀ (rigid)
+            inside = np.all(np.abs(other_local) <= d_o / 2.0, axis=1)
+            hits.append(int(inside.sum()))
+        inter = (vols[0] * hits[0] + vols[1] * hits[1]) / 2.0
+        union = (vols[0] + vols[1]) * n_samples - inter
+        return float(inter / union) if union > 0 else 0.0
+
+    @pandas_udf("double")
+    def mc_iou(a: pd.Series, b: pd.Series, seed: pd.Series) -> pd.Series:
+        return pd.Series(
+            [one_iou(x, y, int(s)) for x, y, s in zip(a, b, seed)]
+        )
+
+    return mc_iou
+
+
+def average_precision(
+    detections: DataFrame,
+    group_cols: list[str],
+    score_col: str = "score",
+    hit_col: str = "hit",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """VOC-style AP per group as pure window algebra (metrics.py:31-99).
+
+    Input: one row per detection with a confidence score and a 0/1 hit
+    flag; ground-truth count per group = Σ hit (recall reaches 1.0).
+
+    recall_i = cumTP/Σhit, precision_i = cumTP/i over descending score;
+    monotonic precision = max(precision) over the suffix (reverse running
+    max — the VOC smoothing loop); AP = Σ (recall_i − recall_{i−1})·p_mono.
+    The reference's prepended (0, ·) point is the lag default; the appended
+    (1, 0) point contributes 0 by construction.
+
+    ``order_cols`` must make the sort total for deterministic results.
+    """
+    order = [F.col(score_col).desc()] + [F.col(c) for c in (order_cols or [])]
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_suffix = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_lag = Window.partitionBy(*group_cols).orderBy(*order)
+    total = Window.partitionBy(*group_cols)
+
+    ranked = (
+        detections.withColumn("_tp", F.sum(hit_col).over(w_cum).cast("double"))
+        .withColumn("_i", F.count("*").over(w_cum).cast("double"))
+        .withColumn("_n_true", F.sum(hit_col).over(total).cast("double"))
+        .withColumn("_recall", F.col("_tp") / F.col("_n_true"))
+        .withColumn("_precision", F.col("_tp") / F.col("_i"))
+        .withColumn("_p_mono", F.max("_precision").over(w_suffix))
+        .withColumn("_d_recall", F.col("_recall") - F.lag("_recall", 1, 0.0).over(w_lag))
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.round(F.sum(F.col("_d_recall") * F.col("_p_mono")), 6).alias("ap"),
+        F.max("_n_true").cast("long").alias("n_true"),
+        F.count("*").alias("n_detections"),
+    )
+
+
+def accuracy_under_threshold(
+    errors: DataFrame,
+    group_cols: list[str],
+    error_col: str = "error",
+    thresh: float = 0.1,
+) -> DataFrame:
+    """Accuracy = % of errors ≤ threshold (metrics.py:101-117)."""
+    return errors.groupBy(*group_cols).agg(
+        F.round(
+            F.sum(F.when(F.col(error_col) <= thresh, 1).otherwise(0))
+            * 100.0
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+        F.count("*").alias("n"),
+    )

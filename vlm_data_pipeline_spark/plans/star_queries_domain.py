@@ -22,6 +22,134 @@ from ..sources.star_frames import synthetic_frames
 from .registry import load_tables, register
 
 
+_IOU2D_ORACLE = """
+WITH boxes AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_partkey % 100 AS DOUBLE) AS ax0,
+           CAST(l_suppkey % 100 AS DOUBLE) AS ay0,
+           CAST(l_partkey % 100 + 10 + l_partkey % 50 AS DOUBLE) AS ax1,
+           CAST(l_suppkey % 100 + 10 + l_suppkey % 50 AS DOUBLE) AS ay1,
+           CAST(l_partkey % 100 + l_linenumber * 5 AS DOUBLE) AS bx0,
+           CAST(l_suppkey % 100 + l_linenumber * 5 AS DOUBLE) AS by0,
+           CAST(l_partkey % 100 + l_linenumber * 5 + 10 + l_partkey % 50 AS DOUBLE) AS bx1,
+           CAST(l_suppkey % 100 + l_linenumber * 5 + 10 + l_suppkey % 50 AS DOUBLE) AS by1
+    FROM lineitem
+), iou AS (
+    SELECT l_orderkey, l_linenumber,
+           GREATEST(LEAST(ax1, bx1) - GREATEST(ax0, bx0), 0.0)
+             * GREATEST(LEAST(ay1, by1) - GREATEST(ay0, by0), 0.0) AS inter,
+           (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) AS areas
+    FROM boxes
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND(CASE WHEN areas - inter > 0 THEN inter / (areas - inter)
+                  ELSE 0.0 END, 6) AS iou
+FROM iou
+"""
+
+
+@register(
+    "eval_iou_2d",
+    _IOU2D_ORACLE,
+    "§2.11 (objectron/dataset/iou.py): exact 2D box IoU as closed-form "
+    "column math — overlap clamps, area union, zero-union guard. One box "
+    "pair per lineitem row from integer columns; the oracle replicates the "
+    "arithmetic. The oriented-3D variant (sampling, box.py:158-176 "
+    "membership) is the monte_carlo_iou_3d_udf pandas UDF, value-pinned by "
+    "tests/test_evaluation.py fixtures.",
+)
+def eval_iou_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.evaluation import iou_2d
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    mk = lambda x0, y0, x1, y1: F.struct(  # noqa: E731
+        x0.cast("double").alias("x_min"),
+        y0.cast("double").alias("y_min"),
+        x1.cast("double").alias("x_max"),
+        y1.cast("double").alias("y_max"),
+    )
+    pk, sk, ln = F.col("l_partkey"), F.col("l_suppkey"), F.col("l_linenumber")
+    a = mk(pk % 100, sk % 100, pk % 100 + 10 + pk % 50, sk % 100 + 10 + sk % 50)
+    b = mk(
+        pk % 100 + ln * 5,
+        sk % 100 + ln * 5,
+        pk % 100 + ln * 5 + 10 + pk % 50,
+        sk % 100 + ln * 5 + 10 + sk % 50,
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(iou_2d(a, b), 6).alias("iou"),
+    )
+
+
+_AP_ORDER = "score DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey"
+_AP_ORACLE = f"""
+WITH det AS (
+    SELECT l_returnflag AS grp,
+           CAST(l_partkey % 997 AS DOUBLE) / 997.0 AS score,
+           CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS hit,
+           l_orderkey, l_linenumber, l_partkey, l_suppkey
+    FROM lineitem
+), ranked AS (
+    SELECT grp, score, hit,
+           CAST(sum(hit) OVER w_cum AS DOUBLE) AS tp,
+           CAST(count(*) OVER w_cum AS DOUBLE) AS i,
+           CAST(sum(hit) OVER (PARTITION BY grp) AS DOUBLE) AS n_true,
+           l_orderkey, l_linenumber, l_partkey, l_suppkey
+    FROM det
+    WINDOW w_cum AS (PARTITION BY grp ORDER BY {_AP_ORDER}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pr AS (
+    SELECT grp, n_true,
+           tp / n_true AS recall,
+           max(tp / i) OVER (PARTITION BY grp ORDER BY {_AP_ORDER}
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS p_mono,
+           tp / n_true
+             - coalesce(lag(tp / n_true)
+                        OVER (PARTITION BY grp ORDER BY {_AP_ORDER}), 0.0)
+               AS d_recall
+    FROM ranked
+)
+SELECT grp, ROUND(sum(d_recall * p_mono), 6) AS ap,
+       CAST(max(n_true) AS BIGINT) AS n_true,
+       count(*) AS n_detections
+FROM pr
+GROUP BY grp
+"""
+
+
+@register(
+    "eval_average_precision",
+    _AP_ORACLE,
+    "§2.11 (objectron/dataset/metrics.py:31-99): VOC-style average "
+    "precision as pure window algebra — cumulative TP by descending score, "
+    "monotonic precision via reverse running max, AP = Σ Δrecall·p_mono. "
+    "Detections synthesized per lineitem row (score from partkey, hit = "
+    "quantity predicate, returnflag groups); total order via the full key "
+    "set so cumulative sums are deterministic.",
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.evaluation import average_precision
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    det = li.select(
+        F.col("l_returnflag").alias("grp"),
+        ((F.col("l_partkey") % 997).cast("double") / 997.0).alias("score"),
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("hit"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    )
+    return average_precision(
+        det,
+        ["grp"],
+        order_cols=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+
 _SESSION_WINDOW_ORACLE = """
 WITH marked AS (
     SELECT user_id, ts, event_id, value,
