@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .text import let
+
 THRESHOLD_M = 0.1  # spatial-relation separation threshold (meters)
 
 
@@ -113,14 +115,21 @@ def _pair_dist(v1: Column, v2: Column) -> Column:
 
 
 def min_vertex_distance(verts_a: Column, verts_b: Column) -> Column:
-    """Min Euclidean distance over the 8×8 vertex pairs of two boxes."""
-    return F.array_min(
-        F.flatten(
-            F.transform(
-                verts_a,
-                lambda v1: F.transform(verts_b, lambda v2: _pair_dist(v1, v2)),
+    """Min Euclidean distance over the 8×8 vertex pairs of two boxes.
+
+    ``verts_b`` is let-bound: it is referenced inside the per-vertex lambda
+    and would otherwise re-evaluate its (8-corner trig) expression for every
+    vertex of ``verts_a``."""
+    return let(
+        verts_b,
+        lambda vb: F.array_min(
+            F.flatten(
+                F.transform(
+                    verts_a,
+                    lambda v1: F.transform(vb, lambda v2: _pair_dist(v1, v2)),
+                )
             )
-        )
+        ),
     )
 
 
@@ -178,42 +187,46 @@ def strict_interval_relations(verts_a: Column, verts_b: Column) -> Column:
     more than 0.1 m below B's, etc. Null when intervals overlap.
 
     Returns struct(depth_rel, horizontal_rel, vertical_rel), each nullable.
+    Both vertex arrays are let-bound (each is referenced once per axis).
     """
 
-    def axis(i: int) -> tuple[Column, Column, Column, Column]:
-        a_vals = F.transform(verts_a, lambda v: v[i])
-        b_vals = F.transform(verts_b, lambda v: v[i])
-        return (
-            F.array_min(a_vals),
-            F.array_max(a_vals),
-            F.array_min(b_vals),
-            F.array_max(b_vals),
+    def mk(va: Column, vb: Column) -> Column:
+        def axis(i: int) -> tuple[Column, Column, Column, Column]:
+            a_vals = F.transform(va, lambda v: v[i])
+            b_vals = F.transform(vb, lambda v: v[i])
+            return (
+                F.array_min(a_vals),
+                F.array_max(a_vals),
+                F.array_min(b_vals),
+                F.array_max(b_vals),
+            )
+
+        t = F.lit(THRESHOLD_M)
+        ax_min, ax_max, bx_min, bx_max = axis(0)
+        ay_min, ay_max, by_min, by_max = axis(1)
+        az_min, az_max, bz_min, bz_max = axis(2)
+        depth = (
+            F.when(az_max < bz_min - t, "Near")
+            .when(az_min > bz_max + t, "Far")
+            .otherwise(F.lit(None).cast("string"))
+        )
+        horiz = (
+            F.when(ax_max < bx_min - t, "Left")
+            .when(ax_min > bx_max + t, "Right")
+            .otherwise(F.lit(None).cast("string"))
+        )
+        vert = (
+            F.when(ay_max < by_min - t, "Up")
+            .when(ay_min > by_max + t, "Down")
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return F.struct(
+            depth.alias("depth_rel"),
+            horiz.alias("horizontal_rel"),
+            vert.alias("vertical_rel"),
         )
 
-    t = F.lit(THRESHOLD_M)
-    ax_min, ax_max, bx_min, bx_max = axis(0)
-    ay_min, ay_max, by_min, by_max = axis(1)
-    az_min, az_max, bz_min, bz_max = axis(2)
-    depth = (
-        F.when(az_max < bz_min - t, "Near")
-        .when(az_min > bz_max + t, "Far")
-        .otherwise(F.lit(None).cast("string"))
-    )
-    horiz = (
-        F.when(ax_max < bx_min - t, "Left")
-        .when(ax_min > bx_max + t, "Right")
-        .otherwise(F.lit(None).cast("string"))
-    )
-    vert = (
-        F.when(ay_max < by_min - t, "Up")
-        .when(ay_min > by_max + t, "Down")
-        .otherwise(F.lit(None).cast("string"))
-    )
-    return F.struct(
-        depth.alias("depth_rel"),
-        horiz.alias("horizontal_rel"),
-        vert.alias("vertical_rel"),
-    )
+    return let(verts_a, lambda va: let(verts_b, lambda vb: mk(va, vb)))
 
 
 # ---------------------------------------------------------------------------

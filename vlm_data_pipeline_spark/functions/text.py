@@ -10,8 +10,29 @@ external engine (the DuckDB oracle) can reproduce them bit-for-bit —
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def let(bound: Column, body: Callable[[Column], Column]) -> Column:
+    """Functional let-binding: evaluate ``bound`` ONCE, reference it many
+    times inside ``body``.
+
+    Why this exists: Catalyst's CollapseProject freely re-inlines a
+    projected expression into later expressions, and a subexpression
+    referenced *inside a higher-order-function lambda* is then re-evaluated
+    per array element (HOFs run interpreted — no codegen CSE). A shingle
+    expression like ``element_at(tokens(text), i)`` silently re-runs the
+    whole split per element: measured 4-8× slowdowns on the dedup pipeline.
+
+    The fix is a literal let: wrap the value in a 1-element array and bind
+    it to a lambda variable — lambda variables are evaluated at binding
+    time, so every reference in the body is an O(1) variable lookup that no
+    optimizer rule can re-inline.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
 
 # ---------------------------------------------------------------------------
 # Portable deterministic hashes
@@ -43,16 +64,24 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams joined with '_'. Empty array when < n tokens."""
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            "_", *[F.element_at(toks, (i + off).cast("int")) for off in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(joined)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-grams joined with '_'. Empty array when < n tokens.
+
+    let-bound: the token array is referenced per generated shingle, which
+    without the binding re-evaluates the upstream tokenization per element.
+    """
+
+    def mk(t: Column) -> Column:
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(t, (i + off).cast("int")) for off in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, F.array_distinct(joined)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(toks, mk)
 
 
 def token_count(text: Column) -> Column:
@@ -83,14 +112,17 @@ def rolling_fingerprint(toks: Column) -> Column:
     Distinguishes reorderings that ``doc_fingerprint`` collapses. Exact
     BIGINT arithmetic → portable and associativity-safe.
     """
-    return F.aggregate(
-        F.zip_with(
-            toks,
-            F.sequence(F.lit(1), F.size(toks)),
-            lambda t, i: hash32(t) * i.cast("long"),
+    return let(
+        toks,
+        lambda tk: F.aggregate(
+            F.zip_with(
+                tk,
+                F.sequence(F.lit(1), F.size(tk)),
+                lambda t, i: hash32(t) * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
 
 

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     doc_fingerprint,
     hash32,
-    seeded_hash60,
+    hash60,
+    let,
     tokens,
     word_shingles,
 )
@@ -60,13 +61,40 @@ def exact_dedup_groups(
 # ---------------------------------------------------------------------------
 
 
+# Affine-permutation constants: one cryptographic-ish base hash per shingle,
+# then k cheap (a·h + b) mod P permutations — 1 md5 per shingle instead of k
+# (k× less hashing; md5 is the hot cost at corpus scale). P is the Mersenne
+# prime 2^61−1; a·h < 2^24·2^32 keeps every product inside int64 in Spark
+# AND DuckDB (which errors on overflow rather than wrapping).
+MINHASH_P = (1 << 61) - 1
+
+
+def _perm_coeffs(k: int) -> list[tuple[int, int]]:
+    return [(1_000_003 * j + 777_767, 999_983 * j + 37) for j in range(k)]
+
+
 def minhash_signature(shingles: Column, k: int = 12) -> Column:
-    """k-permutation MinHash over a shingle array as one nested-lambda
-    column expression: sig[j] = min over shingles of hash60(j ':' s).
-    Runs entirely in codegen — no shuffle, no UDF."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(F.transform(shingles, lambda s: seeded_hash60(j, s))),
+    """k-permutation MinHash over a shingle array as one column expression:
+    h = hash32(shingle) once, then sig[j] = min over shingles of
+    (a_j·h + b_j) mod P. Runs entirely in codegen — no shuffle, no UDF."""
+    return minhash_signature_from_hashes(F.transform(shingles, hash32), k)
+
+
+def minhash_signature_from_hashes(shingle_hashes: Column, k: int = 12) -> Column:
+    """Signature from pre-hashed shingles.
+
+    let-bound: the hash array is referenced k times (once per permutation);
+    without the binding an inlined md5 transform recomputes k times.
+    """
+
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
+
+    return let(
+        shingle_hashes,
+        lambda hs: F.array(
+            *[F.array_min(F.transform(hs, perm(a, b))) for a, b in _perm_coeffs(k)]
+        ),
     )
 
 
@@ -92,16 +120,28 @@ def minhash_lsh_pairs(
     r = k // bands
     assert bands * r == k, "k must divide into equal bands"
 
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(tokens(F.col(text_col)), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
+    # Stage the column pipeline through real projections: a higher-order
+    # lambda re-evaluates its input subexpression per element, so tokens
+    # must be a materialized column before shingling, and shingle hashes
+    # before the k permutations — otherwise the split/md5 work multiplies
+    # by shingle count / k (measured 4-5× on the documents corpus).
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+        .select("doc_id", word_shingles(F.col("t"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sig = sh.withColumn("hs", F.transform(F.col("sh"), hash32)).withColumn(
+        "sig", minhash_signature_from_hashes(F.col("hs"), k)
+    )
 
-    # band index b → bucket key = md5 of that signature slice
+    # band index b → bucket key = md5 of that signature slice.
+    # The banded table is SKINNY (doc_id, band, bucket) — the O(candidates)
+    # self-join never shuffles shingle arrays; those re-attach afterwards
+    # to only the surviving candidate pairs (two narrow hash joins). At
+    # corpus scale this is the difference between shuffling ids and
+    # shuffling the corpus.
     banded = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -115,25 +155,23 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cands = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    cands = cand_ids.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
 
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
@@ -192,18 +230,55 @@ def ngram_jaccard_pairs(
     block (here e.g. (lang, source)), so cost is Σ|block|², not |corpus|².
     For unblockable corpora use minhash_lsh_pairs instead.
     """
+    # The verify kernel intersects 64-bit shingle HASHES, not strings: set
+    # sizes are identical (collisions over a doc pair's union are ~2⁻⁶⁰
+    # likely) and integer set-intersection is ~25× cheaper than string —
+    # this kernel runs once per candidate pair, i.e. Σ|block|² times.
     sh = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("doc_id"),
         word_shingles(tokens(F.col(text_col)), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        *block_cols,
+        "doc_id",
+        F.array_sort(F.array_distinct(F.transform(F.col("sh"), hash60))).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    sh = sh.withColumn("n", F.size("hs"))
+    # Salted self-join: a blocking key with few distinct values (5 langs)
+    # would put each block's quadratic pair generation on ONE task. Side A
+    # takes salt = hash(id) mod S; side B is replicated S ways — every
+    # (x < y) pair still forms exactly once (at salt(x)), but each block's
+    # work spreads across S·|blocks| tasks. B's shuffle grows S×, which is
+    # the standard price of skew-splitting a self-join.
+    salt = 32
+    # Repartition the probe side on the salt: when the build side broadcasts
+    # (small corpus / dimension-sized blocks), join parallelism equals the
+    # PROBE side's partition count — a small parquet file arrives as 1-2
+    # input splits and would serialize the whole quadratic verify onto one
+    # or two tasks regardless of salting.
+    a = (
+        sh.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(salt)))
+        .repartition(salt, "_salt")
+        .alias("a")
+    )
+    b = sh.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
+        F.col("a._salt") == F.col("b._salt")
+    )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    # Lossless length prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    # pair can only reach the threshold when the smaller set is ≥ t·larger
+    # — an integer compare that prunes most of the Σ|block|² pairs before
+    # the set intersection ever runs.
+    cond = cond & (
+        F.least(F.col("a.n"), F.col("b.n")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+    )
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    union = F.size(F.array_union(F.col("a.hs"), F.col("b.hs")))
     return (
         a.join(b, cond)
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))

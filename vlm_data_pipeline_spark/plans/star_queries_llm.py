@@ -77,10 +77,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_K, _MINHASH_BANDS, _MINHASH_R = 12, 4, 3
-_D_SEEDED = _d_hash60("concat(cast(j as VARCHAR), ':', s)")
+# One hash32 per shingle + affine permutations (a_j·h + b_j) mod 2^61−1,
+# mirroring operators.dedup.minhash_signature / _perm_coeffs exactly.
 _D_SIG = (
     f"list_transform(range(0, {_MINHASH_K}), j -> list_min(list_transform(sh,"
-    f" s -> {_D_SEEDED})))"
+    f" s -> ({_d_hash32('s')} * (1000003 * j + 777767)"
+    f" + (999983 * j + 37)) % 2305843009213693951)))"
 )
 
 
