@@ -34,6 +34,11 @@ HEADLINE = [
     "o4_deterministic_sample",
     "event_tumbling_window",
     "a10_quality_audit",
+    # scale flagships: the full 10-task QA pipeline over ~150K synthesized
+    # frames (reference single-node analogue: 8-12 frames/s) and the
+    # MinHash+LSH near-dup pass over the documents corpus
+    "qa_pipeline_full",
+    "dedup_minhash_lsh",
 ]
 
 

@@ -34,11 +34,24 @@ TASKS_3D = {k for k in TASKS if not k.endswith("2d") and k != "object_count_mc"}
 
 
 def generate_all(
-    frames: DataFrame, tasks: list[str] | None = None
+    frames: DataFrame, tasks: list[str] | None = None, persist: bool = True
 ) -> DataFrame:
     """Union of all task outputs over one frames lineage, with a task
-    column (the all_qa_pairs.json analogue, generate_qa.py:134-144)."""
+    column (the all_qa_pairs.json analogue, generate_qa.py:134-144).
+
+    ``persist`` (default on) materializes the shared frames input once:
+    each task branch prunes different columns, so their upstream subtrees
+    are NOT identical and Spark's exchange reuse never fires — without the
+    persist, a 10-task run re-executes the frames scan/assembly 10×
+    (measured ~2× end-to-end on the synthetic corpus). At cluster scale
+    this is the standard snapshot-then-fan-out pattern; pass False when
+    the input is already a cached/bronze table.
+    """
     names = tasks or list(TASKS)
+    if persist and len(names) > 1:
+        from pyspark.storagelevel import StorageLevel
+
+        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
     outs = []
     for name in names:
         fr = frames

@@ -166,41 +166,83 @@ def cam_obj_distance(frames: DataFrame) -> DataFrame:
     )
 
 
-def _box_pairs(frames: DataFrame) -> DataFrame:
-    """J8: all unordered in-frame box pairs via co-partitioned self-join."""
-    inst = explode_boxes_3d(frames).select(
-        "dataset", "image_id", "scene_id", "frame_id", "camera", "pos", "box"
+def _box_pairs(frames: DataFrame, with_verts: bool = False) -> DataFrame:
+    """J8: all unordered in-frame box pairs (i < j).
+
+    The reference iterates box pairs inside one frame's record
+    (obj_obj_distance_qa.py:38-47); a frame's boxes already live in one
+    array cell here, so the pairs are generated IN PLACE with an array
+    comprehension + one explode — no self-join, no shuffle at all. (The
+    equi-join formulation — see plans/star_queries.py j8_pairwise_selfjoin
+    — is the right shape when instances arrive as a flat table instead.)
+
+    ``with_verts`` precomputes the 8 oriented vertices once per BOX before
+    pairing; downstream 8×8 distance kernels would otherwise re-run the
+    trig once per PAIR (each box sits in ~n/2 pairs).
+    """
+    if with_verts:
+        enriched = F.transform(
+            F.col("bounding_boxes_3d"),
+            lambda b: F.struct(b.alias("box"), G.box_vertices(b).alias("verts")),
+        )
+    else:
+        enriched = F.transform(
+            F.col("bounding_boxes_3d"), lambda b: F.struct(b.alias("box"))
+        )
+
+    def mk_pairs(bv: F.Column) -> F.Column:
+        n = F.size(bv)
+        pair = lambda i, j: F.struct(  # noqa: E731
+            i.alias("pos_a"),
+            j.alias("pos_b"),
+            F.element_at(bv, (i + 1).cast("int")).alias("a"),
+            F.element_at(bv, (j + 1).cast("int")).alias("b"),
+        )
+        all_pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.transform(F.sequence(i + 1, n - 1), lambda j: pair(i, j)),
+            )
+        )
+        return F.when(n >= 2, all_pairs).otherwise(F.array())
+
+    from ..functions.text import let
+
+    pairs = frames.select(
+        "dataset",
+        "image_id",
+        "scene_id",
+        "frame_id",
+        "camera",
+        F.explode(let(enriched, mk_pairs)).alias("p"),
     )
-    a = inst.alias("a")
-    b = inst.alias("b")
-    return a.join(
-        b,
-        (F.col("a.dataset") == F.col("b.dataset"))
-        & (F.col("a.image_id") == F.col("b.image_id"))
-        & (F.col("a.pos") < F.col("b.pos")),
-    ).select(
-        F.col("a.dataset").alias("dataset"),
-        F.col("a.image_id").alias("image_id"),
-        F.col("a.scene_id").alias("scene_id"),
-        F.col("a.frame_id").alias("frame_id"),
-        F.col("a.camera").alias("camera"),
-        F.col("a.pos").alias("pos_a"),
-        F.col("b.pos").alias("pos_b"),
-        F.col("a.box").alias("box_a"),
-        F.col("b.box").alias("box_b"),
-    )
+    cols = [
+        "dataset",
+        "image_id",
+        "scene_id",
+        "frame_id",
+        "camera",
+        F.col("p.pos_a").alias("pos_a"),
+        F.col("p.pos_b").alias("pos_b"),
+        F.col("p.a.box").alias("box_a"),
+        F.col("p.b.box").alias("box_b"),
+    ]
+    if with_verts:
+        cols += [
+            F.col("p.a.verts").alias("verts_a"),
+            F.col("p.b.verts").alias("verts_b"),
+        ]
+    return pairs.select(*cols)
 
 
 def obj_obj_distance(frames: DataFrame) -> DataFrame:
     """Min vertex-pair distance per in-frame pair, 0.2–20 m, 1 decimal
     (tasks_3d/obj_obj_distance_qa.py:52-92, geometry.py:98-118)."""
-    pairs = _box_pairs(frames)
+    pairs = _box_pairs(frames, with_verts=True)
     d = (
         pairs.withColumn(
             "dist_m",
-            G.min_vertex_distance(
-                G.box_vertices(F.col("box_a")), G.box_vertices(F.col("box_b"))
-            ),
+            G.min_vertex_distance(F.col("verts_a"), F.col("verts_b")),
         )
         .filter(
             (F.col("dist_m") >= P_OBJ["min_distance"])
