@@ -5,4 +5,5 @@ from .codebook import (  # noqa: F401
     label_histogram,
     representative_per_instance,
     stub_classifier,
+    two_stage_cascade,
 )

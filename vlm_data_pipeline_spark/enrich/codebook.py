@@ -114,6 +114,50 @@ def build_codebook(
     return out.filter(F.col("confidence") >= min_confidence)
 
 
+def two_stage_cascade(
+    frames: DataFrame,
+    stage_a: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]] | None = None,
+    stage_b: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]] | None = None,
+    tau_high: float = 0.015,
+    tau_mid: float = 0.010,
+) -> DataFrame:
+    """M3/M4: the two-tier model cascade as a filter-split + union.
+
+    Reference semantics (build_enhanced_codebook.py:375-419): Stage A (the
+    cheap model) classifies every representative; accept where confidence ≥
+    τ_high. Only the failures go to Stage B (the expensive model: SAM mask
+    + CLIP-L/14); accept ≥ τ_mid; the rest are discarded. SURVEY §4 notes
+    Catalyst has no analogue — this is pipeline design: the split is a
+    filter, the second stage runs over the (small) failure set only, and
+    the result is a union tagged with the deciding stage.
+
+    At scale: Stage A touches N rows; Stage B touches only the failures —
+    exactly the cost-cascade a 100 TB labeling run needs.
+    """
+    reps = representative_per_instance(extract_unlabeled_instances(frames))
+    cols = ["instance_id", "image_id", "rgb_path", "pos"]
+    schema = "instance_id int, label string, confidence double, stage string"
+
+    a_out = reps.select(*cols).mapInPandas(
+        stage_a or stub_classifier(), schema=schema
+    )
+    accepted_a = a_out.filter(F.col("confidence") >= tau_high).withColumn(
+        "stage", F.lit("A")
+    )
+    failures = reps.join(
+        a_out.filter(F.col("confidence") < tau_high).select("instance_id"),
+        "instance_id",
+        "inner",
+    )
+    b_out = failures.select(*cols).mapInPandas(
+        stage_b or stub_classifier(), schema=schema
+    )
+    accepted_b = b_out.filter(F.col("confidence") >= tau_mid).withColumn(
+        "stage", F.lit("B")
+    )
+    return accepted_a.unionByName(accepted_b)
+
+
 def apply_codebook(frames: DataFrame, codebook: DataFrame, labeled_only: bool = True) -> DataFrame:
     """J6/K6: rewrite ``object_N`` → ``pseudo_<label>`` via broadcast join,
     attach provenance, optionally drop unmatched boxes (the labeled-only

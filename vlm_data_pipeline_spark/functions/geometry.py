@@ -243,6 +243,105 @@ def camera_position(extrinsics: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# F3: angle conversions (utils.py:13-43, hypersim_processor.py:166-184)
+# ---------------------------------------------------------------------------
+
+
+def quaternion_to_euler_deg(w: Column, x: Column, y: Column, z: Column) -> Column:
+    """Quaternion (w,x,y,z) → intrinsic-xyz Euler angles in DEGREES, as
+    struct(pitch, yaw, roll) — the closed form of the reference's
+    scipy ``Rotation.as_euler('xyz')`` call (utils.py:13-27), with the
+    standard gimbal guard (|sin(yaw)| clamped to 1). Pure column math.
+    """
+    deg = 180.0 / 3.141592653589793
+    # xyz-intrinsic: pitch = atan2(2(wx+yz), 1-2(x²+y²)),
+    #                yaw   = asin(clamp(2(wy−zx)))
+    #                roll  = atan2(2(wz+xy), 1-2(y²+z²))
+    sinp = 2.0 * (w * y - z * x)
+    return F.struct(
+        (F.atan2(2.0 * (w * x + y * z), 1.0 - 2.0 * (x * x + y * y)) * deg).alias(
+            "pitch"
+        ),
+        (F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), sinp))) * deg).alias(
+            "yaw"
+        ),
+        (F.atan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z)) * deg).alias(
+            "roll"
+        ),
+    )
+
+
+def rotmat_to_euler_zyx_deg(m: Column) -> Column:
+    """3×3 rotation matrix (array<array<double>>) → ZYX Euler degrees with
+    the reference's gimbal-lock guard (hypersim_processor.py:166-184):
+    when |m[2][0]| ≥ 1−1e−6, pitch collapses into roll.
+    Returns struct(pitch, yaw, roll)."""
+    deg = 180.0 / 3.141592653589793
+    sy = -m[2][0]
+    locked = F.abs(m[2][0]) >= 1.0 - 1e-6
+    yaw = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), sy))) * deg
+    pitch = F.when(locked, F.lit(0.0)).otherwise(F.atan2(m[2][1], m[2][2]) * deg)
+    roll = F.when(locked, F.atan2(-m[0][1], m[1][1]) * deg).otherwise(
+        F.atan2(m[1][0], m[0][0]) * deg
+    )
+    return F.struct(pitch.alias("pitch"), yaw.alias("yaw"), roll.alias("roll"))
+
+
+# ---------------------------------------------------------------------------
+# F4: rigid-transform linear algebra (utils.py:194-221,
+#     hypersim_processor.py:292-321, objectron_processor.py:168-191)
+# ---------------------------------------------------------------------------
+
+
+def invert_rigid(m: Column) -> Column:
+    """Closed-form inverse of a 4×4 RIGID transform [R|t; 0 1]:
+    inverse = [Rᵀ | −Rᵀt; 0 1]. No Gaussian elimination, no UDF — nine
+    transposed entries and three dot products, all codegen-able. (The
+    reference calls np.linalg.inv on these matrices; rigid structure makes
+    the closed form exact and ~10× cheaper.)"""
+
+    def mk(mm: Column) -> Column:
+        r = [[mm[i][j] for j in range(3)] for i in range(3)]
+        t = [mm[i][3] for i in range(3)]
+        neg = [
+            -(r[0][i] * t[0] + r[1][i] * t[1] + r[2][i] * t[2]) for i in range(3)
+        ]
+        rows = [
+            F.array(r[0][i], r[1][i], r[2][i], neg[i]) for i in range(3)
+        ]
+        rows.append(F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0)))
+        return F.array(*rows)
+
+    return let(m, mk)
+
+
+def transform_point(m: Column, p: Column) -> Column:
+    """Apply a 4×4 transform to a 3-vector (homogeneous w=1) → 3-vector.
+    The world↔camera point transform (utils.py:199-208) as column math."""
+
+    def mk(mm: Column, pp: Column) -> Column:
+        return F.array(
+            *[
+                mm[i][0] * pp[0] + mm[i][1] * pp[1] + mm[i][2] * pp[2] + mm[i][3]
+                for i in range(3)
+            ]
+        )
+
+    return let(m, lambda mm: let(p, lambda pp: mk(mm, pp)))
+
+
+def scale_box(box: Column, factor: Column) -> Column:
+    """Unit scaling (mm→m, asset-units→m, m→cm): centers AND dimensions
+    multiply; angles are scale-invariant (sunrgbd_processor.py:199-200,
+    hypersim_processor.py:292-321)."""
+    return box.withField("x", box["x"] * factor).withField(
+        "y", box["y"] * factor
+    ).withField("z", box["z"] * factor).withField(
+        "xl", box["xl"] * factor
+    ).withField("yl", box["yl"] * factor).withField("zl", box["zl"] * factor)
+
+
 def uses_extrinsics(camera: Column) -> Column:
     return camera["extrinsics"].isNotNull()
 

@@ -22,6 +22,48 @@ from ..sources.star_frames import synthetic_frames
 from .registry import load_tables, register
 
 
+_J11_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "j11_scene_sequences",
+    _J11_ORACLE,
+    "J11/O5 (data_loader.py:56-85): scene/sequence grouping — frames "
+    "grouped by scene/video id and ordered by frame id/time. Star mapping: "
+    "events per user ordered by (ts, event_id) → one ordered sequence row "
+    "per user via sort_array(collect_list(struct(...))) — the Spark "
+    "counterpart of the reference's per-scene sorted lists, one partial-"
+    "aggregated shuffle.",
+)
+def j11_scene_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                )
+            ),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        seq.alias("sequence"),
+    )
+
+
 _IOU2D_ORACLE = """
 WITH boxes AS (
     SELECT l_orderkey, l_linenumber,

@@ -1,1 +1,1 @@
-from .runner import TASKS, generate_all, qa_summary  # noqa: F401
+from .runner import TASKS, generate_all, qa_summary, write_qa_outputs  # noqa: F401

@@ -69,6 +69,39 @@ def generate_all(
     return combined
 
 
+def write_qa_outputs(all_qa: DataFrame, path: str, dataset: str = "all") -> None:
+    """K3: QA sink with the reference's envelope convention
+    (qa_base.py:139-152, generate_qa.py:134-163).
+
+    The reference writes one JSON file per task wrapping all pairs in an
+    envelope dict {dataset, task_type, total_questions, generated_date,
+    qa_pairs[]}. One giant array per task does not scale, so the layout is
+    split the Spark way while keeping every envelope field queryable:
+
+    - ``<path>/pairs/task=<t>/…``: the pairs themselves, partitioned by
+      task (partition pruning = per-task file reads, the all_qa_pairs.json
+      union is just the unpartitioned read);
+    - ``<path>/envelopes/``: one small JSON row per task with the envelope
+      metadata (counts + generated_date), the summary.json analogue.
+    """
+    all_qa.write.mode("overwrite").partitionBy("task").json(f"{path}/pairs")
+    (
+        all_qa.groupBy("task")
+        .agg(F.count("*").alias("total_questions"))
+        .select(
+            F.lit(dataset).alias("dataset"),
+            F.col("task").alias("task_type"),
+            "total_questions",
+            F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "generated_date"
+            ),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{path}/envelopes")
+    )
+
+
 def qa_summary(all_qa: DataFrame) -> DataFrame:
     """Per-task question counts + answer-type mix (generate_qa.py:147-163,
     analyze_qa_improvements.py:50-98)."""
