@@ -1,0 +1,74 @@
+"""Bucketed bronze layout: equi-joins and aggregations on the bucket key
+must plan WITHOUT a shuffle exchange on the bucketed sides."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vlm_data_pipeline_spark.sources import bronze
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    # warehouse dir is a static conf — tables land in the session default
+    # (./spark-warehouse); dropped + deleted in teardown
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bronze.write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=8)
+    bronze.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders",
+        ["l_orderkey"],
+        n_buckets=8,
+    )
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    import shutil
+
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_shuffle_free(bucketed_tables):
+    spark = bucketed_tables
+    li = bronze.read_table(spark, "b_lineitem")
+    orders = bronze.read_table(spark, "b_orders")
+    # disable broadcast so the join must pick a co-located strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(orders, "l_orderkey").groupBy("l_orderkey").agg(
+            F.sum("l_quantity").alias("q"), F.max("o_totalprice").alias("p")
+        )
+        plan = _executed_plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: result is real
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_unbucketed_join_shuffles_for_contrast(bucketed_tables, sf_dir):
+    spark = bucketed_tables
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed_plan(li.join(orders, "l_orderkey"))
+        assert "Exchange hashpartitioning" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )

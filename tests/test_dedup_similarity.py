@@ -70,3 +70,36 @@ def test_lsh_ann_results_subset_of_brute_force_universe(spark, sf_dir):
     for r in lsh.collect():
         assert (r.query_id, r.neighbor_id) in b
         assert abs(b[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe lists probed: cosines must agree exactly with the
+    brute-force path on shared pairs, and recall@5 must be reasonable
+    (clustered corpus → most true neighbors share the query's list)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf_rows = similarity.ivf_ann_topk(
+        emb, queries, k=5, n_lists=8, nprobe=3
+    ).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"recall@5 = {recall}"
+    # exact rerank: every cosine matches brute-force arithmetic
+    b_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(emb, queries, k=1000).collect()
+    }
+    for r in ivf_rows:
+        assert abs(b_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+    # exhaustive probing degenerates to exact search
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_ann_topk(
+            emb, queries, k=5, n_lists=4, nprobe=4
+        ).collect()
+    }
+    assert full == brute

@@ -320,6 +320,65 @@ def test_objectron_pbdata_plumbing(spark, tmp_path):
         objectron.read_pbdata_frames(spark, str(tmp_path)).collect()
 
 
+def test_objectron_frames_box_math(spark, tmp_path):
+    (tmp_path / "bike").mkdir()
+    (tmp_path / "bike" / "batch-1_2.pbdata").write_bytes(b"\x01" * 10)
+
+    # unit cube centered at (1, 2, 3) OpenGL; corners kp1..kp8 in the
+    # Objectron layout: kp2-kp1 along x, kp3-kp1 along z, kp5-kp1 along y
+    def corner(dx, dy, dz):
+        return [1.0 + dx, 2.0 + dy, 3.0 + dz]
+
+    kp = [
+        [1.0, 2.0, 3.0],              # kp0: center
+        corner(-0.5, -0.5, -0.5),     # kp1
+        corner(0.5, -0.5, -0.5),      # kp2: +x  → width 1
+        corner(-0.5, -0.5, 0.5),      # kp3: +z  → depth 1
+        corner(0.5, -0.5, 0.5),       # kp4
+        corner(-0.5, 1.5, -0.5),      # kp5: +2y → height 2
+        corner(0.5, 1.5, -0.5),       # kp6
+        corner(-0.5, 1.5, 0.5),       # kp7
+        corner(0.5, 1.5, 0.5),        # kp8
+    ]
+
+    def fake_parser(path, content, stride):
+        return [
+            {
+                "path": path,
+                "frame_index": 0,
+                "timestamp_us": 123456,
+                "intrinsics": [500.0, 0.0, 320.0, 0.0, 510.0, 240.0, 0.0, 0.0, 1.0],
+                "view_matrix": [float(i) for i in range(16)],
+                "objects": [
+                    {"category": "bike", "keypoints_3d": kp,
+                     "keypoints_2d": kp, "visibility": 1.0}
+                ],
+            }
+        ]
+
+    parsed = objectron.parse_video_ids(
+        objectron.objectron_filter(
+            objectron.read_pbdata_frames(spark, str(tmp_path), parser=fake_parser)
+        )
+    )
+    frames = objectron.objectron_frames(parsed)
+    assert same_shape(frames.schema)
+    row = frames.collect()[0]
+    assert row.image_id == "batch-1_2_frame_0000"
+    assert row.video_id == "batch-1_2" and row.timestamp == 123456
+    box = row.bounding_boxes_3d[0]
+    # OpenGL → CV: y and z flip
+    assert (box.x, box.y, box.z) == (1.0, -2.0, -3.0)
+    assert box.xl == pytest.approx(1.0)
+    assert box.yl == pytest.approx(2.0)
+    assert box.zl == pytest.approx(1.0)
+    assert box.category == "bike"
+    # camera: 9-float intrinsics unpacked; 4x4 view matrix reshaped
+    assert row.camera.fx == 500.0 and row.camera.cy == 240.0
+    assert row.camera.intrinsics[0] == [500.0, 0.0, 320.0]
+    assert row.camera.extrinsics[1] == [4.0, 5.0, 6.0, 7.0]
+
+
 # ---------------------------------------------------- Taskonomy (S8/S10/J10)
 
 

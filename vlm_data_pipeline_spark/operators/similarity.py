@@ -142,3 +142,107 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: KMeans centroids + per-vector list assignment.
+
+    The scale path for ANN beyond LSH: k-means cluster the corpus once
+    (pyspark.ml, distributed), store each vector with its inverted-list id.
+    Returns (assigned DataFrame with ``list_id``, centroid table DataFrame).
+    Centroids are a tiny dimension (n_lists × d) — always broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feat)
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "list_id")
+        .select(id_col, vec_col, "list_id")
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` nearest inverted lists per query,
+    exact-rerank inside them.
+
+    Cost vs brute force ≈ nprobe/n_lists of the corpus per query; recall
+    grows with nprobe (nprobe=n_lists degenerates to exact). The KMeans fit
+    is the one iterative (non-SQL-expressible) step, so the driver check
+    for this operator is rows-only; recall is pinned against
+    brute_force_topk in tests.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    assigned, centroids = ivf_index(corpus, n_lists, seed, id_col, vec_col)
+
+    # nearest nprobe centroids per query — centroid dim is tiny: broadcast
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw")
+    )
+    cdist = qd.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2",
+        F.aggregate(
+            F.zip_with(
+                F.col("qraw").cast("array<double>"),
+                F.col("centroid"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("list_id").asc())
+    probes = (
+        cdist.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "list_id", _int_vec(F.col("qraw")).alias("qv"))
+    )
+
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), _int_vec(F.col(vec_col)).alias("cv"), "list_id"
+    )
+    scored = (
+        c.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")).cast("double") / float(SCALE * SCALE),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    # each corpus vector lives in exactly one list and each (query, list)
+    # probe is unique, so (query, neighbor) pairs are already distinct
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -285,6 +285,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, queries, dim=64, k=5, planes=8)
 
 
+@register(
+    "ann_ivf_topk",
+    None,
+    "IVF ANN (extension; the scale path beyond LSH): KMeans coarse "
+    "quantizer (pyspark.ml, distributed fit) → inverted-list assignment → "
+    "probe nprobe nearest lists per query → exact integer-scaled rerank. "
+    "Rows-only driver check (the KMeans fit is iterative, not "
+    "SQL-expressible); recall vs the brute-force baseline is pinned in "
+    "tests/test_dedup_similarity.py. Library: operators.similarity."
+    "ivf_ann_topk.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
 from . import (  # noqa: F401
+    bronze,
     coco,
     hypersim,
     json_frames,

@@ -22,11 +22,17 @@ from collections.abc import Callable, Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["PB_FRAME", "read_pbdata_frames", "objectron_filter", "parse_video_ids"]
+__all__ = [
+    "PB_FRAME",
+    "read_pbdata_frames",
+    "objectron_filter",
+    "parse_video_ids",
+    "objectron_frames",
+]
 
 PB_FRAME = T.StructType(
     [
@@ -125,4 +131,103 @@ def parse_video_ids(frames: DataFrame) -> DataFrame:
             "category": F.regexp_extract(F.col("path"), r"([^/]+)/[^/]+\.pbdata$", 1),
             "video_id": F.regexp_extract(F.col("path"), r"([^/]+)\.pbdata$", 1),
         }
+    )
+
+
+def objectron_frames(parsed: DataFrame, split: str = "train") -> DataFrame:
+    """Keypoints → canonical FRAME rows, all column math
+    (objectron_processor.py:106-245).
+
+    Per object: keypoint 0 is the box center in OpenGL convention —
+    flipped to CV (+Y down, +Z forward) as (x, −y, −z); dimensions come
+    from corner distances |kp2−kp1| (width), |kp5−kp1| (height),
+    |kp3−kp1| (depth); rotation is identity (the reference passes an
+    identity quaternion). Camera: 9-float intrinsics → fx/fy/cx/cy +
+    3×3; 16-float row-major view matrix → 4×4 extrinsics. Frames without
+    a valid box are dropped.
+
+    Input is ``parse_video_ids(objectron_filter(read_pbdata_frames(...)))``.
+    """
+    from ..schemas import FRAME
+
+    def dist(ka: Column, kb: Column) -> Column:
+        return F.sqrt(
+            (ka[0] - kb[0]) ** 2 + (ka[1] - kb[1]) ** 2 + (ka[2] - kb[2]) ** 2
+        )
+
+    def box_of(o: Column) -> Column:
+        kp = o["keypoints_3d"]
+        return F.struct(
+            kp[0][0].alias("x"),
+            (-kp[0][1]).alias("y"),
+            (-kp[0][2]).alias("z"),
+            dist(kp[2], kp[1]).alias("xl"),
+            dist(kp[5], kp[1]).alias("yl"),
+            dist(kp[3], kp[1]).alias("zl"),
+            F.lit(0.0).alias("pitch"),
+            F.lit(0.0).alias("yaw"),
+            F.lit(0.0).alias("roll"),
+            o["category"].alias("category"),
+            F.lit(None).cast("int").alias("label_id"),
+            F.lit(None).cast("string").alias("object_id"),
+            F.lit(None).cast("double").alias("confidence"),
+            F.lit(None).cast("string").alias("method"),
+        )
+
+    boxes = F.transform(
+        F.filter(
+            F.coalesce(F.col("objects"), F.array()),
+            lambda o: F.size(F.coalesce(o["keypoints_3d"], F.array())) >= 9,
+        ),
+        box_of,
+    )
+    intr = F.col("intrinsics")
+    has_intr = intr.isNotNull() & (F.size(intr) >= 9)
+    view = F.col("view_matrix")
+    has_view = view.isNotNull() & (F.size(view) >= 16)
+    mat3 = F.when(
+        has_intr,
+        F.array(*[F.slice(intr, 1 + r * 3, 3) for r in range(3)]),
+    )
+    mat4 = F.when(
+        has_view,
+        F.array(*[F.slice(view, 1 + r * 4, 4) for r in range(4)]),
+    )
+    camera = F.struct(
+        F.when(has_intr, intr[0]).alias("fx"),
+        F.when(has_intr, intr[4]).alias("fy"),
+        F.when(has_intr, intr[2]).alias("cx"),
+        F.when(has_intr, intr[5]).alias("cy"),
+        F.lit(None).cast("int").alias("image_width"),
+        F.lit(None).cast("int").alias("image_height"),
+        mat3.alias("intrinsics"),
+        mat4.alias("extrinsics"),
+    )
+    return (
+        parsed.withColumn("bounding_boxes_3d", boxes)
+        .filter(F.size("bounding_boxes_3d") > 0)
+        .select(
+            F.lit("objectron").alias("dataset"),
+            F.lit(split).alias("split"),
+            F.format_string(
+                "%s_frame_%04d", F.col("video_id"), F.col("frame_index")
+            ).alias("image_id"),
+            F.lit(None).cast("string").alias("scene_id"),
+            F.col("video_id"),
+            F.col("frame_index").cast("string").alias("frame_id"),
+            F.col("timestamp_us").alias("timestamp"),
+            F.format_string("frame_%04d.jpg", F.col("frame_index")).alias("filename"),
+            F.lit(None).cast("string").alias("rgb_path"),
+            F.lit(None).cast("string").alias("depth_path"),
+            F.lit("none").alias("depth_type"),
+            camera.alias("camera"),
+            F.lit(None).cast(FRAME["depth_stats"].dataType.simpleString()).alias(
+                "depth_stats"
+            ),
+            F.lit(None).cast(
+                FRAME["bounding_boxes_2d"].dataType.simpleString()
+            ).alias("bounding_boxes_2d"),
+            "bounding_boxes_3d",
+        )
+        .to(FRAME)
     )
