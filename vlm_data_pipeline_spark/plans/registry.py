@@ -70,6 +70,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """
     from pyspark.sql import functions as F
 
+    # events.parquet carries TIMESTAMP(NANOS); without this runtime-settable
+    # conf an unconfigured session (e.g. the driver harness's) throws
+    # PARQUET_TYPE_ILLEGAL before our bigint normalization below can run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     out = {}
     for n in names or TABLES:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")

@@ -250,9 +250,9 @@ def a6_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_docs,
            count(DISTINCT lang) AS n_langs,
-           sum(CASE WHEN text IS NULL OR length(text) < 10 THEN 1 ELSE 0 END) AS n_degenerate,
-           sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS n_long,
-           (cast(sum(n_chars) as DOUBLE) / cast(count(*) as DOUBLE)) AS avg_chars
+           cast(sum(CASE WHEN text IS NULL OR length(text) < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+           cast(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+           round(cast(sum(n_chars) as DOUBLE) / cast(count(*) as DOUBLE), 6) AS avg_chars
     FROM documents
     GROUP BY source
     """,
@@ -269,7 +269,9 @@ def a10_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("text").isNull() | (F.length("text") < 10), 1).otherwise(0)
         ).alias("n_degenerate"),
         F.sum(F.when(F.col("n_chars") > 500, 1).otherwise(0)).alias("n_long"),
-        (F.sum("n_chars").cast("double") / F.count("*").cast("double")).alias("avg_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_chars"),
     )
 
 

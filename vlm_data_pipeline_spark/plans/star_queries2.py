@@ -222,7 +222,7 @@ def e3_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(cast(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS total_k,
+           cast(sum(cast(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS total_k,
            max(cast(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
     FROM events
     WHERE props IS NOT NULL

@@ -359,7 +359,19 @@ def m1_heuristic_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qa_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = synthetic_frames(spark, sf_dir)
-    return generate_all(frames)
+    out = generate_all(frames)
+    # Driver-facing projection: the harness canonicalizes rows into hashable
+    # tuples, so serialize map/array columns (keys already emitted in sorted
+    # order by qa.base.meta). The library API keeps the rich types.
+    return out.select(
+        "id",
+        "task",
+        "question",
+        "answer",
+        "answer_type",
+        F.array_join("options", "|").alias("options"),
+        F.to_json("metadata").alias("metadata"),
+    )
 
 
 @register(

@@ -410,8 +410,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp,
-           list_sum(list_transform(list_zip(w, range(1, len(w) + 1)),
-                p -> {_d_hash32("p[1]")} * p[2])) AS rolling_fp
+           cast(list_sum(list_transform(list_zip(w, range(1, len(w) + 1)),
+                p -> {_d_hash32("p[1]")} * p[2])) AS BIGINT) AS rolling_fp
     FROM toks
     """,
     "Document fingerprinting (extension): order-insensitive bag fingerprint "

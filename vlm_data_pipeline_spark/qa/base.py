@@ -61,18 +61,37 @@ def explode_boxes_2d(frames: DataFrame) -> DataFrame:
     )
 
 
-def with_qa_ids(df: DataFrame, task: str, *order_cols: str) -> DataFrame:
-    """Deterministic '{dataset}_{task}_{NNNNNN}' ids (qa_base.py:55).
+def with_qa_ids(
+    df: DataFrame, task: str, *order_cols: str, sequential: bool = False
+) -> DataFrame:
+    """Deterministic '{dataset}_{task}_{key}' ids (qa_base.py:55).
 
-    The reference numbers rows with a mutable counter in visit order; a
-    distributed engine derives the same shape from a window over a total
-    order (image_id + task-specific tiebreakers).
+    The reference numbers rows with a mutable counter in visit order. The
+    default here derives the id from the row's own content key
+    (md5 over dataset/task/order_cols): embarrassingly parallel, stable
+    under repartitioning, and — unlike a per-dataset ``row_number`` window —
+    never funnels a whole dataset's QA rows through one task's sort, which
+    is the one scale-killer at 100 TB. ``sequential=True`` restores the
+    reference-style '{NNNNNN}' counter for small corpora that want it.
     """
-    w = W.partitionBy("dataset").orderBy(*[F.col(c) for c in order_cols])
-    n = F.row_number().over(w) - 1
+    if sequential:
+        w = W.partitionBy("dataset").orderBy(*[F.col(c) for c in order_cols])
+        n = F.row_number().over(w) - 1
+        return df.withColumn(
+            "id",
+            F.format_string("%s_%s_%06d", F.col("dataset"), F.lit(task), n),
+        )
+    key = F.md5(
+        F.concat_ws(
+            "\u001f",  # unit separator keeps ("ab","c") != ("a","bc")
+            F.col("dataset"),
+            F.lit(task),
+            *[F.col(c).cast("string") for c in order_cols],
+        )
+    )
     return df.withColumn(
         "id",
-        F.format_string("%s_%s_%06d", F.col("dataset"), F.lit(task), n),
+        F.format_string("%s_%s_%s", F.col("dataset"), F.lit(task), key),
     )
 
 
