@@ -124,8 +124,88 @@ def test_min_camera_vertex_distance(box_df):
         assert abs(r.d - np.linalg.norm(verts, axis=1).min()) < 1e-12
 
 
-def test_normalize_angle():
-    import pyspark  # noqa: F401  (spark fixture not needed; pure expr eval)
+def test_normalize_angle(spark):
+    """Parity with the reference normalize_angle (data_processing/utils.py:
+    28-43): Python %360, subtract if >180, /180 — including the ±180°
+    boundary, which must map to +1.0 (not −1.0)."""
+
+    def ref_normalize(deg: float) -> float:
+        a = deg % 360
+        if a > 180:
+            a -= 360
+        return a / 180.0
+
+    degs = [-540.0, -360.0, -180.0, -90.0, -0.5, 0.0, 0.5, 90.0, 179.9,
+            180.0, 180.1, 270.0, 360.0, 540.0, 723.0, -723.0]
+    df = spark.createDataFrame([(d,) for d in degs], "deg double")
+    rows = df.select("deg", G.normalize_angle_deg(F.col("deg")).alias("n")).collect()
+    for r in rows:
+        assert abs(r.n - ref_normalize(r.deg)) < 1e-12, (r.deg, r.n)
+    # the boundary explicitly
+    got = dict((r.deg, r.n) for r in rows)
+    assert got[180.0] == 1.0
+    assert got[-180.0] == 1.0
+
+
+def _np_project(box, K, w, h, z_min=0.1):
+    """Reference project_3d_to_2d (build_label_codebook_fast.py:238-280)."""
+    cx, cy, cz, xl, yl, zl = box
+    center = np.array([cx, cy, cz])
+    dims = np.array([xl, yl, zl])
+    signs = [(sx, sy, sz) for sx in (1, -1) for sy in (1, -1) for sz in (1, -1)]
+    corners = np.array([center + np.array(s) * dims / 2 for s in signs])
+    valid = corners[:, 2] > z_min
+    if not valid.any():
+        return None
+    c = corners[valid]
+    homo = (np.array(K) @ c.T).T
+    uv = homo[:, :2] / homo[:, 2:3]
+    x_min, y_min = uv.min(axis=0)
+    x_max, y_max = uv.max(axis=0)
+    x_min = max(0, int(x_min)); y_min = max(0, int(y_min))
+    x_max = min(w, int(x_max)); y_max = min(h, int(y_max))
+    if x_max <= x_min or y_max <= y_min:
+        return None
+    return (x_min, y_min, x_max, y_max)
+
+
+def test_project_box_to_2d(spark):
+    """P9 vs a numpy transliteration of the reference: fully visible,
+    behind-camera (null), straddling the near plane, off-image (degenerate
+    null), and partially clipped boxes."""
+    import pyspark.sql.types as T
+    from vlm_data_pipeline_spark.schemas import BBOX_3D
+
+    K = [[500.0, 0.0, 320.0], [0.0, 480.0, 240.0], [0.0, 0.0, 1.0]]
+    boxes = [
+        (0.0, 0.0, 4.0, 1.0, 1.0, 1.0),      # fully visible
+        (0.0, 0.0, -5.0, 1.0, 1.0, 1.0),     # entirely behind camera
+        (0.2, -0.1, 0.3, 1.0, 1.0, 1.0),     # straddles the near plane
+        (50.0, 0.0, 2.0, 1.0, 1.0, 1.0),     # projects right of the image
+        (-3.0, -2.0, 3.0, 4.0, 4.0, 2.0),    # clipped at the left/top edge
+        (0.0, 0.0, 0.05, 1.0, 1.0, 0.01),    # all corners z <= 0.1
+    ]
+    schema = T.StructType([T.StructField("b", BBOX_3D)])
+    from tests.fixtures import box3
+
+    df = spark.createDataFrame(
+        [{"b": box3(x, y, z, xl=xl, yl=yl, zl=zl)} for x, y, z, xl, yl, zl in boxes],
+        schema,
+    )
+    intr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in K])
+    rows = (
+        df.select(
+            "b",
+            G.project_box_to_2d(F.col("b"), intr, F.lit(640), F.lit(480)).alias("r"),
+        )
+        .collect()
+    )
+    for row, box in zip(rows, boxes):
+        want = _np_project(box, K, 640, 480)
+        got = None if row.r is None else (row.r.x_min, row.r.y_min, row.r.x_max, row.r.y_max)
+        assert got == want, (box, got, want)
+    # make sure the fixture actually exercises both branches
+    assert any(r.r is None for r in rows) and any(r.r is not None for r in rows)
 
 
 def test_strict_relations(spark):

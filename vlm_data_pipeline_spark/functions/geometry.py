@@ -46,8 +46,16 @@ def center_distance(box: Column) -> Column:
 
 
 def normalize_angle_deg(deg: Column) -> Column:
-    """Degrees → [-1, 1] (value/180 after wrapping to (-180, 180])."""
-    return (((deg % 360) + 540) % 360 - 180) / 180.0
+    """Degrees → [-1, 1] (value/180 after wrapping to (-180, 180]).
+
+    Matches the reference exactly (data_processing/utils.py:28-43: Python
+    ``% 360`` then subtract-if->180), including the boundary: ±180° → +1.0,
+    not −1.0. Spark's ``%`` follows the dividend's sign, so emulate the
+    Python modulo first.
+    """
+    pymod = ((deg % 360) + 360) % 360  # [0, 360)
+    wrapped = F.when(pymod > 180, pymod - 360).otherwise(pymod)
+    return wrapped / 180.0
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +235,68 @@ def strict_interval_relations(verts_a: Column, verts_b: Column) -> Column:
         )
 
     return let(verts_a, lambda va: let(verts_b, lambda vb: mk(va, vb)))
+
+
+# ---------------------------------------------------------------------------
+# P9: 3D→2D corner projection (build_label_codebook_fast.py:238-280)
+# ---------------------------------------------------------------------------
+
+
+def project_box_to_2d(
+    box: Column,
+    intrinsics: Column,
+    image_width: Column,
+    image_height: Column,
+    z_min: float = 0.1,
+) -> Column:
+    """Project a camera-space 3D box to a clipped 2D pixel rect (P9).
+
+    Reference semantics (build_label_codebook_fast.py:238-280,
+    ``project_3d_to_2d``): the 8 AXIS-ALIGNED corners center±dims/2 (the
+    reference ignores orientation here), keep only corners with z > 0.1,
+    project through the 3×3 intrinsics, min/max the pixel coords, truncate
+    toward zero, clamp to the image, and return NULL when no corner is in
+    front of the camera or the clipped rect is degenerate. This predicate
+    gates every crop the codebook pipeline classifies.
+
+    Pure column math — array_filter/transform over an 8-element literal
+    array, fully codegen'd, no UDF, linear scale.
+    """
+    hx, hy, hz = box["xl"] / 2, box["yl"] / 2, box["zl"] / 2
+    corners = F.array(
+        *[
+            F.array(box["x"] + sx * hx, box["y"] + sy * hy, box["z"] + sz * hz)
+            for sx, sy, sz in _CORNER_SIGNS
+        ]
+    )
+    k = intrinsics
+
+    def mk(valid: Column) -> Column:
+        def proj(axis: int):
+            return F.transform(
+                valid,
+                lambda c: (
+                    (k[axis][0] * c[0] + k[axis][1] * c[1] + k[axis][2] * c[2])
+                    / (k[2][0] * c[0] + k[2][1] * c[1] + k[2][2] * c[2])
+                ),
+            )
+
+        us, vs = proj(0), proj(1)
+        x_min = F.greatest(F.lit(0), F.array_min(us).cast("int"))
+        y_min = F.greatest(F.lit(0), F.array_min(vs).cast("int"))
+        x_max = F.least(image_width.cast("int"), F.array_max(us).cast("int"))
+        y_max = F.least(image_height.cast("int"), F.array_max(vs).cast("int"))
+        return F.when(
+            (F.size(valid) > 0) & (x_max > x_min) & (y_max > y_min),
+            F.struct(
+                x_min.alias("x_min"),
+                y_min.alias("y_min"),
+                x_max.alias("x_max"),
+                y_max.alias("y_max"),
+            ),
+        )
+
+    return let(F.filter(corners, lambda c: c[2] > F.lit(z_min)), mk)
 
 
 # ---------------------------------------------------------------------------

@@ -327,3 +327,91 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.max("session_len").alias("max_session_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P9: 3D→2D corner-projection predicate
+# ---------------------------------------------------------------------------
+
+_P9_SIGNS = [
+    (-1, -1, -1), (1, -1, -1), (1, 1, -1), (-1, 1, -1),
+    (-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1),
+]
+_P9_CORNERS = ", ".join(
+    f"[x {'+' if sx > 0 else '-'} hx, "
+    f"y {'+' if sy > 0 else '-'} hy, "
+    f"z {'+' if sz > 0 else '-'} hz]"
+    for sx, sy, sz in _P9_SIGNS
+)
+# Mirror geometry.project_box_to_2d's arithmetic EXACTLY (same literal K,
+# same op order) so both engines produce bit-identical doubles pre-trunc.
+_P9_U = "(500.0*c[1] + 0.0*c[2] + 320.0*c[3]) / (0.0*c[1] + 0.0*c[2] + 1.0*c[3])"
+_P9_V = "(0.0*c[1] + 480.0*c[2] + 240.0*c[3]) / (0.0*c[1] + 0.0*c[2] + 1.0*c[3])"
+
+
+@register(
+    "p9_project_box_2d",
+    f"""
+    WITH b AS (
+        SELECT p_partkey AS pid,
+               (p_partkey % 21 - 10) / 2.0 AS x,
+               (p_partkey % 13 - 6) / 2.0 AS y,
+               cast(p_partkey % 17 - 3 AS DOUBLE) AS z,
+               (1 + p_size % 5) / 2.0 AS hx,
+               (1 + p_size % 7) / 2.0 AS hy,
+               (1 + p_size % 3) / 2.0 AS hz
+        FROM part
+    ), v AS (
+        SELECT pid,
+               list_filter([{_P9_CORNERS}], c -> c[3] > 0.1) AS valid
+        FROM b
+    ), r AS (
+        SELECT pid,
+               greatest(0, cast(trunc(list_min(list_transform(valid, c -> {_P9_U}))) AS INT)) AS x_min,
+               greatest(0, cast(trunc(list_min(list_transform(valid, c -> {_P9_V}))) AS INT)) AS y_min,
+               least(640, cast(trunc(list_max(list_transform(valid, c -> {_P9_U}))) AS INT)) AS x_max,
+               least(480, cast(trunc(list_max(list_transform(valid, c -> {_P9_V}))) AS INT)) AS y_max
+        FROM v
+        WHERE len(valid) > 0
+    )
+    SELECT pid, x_min, y_min, x_max, y_max
+    FROM r
+    WHERE x_max > x_min AND y_max > y_min
+    """,
+    "P9 3D→2D corner projection predicate (build_label_codebook_fast.py:"
+    "238-280): 8 axis-aligned corners, z>0.1 validity filter, pinhole "
+    "projection, truncate+clamp to the image, drop degenerate rects. Boxes "
+    "synthesized deterministically from part keys (some behind the camera, "
+    "some clipped). Library: functions.geometry.project_box_to_2d — pure "
+    "codegen'd array math, no UDF, no shuffle.",
+)
+def p9_project_box_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geometry import project_box_to_2d
+
+    part = load_tables(spark, sf_dir, "part")["part"]
+    pk, sz = F.col("p_partkey"), F.col("p_size")
+    box = F.struct(
+        ((pk % 21 - 10) / 2.0).alias("x"),
+        ((pk % 13 - 6) / 2.0).alias("y"),
+        (pk % 17 - 3).cast("double").alias("z"),
+        (1 + sz % 5).cast("double").alias("xl"),
+        (1 + sz % 7).cast("double").alias("yl"),
+        (1 + sz % 3).cast("double").alias("zl"),
+    )
+    intr = F.array(
+        F.array(F.lit(500.0), F.lit(0.0), F.lit(320.0)),
+        F.array(F.lit(0.0), F.lit(480.0), F.lit(240.0)),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(1.0)),
+    )
+    rect = project_box_to_2d(box, intr, F.lit(640), F.lit(480))
+    return (
+        part.select(F.col("p_partkey").alias("pid"), rect.alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select(
+            "pid",
+            F.col("r.x_min").alias("x_min"),
+            F.col("r.y_min").alias("y_min"),
+            F.col("r.x_max").alias("x_max"),
+            F.col("r.y_max").alias("y_max"),
+        )
+    )
