@@ -93,3 +93,122 @@ def test_write_qa_outputs_envelope(spark, tmp_path):
     assert by_task["object_count"]["dataset"] == "fixture"
     assert by_task["object_count"]["total_questions"] > 0
     assert "generated_date" in by_task["object_3d_size"]
+
+
+def _hier_classifier(table):
+    """Injected hierarchical stage: instance_id → (grp, grp_margin, pred,
+    margin) from a dict; unknown ids get a confident furniture/chair."""
+
+    def classify(batches):
+        for pdf in batches:
+            vals = [
+                table.get(int(i), ("furniture", 0.01, "chair", 0.01))
+                for i in pdf["instance_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "instance_id": pdf["instance_id"],
+                    "grp": [v[0] for v in vals],
+                    "grp_margin": [v[1] for v in vals],
+                    "pred": [v[2] for v in vals],
+                    "margin": [v[3] for v in vals],
+                }
+            )
+
+    return classify
+
+
+def test_hierarchical_codebook_v2(spark):
+    """M4 margin/agreement semantics (build_enhanced_codebook_v2.py:330-420):
+    each rejection path exercised via injected A/B stage tables."""
+    from vlm_data_pipeline_spark.enrich import (
+        extract_unlabeled_instances,
+        hierarchical_codebook_v2,
+    )
+
+    frames = fixture_frames(spark)
+    seeded = frames.withColumn(
+        "bounding_boxes_3d",
+        F.transform(
+            F.coalesce(F.col("bounding_boxes_3d"), F.array()),
+            lambda b, i: b.withField(
+                "category",
+                F.format_string("object_%d", (F.crc32(F.col("image_id")) + i) % 8),
+            ),
+        ),
+    )
+    present = {
+        r.instance_id
+        for r in extract_unlabeled_instances(seeded)
+        .select("instance_id")
+        .distinct()
+        .collect()
+    }
+    assert len(present) >= 5
+
+    ok = ("furniture", 0.01, "chair", 0.01)
+    stage_a = _hier_classifier({
+        0: ok,                                    # accepted end-to-end
+        1: ("furniture", 0.0001, "chair", 0.01),  # coarse margin fail (A)
+        2: ("furniture", 0.01, None, 0.01),       # null prompt wins (A)
+        3: ("furniture", 0.01, "chair", 0.0001),  # fine margin fail (A)
+        4: ("decor", 0.01, "lamp", 0.01),         # group disagreement
+        5: ("furniture", 0.01, "chair", 0.01),    # fine-class disagreement
+        6: ("furniture", 0.01, "chair", 0.01),    # B coarse-margin fail
+        7: ("furniture", 0.01, "chair", 0.01),    # B fine-margin fail
+    })
+    stage_b = _hier_classifier({
+        0: ok,
+        1: ok,   # never reached: A rejected on coarse margin
+        2: ok,   # never reached: A null
+        3: ok,   # reached (A only fails FINE margin at the agreement step)
+        4: ("furniture", 0.01, "lamp", 0.01),     # grp_b != grp_a
+        5: ("furniture", 0.01, "table", 0.01),    # pred_b != pred_a
+        6: ("furniture", 0.0001, "chair", 0.01),  # B coarse fail
+        7: ("furniture", 0.01, "chair", 0.0001),  # B fine fail
+    })
+    out = hierarchical_codebook_v2(seeded, stage_a, stage_b).collect()
+    got = {r.instance_id: r for r in out}
+    assert set(got) == ({0} & present)
+    if 0 in present:
+        assert got[0].label == "chair" and got[0].grp == "furniture"
+
+
+def test_codebook_write_read_apply_roundtrip(spark, tmp_path):
+    """K4 (build_label_codebook_fast.py:425-428): snapshot → reload → apply
+    produces output identical to applying the in-memory codebook."""
+    from vlm_data_pipeline_spark.enrich import (
+        apply_codebook,
+        build_codebook,
+        read_codebook,
+        write_codebook,
+    )
+
+    frames = fixture_frames(spark)
+    seeded = frames.withColumn(
+        "bounding_boxes_3d",
+        F.transform(
+            F.coalesce(F.col("bounding_boxes_3d"), F.array()),
+            lambda b, i: b.withField(
+                "category",
+                F.format_string("object_%d", (F.crc32(F.col("image_id")) + i) % 5),
+            ),
+        ),
+    )
+    codebook = build_codebook(seeded)
+    path = str(tmp_path / "codebook")
+    write_codebook(codebook, path)
+    reloaded = read_codebook(spark, path)
+
+    a = codebook.orderBy("instance_id").collect()
+    b = reloaded.orderBy("instance_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    direct = apply_codebook(seeded, codebook).orderBy("image_id").collect()
+    via_disk = apply_codebook(seeded, reloaded).orderBy("image_id").collect()
+    assert [r.image_id for r in direct] == [r.image_id for r in via_disk]
+    cats = lambda rows: [  # noqa: E731
+        [b["category"] for b in (r.bounding_boxes_3d or []) if b is not None]
+        for r in rows
+    ]
+    assert cats(direct) == cats(via_disk)

@@ -103,3 +103,18 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
         ).collect()
     }
     assert full == brute
+
+
+def test_embedding_neardup_salted_plan(spark, sf_dir):
+    """The cosine self-join must carry the skew salt: side A repartitioned
+    on _salt (hashpartitioning exchange), side B replicated via explode —
+    same shape ngram_jaccard_pairs documents. Pair semantics unchanged:
+    every (a < b) pair forms exactly once."""
+    pairs = dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_salt" in plan, plan[:2000]
+
+    rows = pairs.collect()
+    keys = [(r.id_a, r.id_b) for r in rows]
+    assert len(keys) == len(set(keys))          # no duplicate pairs from salting
+    assert all(a < b for a, b in keys)          # orientation preserved

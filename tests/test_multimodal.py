@@ -1,0 +1,95 @@
+"""Multimodal binary-column plumbing (sources/multimodal.py): schema,
+batching, and partitioning are real; decoders are injectable (image libs
+are not installed in this container)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vlm_data_pipeline_spark.sources import multimodal as M
+
+
+def _assets(spark):
+    rows = [
+        (f"asset-{i}", ["image", "audio", "video"][i % 3],
+         bytes([i]) * (50 + i * 37), None)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id string, modality string, payload binary, n_bytes long"
+    )
+    meta = F.struct(
+        F.lit(640).alias("width"),
+        (F.lit(200) + F.crc32("asset_id") % 1000).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        (F.crc32("asset_id") % 40).cast("int").alias("n_frames"),
+        F.lit(None).cast("double").alias("duration_s"),
+    ).cast(M.MEDIA_META)
+    return df.withColumn("meta", meta)
+
+
+def test_binary_stats_pure_relational(spark):
+    out = M.binary_stats(_assets(spark)).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.n_bytes > 0 and len(r.checksum) == 32
+        want = "large" if r.n_bytes > 400 else "medium" if r.n_bytes > 200 else "small"
+        assert r.size_class == want
+
+
+def test_decode_images_default_raises_without_pil(spark):
+    with pytest.raises(Exception) as exc:
+        M.decode_images(_assets(spark)).collect()
+    assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
+
+
+def test_decode_images_with_injected_decoder(spark):
+    out = M.decode_images(_assets(spark), decoder=M.fake_image_decoder).collect()
+    assert len(out) == 12
+    by_id = {r.asset_id: r for r in out}
+    # deterministic: same payload → same decode, independent of partitioning
+    out2 = M.decode_images(
+        _assets(spark).repartition(7), decoder=M.fake_image_decoder
+    ).collect()
+    for r in out2:
+        prev = by_id[r.asset_id]
+        assert (r.width, r.height, r.channels, r.mean_luma) == (
+            prev.width, prev.height, prev.channels, prev.mean_luma
+        )
+    assert all(64 <= r.width <= 255 and 1 <= r.channels <= 4 for r in out)
+
+
+def test_extract_image_features_shape_and_norm(spark):
+    out = M.extract_image_features(_assets(spark)).collect()
+    assert len(out) == 12
+    for r in out:
+        assert len(r.feature) == M.FEATURE_DIM
+        norm = sum(x * x for x in r.feature) ** 0.5
+        assert abs(norm - 1.0) < 1e-3  # unit vectors → ANN/cosine ready
+
+
+def test_resize_plan(spark):
+    out = M.resize_plan(_assets(spark), max_side=512).collect()
+    for r in out:
+        long_side = max(r.width, r.height)
+        if long_side > 512:
+            assert r.needs_resize
+            assert max(r.target_width, r.target_height) == 512
+        else:
+            assert not r.needs_resize
+            assert (r.target_width, r.target_height) == (r.width, r.height)
+        # aspect preserved within rounding
+        assert abs(r.target_width / r.target_height - r.width / r.height) < 0.02
+
+
+def test_frame_sample_plan(spark):
+    out = M.frame_sample_plan(_assets(spark), stride=10).collect()
+    assert out, "fixture should contain at least one video with frames"
+    rows_by_asset = {}
+    for r in out:
+        rows_by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
+    for aid, idxs in rows_by_asset.items():
+        n = next(r.n_frames for r in out if r.asset_id == aid)
+        assert sorted(idxs) == list(range(0, n, 10))

@@ -138,9 +138,14 @@ def two_stage_cascade(
     cols = ["instance_id", "image_id", "rgb_path", "pos"]
     schema = "instance_id int, label string, confidence double, stage string"
 
+    # a_out feeds BOTH the accept branch and the failure join: without a
+    # persist the Stage-A mapInPandas executes once per branch — invisible
+    # with the stub, but doubling the expensive model's cost in production.
+    from pyspark.storagelevel import StorageLevel
+
     a_out = reps.select(*cols).mapInPandas(
         stage_a or stub_classifier(), schema=schema
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     accepted_a = a_out.filter(F.col("confidence") >= tau_high).withColumn(
         "stage", F.lit("A")
     )
@@ -156,6 +161,181 @@ def two_stage_cascade(
         "stage", F.lit("B")
     )
     return accepted_a.unionByName(accepted_b)
+
+
+# ---------------------------------------------------------------------------
+# M4: hierarchical coarse→fine classification with A/B agreement
+# (build_enhanced_codebook_v2.py:113-420)
+# ---------------------------------------------------------------------------
+
+# Super-category → fine classes (build_enhanced_codebook_v2.py:113-144);
+# representative subset — deployments pass their full hierarchy.
+SUPER_CATEGORIES: dict[str, tuple[str, ...]] = {
+    "structure": ("door", "window", "stairs", "column", "beam"),
+    "furniture": ("chair", "sofa", "bench", "stool", "table", "cabinet", "bed"),
+    "kitchen_bathroom": ("sink", "toilet", "bathtub", "shower", "mirror"),
+    "electronics": ("tv", "monitor", "computer", "printer", "speaker"),
+    "decor": ("lamp", "curtain", "rug", "picture", "plant", "vase", "clock"),
+    "small_items": ("box", "bag", "basket", "bottle", "cup", "book"),
+}
+
+# Margin thresholds (build_enhanced_codebook_v2.py:152-155)
+MARGIN_THRESH_COARSE = 0.001
+MARGIN_THRESH_FINE = 0.0005
+MARGIN_THRESH_FINE_B = 0.0005
+
+HIER_SCHEMA = (
+    "instance_id int, grp string, grp_margin double, pred string, margin double"
+)
+
+
+def stub_hierarchical_classifier(
+    stage: str,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Deterministic stand-in for one hierarchical CLIP stage (M4).
+
+    Real deployment: per-executor model singleton; coarse pass scores the 6
+    super-category prompts, fine pass scores the group's classes + the three
+    null prompts, margin = top1−top2 (build_enhanced_codebook_v2.py:249-312).
+    The stub derives (grp, grp_margin, pred, margin) from md5(stage ‖ id):
+    mostly stage-independent (so A/B usually agree) with deliberate
+    stage-dependent slices so disagreement/null/low-margin paths occur.
+    """
+    import hashlib
+
+    groups = sorted(SUPER_CATEGORIES)
+
+    def one(iid: int) -> tuple[str, float, str | None, float]:
+        base = int(hashlib.md5(str(iid).encode()).hexdigest()[:8], 16)
+        mix = int(hashlib.md5(f"{stage}:{iid}".encode()).hexdigest()[:8], 16)
+        grp = groups[base % len(groups)]
+        fines = SUPER_CATEGORIES[grp]
+        # stage-dependent twists exercising every rejection path:
+        if base % 17 == 0:
+            grp = groups[mix % len(groups)]  # A/B group disagreement slice
+        grp_margin = 0.002 if base % 11 != 0 else 0.0001  # coarse-margin fail
+        pred: str | None = fines[base % len(fines)]
+        if base % 13 == 0:
+            pred = None  # null prompt wins
+        elif base % 19 == 0:
+            pred = fines[mix % len(fines)]  # fine-class disagreement slice
+        margin = 0.001 if mix % 7 != 0 else 0.0002  # fine-margin fail slice
+        return grp, grp_margin, pred, margin
+
+    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [one(int(i)) for i in pdf["instance_id"]]
+            yield pd.DataFrame(
+                {
+                    "instance_id": pdf["instance_id"],
+                    "grp": [v[0] for v in vals],
+                    "grp_margin": [v[1] for v in vals],
+                    "pred": [v[2] for v in vals],
+                    "margin": [v[3] for v in vals],
+                }
+            )
+
+    return classify
+
+
+def hierarchical_codebook_v2(
+    frames: DataFrame,
+    stage_a: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]] | None = None,
+    stage_b: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]] | None = None,
+    margin_coarse: float = MARGIN_THRESH_COARSE,
+    margin_fine: float = MARGIN_THRESH_FINE,
+    margin_fine_b: float = MARGIN_THRESH_FINE_B,
+) -> DataFrame:
+    """M4: coarse→fine hierarchical classify with margin acceptance and
+    Stage A/B agreement (build_enhanced_codebook_v2.py:330-420).
+
+    Reference control flow, re-expressed relationally:
+    - Stage A (fast model) runs on every representative; instances whose
+      coarse margin < τ_coarse or whose fine pick is a null prompt are
+      rejected immediately — Stage B never sees them.
+    - Stage B (SAM-masked strong model) runs ONLY on Stage-A survivors
+      (a semi-join), then applies the same coarse/null gates plus its own
+      fine margin.
+    - Final accept = equi-join on instance_id requiring group agreement,
+      fine-class agreement, and both fine margins above threshold
+      (:406-420). Everything else is dropped, matching the reference's
+      None returns.
+
+    Scale shape: two mapInPandas stages, the second over the (smaller)
+    survivor set; the agreement check is a broadcast-sized equi-join on
+    instance_id. ``a_ok`` is persisted — it feeds both the Stage-B input
+    semi-join and the agreement join, and without the persist the Stage-A
+    model would run twice (the same defect fixed in two_stage_cascade).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    reps = representative_per_instance(extract_unlabeled_instances(frames))
+    cols = ["instance_id", "image_id", "rgb_path", "pos"]
+
+    a_out = reps.select(*cols).mapInPandas(
+        stage_a or stub_hierarchical_classifier("A"), schema=HIER_SCHEMA
+    )
+    a_ok = a_out.filter(
+        (F.col("grp_margin") >= margin_coarse) & F.col("pred").isNotNull()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    b_in = reps.join(a_ok.select("instance_id"), "instance_id", "semi")
+    b_out = b_in.select(*cols).mapInPandas(
+        stage_b or stub_hierarchical_classifier("B"), schema=HIER_SCHEMA
+    )
+    b_ok = b_out.filter(
+        (F.col("grp_margin") >= margin_coarse)
+        & F.col("pred").isNotNull()
+        & (F.col("margin") >= margin_fine_b)
+    )
+
+    a = a_ok.select(
+        "instance_id",
+        F.col("grp").alias("grp_a"),
+        F.col("pred").alias("pred_a"),
+        F.col("margin").alias("margin_a"),
+    )
+    b = b_ok.select(
+        "instance_id",
+        F.col("grp").alias("grp_b"),
+        F.col("pred").alias("pred_b"),
+        F.col("margin").alias("margin_b"),
+    )
+    return (
+        a.join(b, "instance_id")
+        .filter(
+            (F.col("grp_a") == F.col("grp_b"))
+            & (F.col("pred_a") == F.col("pred_b"))
+            & (F.col("margin_a") >= margin_fine)
+        )
+        .select(
+            "instance_id",
+            F.col("pred_a").alias("label"),
+            F.col("grp_a").alias("grp"),
+            F.round("margin_a", 6).alias("margin_a"),
+            F.round("margin_b", 6).alias("margin_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4: codebook sink/load round-trip (build_label_codebook_fast.py:425-428)
+# ---------------------------------------------------------------------------
+
+
+def write_codebook(codebook: DataFrame, path: str) -> None:
+    """K4 sink: the codebook as a single JSON artifact (the reference dumps
+    {instance_id: label} to label_codebook.json; we keep the full row —
+    label, confidence, stage — and coalesce(1) because a codebook is
+    dimension-sized by construction)."""
+    codebook.coalesce(1).write.mode("overwrite").json(path)
+
+
+def read_codebook(spark, path: str) -> DataFrame:
+    """K4 load: explicit schema (never inferSchema in production paths)."""
+    return spark.read.schema(
+        "instance_id int, label string, confidence double, stage string"
+    ).json(path)
 
 
 def apply_codebook(frames: DataFrame, codebook: DataFrame, labeled_only: bool = True) -> DataFrame:

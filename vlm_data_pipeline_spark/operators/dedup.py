@@ -309,6 +309,12 @@ def embedding_neardup_pairs(
     Components are scaled to integers so the dot product is exact BIGINT
     arithmetic (deterministic under any partitioning; also how a fixed-point
     SIMD kernel would do it). Unit-norm inputs → dot == cosine.
+
+    Salted exactly like ngram_jaccard_pairs above: a blocking key with few
+    distinct values (a handful of labels) would otherwise serialize each
+    block's quadratic verify onto one task — side A takes salt = hash(id)
+    mod S, side B replicates S ways, every (x < y) pair still forms exactly
+    once, and the work spreads across S tasks per block.
     """
     v = df.select(
         F.col(block_col).alias("blk"),
@@ -317,15 +323,27 @@ def embedding_neardup_pairs(
             F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
         ).alias("iv"),
     )
-    a = v.alias("a")
-    b = v.alias("b")
+    salt = 32
+    a = (
+        v.withColumn("_salt", F.pmod(F.hash("vid"), F.lit(salt)))
+        .repartition(salt, "_salt")
+        .alias("a")
+    )
+    b = v.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.iv"), F.col("b.iv"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
         .withColumn("cosine", dot.cast("double") / float(scale * scale))
         .filter(F.col("cosine") >= threshold)
         .select(

@@ -442,3 +442,40 @@ def enrich_codebook_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_pseudo).alias("n_pseudo_boxes"),
     ).select(F.lit("snapshot").alias("label"), F.col("n_pseudo_boxes").alias("n_instances"), F.lit(None).cast("double").alias("avg_confidence"))
     return hist.unionByName(stats)
+
+
+@register(
+    "enrich_hierarchical_v2",
+    None,
+    "M4 hierarchical coarse→fine classification with margin acceptance and "
+    "Stage A/B agreement (build_enhanced_codebook_v2.py:330-420): stub A/B "
+    "stages over seeded object_N instances; accepted labels grouped per "
+    "super-category. Value semantics (margins, null prompts, disagreement "
+    "rejection) are pinned analytically in tests/test_cascade_sinks.py.",
+)
+def enrich_hierarchical_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..enrich import hierarchical_codebook_v2
+
+    frames = synthetic_frames(spark, sf_dir)
+    seeded = frames.withColumn(
+        "bounding_boxes_3d",
+        F.transform(
+            F.col("bounding_boxes_3d"),
+            lambda b, i: F.when(
+                (F.crc32(b["category"]) + i) % 7 == 0,
+                b.withField(
+                    "category",
+                    F.format_string("object_%d", (F.crc32(b["category"]) + i) % 1000),
+                ),
+            ).otherwise(b),
+        ),
+    )
+    accepted = hierarchical_codebook_v2(seeded)
+    return (
+        accepted.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_accepted"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("grp")
+    )

@@ -465,3 +465,45 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_class"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT cast(doc_id AS VARCHAR) AS asset_id,
+           cast(n_chars % 50 AS INT) AS n_frames,
+           cast(unnest(range(0, cast(n_chars % 50 AS INT), 7)) AS INT) AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 2 AND n_chars % 50 > 0
+    """,
+    "Multimodal frame-sampling, relational half (sources/multimodal.py "
+    "frame_sample_plan): one row per kept frame index via sequence+explode "
+    "— the Objectron in-parser stride (objectron_processor.py:81-110) as "
+    "column math. Assets synthesized from documents (every 3rd doc is "
+    "'video', n_frames from n_chars); the pixel fetch is the injectable "
+    "decode stage.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.multimodal import MEDIA_META, frame_sample_plan
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id")
+    meta = F.struct(
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("channels"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        (F.col("n_chars") % 50).cast("int").alias("n_frames"),
+        F.lit(None).cast("double").alias("duration_s"),
+    ).cast(MEDIA_META)
+    assets = docs.select(
+        did.cast("string").alias("asset_id"),
+        F.when(did % 3 == 0, "image")
+        .when(did % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        meta.alias("meta"),
+    )
+    return frame_sample_plan(assets, stride=7)

@@ -1,0 +1,241 @@
+"""Multimodal binary columns: image/audio/video as opaque ``binary`` with
+typed metadata, plus the decode / feature-extract / resize / frame-sample
+stages a 100 TB training-data pipeline runs over them.
+
+Design (SURVEY extension; the reference's nearest analogues are the
+taskonomy mask decode at taskonomy_processor.py:280-314 and the Objectron
+in-parser frame stride at objectron_processor.py:40-104):
+
+- The RELATIONAL layer never looks inside payloads: bytes are an opaque
+  ``binary`` column riding next to typed metadata (width/height/channels/
+  sample_rate/n_frames). Filters, joins, routing, and sampling are plain
+  column expressions — pushdown-able, codegen'd, shuffle-aware.
+- The DECODE layer is mapInPandas over Arrow record batches: a pluggable
+  per-batch decoder (Pillow/cv2/ffmpeg in production) behind an injectable
+  callable. Those libraries are not installed in this container, so the
+  default decoder raises NotImplementedError with the dependency note, and
+  ``fake_image_decoder`` provides a deterministic stand-in that keeps the
+  schema, batching, and partitioning REAL and testable.
+- Frame sampling splits into the relational part (which frame indices —
+  sequence + explode, zero Python) and the decode part (fetching those
+  frames — stubbed), mirroring the reference's in-parser stride.
+
+Scale notes: payload columns ride in parquet/ORC binary; metadata-only
+queries never read them (column pruning), and
+``spark.sql.files.maxPartitionBytes`` bounds decode-task input so a task's
+Arrow batches fit executor memory. Feature extraction emits fixed-width
+vectors — kilobytes into any downstream shuffle, never raw pixels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+MEDIA_ASSET = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+DECODED_IMAGE = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+FEATURE_DIM = 64
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+Decoder = Callable[[str, bytes], dict[str, Any]]
+
+
+def read_media_assets(
+    spark: SparkSession, pattern: str, modality: str, glob: str = "*"
+) -> DataFrame:
+    """Binary files → canonical MEDIA_ASSET rows (payload + empty metadata;
+    a decode/probe pass fills ``meta``). binaryFile splits per file, so one
+    huge asset never straddles tasks."""
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(pattern)
+    )
+    return binary.select(
+        F.col("path").alias("asset_id"),
+        F.lit(modality).alias("modality"),
+        F.col("content").alias("payload"),
+        F.col("length").alias("n_bytes"),
+        F.lit(None).cast(MEDIA_META).alias("meta"),
+    )
+
+
+def binary_stats(assets: DataFrame) -> DataFrame:
+    """Pure-relational payload audit: size, checksum, size class — never
+    decodes, so Catalyst prunes ``meta`` and codegen handles every row."""
+    n = F.coalesce(F.col("n_bytes"), F.length("payload").cast("long"))
+    return assets.select(
+        "asset_id",
+        "modality",
+        n.alias("n_bytes"),
+        F.md5(F.col("payload")).alias("checksum"),
+        F.when(n > 400, "large").when(n > 200, "medium").otherwise("small").alias(
+            "size_class"
+        ),
+    )
+
+
+def _default_image_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - PIL absent here
+        raise NotImplementedError(
+            "Image decoding needs Pillow/cv2 (not installed in this "
+            "container). Inject decode_images(..., decoder=...) — the "
+            "mapInPandas batching, schema, and partitioning are fully "
+            "wired; fake_image_decoder is the deterministic test stand-in."
+        ) from exc
+    raise NotImplementedError  # pragma: no cover
+
+
+def fake_image_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in: dims/luma derived from the payload digest —
+    stable across runs and processes, no image library required."""
+    h = hashlib.md5(payload or b"").digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "channels": 1 + h[2] % 4,
+        "mean_luma": round(h[3] / 255.0, 6),
+    }
+
+
+def decode_images(
+    assets: DataFrame, decoder: Decoder | None = None
+) -> DataFrame:
+    """Decode stage: Arrow-batched mapInPandas, one decoder call per asset.
+
+    Production body: per-executor singleton (import Pillow once per python
+    worker), decode, downscale before emitting. Emits scalar features only
+    — pixels stay inside the stage unless a downstream op needs them.
+    """
+    decode = decoder or _default_image_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODED_IMAGE.fields]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rows.append({"asset_id": aid, **decode(aid, bytes(payload or b""))})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=DECODED_IMAGE
+    )
+
+
+def fake_feature_extractor(asset_id: str, payload: bytes) -> list[float]:
+    """FEATURE_DIM-float embedding derived from the payload digest."""
+    h = hashlib.sha256(payload or b"").digest()
+    raw = [h[i % len(h)] / 255.0 for i in range(FEATURE_DIM)]
+    norm = sum(x * x for x in raw) ** 0.5 or 1.0
+    return [round(x / norm, 6) for x in raw]
+
+
+def extract_image_features(
+    assets: DataFrame,
+    extractor: Callable[[str, bytes], list[float]] | None = None,
+) -> DataFrame:
+    """Feature-extract stage: payload → fixed FEATURE_DIM vector (the CLIP/
+    DINO embedding shape). Output is join-able with operators.similarity
+    (ANN) and operators.dedup (embedding cosine) unchanged."""
+    extract = extractor or fake_feature_extractor
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "feature": [
+                        extract(aid, bytes(p or b""))
+                        for aid, p in zip(pdf["asset_id"], pdf["payload"])
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURES
+    )
+
+
+def resize_plan(
+    assets: DataFrame, max_side: int = 512
+) -> DataFrame:
+    """Relational half of resize: compute target dims (aspect-preserving,
+    longest side → max_side) from metadata only — no decode, pure codegen.
+    The pixel resample itself belongs in the decode stage's body."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resize"),
+    )
+
+
+def frame_sample_plan(assets: DataFrame, stride: int = 10) -> DataFrame:
+    """Relational half of video frame sampling: one row per kept frame
+    index (0, stride, 2·stride… < n_frames) via sequence + explode — the
+    Objectron in-parser stride (objectron_processor.py:81-110) expressed
+    as column math. The decode stage then fetches exactly these indices.
+    """
+    n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
+    idx = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        assets.filter(F.col("modality") == "video")
+        .filter(n > 0)
+        .select(
+            "asset_id",
+            n.alias("n_frames"),
+            F.explode(idx).alias("frame_idx"),
+        )
+    )
