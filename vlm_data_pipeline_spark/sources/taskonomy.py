@@ -9,10 +9,11 @@ semantic class of its mask pixels (``bincount.argmax``).
 Spark-first:
 - File listing as a table (S10): ``binaryFile`` scan + one regexp pulls
   (point, view, modality) out of each filename — no driver-side globbing.
-- Pixel decode (S8/F7) is an injectable ``mapInPandas`` stage emitting a
-  *relational* pixel-derived table (instance_id, sem_class, pixel counts,
-  bbox) — PIL/cv2 are optional deps, absent here, so the default parser
-  raises NotImplementedError and tests inject a deterministic fake.
+- Pixel decode (S8/F7) is a ``mapInPandas`` stage emitting a *relational*
+  pixel-derived table (instance_id, sem_class, pixel counts, bbox). The
+  DEFAULT parser is real: ``sources.png_codec`` decodes the PNG with
+  stdlib zlib (no PIL/cv2) and reduces per-instance stats in-stage; a
+  custom parser remains injectable for other formats.
 - The modal-class assignment (J10) is pure DataFrame: groupBy + max_by
   with deterministic tie-break — partial aggregation makes it one shuffle
   however many billions of pixels feed it.
@@ -80,16 +81,50 @@ INSTANCE_PIXELS = T.StructType(
 
 
 def _default_mask_parser(path: str, content: bytes) -> list[dict[str, Any]]:
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - PIL not in this container
-        raise NotImplementedError(
-            "Mask decoding needs PIL/cv2 (not installed in this environment). "
-            "Inject a parser via read_instance_pixels(..., parser=...); the "
-            "binaryFile fan-out and the relational (instance, class, count, "
-            "bbox) contract are fully wired."
-        ) from exc
-    raise NotImplementedError  # pragma: no cover
+    """REAL default decoder — no PIL/cv2 needed.
+
+    ``sources.png_codec`` decodes the PNG (public spec, stdlib zlib) and
+    this body does the reference's per-instance reduction
+    (taskonomy_processor.py:300-330) in-stage: first channel value = mask
+    id (instance masks are 8-bit gray; palette/RGB masks use the first
+    channel), background 0 skipped, per-id pixel count + pixel AABB.
+    ``sem_class`` is left NULL here — pairing instance with semantic masks
+    is the relational join downstream (dominant_semantic_class).
+    """
+    from .png_codec import decode_png
+
+    img = decode_png(content)
+    stats: dict[int, list[int]] = {}  # id -> [count, x0, y0, x1, y1]
+    c = img.channels
+    for y, row in enumerate(img.rows):
+        for x in range(img.width):
+            v = row[x * c]
+            if v == 0:
+                continue
+            s = stats.get(v)
+            if s is None:
+                stats[v] = [1, x, y, x, y]
+            else:
+                s[0] += 1
+                if x < s[1]:
+                    s[1] = x
+                elif x > s[3]:
+                    s[3] = x
+                if y > s[4]:
+                    s[4] = y
+    return [
+        {
+            "path": path,
+            "instance_id": int(v),
+            "sem_class": None,
+            "n_pixels": s[0],
+            "x_min": s[1],
+            "y_min": s[2],
+            "x_max": s[3],
+            "y_max": s[4],
+        }
+        for v, s in sorted(stats.items())
+    ]
 
 
 def read_instance_pixels(
