@@ -149,3 +149,14 @@ def test_determinism(frames):
         for r in tasks3d.object_3d_size(frames.repartition(7)).collect()
     )
     assert a == b
+
+
+def test_all_tasks_zero_shuffle(frames):
+    """The 100 TB property: every QA task is scan → per-row array math →
+    project, with NO exchange (shuffle) anywhere — per-frame histograms,
+    first-per-category dedupe, pair generation, and content-derived ids
+    are all in-row. If a window or groupBy sneaks back in, this fails."""
+    for name, fn in TASKS.items():
+        plan = fn(frames)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:1500]}"
+        assert "Window" not in plan, f"{name} uses a window:\n{plan[:1500]}"

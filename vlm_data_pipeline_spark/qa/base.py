@@ -61,6 +61,75 @@ def explode_boxes_2d(frames: DataFrame) -> DataFrame:
     )
 
 
+def category_count_entries(
+    boxes: Column,
+    mapping: dict[int, str] | None = None,
+    drop_unknown: bool = False,
+    min_count: int = 1,
+) -> Column:
+    """Per-row category histogram: array<struct<rcat string, cnt long>>.
+
+    A frame is one row, so its histogram never needs a shuffle — this
+    replaces the groupBy(frame×category) → groupBy(frame) double exchange
+    with O(k²) array math over the ≤dozens of boxes per frame. ``let``
+    binds the mapped-category array so HOF lambdas don't re-run the
+    category mapping per element.
+    """
+    from ..functions.text import let
+
+    cats = F.transform(
+        F.coalesce(boxes, F.array()),
+        lambda b: parse_class_category(b["category"], mapping),
+    )
+    src = F.filter(cats, lambda c: c != "unknown") if drop_unknown else cats
+    return let(
+        src,
+        lambda cs: F.filter(
+            F.transform(
+                F.array_distinct(cs),
+                lambda c: F.struct(
+                    c.alias("rcat"),
+                    F.size(F.filter(cs, lambda x: x == c)).cast("long").alias("cnt"),
+                ),
+            ),
+            lambda e: e["cnt"] >= min_count,
+        ),
+    )
+
+
+def first_box_per_category(
+    frames: DataFrame,
+    boxes_field: str = "bounding_boxes_3d",
+    extra_cols: tuple[str, ...] = ("camera",),
+) -> DataFrame:
+    """W2 dedupe, in-row: one box per (frame, category), earliest in-frame
+    position. The boxes array is already pos-ordered, so the first
+    occurrence of each distinct category IS the winner — array program +
+    explode, zero shuffle (replaces a per-(frame, category) row_number
+    window whose sort was these tasks' only exchange)."""
+    from ..functions.text import let
+
+    withpos = F.transform(
+        F.coalesce(F.col(boxes_field), F.array()),
+        lambda b, i: F.struct(i.alias("pos"), b.alias("box")),
+    )
+    firsts = let(
+        withpos,
+        lambda wp: F.transform(
+            F.array_distinct(F.transform(wp, lambda p: p["box"]["category"])),
+            lambda c: F.element_at(
+                F.filter(wp, lambda p: p["box"]["category"] == c), 1
+            ),
+        ),
+    )
+    keep = ["dataset", "split", "image_id", "scene_id", "frame_id", *extra_cols]
+    return frames.select(*keep, F.explode(firsts).alias("fp")).select(
+        *keep,
+        F.col("fp.pos").alias("pos"),
+        F.col("fp.box").alias("box"),
+    )
+
+
 def with_qa_ids(
     df: DataFrame, task: str, *order_cols: str, sequential: bool = False
 ) -> DataFrame:

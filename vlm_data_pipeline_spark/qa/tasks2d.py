@@ -5,12 +5,22 @@ normalized by functions.geometry.bbox2d_*)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions import detrandom as R
 from ..functions import geometry as G
-from .base import explode_boxes_2d, finalize, meta, parse_class_category
+from .base import (
+    category_count_entries,
+    finalize,
+    first_box_per_category,
+    meta,
+    parse_class_category,
+)
+
+
+def _first_per_category_2d(frames: DataFrame) -> DataFrame:
+    """In-row first-box-per-category over the 2D boxes (zero shuffle)."""
+    return first_box_per_category(frames, "bounding_boxes_2d", ())
 
 P_COUNT2D = {"min_objects": 1, "max_objects": 20}
 P_COUNT_MC = {"min_count": 2, "num_options": 4, "offset": (-3, 3)}
@@ -21,18 +31,24 @@ P_OBJ_SIZE = {"min_area": 100, "decimals": 1}
 def object_count_2d(frames: DataFrame) -> DataFrame:
     """Total-count question per frame, bounded 1–20 objects; single-category
     frames ask category-specific (tasks_2d/object_count_2d_qa.py:55-92)."""
-    inst = explode_boxes_2d(frames).withColumn(
-        "rcat", parse_class_category(F.col("box.category"))
-    )
-    counts = inst.groupBy("dataset", "image_id", "rcat").agg(
-        F.count("*").alias("cnt")
-    )
-    per_frame = counts.groupBy("dataset", "image_id").agg(
-        F.sum("cnt").alias("total"),
-        F.count("*").alias("n_cats"),
-        F.min_by(F.col("rcat"), F.struct(-F.col("cnt"), F.col("rcat"))).alias(
-            "only_cat"
-        ),
+    entries = category_count_entries(F.col("bounding_boxes_2d"))
+    stage = frames.select(
+        "dataset", "image_id", entries.alias("entries")
+    ).filter(F.size("entries") > 0)
+    top = F.array_sort(
+        F.transform(
+            F.col("entries"),
+            lambda e: F.struct((-e["cnt"]).alias("neg"), e["rcat"].alias("rcat")),
+        )
+    )[0]
+    per_frame = stage.select(
+        "dataset",
+        "image_id",
+        F.aggregate(
+            F.col("entries"), F.lit(0).cast("long"), lambda a, e: a + e["cnt"]
+        ).alias("total"),
+        F.size("entries").cast("long").alias("n_cats"),
+        top["rcat"].alias("only_cat"),
     ).filter(
         F.col("total").between(P_COUNT2D["min_objects"], P_COUNT2D["max_objects"])
     )
@@ -61,13 +77,16 @@ def object_count_mc(frames: DataFrame) -> DataFrame:
     """Category-count multiple choice: one question per (frame, category)
     with ≥ min_count instances; integer-offset distractors, floor 1
     (tasks_2d/object_count_qa.py:44-95)."""
-    inst = explode_boxes_2d(frames).withColumn(
-        "rcat", parse_class_category(F.col("box.category"))
+    entries = category_count_entries(
+        F.col("bounding_boxes_2d"), min_count=P_COUNT_MC["min_count"]
     )
-    counts = (
-        inst.groupBy("dataset", "image_id", "rcat")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= P_COUNT_MC["min_count"])
+    counts = frames.select(
+        "dataset", "image_id", F.explode(entries).alias("e")
+    ).select(
+        "dataset",
+        "image_id",
+        F.col("e.rcat").alias("rcat"),
+        F.col("e.cnt").alias("cnt"),
     )
     raw = R.offset_distractors(
         F.col("cnt").cast("double"),
@@ -105,9 +124,7 @@ def object_count_mc(frames: DataFrame) -> DataFrame:
 def bbox_2d_size(frames: DataFrame) -> DataFrame:
     """Bounding-box area multiple choice, ≥ 100 px², percent distractors
     0.5–1.8×, integer-rounded options (tasks_2d/bbox_2d_size_qa.py:44-100)."""
-    inst = explode_boxes_2d(frames)
-    w = W.partitionBy("dataset", "image_id", F.col("box.category")).orderBy("pos")
-    first = inst.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    first = _first_per_category_2d(frames)
     sized = first.withColumn("area", G.bbox2d_area(F.col("box"))).filter(
         F.col("area") >= P_BBOX_SIZE["min_area"]
     )
@@ -150,9 +167,7 @@ def bbox_2d_size(frames: DataFrame) -> DataFrame:
 def object_2d_size(frames: DataFrame) -> DataFrame:
     """Width/height/area numerical question, deterministic aspect draw,
     ≥ 100 px² (tasks_2d/object_2d_size_qa.py:55-100)."""
-    inst = explode_boxes_2d(frames)
-    w = W.partitionBy("dataset", "image_id", F.col("box.category")).orderBy("pos")
-    first = inst.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    first = _first_per_category_2d(frames)
     dims = (
         first.withColumn("xywh", G.bbox2d_xywh(F.col("box")))
         .withColumn("area", G.bbox2d_area(F.col("box")))

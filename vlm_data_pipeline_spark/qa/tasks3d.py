@@ -2,26 +2,29 @@
 QA_generation/config.py:80-88; every task takes the canonical ``frames`` DF
 and returns QA_PAIR rows).
 
-Shuffle budget per task (the 100 TB view):
-- object_count: one shuffle (groupBy image×category), one window on the
-  tiny aggregate.
-- 3d_size / cam_obj_distance: one window (first-per-category dedupe) —
-  the dedupe-before-compute pattern, geometry runs on survivors only.
-- obj_obj_distance / rel_pos: one co-partitioned self-join on image_id
-  (J8); per-frame fanout is the skew unit — cap/salt at ingestion.
-- cam_obj_rel_dist: ZERO shuffles — pure per-row array programs over the
-  boxes array (sampling, distances, ranking all inside the row).
+Shuffle budget per task (the 100 TB view): ZERO, for every task. A frame
+is one row, so per-frame histograms, first-per-category dedupe, pair
+generation, sampling, distances, and ranking are all per-row array
+programs; with content-derived QA ids (qa/base.py) the whole ten-task
+pipeline is scan → compute → union with no exchange anywhere — it scales
+with input splits, not with any grouping key's cardinality.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions import detrandom as R
 from ..functions import geometry as G
-from .base import explode_boxes_3d, finalize, meta, parse_class_category
+from ..functions.text import let
+from .base import (
+    category_count_entries,
+    finalize,
+    first_box_per_category,
+    meta,
+    parse_class_category,
+)
 
 # Parameters mirror QA_generation/config.py:90-137
 P_COUNT = {"min_objects": 1, "max_objects_for_category_specific": 10}
@@ -35,26 +38,48 @@ def object_count(frames: DataFrame) -> DataFrame:
     """Per-frame category counts → one question per frame: category-specific
     (modal category) when few objects, else total count
     (tasks_3d/object_count_qa.py:46-100)."""
-    inst = explode_boxes_3d(frames).withColumn(
-        "rcat", parse_class_category(F.col("box.category"))
+    entries = category_count_entries(
+        F.col("bounding_boxes_3d"),
+        drop_unknown=True,
+        min_count=P_COUNT["min_objects"],
     )
-    counts = (
-        inst.filter(F.col("rcat") != "unknown")
-        .groupBy("dataset", "image_id", "scene_id", "frame_id", "rcat")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= P_COUNT["min_objects"])
-    )
-    per_frame = counts.groupBy("dataset", "image_id", "scene_id", "frame_id").agg(
-        F.sum("cnt").alias("total"),
-        F.count("*").alias("n_cats"),
-        # modal category; ties → lexicographically-first (deterministic
-        # stand-in for the reference's dict-order max)
-        F.min_by(F.col("rcat"), F.struct(-F.col("cnt"), F.col("rcat"))).alias(
-            "top_cat"
-        ),
-        F.max(F.col("cnt")).alias("top_cnt"),
+    stage = frames.select(
+        "dataset",
+        "image_id",
+        "scene_id",
+        "frame_id",
+        entries.alias("entries"),
+    ).filter(F.size("entries") > 0)
+    # modal category; ties → lexicographically-first (deterministic
+    # stand-in for the reference's dict-order max)
+    top = F.array_sort(
+        F.transform(
+            F.col("entries"),
+            lambda e: F.struct(
+                (-e["cnt"]).alias("neg"),
+                e["rcat"].alias("rcat"),
+                e["cnt"].alias("cnt"),
+            ),
+        )
+    )[0]
+    per_frame = stage.select(
+        "dataset",
+        "image_id",
+        "scene_id",
+        "frame_id",
+        F.aggregate(
+            F.col("entries"), F.lit(0).cast("long"), lambda a, e: a + e["cnt"]
+        ).alias("total"),
+        F.size("entries").cast("long").alias("n_cats"),
+        top["rcat"].alias("top_cat"),
+        top["cnt"].alias("top_cnt"),
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("rcat", "cnt")))
+            F.array_sort(
+                F.transform(
+                    F.col("entries"),
+                    lambda e: F.struct(e["rcat"].alias("rcat"), e["cnt"].alias("cnt")),
+                )
+            )
         ).alias("cat_counts"),
     )
     specific = (F.col("n_cats") == 1) | (
@@ -82,10 +107,9 @@ def object_count(frames: DataFrame) -> DataFrame:
 
 def _first_per_category(frames: DataFrame) -> DataFrame:
     """W2 dedupe: one box per (frame, category), earliest in-frame position
-    (object_3d_size_qa.py:32-42 asked_categories set)."""
-    inst = explode_boxes_3d(frames)
-    w = W.partitionBy("dataset", "image_id", F.col("box.category")).orderBy("pos")
-    return inst.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    (object_3d_size_qa.py:32-42 asked_categories set) — the in-row
+    zero-shuffle form, see qa.base.first_box_per_category."""
+    return first_box_per_category(frames, "bounding_boxes_3d", ("camera",))
 
 
 def object_3d_size(frames: DataFrame) -> DataFrame:
@@ -399,14 +423,15 @@ def cam_obj_rel_dist(frames: DataFrame) -> DataFrame:
             i1 + 1 + R.randint(0, 10**6, F.col("image_id"), F.lit(f"rd{s}b")) % (n - 1)
         ) % n
         samples.append(F.struct(i1.alias("i1"), i2.alias("i2")))
+    # duplicate draws collapse IN-ROW (array_distinct before the explode) —
+    # a dropDuplicates here would be the task's only shuffle
     sampled = (
         boxed.withColumn("dists", dists)
-        .withColumn("samp", F.explode(F.slice(F.array(*samples), 1, P_RELDIST["v1_samples"])))
+        .withColumn("samp", F.explode(F.array_distinct(F.array(*samples))))
         .withColumn("b1", F.element_at(F.col("bounding_boxes_3d"), F.col("samp.i1") + 1))
         .withColumn("b2", F.element_at(F.col("bounding_boxes_3d"), F.col("samp.i2") + 1))
         .withColumn("d1", F.element_at(F.col("dists"), F.col("samp.i1") + 1))
         .withColumn("d2", F.element_at(F.col("dists"), F.col("samp.i2") + 1))
-        .dropDuplicates(["dataset", "image_id", "samp"])
     )
     # closest + farthest variants, exploded into two rows per sample
     variants = F.explode(
