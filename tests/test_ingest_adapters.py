@@ -258,7 +258,8 @@ def test_hypersim_hdf5_plumbing(spark, tmp_path):
     assert len(rows) == 2
     assert all(r.dataset == "camera_positions" and r.shape == [2, 2] for r in rows)
 
-    with pytest.raises(Exception, match="h5py|NotImplemented"):
+    # the DEFAULT parser is real (hdf5lite) and fails loud on non-HDF5 bytes
+    with pytest.raises(Exception, match="signature"):
         hypersim.read_hdf5_datasets(spark, str(tmp_path), ["k"]).collect()
 
 

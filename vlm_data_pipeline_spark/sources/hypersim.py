@@ -9,10 +9,11 @@ Spark-first:
 - CSV metadata (S4) → header'd csv reads; the key/value scene-parameter
   lookup (``meters_per_asset_unit``) is a filtered scan, broadcastable.
 - HDF5 (S5) has no native Spark source: ``binaryFile`` rows fan the *.hdf5
-  files across executors and an injectable parser decodes each inside
-  ``mapInPandas`` (h5py is an optional dep — absent here, so the default
-  parser raises NotImplementedError; tests inject a deterministic fake,
-  keeping schema/batch plumbing real).
+  files across executors and a parser decodes each inside ``mapInPandas``.
+  The DEFAULT parser is real — h5py when installed, else the pure-Python
+  ``sources.hdf5lite`` subset reader (public file-format spec; covers the
+  simple array files the reference ingests); custom parsers stay
+  injectable.
 - Nearest-keyframe camera lookup (J9) is an as-of join: candidates within
   no window constraint ranked by |keyframe − frame| with exact-match
   preference (hypersim_processor.py:71-80) → join + row_number.
@@ -75,34 +76,42 @@ HDF5_RECORD = T.StructType(
 
 
 def _default_hdf5_parser(path: str, content: bytes, keys: list[str]) -> list[dict[str, Any]]:
-    try:
-        import h5py  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - h5py not in this container
-        raise NotImplementedError(
-            "HDF5 decoding needs h5py (not installed in this environment). "
-            "Inject a parser via read_hdf5_datasets(..., parser=...) or install "
-            "h5py; the Spark-side plumbing (binaryFile fan-out, mapInPandas "
-            "batching, flattened-tensor schema) is fully wired."
-        ) from exc
-    import io
+    """REAL default decoder — no h5py needed.
 
-    import h5py
+    Prefers h5py when it IS installed (full format coverage); otherwise
+    ``sources.hdf5lite`` reads the v0-superblock subset libhdf5 writes for
+    the reference's simple array files (hypersim_processor.py:55-89)
+    directly from the public file-format spec. Same output either way:
+    one row per present key, float64-flattened with an explicit shape.
+    """
     import numpy as np
 
-    out = []
-    with h5py.File(io.BytesIO(content), "r") as f:
-        for key in keys:
-            if key in f:
-                arr = np.asarray(f[key], dtype="float64")
-                out.append(
-                    {
-                        "path": path,
-                        "dataset": key,
-                        "shape": [int(s) for s in arr.shape],
-                        "values": arr.ravel().tolist(),
-                    }
-                )
-    return out
+    try:
+        import io
+
+        import h5py
+
+        arrays = {}
+        with h5py.File(io.BytesIO(content), "r") as f:
+            for key in keys:
+                if key in f:
+                    arrays[key] = np.asarray(f[key], dtype="float64")
+    except ImportError:
+        from .hdf5lite import read_datasets
+
+        arrays = {
+            k: v.astype("float64") for k, v in read_datasets(content, keys).items()
+        }
+
+    return [
+        {
+            "path": path,
+            "dataset": key,
+            "shape": [int(s) for s in arr.shape],
+            "values": arr.ravel().tolist(),
+        }
+        for key, arr in arrays.items()
+    ]
 
 
 def read_hdf5_datasets(
