@@ -479,3 +479,108 @@ def enrich_hierarchical_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+_QA_COUNT_ORACLE = """
+WITH boxes AS (
+    SELECT l_orderkey, string_split(p_name, ' ')[2] AS cat
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+), counts AS (
+    SELECT l_orderkey, cat, count(*) AS cnt FROM boxes GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                 ORDER BY cnt DESC, cat) AS rn
+    FROM counts
+), top AS (
+    SELECT l_orderkey, cat AS top_cat, cnt AS top_cnt FROM ranked WHERE rn = 1
+), pf AS (
+    SELECT l_orderkey, sum(cnt) AS total, count(*) AS n_cats
+    FROM counts GROUP BY 1
+)
+SELECT
+    'synthetic_object_count_' ||
+        md5('synthetic' || chr(31) || 'object_count' || chr(31)
+            || 'ord_' || pf.l_orderkey) AS id,
+    CASE WHEN pf.n_cats = 1 OR pf.total <= 10
+         THEN 'How many ' || t.top_cat || 's are visible in this image?'
+         ELSE 'How many objects are visible in this image?' END AS question,
+    CASE WHEN pf.n_cats = 1 OR pf.total <= 10
+         THEN cast(t.top_cnt AS VARCHAR)
+         ELSE cast(pf.total AS VARCHAR) END AS answer,
+    'numerical' AS answer_type
+FROM pf JOIN top t USING (l_orderkey)
+"""
+
+
+@register(
+    "qa_task_object_count",
+    _QA_COUNT_ORACLE,
+    "End-to-end VALUE oracle for a full QA task (SURVEY §3.3): the "
+    "object_count generator over synthetic frames, checked against a pure "
+    "SQL re-derivation — including the content-derived md5 ids, the "
+    "question templating branch (category-specific ≤10 objects vs total), "
+    "and the answers. Upgrades the QA pipeline from rows-only to "
+    "value-checked on its flagship task.",
+)
+def qa_task_object_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks3d
+
+    frames = synthetic_frames(spark, sf_dir)
+    out = tasks3d.object_count(frames.filter(F.size("bounding_boxes_3d") > 0))
+    return out.select("id", "question", "answer", "answer_type")
+
+
+_QA_CAMDIST_ORACLE = """
+WITH boxes AS (
+    SELECT l_orderkey, l_linenumber,
+           string_split(p_name, ' ')[2] AS cat,
+           ((l_partkey % 21) - 10) * 0.3 AS x,
+           ((l_suppkey % 13) - 6) * 0.2 AS y,
+           l_linenumber * 1.0 + 0.5 AS z,
+           p_size * 0.01 + 0.05 AS xl,
+           ((l_partkey % 5) + 1) * 0.1 AS yl,
+           ((l_partkey % 3) + 1) * 0.05 AS zl,
+           (l_partkey % 8) * 0.25 - 1.0 AS yaw
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+), ordered AS (
+    -- pos = index in the frames' array_sort(struct(ln, box)) order: ties on
+    -- l_linenumber break by the box struct fields in declaration order
+    SELECT *, row_number() OVER w - 1 AS pos,
+           row_number() OVER (PARTITION BY l_orderkey, cat ORDER BY
+               l_linenumber, x, y, z, xl, yl, zl, yaw) AS rn_cat
+    FROM boxes
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY
+                 l_linenumber, x, y, z, xl, yl, zl, yaw)
+), firsts AS (
+    SELECT * FROM ordered WHERE rn_cat = 1
+), dist AS (
+    SELECT l_orderkey, pos, cat,
+           sqrt(power(x, 2) + power(y, 2) + power(z, 2)) AS dist_m
+    FROM firsts
+)
+SELECT
+    'synthetic_cam_obj_distance_' ||
+        md5('synthetic' || chr(31) || 'cam_obj_distance' || chr(31)
+            || 'ord_' || l_orderkey || chr(31) || pos) AS id,
+    'What is the approximate distance (in meters) between the camera and '
+        || 'the nearest point of the ' || cat || '?' AS question,
+    cast(round(dist_m, 1) AS VARCHAR) AS answer,
+    'numerical' AS answer_type
+FROM dist WHERE dist_m >= 0.1
+"""
+
+
+@register(
+    "qa_task_cam_distance",
+    _QA_CAMDIST_ORACLE,
+    "Second end-to-end QA-task VALUE oracle: cam_obj_distance — in-row "
+    "first-per-category dedupe (W2, including the full struct tie-break of "
+    "array_sort on duplicate line numbers), camera-center distance, the "
+    "0.1 m floor, and the rounded numerical answer, all re-derived in SQL.",
+)
+def qa_task_cam_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks3d
+
+    frames = synthetic_frames(spark, sf_dir)
+    out = tasks3d.cam_obj_distance(frames.filter(F.size("bounding_boxes_3d") > 0))
+    return out.select("id", "question", "answer", "answer_type")
