@@ -117,25 +117,39 @@ def box_vertices(box: Column) -> Column:
 
 
 def _pair_dist(v1: Column, v2: Column) -> Column:
-    return F.sqrt(
-        (v1[0] - v2[0]) ** 2 + (v1[1] - v2[1]) ** 2 + (v1[2] - v2[2]) ** 2
-    )
+    return F.sqrt(_pair_sqdist(v1, v2))
+
+
+def _pair_sqdist(v1: Column, v2: Column) -> Column:
+    dx, dy, dz = v1[0] - v2[0], v1[1] - v2[1], v1[2] - v2[2]
+    return dx * dx + dy * dy + dz * dz
 
 
 def min_vertex_distance(verts_a: Column, verts_b: Column) -> Column:
     """Min Euclidean distance over the 8×8 vertex pairs of two boxes.
 
+    Runs as a fold over SQUARED distances (sqrt is monotone, so one final
+    sqrt replaces 64, and the nested ``aggregate`` keeps a scalar
+    accumulator instead of materializing a 64-element array per pair —
+    this expression runs once per candidate pair, i.e. millions of times).
     ``verts_b`` is let-bound: it is referenced inside the per-vertex lambda
     and would otherwise re-evaluate its (8-corner trig) expression for every
     vertex of ``verts_a``."""
+    inf = F.lit(float("inf"))
     return let(
         verts_b,
-        lambda vb: F.array_min(
-            F.flatten(
-                F.transform(
-                    verts_a,
-                    lambda v1: F.transform(vb, lambda v2: _pair_dist(v1, v2)),
-                )
+        lambda vb: F.sqrt(
+            F.aggregate(
+                verts_a,
+                inf,
+                lambda acc, v1: F.least(
+                    acc,
+                    F.aggregate(
+                        vb,
+                        inf,
+                        lambda acc2, v2: F.least(acc2, _pair_sqdist(v1, v2)),
+                    ),
+                ),
             )
         ),
     )

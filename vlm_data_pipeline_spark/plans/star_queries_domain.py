@@ -547,10 +547,10 @@ WITH boxes AS (
     -- l_linenumber break by the box struct fields in declaration order
     SELECT *, row_number() OVER w - 1 AS pos,
            row_number() OVER (PARTITION BY l_orderkey, cat ORDER BY
-               l_linenumber, x, y, z, xl, yl, zl, yaw) AS rn_cat
+               l_linenumber, x, y, z, xl, yl, zl, yaw, cat) AS rn_cat
     FROM boxes
     WINDOW w AS (PARTITION BY l_orderkey ORDER BY
-                 l_linenumber, x, y, z, xl, yl, zl, yaw)
+                 l_linenumber, x, y, z, xl, yl, zl, yaw, cat)
 ), firsts AS (
     SELECT * FROM ordered WHERE rn_cat = 1
 ), dist AS (
