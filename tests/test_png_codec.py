@@ -142,3 +142,57 @@ def test_default_mask_parser_end_to_end(spark, tmp_path):
 
     boxes = taskonomy.pixel_aabb_boxes(pixels, min_side=1, min_area=4).collect()
     assert len(boxes) == 1  # the single-pixel instance is filtered out
+
+
+def test_instance_depth_boxes_end_to_end(spark, tmp_path):
+    """F7 depth unprojection (taskonomy_processor.py:148-213) over REAL
+    PNG bytes: 8-bit instance mask + 16-bit depth, paired by (point, view),
+    checked against a numpy transliteration of the reference."""
+    import numpy as np
+
+    fx, fy, cx, cy = 20.0, 18.0, 16.0, 12.0
+    h, w = 24, 32
+    rng = [[0] * w for _ in range(h)]
+    depth_mm = [[0] * w for _ in range(h)]
+    # instance 3: a 10x8 patch at depth ~2m with a gradient; instance 7:
+    # a small 2x2 patch (only 4 valid points → rejected by min_points)
+    for y in range(5, 13):
+        for x in range(4, 14):
+            rng[y][x] = 3
+            depth_mm[y][x] = 2000 + 10 * (x - 4) + 5 * (y - 5)
+    for y in range(20, 22):
+        for x in range(28, 30):
+            rng[y][x] = 7
+            depth_mm[y][x] = 1500
+    # instance 9: valid size but all depths zero → rejected (no valid depth)
+    for y in range(15, 19):
+        for x in range(2, 10):
+            rng[y][x] = 9
+
+    (tmp_path / "point_4_view_2_domain_segmentunlabeled.png").write_bytes(
+        encode_png(rng)
+    )
+    (tmp_path / "point_4_view_2_domain_depth_euclidean.png").write_bytes(
+        encode_png(depth_mm, bit_depth=16)
+    )
+
+    inst = taskonomy.read_view_contents(spark, str(tmp_path), "*segmentunlabeled.png")
+    dep = taskonomy.read_view_contents(spark, str(tmp_path), "*depth_euclidean.png")
+    out = taskonomy.instance_depth_boxes(inst, dep, fx, fy, cx, cy).collect()
+    assert [r.instance_id for r in out] == [3]
+    r = out[0]
+    assert (r.point_id, r.view_id) == (4, 2)
+
+    # numpy reference (taskonomy_processor.py:194-205)
+    im = np.array(rng)
+    dm = np.array(depth_mm, dtype=np.float64) / 1000.0
+    vs, us = np.where((im == 3) & (dm > 0) & (dm < 100))
+    d = dm[vs, us]
+    X = (us - cx) * d / fx
+    Y = (vs - cy) * d / fy
+    assert r.n_points == len(d)
+    assert abs(r.x - (X.min() + X.max()) / 2) < 1e-12
+    assert abs(r.y - (Y.min() + Y.max()) / 2) < 1e-12
+    assert abs(r.z - (d.min() + d.max()) / 2) < 1e-12
+    assert abs(r.xl - (X.max() - X.min())) < 1e-12
+    assert abs(r.zl - (d.max() - d.min())) < 1e-12

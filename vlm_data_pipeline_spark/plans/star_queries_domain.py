@@ -545,14 +545,18 @@ WITH boxes AS (
 ), ordered AS (
     -- pos = index in the frames' array_sort(struct(ln, box)) order: ties on
     -- l_linenumber break by the box struct fields in declaration order
-    SELECT *, row_number() OVER w - 1 AS pos,
-           row_number() OVER (PARTITION BY l_orderkey, cat ORDER BY
-               l_linenumber, x, y, z, xl, yl, zl, yaw, cat) AS rn_cat
+    SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+               l_linenumber, x, y, z, xl, yl, zl, yaw, cat) - 1 AS pos
     FROM boxes
-    WINDOW w AS (PARTITION BY l_orderkey ORDER BY
-                 l_linenumber, x, y, z, xl, yl, zl, yaw, cat)
 ), firsts AS (
-    SELECT * FROM ordered WHERE rn_cat = 1
+    -- first occurrence per category = MIN pos (Spark's array scan order);
+    -- picking via an independent second window would resolve ties between
+    -- fully-identical duplicate rows differently from the pos window
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey, cat
+                                     ORDER BY pos) AS rn_cat
+        FROM ordered
+    ) WHERE rn_cat = 1
 ), dist AS (
     SELECT l_orderkey, pos, cat,
            sqrt(power(x, 2) + power(y, 2) + power(z, 2)) AS dist_m

@@ -35,6 +35,9 @@ __all__ = [
     "read_instance_pixels",
     "dominant_semantic_class",
     "pixel_aabb_boxes",
+    "DEPTH_BOX",
+    "read_view_contents",
+    "instance_depth_boxes",
 ]
 
 
@@ -198,3 +201,136 @@ def pixel_aabb_boxes(pixels: DataFrame, min_side: int = 5, min_area: int = 100) 
         & (F.col("y_max") - F.col("y_min") > min_side)
         & (F.col("area_px") >= min_area)
     )
+
+
+# ---------------------------------------------------------------------------
+# F7 tail: depth unprojection → per-instance 3D boxes
+# (taskonomy_processor.py:148-213, compute_3d_bbox_from_instance_mask)
+# ---------------------------------------------------------------------------
+
+DEPTH_BOX = T.StructType(
+    [
+        T.StructField("point_id", T.IntegerType()),
+        T.StructField("view_id", T.IntegerType()),
+        T.StructField("instance_id", T.IntegerType(), False),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("xl", T.DoubleType()),
+        T.StructField("yl", T.DoubleType()),
+        T.StructField("zl", T.DoubleType()),
+    ]
+)
+
+
+def read_view_contents(spark: SparkSession, pattern: str, glob: str) -> DataFrame:
+    """(point_id, view_id, content) rows for one modality's files."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(pattern)
+        .select("path", "content")
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"point_(\d+)_view_(\d+)", 1)
+        .cast("int")
+        .alias("point_id"),
+        F.regexp_extract(F.col("path"), r"point_(\d+)_view_(\d+)", 2)
+        .cast("int")
+        .alias("view_id"),
+        "content",
+    )
+
+
+def instance_depth_boxes(
+    instance_files: DataFrame,
+    depth_files: DataFrame,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    depth_scale: float = 1.0 / 1000.0,
+    min_points: int = 10,
+    min_dim: float = 0.05,
+    max_dim: float = 50.0,
+) -> DataFrame:
+    """Per-instance axis-aligned 3D boxes from paired instance + depth PNGs
+    (taskonomy_processor.py:148-213): pair the two modalities with a
+    relational equi-join on (point, view), then one REAL decode stage
+    (sources.png_codec — 8-bit instance ids, 16-bit depth) unprojects each
+    instance's valid-depth pixels ((u−cx)·d/fx, (v−cy)·d/fy, d) and reduces
+    min/max per axis IN-STAGE, so only (center, dims) rows — never point
+    clouds — enter the shuffle. The reference's validity gates are kept:
+    depth ∈ (0, 100), ≥ 10 points, dims ∈ [0.05, 50].
+    """
+    import numpy as np
+
+    from .png_codec import decode_png
+
+    paired = instance_files.select(
+        "point_id", "view_id", F.col("content").alias("inst_png")
+    ).join(
+        depth_files.select(
+            "point_id", "view_id", F.col("content").alias("depth_png")
+        ),
+        ["point_id", "view_id"],
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DEPTH_BOX.fields]
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for pid, vid, ib, db in zip(
+                pdf["point_id"], pdf["view_id"], pdf["inst_png"], pdf["depth_png"]
+            ):
+                inst_img = decode_png(bytes(ib))
+                depth_img = decode_png(bytes(db))
+                inst = np.asarray(inst_img.rows, dtype=np.int64)[
+                    :, :: inst_img.channels
+                ] if inst_img.channels > 1 else np.asarray(
+                    inst_img.rows, dtype=np.int64
+                )
+                depth = np.asarray(depth_img.rows, dtype=np.float64) * depth_scale
+                if inst.shape != depth.shape:
+                    continue
+                h, w = inst.shape
+                vs, us = np.mgrid[0:h, 0:w]
+                for iid in np.unique(inst):
+                    if iid == 0:
+                        continue
+                    sel = inst == iid
+                    d = depth[sel]
+                    valid = (d > 0) & (d < 100)
+                    if int(valid.sum()) < min_points:
+                        continue
+                    d = d[valid]
+                    u = us[sel][valid]
+                    v = vs[sel][valid]
+                    X = (u - cx) * d / fx
+                    Y = (v - cy) * d / fy
+                    dims = [
+                        float(X.max() - X.min()),
+                        float(Y.max() - Y.min()),
+                        float(d.max() - d.min()),
+                    ]
+                    if any(s < min_dim or s > max_dim for s in dims):
+                        continue
+                    rows.append(
+                        {
+                            "point_id": int(pid),
+                            "view_id": int(vid),
+                            "instance_id": int(iid),
+                            "n_points": int(len(d)),
+                            "x": float((X.min() + X.max()) / 2),
+                            "y": float((Y.min() + Y.max()) / 2),
+                            "z": float((d.min() + d.max()) / 2),
+                            "xl": dims[0],
+                            "yl": dims[1],
+                            "zl": dims[2],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return paired.mapInPandas(run, schema=DEPTH_BOX)
