@@ -212,3 +212,21 @@ def test_codebook_write_read_apply_roundtrip(spark, tmp_path):
         for r in rows
     ]
     assert cats(direct) == cats(via_disk)
+
+
+def test_refine_masks_stage(spark):
+    """M5 mask-refinement stage: stub tightens boxes 15% per side,
+    reports mask area + IoU; degenerate boxes stay non-empty."""
+    from vlm_data_pipeline_spark.enrich import refine_masks
+
+    crops = spark.createDataFrame(
+        [(1, 0, 0, 100, 200), (2, 10, 10, 12, 12), (3, 5, 5, 6, 6)],
+        "instance_id int, x_min int, y_min int, x_max int, y_max int",
+    )
+    out = {r.instance_id: r for r in refine_masks(crops).collect()}
+    r1 = out[1]
+    assert (r1.x_min, r1.y_min, r1.x_max, r1.y_max) == (15, 30, 85, 170)
+    assert r1.mask_area == 70 * 140
+    assert abs(r1.box_iou - (70 * 140) / (100 * 200)) < 1e-9
+    for r in out.values():  # refined boxes never collapse
+        assert r.x_max > r.x_min and r.y_max > r.y_min

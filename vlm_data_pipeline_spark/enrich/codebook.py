@@ -384,3 +384,68 @@ def label_histogram(codebook: DataFrame) -> DataFrame:
         F.count("*").alias("n_instances"),
         F.round(F.avg("confidence"), 3).alias("avg_confidence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M5: mask refinement stage (build_enhanced_codebook_v2.py:314-336 get_sam_mask)
+# ---------------------------------------------------------------------------
+
+MASK_REFINE_SCHEMA = (
+    "instance_id int, x_min int, y_min int, x_max int, y_max int, "
+    "mask_area long, box_iou double"
+)
+
+
+def stub_mask_refiner(
+    pad_frac: float = 0.15,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Deterministic stand-in for the SAM mask-refinement stage (M5).
+
+    Real deployment: per-executor SamPredictor singleton; set_image once
+    per frame, predict with the box prompt, emit the mask's tight bbox +
+    area (build_enhanced_codebook_v2.py:314-336). The stub tightens each
+    box by ``pad_frac`` per side and reports the implied area/IoU — stable
+    values that let downstream logic (crop selection, agreement joins) be
+    tested without torch.
+    """
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["x_max"] - pdf["x_min"]
+            h = pdf["y_max"] - pdf["y_min"]
+            dx = (w * pad_frac).astype(int)
+            dy = (h * pad_frac).astype(int)
+            nx0 = pdf["x_min"] + dx
+            ny0 = pdf["y_min"] + dy
+            nx1 = (pdf["x_max"] - dx).clip(lower=nx0 + 1)
+            ny1 = (pdf["y_max"] - dy).clip(lower=ny0 + 1)
+            area = ((nx1 - nx0) * (ny1 - ny0)).astype("int64")
+            box_area = (w * h).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "instance_id": pdf["instance_id"],
+                    "x_min": nx0,
+                    "y_min": ny0,
+                    "x_max": nx1,
+                    "y_max": ny1,
+                    "mask_area": area,
+                    "box_iou": (area / box_area).round(6),
+                }
+            )
+
+    return refine
+
+
+def refine_masks(
+    crops: DataFrame,
+    refiner: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]] | None = None,
+) -> DataFrame:
+    """M5 as a first-class stage: (instance_id, x_min, y_min, x_max, y_max)
+    crop rows → refined tight boxes via an Arrow-batched mapInPandas
+    refiner (SAM in production, deterministic stub here). Output joins
+    back on instance_id — the refined crops feed the Stage-B classifier
+    (two_stage_cascade / hierarchical_codebook_v2)."""
+    fn = refiner or stub_mask_refiner()
+    return crops.select(
+        "instance_id", "x_min", "y_min", "x_max", "y_max"
+    ).mapInPandas(fn, schema=MASK_REFINE_SCHEMA)
