@@ -118,3 +118,35 @@ def test_embedding_neardup_salted_plan(spark, sf_dir):
     keys = [(r.id_a, r.id_b) for r in rows]
     assert len(keys) == len(set(keys))          # no duplicate pairs from salting
     assert all(a < b for a, b in keys)          # orientation preserved
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc sharing a 4-gram with the benchmark is flagged with the
+    right hit count; clean docs are absent."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday evening"),  # 1 shared 4-gram
+            (2, "quick brown fox jumps right over everything"),   # 1 shared
+            (3, "completely unrelated text with no overlap here"),
+            (4, "the quick brown fox jumps again and again"),     # 2 shared
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_hits for r in dedup.decontaminate(corpus, bench, n=4).collect()}
+    assert out == {1: 1, 2: 1, 4: 2}
+
+
+def test_subword_count_shape(spark):
+    from vlm_data_pipeline_spark.functions.text import subword_count
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hello world",), ("it's 42 degrees!",), ("",)], "text string"
+    )
+    vals = [r.n for r in df.select(subword_count(F.col("text")).alias("n")).collect()]
+    # "hello","​ world" = 2; "it","'s"," 42"," degrees","!" = 5; "" = 0
+    assert vals == [2, 5, 0]

@@ -92,6 +92,19 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
+# GPT-2-style pretokenizer shape: contractions, space-prefixed letter runs,
+# digit runs, punctuation runs. Both Java regex (Spark) and RE2 (DuckDB)
+# support \p{L}/\p{N}, so the same pattern serves the oracle.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pretokenizer shape —
+    the cheap LLM-budget estimator (a real BPE merges within these
+    pretokens, so this lower-bounds and tracks the true count)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting (exact-dedup key)
 # ---------------------------------------------------------------------------

@@ -352,3 +352,47 @@ def embedding_neardup_pairs(
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination: flag corpus documents sharing
+    any word n-gram with a held-out benchmark set (the standard 13-gram
+    rule; parameterized for short corpora).
+
+    Scale shape: the benchmark's distinct n-gram set is dimension-sized by
+    construction (eval sets are thousands of documents, not billions), so
+    it BROADCASTS; the corpus explodes its shingles map-side and the hit
+    check is a broadcast inner join + per-doc count — the corpus is
+    scanned once, nothing corpus-sized ever shuffles. 64-bit shingle
+    hashes cross the wire, not strings.
+
+    Returns (id_col, n_hits) for contaminated documents only — the drop
+    list a cleaning pass anti-joins against.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("g")
+        )
+        .select(hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("g"),
+    ).select("doc_id", hash60(F.col("g")).alias("h"))
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_hits"))
+    )

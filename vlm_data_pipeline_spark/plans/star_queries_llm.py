@@ -507,3 +507,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.alias("meta"),
     )
     return frame_sample_plan(assets, stride=7)
+
+
+_D_SHINGLES4 = (
+    "CASE WHEN len(w) >= 4 THEN list_distinct(list_transform(range(1, len(w) - 2),"
+    " i -> w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3]))"
+    " ELSE [] END"
+)
+
+
+@register(
+    "decontaminate_ngrams",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_D_TOKS} AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, {_d_hash60("unnest(" + _D_SHINGLES4 + ")")} AS h FROM toks
+    ), bench AS (
+        SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0
+    )
+    SELECT g.doc_id, count(DISTINCT g.h) AS n_hits
+    FROM grams g JOIN bench b ON g.h = b.h
+    WHERE g.doc_id % 20 <> 0
+    GROUP BY g.doc_id
+    """,
+    "Benchmark decontamination (extension; the GPT-3 13-gram rule, n=5 "
+    "for the synthetic corpus, n=4 here): corpus docs sharing any n-gram with "
+    "a held-out benchmark slice (every 20th doc). Benchmark gram set "
+    "broadcasts (eval sets are dimension-sized); corpus explodes shingle "
+    "HASHES map-side — one corpus scan, nothing corpus-sized shuffles. "
+    "Library: operators.dedup.decontaminate.",
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(corpus, benchmark, n=4)
+
+
+@register(
+    "text_subword_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(text, '\\s+')) -
+               CASE WHEN text = '' THEN 1 ELSE 0 END AS n_ws_chunks,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+               AS n_subwords
+    FROM documents
+    """,
+    "BPE-ish token counting (extension): matches of the GPT-2 pretokenizer "
+    "shape (contractions, space-prefixed letter/digit/punct runs) — the "
+    "cheap LLM-budget estimator, pure codegen regexp_count. Library: "
+    "functions.text.subword_count.",
+)
+def text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_chunks"),
+        T.subword_count(F.col("text")).alias("n_subwords"),
+    )
