@@ -588,3 +588,102 @@ def qa_task_cam_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = synthetic_frames(spark, sf_dir)
     out = tasks3d.cam_obj_distance(frames.filter(F.size("bounding_boxes_3d") > 0))
     return out.select("id", "question", "answer", "answer_type")
+
+
+def _d_u32(expr: str) -> str:
+    """First 8 md5 hex chars → uint32 → double (mirror of detrandom)."""
+    return f"cast(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)::DOUBLE"
+
+
+_SIZE_SEP = "chr(31)"
+# uniform(0.4, 1.8, 'd{i}', image_id, 'object_3d_size', category)
+_SIZE_DRAW = (
+    "round(greatest(0.1, max_dim_cm * ("
+    + _d_u32(
+        "'d{i}' || chr(31) || image_id || chr(31) || 'object_3d_size' || chr(31) || cat"
+    )
+    + " / 4294967296.0 * 1.4 + 0.4)), 1)"
+)
+_MC_KEY = (
+    "md5(image_id || chr(31) || '3dsize' || chr(31) || cat || '#' || '{i}')"
+)
+
+_QA_SIZE_ORACLE = f"""
+WITH boxes AS (
+    SELECT l_orderkey, l_linenumber,
+           string_split(p_name, ' ')[2] AS cat,
+           ((l_partkey % 21) - 10) * 0.3 AS x,
+           ((l_suppkey % 13) - 6) * 0.2 AS y,
+           l_linenumber * 1.0 + 0.5 AS z,
+           p_size * 0.01 + 0.05 AS xl,
+           ((l_partkey % 5) + 1) * 0.1 AS yl,
+           ((l_partkey % 3) + 1) * 0.05 AS zl,
+           (l_partkey % 8) * 0.25 - 1.0 AS yaw
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+), ordered AS (
+    SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+               l_linenumber, x, y, z, xl, yl, zl, yaw, cat) - 1 AS pos
+    FROM boxes
+), firsts AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey, cat
+                                     ORDER BY pos) AS rn_cat
+        FROM ordered
+    ) WHERE rn_cat = 1
+), sized AS (
+    SELECT 'ord_' || l_orderkey AS image_id, pos, cat,
+           greatest(xl, greatest(yl, zl)) * 100 AS max_dim_cm
+    FROM firsts
+), opts AS (
+    SELECT image_id, pos, cat, max_dim_cm,
+           [round(max_dim_cm, 1),
+            {_SIZE_DRAW.replace('{i}', '1')},
+            {_SIZE_DRAW.replace('{i}', '2')},
+            {_SIZE_DRAW.replace('{i}', '3')}] AS options
+    FROM sized
+), shuffled AS (
+    SELECT image_id, pos, cat, options,
+           list_transform(
+               list_sort([
+                   {{'k': {_MC_KEY.replace('{i}', '0')}, 'v': options[1]}},
+                   {{'k': {_MC_KEY.replace('{i}', '1')}, 'v': options[2]}},
+                   {{'k': {_MC_KEY.replace('{i}', '2')}, 'v': options[3]}},
+                   {{'k': {_MC_KEY.replace('{i}', '3')}, 'v': options[4]}}
+               ]), s -> s.v) AS shuf
+    FROM opts
+)
+SELECT
+    'synthetic_object_3d_size_' ||
+        md5('synthetic' || chr(31) || 'object_3d_size' || chr(31)
+            || image_id || chr(31) || pos) AS id,
+    'What is the length of the longest dimension of the ' || cat
+        || ' in centimeters?' AS question,
+    chr(64 + list_position(shuf, options[1])) AS answer,
+    'multiple_choice' AS answer_type,
+    array_to_string(shuf, '|') AS options
+FROM shuffled
+"""
+
+
+@register(
+    "qa_task_object_3d_size",
+    _QA_SIZE_ORACLE,
+    "Third end-to-end QA-task VALUE oracle, covering the 'random' path: "
+    "object_3d_size multiple choice — md5-derived percent distractors "
+    "(detrandom.uniform), deterministic option shuffle (sort by md5 key), "
+    "letter answer via first-occurrence position, all re-derived in SQL. "
+    "Proves the hash-seeded randomness is partition-independent AND "
+    "engine-portable.",
+)
+def qa_task_object_3d_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks3d
+
+    frames = synthetic_frames(spark, sf_dir)
+    out = tasks3d.object_3d_size(frames.filter(F.size("bounding_boxes_3d") > 0))
+    return out.select(
+        "id",
+        "question",
+        "answer",
+        "answer_type",
+        F.array_join("options", "|").alias("options"),
+    )
