@@ -93,3 +93,31 @@ def test_frame_sample_plan(spark):
     for aid, idxs in rows_by_asset.items():
         n = next(r.n_frames for r in out if r.asset_id == aid)
         assert sorted(idxs) == list(range(0, n, 10))
+
+
+def test_default_decoder_real_png(spark):
+    """The DEFAULT image decoder decodes real PNG payloads (png_codec) —
+    dims and mean luma from actual pixels, no injection."""
+    from tests.test_png_codec import encode_png
+
+    rows6 = [[10, 20, 30, 40], [50, 60, 70, 80]]  # 4x2 gray, mean 45/255
+    png = encode_png(rows6)
+    df = spark.createDataFrame(
+        [("a1", "image", bytearray(png), None)],
+        "asset_id string, modality string, payload binary, n_bytes long",
+    ).withColumn("meta", F.lit(None).cast(M.MEDIA_META))
+    out = M.decode_images(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height, r.channels) == (4, 2, 1)
+    assert abs(r.mean_luma - round(45 / 255.0, 6)) < 1e-9
+
+    # non-PNG payloads still fail loud without an injected decoder
+    bad = spark.createDataFrame(
+        [("a2", "image", bytearray(b"JFIF..."), None)],
+        "asset_id string, modality string, payload binary, n_bytes long",
+    ).withColumn("meta", F.lit(None).cast(M.MEDIA_META))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Pillow|NotImplemented"):
+        M.decode_images(bad).collect()

@@ -11,11 +11,10 @@ in-parser frame stride at objectron_processor.py:40-104):
   sample_rate/n_frames). Filters, joins, routing, and sampling are plain
   column expressions — pushdown-able, codegen'd, shuffle-aware.
 - The DECODE layer is mapInPandas over Arrow record batches: a pluggable
-  per-batch decoder (Pillow/cv2/ffmpeg in production) behind an injectable
-  callable. Those libraries are not installed in this container, so the
-  default decoder raises NotImplementedError with the dependency note, and
-  ``fake_image_decoder`` provides a deterministic stand-in that keeps the
-  schema, batching, and partitioning REAL and testable.
+  per-batch decoder behind an injectable callable. The DEFAULT decoder is
+  real for PNG payloads (``sources.png_codec``, stdlib zlib); other
+  formats need Pillow/cv2/ffmpeg (not installed here) via injection, with
+  ``fake_image_decoder`` as the deterministic test stand-in.
 - Frame sampling splits into the relational part (which frame indices —
   sequence + explode, zero Python) and the decode part (fetching those
   frames — stubbed), mirroring the reference's in-parser stride.
@@ -118,16 +117,31 @@ def binary_stats(assets: DataFrame) -> DataFrame:
 
 
 def _default_image_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - PIL absent here
-        raise NotImplementedError(
-            "Image decoding needs Pillow/cv2 (not installed in this "
-            "container). Inject decode_images(..., decoder=...) — the "
-            "mapInPandas batching, schema, and partitioning are fully "
-            "wired; fake_image_decoder is the deterministic test stand-in."
-        ) from exc
-    raise NotImplementedError  # pragma: no cover
+    """REAL default for PNG payloads via ``sources.png_codec`` (stdlib
+    zlib, no Pillow); other formats need an injected decoder (Pillow/cv2
+    in production — ``fake_image_decoder`` is the deterministic test
+    stand-in)."""
+    if (payload or b"")[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png_codec import decode_png
+
+        img = decode_png(payload)
+        total = 0
+        count = 0
+        for row in img.rows:
+            total += sum(row)
+            count += len(row)
+        scale = 255.0 if img.bit_depth == 8 else 65535.0
+        return {
+            "width": img.width,
+            "height": img.height,
+            "channels": img.channels,
+            "mean_luma": round(total / (count * scale), 6) if count else None,
+        }
+    raise NotImplementedError(
+        "Non-PNG image decoding needs Pillow/cv2 (not installed in this "
+        "container). Inject decode_images(..., decoder=...) — the "
+        "mapInPandas batching, schema, and partitioning are fully wired."
+    )
 
 
 def fake_image_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
