@@ -30,3 +30,44 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        QUERIES[name]
+        .build(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_p4_filters_reach_the_scan(spark, sf_dir):
+    """Conjunctive range predicates must push into the parquet scan
+    (DataFilters on the FileScan) and the scan must prune to the projected
+    columns — the two properties that make a 100 TB filter cheap."""
+    plan = _plan(spark, sf_dir, "p4_range_sanity_filter")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "DataFilters: [isnotnull(l_quantity" in scan
+    assert "l_comment" not in scan and "l_partkey" not in scan  # pruned
+
+
+def test_star_revenue_broadcasts_all_dims(spark, sf_dir):
+    """Three dimension joins must all be broadcast hash joins (the fact
+    table streams once, zero fact shuffles before the final agg)."""
+    plan = _plan(spark, sf_dir, "j_star_revenue")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    fact_scan = next(
+        l for l in plan.splitlines() if "FileScan parquet [o_" in l
+    )
+    assert "o_orderdate" not in fact_scan  # fact scan pruned to 2 columns
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """The pricing summary must map-side combine (partial_sum) so only
+    (group, partial) rows shuffle — and scan only the 7 needed columns."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_sum" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" not in scan and "l_comment" not in scan
