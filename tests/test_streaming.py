@@ -99,3 +99,30 @@ def test_running_user_totals_stateful(spark, tmp_path, events_stream, events_bat
         "value_total", F.round("value_total", 2)
     )
     assert as_sorted_rows(final) == as_sorted_rows(want)
+
+
+def test_qa_pipeline_streams_unchanged(spark, tmp_path):
+    """The zero-shuffle QA tasks run UNCHANGED on a readStream: write the
+    fixture frames to parquet, stream them through generate_all in append
+    mode, and assert the output equals the batch run row-for-row. (A
+    groupBy/window/dropDuplicates in any task would break append mode —
+    this is the streaming payoff of the in-row rewrite.)"""
+    from tests.fixtures import fixture_frames
+    from vlm_data_pipeline_spark.qa import generate_all
+
+    frames = fixture_frames(spark)
+    src = str(tmp_path / "frames_src")
+    frames.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    tasks = ["object_count", "object_3d_size", "cam_obj_rel_dist"]
+    stream_in = spark.readStream.schema(schema).parquet(src)
+    out = run_stream(
+        generate_all(stream_in, tasks=tasks),
+        tmp_path,
+        "qa_stream",
+        output_mode="append",
+    )
+    batch = generate_all(spark.read.parquet(src), tasks=tasks, persist=False)
+    assert as_sorted_rows(out) == as_sorted_rows(batch)
+    assert out.count() > 0

@@ -48,7 +48,11 @@ def generate_all(
     the input is already a cached/bronze table.
     """
     names = tasks or list(TASKS)
-    if persist and len(names) > 1:
+    # Streaming input works UNCHANGED: every task is a zero-shuffle per-row
+    # array program (no groupBy/window/dropDuplicates), so the same
+    # lineages run under readStream in append mode — only the persist is
+    # batch-only. Stream/batch equivalence pinned in test_streaming.
+    if persist and len(names) > 1 and not frames.isStreaming:
         from pyspark.storagelevel import StorageLevel
 
         frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
