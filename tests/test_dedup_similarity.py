@@ -59,6 +59,15 @@ def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
     assert max(near) < min(16, sum(far) / len(far)), (near, far)
 
 
+def test_simhash_plan_has_no_exchange(spark, sf_dir):
+    """SimHash is a per-row computation — the in-row bit-vote fold must
+    compile to a plan with NO shuffle (the explode+groupBy form moved one
+    row per token through an exchange, corpus-wide)."""
+    fps = dedup.simhash_fingerprints(_docs(spark, sf_dir))
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
 def test_lsh_ann_results_subset_of_brute_force_universe(spark, sf_dir):
     """Every LSH neighbor must carry the same cosine the brute-force path
     computes, and per-query results are ranked prefixes of the bucket."""

@@ -10,9 +10,9 @@ Scale design (the point of each operator):
   collide in ≥1 band → candidate count ≈ O(near-dups), not O(n²). Exact
   Jaccard verifies candidates. This is the standard web-dedup pipeline
   (Broder '97 resemblance / MMDS ch.3) expressed as DataFrame ops.
-- **SimHash**: 32 conditional-sum aggregates per doc after one explode —
-  fingerprint closeness (hamming) finds near-dups; here we emit the
-  fingerprint and group exact-collisions.
+- **SimHash**: in-row bit-vote fold over the token-hash array — zero
+  shuffle (a doc's fingerprint depends only on its own tokens);
+  fingerprint closeness (hamming) finds near-dups.
 - **n-gram Jaccard**: the verify kernel as a standalone blocked operator.
 - **embedding cosine**: blocked exact pairing on integer-scaled dot
   products (unit vectors → dot = cosine).
@@ -187,28 +187,49 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash_column(token_hashes: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint of one document's token-hash array as a pure
+    column expression: each token votes ±1 on each bit of its hash, the
+    sign pattern is the fingerprint. ``bits`` folds over the array, all
+    in-row — a document's SimHash depends only on its own tokens, so no
+    grouping is ever needed. let-bound: the hash array is referenced once
+    per bit."""
+
+    def fp(hs: Column) -> Column:
+        out: Column = F.lit(0).cast("long")
+        for j in range(bits):
+            vote = F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1),
+            )
+            out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    return let(token_hashes, fp)
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
     """Per-doc SimHash fingerprint (Charikar '02): tokens vote ±1 on each
     bit of their hash; the sign pattern is the fingerprint.
 
-    One explode + one groupBy with ``bits`` conditional sums — a single
-    shuffle on doc_id carrying only (doc_id, token-hash)."""
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", hash32(F.col("tok")))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
-    fp: Column = F.lit(0).cast("long")
-    for j in range(bits):
-        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
-    return agg.select("doc_id", fp.alias("simhash"))
+    ZERO shuffle: the bit votes are an in-row fold over the token-hash
+    array (``simhash_column``) — at corpus scale this replaces an
+    exchange carrying one row per TOKEN with none at all. Docs with no
+    tokens are dropped, matching the previous explode+groupBy form (an
+    empty doc has no votes, hence no fingerprint). Tokenization is staged
+    through a real projection so the HOF lambdas don't re-run the split
+    per element."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    hashed = toked.select("doc_id", F.transform(F.col("t"), hash32).alias("hs"))
+    return hashed.select("doc_id", simhash_column(F.col("hs"), bits).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -150,8 +150,10 @@ def _simhash_oracle(bits: int = 32) -> str:
     _simhash_oracle(32),
     "SimHash fingerprinting (extension; Charikar '02): every token votes ±1 "
     "on each of 32 bits of its hash; the sign pattern is the fingerprint. "
-    "One explode + one 32-conditional-sum groupBy — a single shuffle "
-    "carrying (doc_id, hash). Hamming-close fingerprints = near-dups. "
+    "ZERO shuffle — the bit votes are an in-row fold over the token-hash "
+    "array (a doc's SimHash depends only on its own tokens); the oracle "
+    "keeps the equivalent explode+groupBy form as an independent check. "
+    "Hamming-close fingerprints = near-dups. "
     "Library: operators.dedup.simhash_fingerprints.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
