@@ -159,3 +159,46 @@ def test_subword_count_shape(spark):
     vals = [r.n for r in df.select(subword_count(F.col("text")).alias("n")).collect()]
     # "hello","​ world" = 2; "it","'s"," 42"," degrees","!" = 5; "" = 0
     assert vals == [2, 5, 0]
+
+
+def test_decontaminate_respects_id_col(spark):
+    """Output id column is named after id_col, per the docstring contract
+    (callers passing id_col='sample_id' must get 'sample_id' back)."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "sample_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "we saw the quick brown fox yesterday evening")],
+        "sample_id long, text string",
+    )
+    out = dedup.decontaminate(corpus, bench, n=4, id_col="sample_id")
+    assert out.columns == ["sample_id", "n_hits"]
+    assert {r.sample_id: r.n_hits for r in out.collect()} == {1: 1}
+
+
+def test_ws_chunk_count_degenerate_rows(spark):
+    """The registered n_ws_chunks expression must agree with the DuckDB
+    oracle on empty and whitespace-only text (the documents tables happen
+    to contain neither, so the driver check can't see a divergence)."""
+    import duckdb
+
+    texts = ["", "   ", " a b ", "a b", "\tx\n"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_n = [
+        r.n
+        for r in df.select(
+            F.size(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+            ).alias("n")
+        ).collect()
+    ]
+    duck_n = [
+        duckdb.sql(
+            "SELECT len(list_filter(string_split_regex(?, '\\s+'),"
+            " t -> t <> ''))",
+            params=[t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_n == duck_n == [0, 0, 2, 2, 1]

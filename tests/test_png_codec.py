@@ -196,3 +196,30 @@ def test_instance_depth_boxes_end_to_end(spark, tmp_path):
     assert abs(r.z - (d.min() + d.max()) / 2) < 1e-12
     assert abs(r.xl - (X.max() - X.min())) < 1e-12
     assert abs(r.zl - (d.max() - d.min())) < 1e-12
+
+
+def test_decode_palette_raw_indices():
+    """apply_palette=False returns the raw 1-channel palette indices —
+    the mask-reader path (cv2 IMREAD_GRAYSCALE semantics): instances whose
+    palette RGB entries collide must stay distinct."""
+    # palette entries 1 and 2 collide on the same RGB color
+    palette = bytes([0, 0, 0, 7, 7, 7, 7, 7, 7])
+    rows = [[0, 1, 2], [2, 1, 0]]
+    img = decode_png(
+        encode_png(rows, color_type=3, palette=palette), apply_palette=False
+    )
+    assert img.channels == 1
+    assert img.rows == rows
+
+
+def test_mask_parser_palette_collision(spark, tmp_path):
+    """End-to-end: a palette mask whose entries share one RGB color still
+    yields two distinct instances through the default parser."""
+    palette = bytes([0, 0, 0, 9, 9, 9, 9, 9, 9])
+    mask = [[0, 1, 1], [0, 2, 0]]
+    (tmp_path / "point_1_view_1_domain_segmentunlabeled.png").write_bytes(
+        encode_png(mask, color_type=3, palette=palette)
+    )
+    pixels = taskonomy.read_instance_pixels(spark, str(tmp_path))
+    rows = {r.instance_id: r.n_pixels for r in pixels.collect()}
+    assert rows == {1: 2, 2: 1}

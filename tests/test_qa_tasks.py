@@ -160,3 +160,27 @@ def test_all_tasks_zero_shuffle(frames):
         plan = fn(frames)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:1500]}"
         assert "Window" not in plan, f"{name} uses a window:\n{plan[:1500]}"
+
+
+def test_first_box_per_category_null_category(spark):
+    """A NULL box category is a legitimate group: the in-row dedupe must
+    keep it (like the window form did), not emit an all-null (pos, box)
+    row."""
+    from tests.fixtures import frame, box3
+    from vlm_data_pipeline_spark.qa.base import first_box_per_category
+    from vlm_data_pipeline_spark.schemas import FRAME
+
+    b_null = box3(1.0, 0.0, 2.0, cat="chair")
+    b_null["category"] = None
+    fr = spark.createDataFrame(
+        [frame("fnull", b3=[box3(0.0, 0.0, 2.0, cat="chair"), b_null,
+                            dict(b_null, x=5.0)])],
+        FRAME,
+    )
+    out = first_box_per_category(fr).collect()
+    by_cat = {r.box.category: r for r in out}
+    assert set(by_cat) == {"chair", None}
+    # the null-category winner is the FIRST null-category box (pos 1), and
+    # its payload survives intact
+    assert by_cat[None].pos == 1
+    assert by_cat[None].box.x == 1.0

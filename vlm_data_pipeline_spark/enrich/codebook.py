@@ -141,6 +141,10 @@ def two_stage_cascade(
     # a_out feeds BOTH the accept branch and the failure join: without a
     # persist the Stage-A mapInPandas executes once per branch — invisible
     # with the stub, but doubling the expensive model's cost in production.
+    # Cache lifecycle: the returned DataFrame's lineage references this
+    # cached block, so it cannot be unpersisted here — the CALLER owns it
+    # (unpersist after the final action, or spark.catalog.clearCache()
+    # between repeated invocations in one session).
     from pyspark.storagelevel import StorageLevel
 
     a_out = reps.select(*cols).mapInPandas(
@@ -266,6 +270,9 @@ def hierarchical_codebook_v2(
     instance_id. ``a_ok`` is persisted — it feeds both the Stage-B input
     semi-join and the agreement join, and without the persist the Stage-A
     model would run twice (the same defect fixed in two_stage_cascade).
+    The CALLER owns the cached block's lifecycle (the returned lineage
+    references it): unpersist after the final action or clearCache()
+    between repeated invocations.
     """
     from pyspark.storagelevel import StorageLevel
 

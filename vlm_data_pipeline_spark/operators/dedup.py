@@ -409,11 +409,12 @@ def decontaminate(
         .distinct()
     )
     corpus_grams = corpus.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col).alias("__decon_id"),
         F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("g"),
-    ).select("doc_id", hash60(F.col("g")).alias("h"))
+    ).select("__decon_id", hash60(F.col("g")).alias("h"))
     return (
         corpus_grams.join(F.broadcast(bench_grams), "h")
-        .groupBy("doc_id")
+        .groupBy("__decon_id")
         .agg(F.countDistinct("h").alias("n_hits"))
+        .withColumnRenamed("__decon_id", id_col)
     )

@@ -549,12 +549,11 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_subword_count",
-    """
+    f"""
     SELECT doc_id,
-           len(string_split_regex(text, '\\s+')) -
-               CASE WHEN text = '' THEN 1 ELSE 0 END AS n_ws_chunks,
+           len({_D_TOKS}) AS n_ws_chunks,
            len(regexp_extract_all(text,
-               '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+               '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
                AS n_subwords
     FROM documents
     """,
@@ -565,8 +564,13 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # non-empty tokens only: plain size(split(...)) counts 1 for '' and an
+    # extra chunk for leading/trailing whitespace, diverging from the
+    # oracle's list_filter on exactly those degenerate rows
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_chunks"),
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("n_ws_chunks"),
         T.subword_count(F.col("text")).alias("n_subwords"),
     )

@@ -117,8 +117,11 @@ def first_box_per_category(
         withpos,
         lambda wp: F.transform(
             F.array_distinct(F.transform(wp, lambda p: p["box"]["category"])),
+            # null-safe equality: a NULL category is a legitimate group (the
+            # window-based dedupe kept it); plain == would null out the
+            # filter and emit an all-null (pos, box) row instead
             lambda c: F.element_at(
-                F.filter(wp, lambda p: p["box"]["category"] == c), 1
+                F.filter(wp, lambda p: p["box"]["category"].eqNullSafe(c)), 1
             ),
         ),
     )

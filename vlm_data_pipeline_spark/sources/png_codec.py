@@ -54,11 +54,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(content: bytes) -> PngImage:
+def decode_png(content: bytes, apply_palette: bool = True) -> PngImage:
     """Decode a non-interlaced PNG to integer channel rows.
 
     For color type 3 the palette is applied, yielding RGB rows. 16-bit
     samples stay 16-bit ints (the taskonomy depth encoding).
+    ``apply_palette=False`` returns color-type-3 rows as the RAW 1-channel
+    palette indices instead — what a mask reader wants (cv2
+    IMREAD_GRAYSCALE semantics): distinct instances stay distinct even
+    when their palette RGB entries collide.
     """
     if content[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
@@ -131,6 +135,8 @@ def decode_png(content: bytes) -> PngImage:
         rows.append(vals)
 
     if color_type == 3:
+        if not apply_palette:
+            return PngImage(width, height, bit_depth, color_type, 1, rows)
         if palette is None:
             raise ValueError("palette image missing PLTE")
         rgb_rows = []

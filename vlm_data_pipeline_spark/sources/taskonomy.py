@@ -89,14 +89,17 @@ def _default_mask_parser(path: str, content: bytes) -> list[dict[str, Any]]:
     ``sources.png_codec`` decodes the PNG (public spec, stdlib zlib) and
     this body does the reference's per-instance reduction
     (taskonomy_processor.py:300-330) in-stage: first channel value = mask
-    id (instance masks are 8-bit gray; palette/RGB masks use the first
-    channel), background 0 skipped, per-id pixel count + pixel AABB.
-    ``sem_class`` is left NULL here — pairing instance with semantic masks
-    is the relational join downstream (dominant_semantic_class).
+    id (instance masks are 8-bit gray; RGB masks use the first channel;
+    palette masks use the RAW palette index, matching the reference's cv2
+    IMREAD_GRAYSCALE read — palette RGB entries that collide must not
+    merge distinct instances), background 0 skipped, per-id pixel count +
+    pixel AABB. ``sem_class`` is left NULL here — pairing instance with
+    semantic masks is the relational join downstream
+    (dominant_semantic_class).
     """
     from .png_codec import decode_png
 
-    img = decode_png(content)
+    img = decode_png(content, apply_palette=False)
     stats: dict[int, list[int]] = {}  # id -> [count, x0, y0, x1, y1]
     c = img.channels
     for y, row in enumerate(img.rows):
