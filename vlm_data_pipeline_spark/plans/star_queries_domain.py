@@ -687,3 +687,529 @@ def qa_task_object_3d_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "answer_type",
         F.array_join("options", "|").alias("options"),
     )
+
+
+# --- shared SQL fragments for the remaining 3D QA-task oracles ------------
+#
+# The synthetic box mapping (sources/star_frames.py) re-derived in SQL, and
+# the vertex math under the synthetic corpus' pitch=roll=0: R reduces to
+# Ry(yaw), so each corner is (x + cy*lx + sy*lz, y + ly, z - sy*lx + cy*lz)
+# with (lx, ly, lz) = sign * half-dims — identical operation order to
+# functions.geometry.box_vertices after the exact-zero terms drop out.
+
+_SQL_BOXES = """
+    boxes AS (
+        SELECT l_orderkey, l_linenumber,
+               string_split(p_name, ' ')[2] AS cat,
+               ((l_partkey % 21) - 10) * 0.3 AS x,
+               ((l_suppkey % 13) - 6) * 0.2 AS y,
+               l_linenumber * 1.0 + 0.5 AS z,
+               p_size * 0.01 + 0.05 AS xl,
+               ((l_partkey % 5) + 1) * 0.1 AS yl,
+               ((l_partkey % 3) + 1) * 0.05 AS zl,
+               (l_partkey % 8) * 0.25 - 1.0 AS yaw
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), ordered AS (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+                   l_linenumber, x, y, z, xl, yl, zl, yaw, cat) - 1 AS pos
+        FROM boxes
+    ), signs AS (
+        SELECT * FROM (VALUES (-1,-1,-1),(1,-1,-1),(1,1,-1),(-1,1,-1),
+                              (-1,-1,1),(1,-1,1),(1,1,1),(-1,1,1)) s(sx,sy,sz)
+    ), verts AS (
+        SELECT l_orderkey, pos,
+               x + cos(yaw) * (sx * xl / 2) + sin(yaw) * (sz * zl / 2) AS vx,
+               y + sy * yl / 2 AS vy,
+               z - sin(yaw) * (sx * xl / 2) + cos(yaw) * (sz * zl / 2) AS vz
+        FROM ordered, signs
+    )
+"""
+
+
+def _d_randint(seed_expr: str, n: int) -> str:
+    """detrandom.randint(0, n-1, ...) in DuckDB: the u32 uniform scaled and
+    TRUNCATED (DuckDB CAST(double AS INT) rounds; Spark's cast truncates —
+    floor() matches since the operand is non-negative)."""
+    u = _d_u32(seed_expr)
+    return f"cast(floor({u} / 4294967296.0 * {n}) AS BIGINT)"
+
+
+_QA_OBJDIST_ORACLE = f"""
+WITH {_SQL_BOXES},
+pairdist AS (
+    SELECT a.l_orderkey AS okey, a.pos AS pos_a, b.pos AS pos_b,
+           min(sqrt((a.vx - b.vx) * (a.vx - b.vx)
+                  + (a.vy - b.vy) * (a.vy - b.vy)
+                  + (a.vz - b.vz) * (a.vz - b.vz))) AS dist_m
+    FROM verts a JOIN verts b
+      ON a.l_orderkey = b.l_orderkey AND a.pos < b.pos
+    GROUP BY 1, 2, 3
+)
+SELECT
+    'synthetic_obj_obj_distance_' ||
+        md5('synthetic' || chr(31) || 'obj_obj_distance' || chr(31)
+            || 'ord_' || okey || chr(31) || pos_a || chr(31) || pos_b) AS id,
+    'What is the distance between the ' || ca.cat || ' and the ' || cb.cat
+        || ' in meters?' AS question,
+    cast(round(p.dist_m, 1) AS VARCHAR) AS answer,
+    'numerical' AS answer_type
+FROM pairdist p
+JOIN ordered ca ON ca.l_orderkey = p.okey AND ca.pos = p.pos_a
+JOIN ordered cb ON cb.l_orderkey = p.okey AND cb.pos = p.pos_b
+WHERE round(p.dist_m, 6) >= 0.2 AND round(p.dist_m, 6) <= 20.0
+"""
+
+
+@register(
+    "qa_task_obj_obj_distance",
+    _QA_OBJDIST_ORACLE,
+    "Fourth end-to-end QA-task VALUE oracle: obj_obj_distance — in-row "
+    "pair generation (J8), oriented 8-vertex geometry (F5), min vertex-"
+    "pair distance (W4), the 0.2-20 m band, and the rounded numerical "
+    "answer, all re-derived in SQL (vertices via the yaw-only closed "
+    "form; min-of-sqrt equals sqrt-of-min since IEEE sqrt is monotone).",
+)
+def qa_task_obj_obj_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks3d
+
+    frames = synthetic_frames(spark, sf_dir)
+    out = tasks3d.obj_obj_distance(frames.filter(F.size("bounding_boxes_3d") > 0))
+    return out.select("id", "question", "answer", "answer_type")
+
+
+_RELPOS_SEED = (
+    "'ord_' || r.l_orderkey || chr(31) || 'relpos' || chr(31) "
+    "|| r.pos_a || chr(31) || r.pos_b"
+)
+
+_QA_RELPOS_ORACLE = f"""
+WITH {_SQL_BOXES},
+rel AS (
+    SELECT a.l_orderkey, a.pos AS pos_a, b.pos AS pos_b,
+           a.cat AS cat_a, b.cat AS cat_b,
+           a.z - b.z AS dz, a.x - b.x AS dx, a.y - b.y AS dy
+    FROM ordered a JOIN ordered b
+      ON a.l_orderkey = b.l_orderkey AND a.pos < b.pos
+    WHERE a.l_orderkey % 2 = 0
+), aspected AS (
+    SELECT *, list_filter([
+        {{'aspect': 'depth', 'ans':
+            CASE WHEN abs(dz) < 0.1 THEN NULL
+                 WHEN dz < 0 THEN 'nearer' ELSE 'farther' END}},
+        {{'aspect': 'horizontal', 'ans':
+            CASE WHEN abs(dx) < 0.1 THEN NULL
+                 WHEN dx < 0 THEN 'left' ELSE 'right' END}},
+        {{'aspect': 'vertical', 'ans':
+            CASE WHEN abs(dy) < 0.1 THEN NULL
+                 WHEN dy < 0 THEN 'above' ELSE 'below' END}}
+    ], s -> s.ans IS NOT NULL) AS aspects
+    FROM rel
+), picked AS (
+    SELECT r.*, r.aspects[
+        cast({_d_randint(_RELPOS_SEED, 3)} % len(r.aspects) + 1 AS INT)
+    ] AS chosen
+    FROM aspected r WHERE len(r.aspects) > 0
+)
+SELECT
+    'synthetic_obj_obj_rel_pos_' ||
+        md5('synthetic' || chr(31) || 'obj_obj_rel_pos' || chr(31)
+            || 'ord_' || l_orderkey || chr(31) || pos_a || chr(31) || pos_b)
+        AS id,
+    CASE chosen.aspect
+      WHEN 'depth' THEN 'Is the ' || cat_a || ' nearer or farther than the '
+          || cat_b || ' from the camera?'
+      WHEN 'horizontal' THEN 'Is the ' || cat_a
+          || ' to the left or right of the ' || cat_b
+          || ' from the camera''s perspective?'
+      ELSE 'Is the ' || cat_a || ' above or below the ' || cat_b
+          || ' from the camera''s perspective?'
+    END AS question,
+    chosen.ans AS answer,
+    'text' AS answer_type
+FROM picked
+"""
+
+
+@register(
+    "qa_task_obj_obj_rel_pos",
+    _QA_RELPOS_ORACLE,
+    "Fifth end-to-end QA-task VALUE oracle: obj_obj_rel_pos — extrinsics "
+    "routing (even order keys), center-diff relations with the 0.1 m dead "
+    "zone (F6), the null-aspect filter, and the hash-seeded aspect draw "
+    "(detrandom.randint re-derived with floor() — DuckDB's int cast "
+    "rounds, Spark's truncates), question template per aspect.",
+)
+def qa_task_obj_obj_rel_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks3d
+
+    frames = synthetic_frames(spark, sf_dir)
+    out = tasks3d.obj_obj_rel_pos(frames.filter(F.size("bounding_boxes_3d") > 0))
+    return out.select("id", "question", "answer", "answer_type")
+
+
+def _reldist_draw(s: int, which: str, n_expr: str) -> str:
+    seed = f"'ord_' || f.l_orderkey || chr(31) || 'rd{s}{which}'"
+    return f"{_d_randint(seed, 10**6 + 1)} % {n_expr}"
+
+
+_QA_RELDIST_ORACLE = f"""
+WITH {_SQL_BOXES},
+vmin AS (
+    SELECT l_orderkey, pos,
+           min(sqrt(vx * vx + vy * vy + vz * vz)) AS dist
+    FROM verts GROUP BY 1, 2
+), f AS (
+    SELECT l_orderkey, count(*) AS n FROM ordered
+    WHERE l_orderkey % 2 = 0
+    GROUP BY 1 HAVING count(*) >= 2
+), drawn AS (
+    SELECT f.l_orderkey, f.n, s.s,
+           {_reldist_draw(0, 'a', 'f.n')} AS i1_0,
+           {_reldist_draw(1, 'a', 'f.n')} AS i1_1
+    FROM f, (VALUES (0), (1)) s(s)
+), sampled AS (
+    SELECT l_orderkey, n, s,
+           CASE WHEN s = 0 THEN i1_0 ELSE i1_1 END AS i1,
+           (CASE WHEN s = 0 THEN i1_0 ELSE i1_1 END + 1 +
+            CASE WHEN s = 0 THEN {_reldist_draw(0, 'b', '(n - 1)')}
+                 ELSE {_reldist_draw(1, 'b', '(n - 1)')} END) % n AS i2
+    FROM (SELECT d.*, 'f' AS _tag FROM drawn d) AS f
+), deduped AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey, i1, i2
+                                     ORDER BY s) AS rn
+        FROM sampled
+    ) WHERE rn = 1
+), paired AS (
+    SELECT d.l_orderkey, d.i1, d.i2,
+           b1.cat AS cat1, b2.cat AS cat2, v1.dist AS d1, v2.dist AS d2
+    FROM deduped d
+    JOIN ordered b1 ON b1.l_orderkey = d.l_orderkey AND b1.pos = d.i1
+    JOIN ordered b2 ON b2.l_orderkey = d.l_orderkey AND b2.pos = d.i2
+    JOIN vmin v1 ON v1.l_orderkey = d.l_orderkey AND v1.pos = d.i1
+    JOIN vmin v2 ON v2.l_orderkey = d.l_orderkey AND v2.pos = d.i2
+)
+SELECT
+    'synthetic_cam_obj_rel_dist_' ||
+        md5('synthetic' || chr(31) || 'cam_obj_rel_dist' || chr(31)
+            || 'ord_' || l_orderkey || chr(31) || i1 || chr(31) || i2
+            || chr(31) || v.variant) AS id,
+    CASE v.variant
+      WHEN 'v1_closest' THEN 'Which object is closest to the camera, '
+          || cat1 || ' or ' || cat2 || '?'
+      ELSE 'Which object is farthest from the camera, '
+          || cat1 || ' or ' || cat2 || '?'
+    END AS question,
+    CASE WHEN (v.variant = 'v1_closest' AND d1 < d2)
+           OR (v.variant = 'v1_farthest' AND d1 > d2)
+         THEN cat1 ELSE cat2 END AS answer,
+    'text' AS answer_type
+FROM paired, (VALUES ('v1_closest'), ('v1_farthest')) v(variant)
+"""
+
+
+@register(
+    "qa_task_cam_obj_rel_dist",
+    _QA_RELDIST_ORACLE,
+    "Sixth end-to-end QA-task VALUE oracle: cam_obj_rel_dist v1 — "
+    "extrinsics-gated frames, camera position from the 4x4 extrinsics "
+    "(identity -> origin on the synthetic corpus), per-box min-vertex "
+    "camera distance, TWO hash-seeded index draws with the modular "
+    "distinct-second-index trick, in-row duplicate-sample collapse "
+    "(array_distinct -> SQL first-by-s dedupe), and the closest/farthest "
+    "variant pair per sample.",
+)
+def qa_task_cam_obj_rel_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks3d
+
+    frames = synthetic_frames(spark, sf_dir)
+    out = tasks3d.cam_obj_rel_dist(frames.filter(F.size("bounding_boxes_3d") > 0))
+    return out.select("id", "question", "answer", "answer_type")
+
+
+# --- the four 2D QA tasks, value-oracled over the 2D synthetic corpus ------
+#
+# All 2D quantities are integer-derived (sources/star_frames.py
+# synthetic_frames_2d), so every value below is bit-identical across
+# engines; only the md5-seeded draws need care (floor, not int-cast).
+
+_SQL_BOXES_2D = """
+    b2 AS (
+        SELECT l_orderkey, l_linenumber,
+               string_split(p_name, ' ')[2] AS cat,
+               CAST(l_partkey % 500 AS INT) AS x_min,
+               CAST(l_suppkey % 400 AS INT) AS y_min,
+               CAST(l_partkey % 500 + 20 + l_partkey % 100 AS INT) AS x_max,
+               CAST(l_suppkey % 400 + 20 + (l_linenumber * 7) % 60 AS INT)
+                   AS y_max
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), ordered2d AS (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY
+                   l_linenumber, x_min, y_min, x_max, y_max, cat) - 1 AS pos
+        FROM b2
+    ), firsts2d AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY l_orderkey, cat
+                                         ORDER BY pos) AS rn_cat
+            FROM ordered2d
+        ) WHERE rn_cat = 1
+    )
+"""
+
+_QA_COUNT2D_ORACLE = f"""
+WITH {_SQL_BOXES_2D},
+counts AS (
+    SELECT l_orderkey, cat, count(*) AS cnt FROM b2 GROUP BY 1, 2
+), pf AS (
+    SELECT l_orderkey, sum(cnt) AS total, count(*) AS n_cats,
+           min(cat) AS any_cat
+    FROM counts GROUP BY 1
+)
+SELECT
+    'synthetic_object_count_2d_' ||
+        md5('synthetic' || chr(31) || 'object_count_2d' || chr(31)
+            || 'ord_' || l_orderkey) AS id,
+    CASE WHEN n_cats = 1
+         THEN 'How many ' || any_cat || 's are visible in this image?'
+         ELSE 'How many objects are visible in this image?' END AS question,
+    cast(total AS VARCHAR) AS answer,
+    'numerical' AS answer_type
+FROM pf WHERE total BETWEEN 1 AND 20
+"""
+
+
+@register(
+    "qa_task_object_count_2d",
+    _QA_COUNT2D_ORACLE,
+    "Seventh QA-task VALUE oracle — first of the four 2D tasks "
+    "(tasks_2d/object_count_2d_qa.py): per-frame in-row histogram over "
+    "the 2D boxes, the 1-20 total bound, and the single-category question "
+    "branch, re-derived in SQL over the 2D synthetic corpus.",
+)
+def qa_task_object_count_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks2d
+    from ..sources.star_frames import synthetic_frames_2d
+
+    frames = synthetic_frames_2d(spark, sf_dir)
+    out = tasks2d.object_count_2d(frames.filter(F.size("bounding_boxes_2d") > 0))
+    return out.select("id", "question", "answer", "answer_type")
+
+
+def _d_offset_draw(i: int, seed_tail: str) -> str:
+    """offset_distractors draw i: randint(-3, 3) with 0 -> 1, floored at
+    0.1 against the correct count, then max(1, round())."""
+    r = _d_randint(f"'d{i}' || chr(31) || {seed_tail}", 7)
+    return (
+        f"greatest(1, cast(round(greatest(0.1, cnt + "
+        f"(CASE WHEN ({r} - 3) = 0 THEN 1 ELSE ({r} - 3) END))) AS INT))"
+    )
+
+
+_CMC_SEED = "'ord_' || l_orderkey || chr(31) || 'count_mc' || chr(31) || cat"
+_CMC_KEY = (
+    "md5('ord_' || l_orderkey || chr(31) || 'cmc' || chr(31) || cat"
+    " || '#' || '{i}')"
+)
+
+_QA_COUNTMC_ORACLE = f"""
+WITH {_SQL_BOXES_2D},
+counts AS (
+    SELECT l_orderkey, cat, count(*) AS cnt FROM b2
+    GROUP BY 1, 2 HAVING count(*) >= 2
+), opts AS (
+    SELECT l_orderkey, cat, cnt,
+           [cast(cnt AS INT),
+            {_d_offset_draw(1, _CMC_SEED)},
+            {_d_offset_draw(2, _CMC_SEED)},
+            {_d_offset_draw(3, _CMC_SEED)}] AS options
+    FROM counts
+), shuffled AS (
+    SELECT l_orderkey, cat, options,
+           list_transform(
+               list_sort([
+                   {{'k': {_CMC_KEY.replace('{i}', '0')}, 'v': options[1]}},
+                   {{'k': {_CMC_KEY.replace('{i}', '1')}, 'v': options[2]}},
+                   {{'k': {_CMC_KEY.replace('{i}', '2')}, 'v': options[3]}},
+                   {{'k': {_CMC_KEY.replace('{i}', '3')}, 'v': options[4]}}
+               ]), s -> s.v) AS shuf
+    FROM opts
+)
+SELECT
+    'synthetic_object_count_' ||
+        md5('synthetic' || chr(31) || 'object_count' || chr(31)
+            || 'ord_' || l_orderkey || chr(31) || cat) AS id,
+    'How many ' || cat || ' are there in this image?' AS question,
+    chr(64 + list_position(shuf, options[1])) AS answer,
+    'multiple_choice' AS answer_type,
+    array_to_string(shuf, '|') AS options
+FROM shuffled
+"""
+
+
+@register(
+    "qa_task_object_count_mc",
+    _QA_COUNTMC_ORACLE,
+    "Eighth QA-task VALUE oracle (tasks_2d/object_count_qa.py): per-"
+    "(frame, category) multiple-choice counts — integer-offset "
+    "distractors with the 0->1 remap and floor-at-1 clamp, deterministic "
+    "md5 option shuffle, and the first-occurrence letter answer, all "
+    "re-derived in SQL.",
+)
+def qa_task_object_count_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks2d
+    from ..sources.star_frames import synthetic_frames_2d
+
+    frames = synthetic_frames_2d(spark, sf_dir)
+    out = tasks2d.object_count_mc(frames.filter(F.size("bounding_boxes_2d") > 0))
+    return out.select(
+        "id",
+        "question",
+        "answer",
+        "answer_type",
+        F.array_join("options", "|").alias("options"),
+    )
+
+
+_B2S_SEED = "'ord_' || l_orderkey || chr(31) || 'bbox2d' || chr(31) || cat"
+_B2S_KEY = (
+    "md5('ord_' || l_orderkey || chr(31) || 'b2s' || chr(31) || cat"
+    " || '#' || '{i}')"
+)
+# percent_distractors draw i at 0 decimals: round(max(0.1, area*(u*1.3+0.5)))
+_B2S_DRAW = (
+    "cast(round(round(greatest(0.1, area * ("
+    + _d_u32("'d{i}' || chr(31) || " + _B2S_SEED)
+    + " / 4294967296.0 * 1.3 + 0.5)), 0)) AS INT)"
+)
+
+_QA_B2S_ORACLE = f"""
+WITH {_SQL_BOXES_2D},
+sized AS (
+    SELECT l_orderkey, cat, pos,
+           CAST((x_max - x_min) * (y_max - y_min) AS DOUBLE) AS area
+    FROM firsts2d
+    WHERE (x_max - x_min) * (y_max - y_min) >= 100
+), opts AS (
+    SELECT l_orderkey, cat, pos, area,
+           [cast(round(round(area, 0)) AS INT),
+            {_B2S_DRAW.replace('{i}', '1')},
+            {_B2S_DRAW.replace('{i}', '2')},
+            {_B2S_DRAW.replace('{i}', '3')}] AS options
+    FROM sized
+), shuffled AS (
+    SELECT l_orderkey, cat, pos, options,
+           list_transform(
+               list_sort([
+                   {{'k': {_B2S_KEY.replace('{i}', '0')}, 'v': options[1]}},
+                   {{'k': {_B2S_KEY.replace('{i}', '1')}, 'v': options[2]}},
+                   {{'k': {_B2S_KEY.replace('{i}', '2')}, 'v': options[3]}},
+                   {{'k': {_B2S_KEY.replace('{i}', '3')}, 'v': options[4]}}
+               ]), s -> s.v) AS shuf
+    FROM opts
+)
+SELECT
+    'synthetic_bbox_2d_size_' ||
+        md5('synthetic' || chr(31) || 'bbox_2d_size' || chr(31)
+            || 'ord_' || l_orderkey || chr(31) || pos) AS id,
+    'What is the area (in square pixels) of the bounding box for the '
+        || cat || '?' AS question,
+    chr(64 + list_position(shuf, options[1])) AS answer,
+    'multiple_choice' AS answer_type,
+    array_to_string(shuf, '|') AS options
+FROM shuffled
+"""
+
+
+@register(
+    "qa_task_bbox_2d_size",
+    _QA_B2S_ORACLE,
+    "Ninth QA-task VALUE oracle (tasks_2d/bbox_2d_size_qa.py): first-box-"
+    "per-category (W2 in-row form incl. struct tie-breaks), computed "
+    "pixel area, percent distractors at 0 decimals, md5 shuffle, letter "
+    "answer — re-derived in SQL.",
+)
+def qa_task_bbox_2d_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks2d
+    from ..sources.star_frames import synthetic_frames_2d
+
+    frames = synthetic_frames_2d(spark, sf_dir)
+    out = tasks2d.bbox_2d_size(frames.filter(F.size("bounding_boxes_2d") > 0))
+    return out.select(
+        "id",
+        "question",
+        "answer",
+        "answer_type",
+        F.array_join("options", "|").alias("options"),
+    )
+
+
+_O2S_SEED = "'ord_' || l_orderkey || chr(31) || '2dsize' || chr(31) || cat"
+
+_QA_O2S_ORACLE = f"""
+WITH {_SQL_BOXES_2D},
+dims AS (
+    SELECT l_orderkey, cat, pos,
+           CAST(x_max - x_min AS DOUBLE) AS w,
+           CAST(y_max - y_min AS DOUBLE) AS h,
+           CAST((x_max - x_min) * (y_max - y_min) AS DOUBLE) AS area,
+           cast({_d_randint(_O2S_SEED, 3)} AS INT) AS aspect
+    FROM firsts2d
+    WHERE (x_max - x_min) * (y_max - y_min) >= 100
+)
+SELECT
+    'synthetic_object_2d_size_' ||
+        md5('synthetic' || chr(31) || 'object_2d_size' || chr(31)
+            || 'ord_' || l_orderkey || chr(31) || pos) AS id,
+    CASE aspect
+      WHEN 0 THEN 'What is the width of the ' || cat
+          || ' bounding box in pixels?'
+      WHEN 1 THEN 'What is the height of the ' || cat
+          || ' bounding box in pixels?'
+      ELSE 'What is the area of the ' || cat || ' bounding box in pixels?'
+    END AS question,
+    cast(round(CASE aspect WHEN 0 THEN w WHEN 1 THEN h ELSE area END, 1)
+         AS VARCHAR) AS answer,
+    'numerical' AS answer_type
+FROM dims
+"""
+
+
+@register(
+    "qa_task_object_2d_size",
+    _QA_O2S_ORACLE,
+    "Tenth QA-task VALUE oracle (tasks_2d/object_2d_size_qa.py): the "
+    "hash-seeded width/height/area aspect draw, question template per "
+    "aspect, and the 1-dp numerical answer — completing end-to-end value "
+    "checks for ALL TEN QA tasks.",
+)
+def qa_task_object_2d_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks2d
+    from ..sources.star_frames import synthetic_frames_2d
+
+    frames = synthetic_frames_2d(spark, sf_dir)
+    out = tasks2d.object_2d_size(frames.filter(F.size("bounding_boxes_2d") > 0))
+    return out.select("id", "question", "answer", "answer_type")
+
+
+@register(
+    "qa_pipeline_2d_full",
+    None,
+    "SURVEY §3.3 end-to-end over a 2D-modality corpus: generate_all "
+    "routes these frames (2D boxes only) down the four 2D task "
+    "generators (P1 routing exercised on its other branch); task values "
+    "are individually oracle-checked by the four qa_task_* 2D entries.",
+)
+def qa_pipeline_2d_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import generate_all
+    from ..sources.star_frames import synthetic_frames_2d
+
+    out = generate_all(synthetic_frames_2d(spark, sf_dir))
+    return out.select(
+        "id",
+        "task",
+        "question",
+        "answer",
+        "answer_type",
+        F.array_join("options", "|").alias("options"),
+        F.to_json("metadata").alias("metadata"),
+    )

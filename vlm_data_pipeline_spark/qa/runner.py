@@ -30,7 +30,18 @@ TASKS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "object_2d_size": tasks2d.object_2d_size,
 }
 
-TASKS_3D = {k for k in TASKS if not k.endswith("2d") and k != "object_count_mc"}
+# Explicit modality routing (generate_qa.py:110-122 / config.py task
+# lists). NOT a name heuristic: "bbox_2d_size"/"object_2d_size" end in
+# "size", so endswith("2d") misrouted them to the 3D branch — where the
+# 3D-box filter made them silently vacuous on every corpus.
+TASKS_3D = {
+    "object_count",
+    "object_3d_size",
+    "cam_obj_distance",
+    "obj_obj_distance",
+    "obj_obj_rel_pos",
+    "cam_obj_rel_dist",
+}
 
 
 def generate_all(

@@ -261,16 +261,24 @@ def _box_pairs(frames: DataFrame, with_verts: bool = False) -> DataFrame:
 
 def obj_obj_distance(frames: DataFrame) -> DataFrame:
     """Min vertex-pair distance per in-frame pair, 0.2–20 m, 1 decimal
-    (tasks_3d/obj_obj_distance_qa.py:52-92, geometry.py:98-118)."""
+    (tasks_3d/obj_obj_distance_qa.py:52-92, geometry.py:98-118).
+
+    The distance band is applied to the distance QUANTIZED to 6 dp, not
+    the raw double: the raw value depends on the platform's last-ulp
+    sin/cos behavior, so a pair sitting exactly on the band edge would
+    make the output row-set hardware/library-dependent — the same
+    reproducibility rule detrandom applies to draws, applied to float
+    predicates (observed live: one exactly-0.2 pair flips between JVM
+    and DuckDB trig)."""
     pairs = _box_pairs(frames, with_verts=True)
+    band = F.round(F.col("dist_m"), 6)
     d = (
         pairs.withColumn(
             "dist_m",
             G.min_vertex_distance(F.col("verts_a"), F.col("verts_b")),
         )
         .filter(
-            (F.col("dist_m") >= P_OBJ["min_distance"])
-            & (F.col("dist_m") <= P_OBJ["max_distance"])
+            (band >= P_OBJ["min_distance"]) & (band <= P_OBJ["max_distance"])
         )
         .withColumn("dist_r", F.round("dist_m", P_OBJ["decimals"]))
     )

@@ -98,3 +98,78 @@ def synthetic_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounding_boxes_2d"),
         "bounding_boxes_3d",
     )
+
+
+def synthetic_frames_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D-modality twin of :func:`synthetic_frames`: one frame per order,
+    one 2D box per lineitem (pixel rects from integer columns, area left
+    NULL to exercise the computed-area path), NO 3D boxes — so the QA
+    router (P1) sends these frames down the four 2D task generators.
+    Integer-only box math keeps every derived quantity bit-identical
+    across engines, which the 2D task VALUE oracles rely on."""
+    from ..plans.registry import load_tables
+
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+
+    box = F.struct(
+        (F.col("l_partkey") % 500).cast("int").alias("x_min"),
+        (F.col("l_suppkey") % 400).cast("int").alias("y_min"),
+        (F.col("l_partkey") % 500 + 20 + F.col("l_partkey") % 100)
+        .cast("int")
+        .alias("x_max"),
+        (F.col("l_suppkey") % 400 + 20 + (F.col("l_linenumber") * 7) % 60)
+        .cast("int")
+        .alias("y_max"),
+        F.col("l_linenumber").cast("int").alias("instance_id"),
+        F.lit(None).cast("int").alias("area"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("category"),
+    )
+    per_line = li.select("l_orderkey", "l_linenumber", box.alias("box"))
+    frames = per_line.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("l_linenumber").alias("ln"), F.col("box"))
+                )
+            ),
+            lambda s: s["box"],
+        ).alias("bounding_boxes_2d")
+    )
+    camera = F.struct(
+        F.lit(500.0).alias("fx"),
+        F.lit(500.0).alias("fy"),
+        F.lit(320.0).alias("cx"),
+        F.lit(240.0).alias("cy"),
+        F.lit(640).alias("image_width"),
+        F.lit(480).alias("image_height"),
+        F.lit(None).cast("array<array<double>>").alias("intrinsics"),
+        F.lit(None).cast("array<array<double>>").alias("extrinsics"),
+    )
+    return frames.select(
+        F.lit("synthetic").alias("dataset"),
+        F.lit("train").alias("split"),
+        F.format_string("ord_%d", F.col("l_orderkey")).alias("image_id"),
+        F.lit(None).cast("string").alias("scene_id"),
+        F.lit(None).cast("string").alias("video_id"),
+        F.lit(None).cast("string").alias("frame_id"),
+        F.lit(None).cast("long").alias("timestamp"),
+        F.format_string("ord_%d.jpg", F.col("l_orderkey")).alias("filename"),
+        F.format_string("rgb/ord_%d.jpg", F.col("l_orderkey")).alias("rgb_path"),
+        F.lit(None).cast("string").alias("depth_path"),
+        F.lit("none").alias("depth_type"),
+        camera.alias("camera"),
+        F.lit(None).cast(
+            "struct<present:boolean,valid_pixels:int,total_pixels:int,"
+            "min:double,max:double,median:double,mean:double>"
+        ).alias("depth_stats"),
+        "bounding_boxes_2d",
+        F.lit(None).cast(
+            "array<struct<x:double,y:double,z:double,"
+            "xl:double,yl:double,zl:double,"
+            "pitch:double,yaw:double,roll:double,category:string,"
+            "label_id:int,object_id:string,confidence:double,method:string>>"
+        ).alias("bounding_boxes_3d"),
+    )

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
-    "EVENTS_RAW_SCHEMA",
     "stream_events",
     "tumbling_event_stats",
     "sliding_event_stats",
@@ -33,20 +32,37 @@ __all__ = [
     "running_user_totals",
 ]
 
-# ts is TIMESTAMP(NANOS) parquet, read as long under nanosAsLong (session.py)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# ts arrives as TIMESTAMP(NANOS) in some drops (read as long under
+# nanosAsLong, session.py) and TIMESTAMP(MICROS) in others — the unit is a
+# property of the FILE, so probe the footer instead of assuming (an
+# unconditional div-1000 silently collapsed a micros month into 43
+# minutes of 1970 before windowing).
 
 
-def _normalize(df: DataFrame) -> DataFrame:
+def _events_schema(ts_nanos: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "ts", T.LongType() if ts_nanos else T.TimestampType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_is_nanos(spark: SparkSession, path: str) -> bool:
+    """True when the parquet file stores ts as TIMESTAMP(NANOS) (surfaced
+    as bigint under nanosAsLong). One driver-side footer read."""
+    return dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+
+
+def _normalize(df: DataFrame, ts_nanos: bool) -> DataFrame:
+    if not ts_nanos:
+        return df
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -61,20 +77,21 @@ def stream_events(
     growing directory (or Kafka — swap the reader, the transformations are
     source-agnostic). ``maxFilesPerTrigger`` bounds per-microbatch work.
     """
+    nanos = _ts_is_nanos(spark, f"{sf_dir}/events.parquet")
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_schema(nanos))
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return _normalize(reader.parquet(sf_dir))
+    return _normalize(reader.parquet(sf_dir), nanos)
 
 
 def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same records via the batch reader (the streaming tests' oracle)."""
-    return _normalize(
-        spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    )
+    path = f"{sf_dir}/events.parquet"
+    nanos = _ts_is_nanos(spark, path)
+    return _normalize(spark.read.schema(_events_schema(nanos)).parquet(path), nanos)
 
 
 def tumbling_event_stats(
