@@ -184,3 +184,30 @@ def test_first_box_per_category_null_category(spark):
     # its payload survives intact
     assert by_cat[None].pos == 1
     assert by_cat[None].box.x == 1.0
+
+
+def test_parse_class_category_at_production_mapping_size(spark):
+    """The lookup must stay correct AND codegen-safe at the ~300-entry
+    production mapping size (class_mapping.py:8-66 scale; entries here are
+    synthesized — semantics, not contents). A when-chain at this size
+    forces interpreted fallback; the map literal must not."""
+    from vlm_data_pipeline_spark.qa.base import CLASS_NAMES, parse_class_category
+
+    big = dict(CLASS_NAMES)
+    big.update({1000 + i: f"category_{i}" for i in range(300)})
+    df = spark.createDataFrame(
+        [("class_3",), ("class_1299",), ("class_999999",), ("chair",), ("",)],
+        "cat string",
+    )
+    out = df.select(parse_class_category(F.col("cat"), big).alias("r"))
+    assert [r.r for r in out.collect()] == [
+        "chair",          # CLASS_NAMES[3]
+        "category_299",   # big[1299]
+        "object_999999",  # unknown id fallback
+        "chair",          # pass-through
+        "",               # pass-through
+    ]
+    # single-expression plan: the projection must not blow up into a
+    # 300-branch conditional (symptom: plan string grows with the mapping)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("CASE WHEN") <= 2, plan[:2000]

@@ -98,3 +98,21 @@ def test_codebook_enrichment(spark):
     # determinism: same codebook twice
     cb2 = {(r.instance_id, r.label) for r in enrich.build_codebook(frames).collect()}
     assert cb2 == {(r.instance_id, r.label) for r in cb.collect()}
+
+
+def test_apply_codebook_zero_shuffle(spark):
+    """The snapshot rewrite is a per-row array program over a collected
+    map literal — its plan must contain NO Exchange (the join+groupBy
+    form reassembled the whole corpus through one)."""
+    from tests.fixtures import fixture_frames
+
+    frames = fixture_frames(spark)
+    cb = spark.createDataFrame(
+        [(7, "mug", 0.9, "A")],
+        "instance_id int, label string, confidence double, stage string",
+    )
+    out = enrich.apply_codebook(frames, cb, labeled_only=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    # and row-for-row: every input frame survives (no groupBy merge)
+    assert out.count() == frames.count()

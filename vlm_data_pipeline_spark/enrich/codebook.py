@@ -345,43 +345,74 @@ def read_codebook(spark, path: str) -> DataFrame:
     ).json(path)
 
 
+_CB_MAP_TYPE = "map<int,struct<label:string,confidence:double>>"
+
+
 def apply_codebook(frames: DataFrame, codebook: DataFrame, labeled_only: bool = True) -> DataFrame:
-    """J6/K6: rewrite ``object_N`` → ``pseudo_<label>`` via broadcast join,
-    attach provenance, optionally drop unmatched boxes (the labeled-only
-    snapshot). Returns frames with rebuilt bounding_boxes_3d."""
-    # posexplode_outer keeps empty frames in the snapshot
-    inst = frames.select(
-        "*", F.posexplode_outer("bounding_boxes_3d").alias("pos", "box")
-    ).drop("bounding_boxes_3d")
-    iid = F.nullif(
-        F.regexp_extract(F.col("box.category"), r"^object_(\d+)$", 1), F.lit("")
-    ).cast("int")
-    inst = inst.withColumn("instance_id", iid)
-    joined = inst.join(F.broadcast(codebook), "instance_id", "left")
+    """J6/K6: rewrite ``object_N`` → ``pseudo_<label>``, attach provenance,
+    optionally drop unmatched boxes (the labeled-only snapshot).
 
-    relabeled_box = F.when(
-        F.col("label").isNotNull(),
-        F.col("box").withField(
-            "category", F.format_string("pseudo_%s", F.col("label"))
-        ).withField("method", F.lit("codebook")).withField(
-            "confidence", F.col("confidence")
+    MAP-SIDE: the codebook is dimension-sized by construction (the
+    reference holds it as one in-memory dict and rewrites files in place,
+    build_label_codebook_fast.py:311-348), so it is collected into a
+    single map LITERAL and every frame rewrites its own boxes array with
+    a per-row ``transform`` — zero shuffle, scan-out scaling. The
+    previous form (posexplode → broadcast join → groupBy over every
+    frame column → collect_list) reassembled the ENTIRE corpus through
+    one exchange to rebuild an array each row already had, and merged
+    fully-identical frame rows as a side effect; this keeps rows 1:1.
+
+    Duplicate codebook ids keep the highest-confidence entry (then label
+    for determinism) — ``create_map`` rejects duplicate keys."""
+    entries = sorted(
+        codebook.select("instance_id", "label", "confidence").collect(),
+        key=lambda r: (
+            r.instance_id is None,
+            r.instance_id or 0,
+            -(r.confidence if r.confidence is not None else float("-inf")),
+            r.label or "",
         ),
-    ).otherwise(F.col("box"))
-    keep = (
-        F.col("label").isNotNull() | F.col("instance_id").isNull()
-        if labeled_only
-        else F.lit(True)
     )
-    kept = joined.withColumn("box", relabeled_box).filter(keep | F.col("box").isNull())
+    pairs: list[Column] = []
+    seen: set[int] = set()
+    for r in entries:
+        if r.instance_id is None or r.instance_id in seen:
+            continue
+        seen.add(r.instance_id)
+        pairs.append(F.lit(int(r.instance_id)))
+        pairs.append(
+            F.struct(
+                F.lit(r.label).cast("string").alias("label"),
+                F.lit(r.confidence).cast("double").alias("confidence"),
+            )
+        )
+    cb_map = (
+        F.create_map(*pairs) if pairs else F.lit(None).cast(_CB_MAP_TYPE)
+    )
 
-    group_cols = [c for c in frames.columns if c != "bounding_boxes_3d"]
-    return kept.groupBy(*group_cols).agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos").alias("p"), F.col("box")))
-            ),
-            lambda s: s["box"],
-        ).alias("bounding_boxes_3d")
+    def rewrite(b: Column) -> Column:
+        iid = F.nullif(
+            F.regexp_extract(b["category"], r"^object_(\d+)$", 1), F.lit("")
+        ).cast("int")
+        ent = F.element_at(cb_map, iid)  # null iid / missing key -> null
+        return F.when(
+            ent["label"].isNotNull(),
+            b.withField("category", F.format_string("pseudo_%s", ent["label"]))
+            .withField("method", F.lit("codebook"))
+            .withField("confidence", ent["confidence"]),
+        ).otherwise(b)
+
+    def keep(b: Column) -> Column:
+        if not labeled_only:
+            return F.lit(True)
+        iid = F.nullif(
+            F.regexp_extract(b["category"], r"^object_(\d+)$", 1), F.lit("")
+        ).cast("int")
+        return iid.isNull() | F.element_at(cb_map, iid)["label"].isNotNull()
+
+    return frames.withColumn(
+        "bounding_boxes_3d",
+        F.transform(F.filter(F.col("bounding_boxes_3d"), keep), rewrite),
     )
 
 

@@ -1213,3 +1213,87 @@ def qa_pipeline_2d_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("options", "|").alias("options"),
         F.to_json("metadata").alias("metadata"),
     )
+
+
+# --- qa_pipeline_summary, upgraded from rows-only to a VALUE oracle --------
+
+_QA_SUMMARY_ORACLE = f"""
+WITH {_SQL_BOXES},
+firsts AS (
+    SELECT l_orderkey, cat, x, y, z FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey, cat
+                                     ORDER BY pos) AS rn_cat
+        FROM ordered
+    ) WHERE rn_cat = 1
+), pair_rel AS (
+    SELECT a.l_orderkey, a.z - b.z AS dz, a.x - b.x AS dx, a.y - b.y AS dy
+    FROM ordered a JOIN ordered b
+      ON a.l_orderkey = b.l_orderkey AND a.pos < b.pos
+), pairdist AS (
+    SELECT a.l_orderkey,
+           min(sqrt((a.vx - b.vx) * (a.vx - b.vx)
+                  + (a.vy - b.vy) * (a.vy - b.vy)
+                  + (a.vz - b.vz) * (a.vz - b.vz))) AS dist_m
+    FROM verts a JOIN verts b
+      ON a.l_orderkey = b.l_orderkey AND a.pos < b.pos
+    GROUP BY a.l_orderkey, a.pos, b.pos
+), f AS (
+    SELECT l_orderkey, count(*) AS n FROM ordered
+    WHERE l_orderkey % 2 = 0 GROUP BY 1 HAVING count(*) >= 2
+), drawn AS (
+    SELECT f.l_orderkey,
+           {_reldist_draw(0, 'a', 'f.n')} AS i1_0,
+           ({_reldist_draw(0, 'a', 'f.n')} + 1
+              + {_reldist_draw(0, 'b', '(f.n - 1)')}) % f.n AS i2_0,
+           {_reldist_draw(1, 'a', 'f.n')} AS i1_1,
+           ({_reldist_draw(1, 'a', 'f.n')} + 1
+              + {_reldist_draw(1, 'b', '(f.n - 1)')}) % f.n AS i2_1
+    FROM f
+), n_samples AS (
+    SELECT l_orderkey,
+           CASE WHEN i1_0 = i1_1 AND i2_0 = i2_1 THEN 1 ELSE 2 END AS k
+    FROM drawn
+)
+SELECT 'object_count' AS task,
+       count(DISTINCT l_orderkey) AS n_questions,
+       count(DISTINCT l_orderkey) AS n_images,
+       0 AS n_multiple_choice, count(DISTINCT l_orderkey) AS n_numerical,
+       0 AS n_text
+FROM ordered
+UNION ALL
+SELECT 'object_3d_size', count(*), count(DISTINCT l_orderkey),
+       count(*), 0, 0
+FROM firsts
+UNION ALL
+SELECT 'cam_obj_distance', count(*), count(DISTINCT l_orderkey),
+       0, count(*), 0
+FROM firsts WHERE sqrt(x * x + y * y + z * z) >= 0.1
+UNION ALL
+SELECT 'obj_obj_distance', count(*), count(DISTINCT l_orderkey),
+       0, count(*), 0
+FROM pairdist WHERE round(dist_m, 6) >= 0.2 AND round(dist_m, 6) <= 20.0
+UNION ALL
+SELECT 'obj_obj_rel_pos', count(*), count(DISTINCT l_orderkey),
+       0, 0, count(*)
+FROM pair_rel
+WHERE l_orderkey % 2 = 0
+  AND NOT (abs(dz) < 0.1 AND abs(dx) < 0.1 AND abs(dy) < 0.1)
+UNION ALL
+SELECT 'cam_obj_rel_dist', sum(k) * 2, count(DISTINCT l_orderkey),
+       0, 0, sum(k) * 2
+FROM n_samples
+"""
+
+
+@register(
+    "qa_pipeline_summary_oracle",
+    _QA_SUMMARY_ORACLE,
+    "A9/K3 with a full VALUE oracle: per-task question counts, image "
+    "counts, and answer-type mix of the complete six-task 3D pipeline, "
+    "re-derived as one SQL union of the per-task count re-derivations "
+    "(each task's VALUES are separately oracled by its qa_task_* entry). "
+    "The legacy rows-only qa_pipeline_summary entry is kept for "
+    "round-over-round row comparability.",
+)
+def qa_pipeline_summary_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qa_summary(generate_all(synthetic_frames(spark, sf_dir)))

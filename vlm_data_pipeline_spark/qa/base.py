@@ -27,12 +27,26 @@ CLASS_NAMES: dict[int, str] = {
 
 def parse_class_category(cat: Column, mapping: dict[int, str] | None = None) -> Column:
     """'class_X' → human name, unknown ids → 'object_X', other strings pass
-    through (QA_generation/utils/class_mapping.py:87-103)."""
+    through (QA_generation/utils/class_mapping.py:87-103).
+
+    The mapping is a single ``create_map`` LITERAL probed with
+    ``element_at`` (missing key → NULL → the 'object_X' fallback via
+    coalesce), not a per-entry ``when``-chain: the production mapping is
+    ~300 entries, and a 300-branch chain is O(entries) string compares
+    per lookup that gets re-expanded inside every HOF lambda referencing
+    it — at that size whole-stage codegen falls back to interpreted
+    evaluation. One literal map node stays O(1)-ish and codegen-safe at
+    any mapping size."""
     mapping = mapping if mapping is not None else CLASS_NAMES
     suffix = F.regexp_extract(cat, r"^class_(\d+)$", 1)
-    mapped: Column = F.format_string("object_%s", suffix)
+    pairs: list[Column] = []
     for cid, name in sorted(mapping.items()):
-        mapped = F.when(suffix == str(cid), name).otherwise(mapped)
+        pairs.append(F.lit(str(cid)))
+        pairs.append(F.lit(name))
+    mapped = F.coalesce(
+        F.element_at(F.create_map(*pairs), suffix),
+        F.format_string("object_%s", suffix),
+    )
     return F.when(suffix != "", mapped).otherwise(cat)
 
 
