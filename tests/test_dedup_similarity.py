@@ -202,3 +202,33 @@ def test_ws_chunk_count_degenerate_rows(spark):
         for t in texts
     ]
     assert spark_n == duck_n == [0, 0, 2, 2, 1]
+
+
+def test_ivf_fixed_centroids_recall_and_degenerate_exactness(spark, sf_dir):
+    """Deterministic-quantizer IVF: with nprobe == n_lists every list is
+    probed, so the result must EQUAL brute force; with nprobe < n_lists
+    recall@5 stays reasonable and cosines agree exactly on shared pairs."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.ivf_ann_fixed_topk(
+            emb, queries, k=5, n_lists=8, nprobe=8
+        ).collect()
+    }
+    assert exact == brute  # all lists probed == exhaustive search
+    part = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.ivf_ann_fixed_topk(
+            emb, queries, k=5, n_lists=8, nprobe=3
+        ).collect()
+    }
+    recall = len(set(part) & set(brute)) / len(brute)
+    assert recall >= 0.4, f"recall@5 = {recall}"
+    for key, cos in part.items():
+        if key in brute:
+            assert cos == brute[key]

@@ -260,3 +260,12 @@ def test_default_hypersim_parser_end_to_end(spark, tmp_path):
     assert p.shape == [2, 3] and p.values == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
     i = rows["camera_keyframe_frame_indices.hdf5"]
     assert i.shape == [2] and i.values == [0.0, 15.0]
+
+
+def test_superblock_v2_raises_actionable_error():
+    """A v2/v3 superblock (newer HDF5 libraries) must fail fast with a
+    message naming the h5py injection seam, not a cryptic offset error."""
+    sig = b"\x89HDF\r\n\x1a\n"
+    v2 = sig + bytes([2]) + b"\x00" * 120  # version byte 2, padded header
+    with pytest.raises(ValueError, match="superblock version 0.*h5py"):
+        read_datasets(v2, ["depth"])

@@ -529,3 +529,81 @@ def test_taskonomy_listing_and_mode(spark, tmp_path):
     assert (boxes[1].x_min, boxes[1].y_min, boxes[1].x_max, boxes[1].y_max) == (0, 0, 30, 12)
     # instance 2: 2×2, 4 px → dropped by 5px/100px² predicates
     assert 2 not in boxes
+
+
+def _tf_feature_bytes(vals: list[bytes]) -> bytes:
+    inner = b"".join(_pb_len(1, v) for v in vals)
+    return _pb_len(1, inner)  # Feature.bytes_list
+
+
+def _tf_feature_floats(vals: list[float]) -> bytes:
+    import struct
+
+    packed = b"".join(struct.pack("<f", v) for v in vals)
+    return _pb_len(2, _pb_len(1, packed))  # Feature.float_list, packed
+
+
+def _tf_feature_ints(vals: list[int]) -> bytes:
+    packed = b"".join(_pb_varint(v) for v in vals)
+    return _pb_len(3, _pb_len(1, packed))  # Feature.int64_list, packed
+
+
+def _tf_example(features: dict[str, bytes]) -> bytes:
+    entries = b"".join(
+        _pb_len(1, _pb_len(1, k.encode()) + _pb_len(2, v))
+        for k, v in features.items()
+    )
+    return _pb_len(1, entries)  # Example.features
+
+
+def _tfrecord(records: list[bytes]) -> bytes:
+    import struct
+
+    out = bytearray()
+    for r in records:
+        out += struct.pack("<Q", len(r)) + b"\x00" * 4 + r + b"\x00" * 4
+    return bytes(out)
+
+
+def test_tf_example_frames_end_to_end(spark, tmp_path):
+    """§2.11: a real TFRecord of real tf.Example wire bytes (encoded by
+    this test, decoded by pbwire — no tensorflow anywhere) → frame rows
+    with the reference parser's semantics: visibility > 0.1 gates
+    instances, point_2d keeps (x, y) of the (-1, 9, 3) reshape, matrices
+    reshape 4×4 row-major."""
+    # two instances; the second is below the 0.1 visibility threshold
+    p3 = [float(i) for i in range(27)] + [float(100 + i) for i in range(27)]
+    p2 = [float(i) / 100 for i in range(27)] + [
+        float(50 + i) / 100 for i in range(27)
+    ]
+    proj = [float(i) for i in range(16)]
+    ex = _tf_example(
+        {
+            "image/id": _tf_feature_ints([7]),
+            "image/width": _tf_feature_ints([640]),
+            "image/height": _tf_feature_ints([480]),
+            "image/encoded": _tf_feature_bytes([b"\x89PNGfake"]),
+            "visibility": _tf_feature_floats([0.9, 0.05]),
+            "point_2d": _tf_feature_floats(p2),
+            "point_3d": _tf_feature_floats(p3),
+            "camera/projection": _tf_feature_floats(proj),
+        }
+    )
+    (tmp_path / "video0.tfrecord").write_bytes(_tfrecord([ex, ex]))
+
+    frames = objectron.read_tf_example_frames(spark, str(tmp_path))
+    rows = frames.orderBy("record_index").collect()
+    assert len(rows) == 2
+    r = rows[0]
+    assert (r.image_id, r.image_width, r.image_height) == (7, 640, 480)
+    assert bytes(r.image_encoded) == b"\x89PNGfake"
+    assert r.visibility == [pytest.approx(0.9), pytest.approx(0.05)]
+    # only the visible instance survives; 9 keypoints each
+    assert len(r.instances_3d) == 1 and len(r.instances_3d[0]) == 9
+    assert r.instances_3d[0][0] == [pytest.approx(0.0), pytest.approx(1.0), pytest.approx(2.0)]
+    assert len(r.instances_2d) == 1 and len(r.instances_2d[0]) == 9
+    # (x, y) only — the z of the first 2d point is dropped
+    assert r.instances_2d[0][0] == [pytest.approx(0.0), pytest.approx(0.01)]
+    assert r.projection[0] == [pytest.approx(v) for v in [0.0, 1.0, 2.0, 3.0]]
+    assert r.projection[3][3] == pytest.approx(15.0)
+    assert r.view is None

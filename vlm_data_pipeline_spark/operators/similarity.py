@@ -246,3 +246,109 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_ann_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC coarse quantizer: caller-supplied (or
+    corpus-seeded) centroids instead of the iterative KMeans fit — same
+    inverted-list probe + exact in-list rerank as :func:`ivf_ann_topk`,
+    but reproducible end-to-end in plain SQL, so the driver can VALUE-
+    check this variant (the KMeans path stays rows-only and remains the
+    production default when trained centroids exist).
+
+    Determinism choices, both load-bearing:
+
+    - centroids default to the embeddings of the ``n_lists`` LOWEST-ID
+      corpus vectors (any engine can re-derive that set);
+    - assignment/probing order by INTEGER-scaled squared L2 (the dedup.py
+      integer-cosine rationale): exact arithmetic in any engine, no
+      last-ulp float ties deciding list membership.
+
+    Scale shape: centroids are dimension-sized → collected to ONE array
+    literal; every corpus vector argmins its list IN-ROW (zero shuffle —
+    the scan scales with splits); probes explode nprobe rows per query
+    and broadcast into the inverted lists; only the final per-query
+    top-k windows.
+    """
+    from ..functions.text import let
+
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_lists)
+            .select(F.col(id_col), F.col(vec_col))
+        )
+    cent_rows = sorted(centroids.collect(), key=lambda r: r[0])
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                _int_vec(
+                    F.array(*[F.lit(float(x)) for x in r[1]])
+                ).alias("civ"),
+            )
+            for i, r in enumerate(cent_rows)
+        ]
+    )
+
+    def d2(iv: Column, civ: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(iv, civ, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def cent_ranking(iv: Column) -> Column:
+        """array<struct<d2, list_id>> sorted ascending — exact ints."""
+        return F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda e: F.struct(
+                    d2(iv, e["civ"]).alias("d"), e["list_id"].alias("list_id")
+                ),
+            )
+        )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _int_vec(F.col(vec_col)).alias("cv"),
+    ).withColumn(
+        "list_id", let(F.col("cv"), lambda iv: cent_ranking(iv)[0]["list_id"])
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _int_vec(F.col(vec_col)).alias("qv")
+        )
+        .withColumn(
+            "pl",
+            F.explode(
+                let(F.col("qv"), lambda iv: F.slice(cent_ranking(iv), 1, nprobe))
+            ),
+        )
+        .select("query_id", "qv", F.col("pl.list_id").alias("list_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")).cast("double") / float(SCALE * SCALE),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

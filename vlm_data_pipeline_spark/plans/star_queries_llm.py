@@ -574,3 +574,65 @@ def text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_ws_chunks"),
         T.subword_count(F.col("text")).alias("n_subwords"),
     )
+
+
+_IVF_D2 = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+_IVF_FIXED_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, {_d_intvec("embedding")} AS iv FROM embeddings
+), cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, iv AS civ
+    FROM (SELECT vec_id, iv FROM v ORDER BY vec_id LIMIT 16)
+), adist AS (
+    SELECT v.vec_id, v.iv, c.list_id,
+           {_IVF_D2.format(a="v.iv", b="c.civ")} AS d2
+    FROM v, cent c
+), assigned AS (
+    SELECT vec_id, iv, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, list_id) AS rn
+        FROM adist
+    ) WHERE rn = 1
+), q AS (
+    SELECT vec_id AS query_id, iv AS qv FROM v WHERE vec_id % 100 = 0
+), probes AS (
+    SELECT query_id, qv, list_id FROM (
+        SELECT q.query_id, q.qv, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   {_IVF_D2.format(a="q.qv", b="c.civ")}, c.list_id) AS pr
+        FROM q, cent c
+    ) WHERE pr <= 4
+), scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           (cast({_D_DOT.format(a="p.qv", b="a.iv")} as DOUBLE)
+                / 100000000.0) AS cosine
+    FROM assigned a JOIN probes p USING (list_id)
+    WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_ivf_fixed_topk",
+    _IVF_FIXED_ORACLE,
+    "IVF ANN with a deterministic coarse quantizer (extension): centroids "
+    "= the 16 lowest-id corpus vectors, inverted-list assignment by "
+    "INTEGER-scaled squared L2 (exact in any engine — no float ties "
+    "deciding list membership), nprobe=4 probe, exact integer-cosine "
+    "rerank. The SQL-checkable sibling of ann_ivf_topk (whose KMeans fit "
+    "is iterative and stays rows-only). Library: operators.similarity."
+    "ivf_ann_fixed_topk.",
+)
+def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_ann_fixed_topk(emb, queries, k=5, n_lists=16, nprobe=4)

@@ -115,7 +115,13 @@ def _root_entries(buf: bytes) -> dict[str, int]:
         raise ValueError("not an HDF5 file (bad signature)")
     sb_ver = buf[8]
     if sb_ver != 0:
-        raise ValueError(f"unsupported superblock version {sb_ver}")
+        raise ValueError(
+            f"hdf5lite supports superblock version 0 only, got v{sb_ver} "
+            "(files written by newer HDF5 libraries use v2/v3 object "
+            "headers): install h5py — sources.hypersim._default_hdf5_parser "
+            "prefers it automatically — or inject a custom parser via "
+            "read_hdf5_datasets(..., parser=...)"
+        )
     if buf[13] != 8 or buf[14] != 8:
         raise ValueError("only 8-byte offsets/lengths supported")
     # root symbol-table entry sits after the 24-byte head + 4 addresses

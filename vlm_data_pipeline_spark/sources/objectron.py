@@ -263,3 +263,114 @@ def objectron_frames(parsed: DataFrame, split: str = "train") -> DataFrame:
         )
         .to(FRAME)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 tail: tf.Example / TFRecord ingestion (objectron/dataset/parser.py)
+# ---------------------------------------------------------------------------
+
+TF_EXAMPLE_FRAME = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("record_index", T.IntegerType(), False),
+        T.StructField("image_id", T.LongType()),
+        T.StructField("image_width", T.LongType()),
+        T.StructField("image_height", T.LongType()),
+        T.StructField("timestamp_us", T.LongType()),
+        T.StructField("image_encoded", T.BinaryType()),
+        T.StructField("visibility", T.ArrayType(T.DoubleType())),
+        # per VISIBLE instance: 9 keypoints of (x, y) / (x, y, z)
+        T.StructField(
+            "instances_2d",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ),
+        T.StructField(
+            "instances_3d",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ),
+        T.StructField("projection", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("view", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+
+_VIS_THRESH = 0.1  # parser.py:20 self._vis_thresh
+
+
+def _parse_tf_example_record(
+    path: str, idx: int, record: bytes
+) -> dict[str, Any]:
+    """One serialized tf.Example → one frame row, mirroring the reference
+    parser (objectron/dataset/parser.py:34-83): visibility threshold 0.1
+    gates instances, point_2d reshapes (-1, 9, 3) keeping (x, y),
+    point_3d reshapes (-1, 9, 3), camera/projection and camera/view
+    reshape 4×4 row-major. The image stays as its ENCODED bytes (the
+    reference's cv2 decode/resize/normalize is the multimodal decode
+    stage — sources.multimodal — not the parser's concern here)."""
+    from .pbwire import parse_tf_example
+
+    fm = parse_tf_example(record)
+
+    def scalar(name, default=None):
+        v = fm.get(name) or []
+        return v[0] if v else default
+
+    vis = [float(v) for v in fm.get("visibility", [])]
+    keep = [i for i, v in enumerate(vis) if v > _VIS_THRESH]
+
+    def pts(name, dims):
+        flat = fm.get(name) or []
+        grouped = [
+            [
+                [float(flat[(i * 9 + p) * 3 + d]) for d in range(dims)]
+                for p in range(9)
+            ]
+            for i in range(len(flat) // 27)
+        ]
+        return [grouped[i] for i in keep if i < len(grouped)] or None
+
+    def mat4(name):
+        flat = fm.get(name) or []
+        if len(flat) != 16:
+            return None
+        return [[float(flat[r * 4 + c]) for c in range(4)] for r in range(4)]
+
+    return {
+        "path": path,
+        "record_index": idx,
+        "image_id": scalar("image/id"),
+        "image_width": scalar("image/width"),
+        "image_height": scalar("image/height"),
+        "timestamp_us": scalar("image/timestamp"),
+        "image_encoded": scalar("image/encoded"),
+        "visibility": vis or None,
+        "instances_2d": pts("point_2d", 2),
+        "instances_3d": pts("point_3d", 3),
+        "projection": mat4("camera/projection"),
+        "view": mat4("camera/view"),
+    }
+
+
+def read_tf_example_frames(spark: SparkSession, pattern: str) -> DataFrame:
+    """S6 sibling for the TFRecord release of Objectron: ``binaryFile``
+    fans record files across executors; each file's records decode
+    in-stage through the pure-Python wire reader (pbwire.iter_tfrecords +
+    parse_tf_example). No tensorflow dependency anywhere."""
+    from .pbwire import iter_tfrecords
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TF_EXAMPLE_FRAME.fields]
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for i, rec in enumerate(iter_tfrecords(content)):
+                    rows.append(_parse_tf_example_record(path, i, rec))
+            yield pd.DataFrame(rows, columns=cols)
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tfrecord")
+        .option("recursiveFileLookup", "true")
+        .load(pattern)
+        .select("path", "content")
+    )
+    return binary.mapInPandas(decode, schema=TF_EXAMPLE_FRAME)

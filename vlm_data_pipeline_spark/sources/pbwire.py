@@ -22,7 +22,14 @@ import struct
 from collections.abc import Iterator
 from typing import Any
 
-__all__ = ["iter_fields", "packed_floats", "parse_objectron_sequence"]
+__all__ = [
+    "iter_fields",
+    "packed_floats",
+    "packed_varints",
+    "parse_objectron_sequence",
+    "parse_tf_example",
+    "iter_tfrecords",
+]
 
 
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
@@ -208,3 +215,104 @@ def parse_objectron_sequence(content: bytes) -> dict[str, Any]:
         elif f == 2 and wt == 2:
             seq["frames"].append(_parse_frame(v))
     return seq
+
+
+# ---------------------------------------------------------------------------
+# tf.Example / TFRecord (§2.11 tail — objectron/dataset/parser.py:16-108)
+# ---------------------------------------------------------------------------
+#
+# tf.train.Example is an ordinary protobuf message (public TensorFlow
+# schema, tensorflow/core/example/example.proto + feature.proto):
+#   Example.features = 1 (Features)
+#   Features.feature = 1 (map<string, Feature> — wire: repeated entries
+#                         with key = 1, value = 2)
+#   Feature.kind: bytes_list = 1, float_list = 2, int64_list = 3
+#   BytesList.value = 1 (repeated bytes), FloatList.value = 1 (repeated
+#   float, usually packed), Int64List.value = 1 (repeated varint).
+# The same wire walker reads it — no tensorflow dependency.
+
+
+def packed_varints(b: bytes) -> list[int]:
+    """LEN payload of packed varints → list[int]."""
+    out: list[int] = []
+    i = 0
+    while i < len(b):
+        v, i = _read_varint(b, i)
+        out.append(v)
+    return out
+
+
+def _parse_float_list(b: bytes) -> list[float]:
+    vals: list[float] = []
+    for f, wt, v in iter_fields(b):
+        if f != 1:
+            continue
+        if wt == 2:  # packed
+            vals.extend(packed_floats(v))
+        elif wt == 5:  # unpacked element
+            vals.append(_f32(v))
+    return vals
+
+
+def _parse_int64_list(b: bytes) -> list[int]:
+    vals: list[int] = []
+    for f, wt, v in iter_fields(b):
+        if f != 1:
+            continue
+        if wt == 2:
+            vals.extend(packed_varints(v))
+        elif wt == 0:
+            vals.append(v)
+    return vals
+
+
+def _parse_feature(b: bytes):
+    for f, wt, v in iter_fields(b):
+        if wt != 2:
+            continue
+        if f == 1:  # BytesList
+            return [bv for ff, wwt, bv in iter_fields(v) if ff == 1 and wwt == 2]
+        if f == 2:  # FloatList
+            return _parse_float_list(v)
+        if f == 3:  # Int64List
+            return _parse_int64_list(v)
+    return []
+
+
+def parse_tf_example(buf: bytes) -> dict[str, list]:
+    """Serialized tf.train.Example → {feature name: value list}.
+
+    Value lists keep the wire kind: list[bytes] for bytes_list,
+    list[float] for float_list, list[int] for int64_list — exactly the
+    ``fm[name].<kind>_list.value`` views the reference parser reads."""
+    features: dict[str, list] = {}
+    for f, wt, v in iter_fields(buf):
+        if f != 1 or wt != 2:  # Example.features
+            continue
+        for ff, wwt, entry in iter_fields(v):
+            if ff != 1 or wwt != 2:  # Features.feature map entry
+                continue
+            key, val = None, []
+            for ef, ewt, ev in iter_fields(entry):
+                if ef == 1 and ewt == 2:
+                    key = ev.decode("utf-8", errors="replace")
+                elif ef == 2 and ewt == 2:
+                    val = _parse_feature(ev)
+            if key is not None:
+                features[key] = val
+    return features
+
+
+def iter_tfrecords(content: bytes) -> Iterator[bytes]:
+    """Iterate the records of a TFRecord file (public framing: u64-LE
+    length, u32 length-crc, payload, u32 payload-crc). CRCs are not
+    verified — corrupt files surface as parse errors downstream, and the
+    masked-crc32c function would be the only new dependency."""
+    i, n = 0, len(content)
+    while i + 12 <= n:
+        (length,) = struct.unpack("<Q", content[i : i + 8])
+        start = i + 12
+        if start + length > n:
+            raise ValueError("truncated TFRecord")
+        yield content[start : start + length]
+        i = start + length + 4
