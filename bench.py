@@ -55,6 +55,11 @@ def main() -> None:
     # queries, not session bring-up.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # BENCH_PLANS=1: also report per-query Exchange counts on stderr —
+    # plan-shape regressions (a new shuffle) matter more than wall-clock
+    # noise (±30% box variance); stdout stays the single JSON line.
+    audit_plans = os.environ.get("BENCH_PLANS") == "1"
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES.get(name)
@@ -65,6 +70,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        if audit_plans:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            print(
+                f"[plan] {name}: exchanges={plan.count('Exchange')}",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     try:

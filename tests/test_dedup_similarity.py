@@ -232,3 +232,26 @@ def test_ivf_fixed_centroids_recall_and_degenerate_exactness(spark, sf_dir):
     for key, cos in part.items():
         if key in brute:
             assert cos == brute[key]
+
+
+def test_neardup_components_transitive_collapse(spark):
+    """A~B and B~C (no A~C edge) must land in ONE component keyed by the
+    min id; isolated pairs stay separate; the keep filter retains exactly
+    one doc per cluster plus all unclustered docs."""
+    pairs = spark.createDataFrame(
+        [(1, 5, 0.9), (5, 9, 0.85), (20, 21, 0.95)],
+        "id_a long, id_b long, jaccard double",
+    )
+    comp = {r.doc_id: r.component_id for r in dedup.neardup_components(pairs).collect()}
+    assert comp == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 5, 9, 20, 21, 33]], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_keep_filter(
+            docs, dedup.neardup_components(pairs)
+        ).collect()
+    )
+    assert kept == [1, 20, 33]

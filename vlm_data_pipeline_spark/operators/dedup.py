@@ -418,3 +418,90 @@ def decontaminate(
         .agg(F.countDistinct("h").alias("n_hits"))
         .withColumnRenamed("__decon_id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → (doc_id, component_id),
+    component_id = the MINIMUM doc id in the component (the canonical
+    keeper a cleaning pass retains; everything else drops).
+
+    Pair detectors (MinHash/LSH, SimHash, embedding cosine) emit EDGES;
+    dedup policy needs COMPONENTS — A~B and B~C must collapse to one
+    cluster even though (A, C) never collided.
+
+    Algorithm: iterative min-label propagation (the hash-to-min scheme of
+    Rastogi et al.'s CC-MR / the GraphX default): every vertex starts at
+    min(self, neighbors) and repeatedly takes the min over its
+    neighborhood until fixpoint, converging in O(diameter) rounds —
+    near-dup clusters are shallow (dup families, not social graphs), so
+    this is 2-4 rounds in practice. Genuinely iterative (driver loop,
+    one distributed join per round, localCheckpoint to cut lineage) —
+    like KMeans this cannot be one SQL expression, but the FIXPOINT is
+    SQL-checkable via a recursive CTE, so the driver value-checks it.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("v"),
+            F.least(F.col("src"), F.col("nmin")).alias("label"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .select(F.col("src").alias("v"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def dedup_keep_filter(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Retention pass: drop every doc whose component id differs from its
+    own id (the min-id doc per near-dup cluster survives; docs in no
+    cluster pass through untouched). Broadcast-friendly: the drop list is
+    near-dup-sized, not corpus-sized."""
+    drops = components.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("__drop_id")
+    )
+    return docs.join(
+        F.broadcast(drops), docs[id_col] == F.col("__drop_id"), "left_anti"
+    )

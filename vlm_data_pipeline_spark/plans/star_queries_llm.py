@@ -636,3 +636,115 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.ivf_ann_fixed_topk(emb, queries, k=5, n_lists=16, nprobe=4)
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM documents
+), sh AS (
+    SELECT doc_id, {_D_SHINGLES} AS sh FROM toks
+), sig AS (
+    SELECT doc_id, sh, {_D_SIG} AS sig FROM sh WHERE len(sh) > 0
+), banded AS (
+    SELECT doc_id, sh, b.b AS band,
+           md5(array_to_string(sig[b.b * {_MINHASH_R} + 1 : b.b * {_MINHASH_R} + {_MINHASH_R}], ',')) AS bucket
+    FROM sig, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) b
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT id_a, id_b FROM cand
+    WHERE (cast(len(list_intersect(sh_a, sh_b)) as DOUBLE)
+           / cast(len(list_distinct(list_concat(sh_a, sh_b))) as DOUBLE)) >= 0.8
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT a AS v, b AS r FROM edges
+    UNION
+    SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT v AS doc_id, least(v, min(r)) AS component_id
+FROM reach GROUP BY v
+"""
+
+
+@register(
+    "dedup_components",
+    _COMPONENTS_ORACLE,
+    "Near-dup clustering (extension): connected components over the "
+    "MinHash+LSH pair graph via iterative min-label propagation "
+    "(hash-to-min; O(cluster diameter) rounds, one narrow join each — "
+    "dup families are shallow, so 2-4 rounds). Pair detection emits "
+    "EDGES; dedup retention needs COMPONENTS (A~B, B~C must collapse "
+    "even though A,C never collided); component id = min doc id = the "
+    "canonical keeper. The iterative fixpoint is value-checked against "
+    "a recursive-CTE transitive closure. Library: operators.dedup."
+    "neardup_components / dedup_keep_filter.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
+    )
+    return dedup.neardup_components(pairs)
+
+
+_RETENTION_ORACLE = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM documents
+), sh AS (
+    SELECT doc_id, {_D_SHINGLES} AS sh FROM toks
+), sig AS (
+    SELECT doc_id, sh, {_D_SIG} AS sig FROM sh WHERE len(sh) > 0
+), banded AS (
+    SELECT doc_id, sh, b.b AS band,
+           md5(array_to_string(sig[b.b * {_MINHASH_R} + 1 : b.b * {_MINHASH_R} + {_MINHASH_R}], ',')) AS bucket
+    FROM sig, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) b
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT id_a, id_b FROM cand
+    WHERE (cast(len(list_intersect(sh_a, sh_b)) as DOUBLE)
+           / cast(len(list_distinct(list_concat(sh_a, sh_b))) as DOUBLE)) >= 0.8
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT a AS v, b AS r FROM edges
+    UNION
+    SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+    SELECT v AS doc_id, least(v, min(r)) AS component_id
+    FROM reach GROUP BY v
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.component_id = d.doc_id
+"""
+
+
+@register(
+    "dedup_retention_survivors",
+    _RETENTION_ORACLE,
+    "The full fuzzy-dedup pipeline end-to-end (extension): MinHash+LSH "
+    "pair detection -> connected-component clustering -> keep-filter "
+    "(min-id doc per cluster survives, unclustered docs pass through). "
+    "The drop list is near-dup-sized so the final filter is a broadcast "
+    "anti-join — the corpus streams once. This is the retention pass a "
+    "100 TB cleaning run executes after dedup_components. Library: "
+    "operators.dedup.dedup_keep_filter.",
+)
+def dedup_retention_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
+    )
+    comp = dedup.neardup_components(pairs)
+    return dedup.dedup_keep_filter(docs, comp).select("doc_id", "lang")
