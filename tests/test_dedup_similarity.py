@@ -4,6 +4,7 @@ sensitivity, ANN subset relation."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from vlm_data_pipeline_spark.operators import dedup, similarity
@@ -255,3 +256,53 @@ def test_neardup_components_transitive_collapse(spark):
         ).collect()
     )
     assert kept == [1, 20, 33]
+
+
+def test_repetition_features_analytic(spark):
+    """Planted repetition with hand-computed expected fractions."""
+    from vlm_data_pipeline_spark.functions.text import repetition_features
+
+    # doc 1: lines [aa, bb, aa, cc] -> dup occurrences 2/4; dup chars 4/8.
+    # tokens = the same 4 words; top 2-gram "aa_bb" count 1 (ties -> lex
+    # first of the three singletons), len 4; tok_chars 8 -> 0.5.
+    # 3-grams all distinct -> dup_3gram 0.
+    d1 = "aa bb\naa cc"
+    # doc 2: "x y x y x y" -> 2-gram x_y count 3 of 5, len 2, tok chars 6
+    # -> 3*2/6 = 1.0; 3-grams: x_y_x (2), y_x_y (2) -> dup chars
+    # (2+2)*3... each gram len 3 chars (x,y,x minus seps) -> (2*3 + 2*3)/6
+    # = 2.0 (the documented non-overlap-corrected overshoot).
+    d2 = "x y x y x y"
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    feats = repetition_features(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in feats.items()]).collect()
+    }
+    r1 = out[1]
+    assert r1.n_lines == 2  # "aa bb", "aa cc" -> no duplicate LINES
+    assert r1.dup_line_fraction == 0.0
+    assert r1.top_2gram_char_fraction == pytest.approx(4 / 8)
+    assert r1.dup_3gram_char_fraction == 0.0
+    r2 = out[2]
+    assert r2.top_2gram_char_fraction == pytest.approx(1.0)
+    assert r2.dup_3gram_char_fraction == pytest.approx(2.0)
+
+    dup_lines = spark.createDataFrame(
+        [(3, "same\nsame\nother")], "doc_id long, text string"
+    )
+    r3 = dup_lines.select(
+        *[c.alias(k) for k, c in repetition_features(F.col("text")).items()]
+    ).collect()[0]
+    assert r3.n_lines == 3
+    assert r3.dup_line_fraction == pytest.approx(2 / 3)
+    assert r3.dup_line_char_fraction == pytest.approx(8 / 13)
+
+
+def test_repetition_features_zero_shuffle(spark, sf_dir):
+    from vlm_data_pipeline_spark.functions.text import repetition_features
+
+    docs = _docs(spark, sf_dir)
+    feats = repetition_features(F.col("text"))
+    out = docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]

@@ -1,0 +1,189 @@
+"""Property-based tests (hypothesis) for the pure-Python decode layers and
+the cross-engine determinism contracts.
+
+The wire readers are plain Python, so hypothesis can hammer them with its
+default example counts; Spark-backed properties batch all generated rows
+into ONE DataFrame per test to keep runtime sane.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vlm_data_pipeline_spark.sources.pbwire import (
+    iter_fields,
+    iter_tfrecords,
+    packed_floats,
+    packed_varints,
+    parse_tf_example,
+)
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _tag(field: int, wt: int) -> bytes:
+    return _varint((field << 3) | wt)
+
+
+field_num = st.integers(min_value=1, max_value=2**28)
+
+record = st.one_of(
+    st.tuples(field_num, st.just(0), st.integers(min_value=0, max_value=2**63 - 1)),
+    st.tuples(field_num, st.just(1), st.integers(min_value=0, max_value=2**64 - 1)),
+    st.tuples(field_num, st.just(2), st.binary(max_size=64)),
+    st.tuples(field_num, st.just(5), st.integers(min_value=0, max_value=2**32 - 1)),
+)
+
+
+@given(st.lists(record, max_size=32))
+def test_pbwire_roundtrip_any_message(records):
+    """Encoding arbitrary (field, wiretype, value) records and walking
+    them back must be lossless — including unknown fields, huge field
+    numbers, empty payloads, and max-range varints."""
+    buf = bytearray()
+    for field, wt, val in records:
+        buf += _tag(field, wt)
+        if wt == 0:
+            buf += _varint(val)
+        elif wt == 1:
+            buf += val.to_bytes(8, "little")
+        elif wt == 2:
+            buf += _varint(len(val)) + val
+        else:
+            buf += val.to_bytes(4, "little")
+    got = list(iter_fields(bytes(buf)))
+    assert got == records
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=64))
+def test_packed_varints_roundtrip(vals):
+    assert packed_varints(b"".join(_varint(v) for v in vals)) == vals
+
+
+@given(
+    st.lists(
+        st.floats(width=32, allow_nan=False, allow_infinity=False), max_size=64
+    )
+)
+def test_packed_floats_roundtrip(vals):
+    packed = b"".join(struct.pack("<f", v) for v in vals)
+    assert packed_floats(packed) == vals
+
+
+@given(st.lists(st.binary(max_size=200), max_size=16))
+def test_tfrecord_framing_roundtrip(payloads):
+    out = bytearray()
+    for p in payloads:
+        out += struct.pack("<Q", len(p)) + b"\x00" * 4 + p + b"\x00" * 4
+    assert list(iter_tfrecords(bytes(out))) == payloads
+
+
+feature_name = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=20
+)
+
+
+@given(
+    st.dictionaries(
+        feature_name,
+        st.one_of(
+            st.tuples(st.just("bytes"), st.lists(st.binary(max_size=32), max_size=8)),
+            st.tuples(
+                st.just("floats"),
+                st.lists(
+                    st.floats(width=32, allow_nan=False, allow_infinity=False),
+                    min_size=1,
+                    max_size=8,
+                ),
+            ),
+            st.tuples(
+                st.just("ints"),
+                st.lists(
+                    st.integers(min_value=0, max_value=2**62), min_size=1, max_size=8
+                ),
+            ),
+        ),
+        max_size=8,
+    )
+)
+def test_tf_example_roundtrip(features):
+    """Arbitrary feature maps (bytes/float/int kinds) encode → parse back
+    losslessly through the no-tensorflow wire reader."""
+
+    def _len(field, payload):
+        return _tag(field, 2) + _varint(len(payload)) + payload
+
+    entries = b""
+    for name, (kind_name, vals) in features.items():
+        if kind_name == "bytes":
+            kind = _len(1, b"".join(_len(1, v) for v in vals))
+        elif kind_name == "floats":
+            kind = _len(2, _len(1, b"".join(struct.pack("<f", v) for v in vals)))
+        else:
+            kind = _len(3, _len(1, b"".join(_varint(v) for v in vals)))
+        entries += _len(1, _len(1, name.encode()) + _len(2, kind))
+    ex = _len(1, entries)
+    got = parse_tf_example(ex)
+    assert set(got) == set(features)
+    for k, (_, vals) in features.items():
+        assert got[k] == list(vals)
+
+
+def test_hash32_matches_python_model(spark):
+    """hash32 (md5-prefix) must equal the portable Python model — the
+    contract every DuckDB oracle relies on. One DataFrame, many rows."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import hash32
+
+    samples = ["", "a", "hello world", "ümläut", "0" * 300, "\t\n x"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r.h for r in df.select(hash32(F.col("s")).alias("h")).collect()]
+    want = [
+        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in samples
+    ]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    degs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_normalize_angle_range_property(spark, degs):
+    """normalize_angle_deg maps any finite degrees into [-1, 1] and agrees
+    with the Python model ((d % 360) wrapped to (-180, 180], /180) —
+    including the ±180° → +1.0 reference quirk."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.geometry import normalize_angle_deg
+
+    df = spark.createDataFrame([(d,) for d in degs], "d double")
+    got = [r.n for r in df.select(normalize_angle_deg(F.col("d")).alias("n")).collect()]
+
+    def model(d: float) -> float:
+        m = math.fmod(math.fmod(d, 360.0) + 360.0, 360.0)
+        if m > 180.0:
+            m -= 360.0
+        return m / 180.0
+
+    for g, d in zip(got, degs):
+        assert -1.0 <= g <= 1.0
+        assert g == model(d) or abs(g - model(d)) < 1e-12

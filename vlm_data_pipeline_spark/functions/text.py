@@ -188,3 +188,137 @@ def lang_marker_hits(text: Column) -> dict[str, Column]:
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters, Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """ALL word n-grams joined with '_' (repetitions kept — the counting
+    sibling of :func:`word_shingles`, whose array_distinct would erase
+    exactly the signal the repetition filters measure)."""
+
+    def mk(t: Column) -> Column:
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(t, (i + off).cast("int")) for off in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(toks, mk)
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals — the standard LLM-corpus
+    quality filters (duplicate lines, dominant n-grams). Conventions,
+    chosen to be integer-exact and oracle-reproducible:
+
+    - lines = newline split, empties dropped; a line's weight is its
+      character length;
+    - ``dup_line_fraction``: duplicated line OCCURRENCES / lines;
+    - ``dup_line_char_fraction``: characters inside lines whose text
+      occurs ≥ 2× / characters in all lines;
+    - ``top_2gram_char_fraction``: occurrences of the most frequent
+      2-gram × its character length / total token characters (ties →
+      lexicographically-first 2-gram);
+    - ``dup_3gram_char_fraction``: Σ over 3-grams occurring ≥ 2× of
+      count × char length / total token characters (the simple
+      non-overlap-corrected variant; overlapping occurrences can push
+      the numerator past the denominator on degenerate inputs).
+
+    Everything is an in-row array program: zero shuffle at any corpus
+    size. Ratios are exact integer quotients cast at the end.
+    """
+    lines = F.filter(F.split(text, r"\n"), lambda l: l != "")
+    toks = tokens(text)
+
+    def occ_stats(arr: Column, min_count: int, sep_discount: int = 0) -> Column:
+        """struct(total_chars, dup_chars, n, n_dup_occurrences);
+        ``sep_discount`` removes the join separators from an n-gram's
+        character length (n-1 underscores), so gram chars count source
+        characters only."""
+
+        def mk(a: Column) -> Column:
+            distinct = F.array_distinct(a)
+            per = F.transform(
+                distinct,
+                lambda d: F.struct(
+                    F.size(F.filter(a, lambda x: x == d)).alias("cnt"),
+                    (F.length(d) - sep_discount).alias("len"),
+                ),
+            )
+            return F.struct(
+                F.aggregate(
+                    a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                ).alias("total_chars"),
+                F.aggregate(
+                    per,
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc
+                    + F.when(
+                        e["cnt"] >= min_count,
+                        (e["cnt"] * e["len"]).cast("long"),
+                    ).otherwise(F.lit(0).cast("long")),
+                ).alias("dup_chars"),
+                F.size(a).cast("long").alias("n"),
+                F.aggregate(
+                    per,
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc
+                    + F.when(e["cnt"] >= min_count, e["cnt"].cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ).alias("n_dup_occ"),
+            )
+
+        return let(arr, mk)
+
+    line_stats = occ_stats(lines, 2)
+    g3_stats = occ_stats(word_ngrams(toks, 3), 2, sep_discount=2)
+
+    # top 2-gram: highest count, lexicographically-first on ties; char
+    # length excludes the (n-1) join separators
+    def top2(a: Column) -> Column:
+        def mk(g: Column) -> Column:
+            entries = F.transform(
+                F.array_distinct(g),
+                lambda d: F.struct(
+                    (-F.size(F.filter(g, lambda x: x == d))).alias("neg"),
+                    d.alias("gram"),
+                ),
+            )
+            # F.get, not [0]: ANSI mode throws INVALID_ARRAY_INDEX on an
+            # empty array (a document with < 2 tokens has no 2-grams)
+            best = F.get(F.array_sort(entries), 0)
+            return F.struct(
+                (-best["neg"]).cast("long").alias("cnt"),
+                (F.length(best["gram"]) - 1).cast("long").alias("len"),
+            )
+
+        return let(a, mk)
+
+    t2 = top2(word_ngrams(toks, 2))
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+
+    return {
+        "n_lines": line_stats["n"],
+        "dup_line_fraction": ratio(line_stats["n_dup_occ"], line_stats["n"]),
+        "dup_line_char_fraction": ratio(
+            line_stats["dup_chars"], line_stats["total_chars"]
+        ),
+        "top_2gram_char_fraction": ratio(
+            F.coalesce(t2["cnt"] * t2["len"], F.lit(0)), tok_chars
+        ),
+        "dup_3gram_char_fraction": ratio(g3_stats["dup_chars"], tok_chars),
+    }

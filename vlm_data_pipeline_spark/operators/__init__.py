@@ -1,1 +1,1 @@
-from . import dedup, similarity  # noqa: F401
+from . import curation, dedup, similarity  # noqa: F401

@@ -1,0 +1,131 @@
+"""Corpus curation operators: rule-based quality filtering and stratified
+deterministic sampling (scale extensions per SURVEY §7.1 step 7 — the
+operations a training-data pipeline runs AFTER dedup/decontamination).
+
+Scale design:
+
+- **quality_filter**: every rule is an in-row predicate over
+  ``functions.text`` features — one scan, zero shuffle, scales with
+  splits. Rules follow the published Gopher heuristics (Rae et al. 2021
+  §A1.1): word-count band, mean-word-length band, stopword floor,
+  lexical-diversity floor, repetition ceilings.
+- **stratified_sample**: per-stratum quotas with a DETERMINISTIC
+  hash-derived order (functions.detrandom rationale): the sample is a
+  pure function of (doc id, seed), independent of partitioning and
+  engine. One shuffle on the stratum key — unavoidable for exact
+  quotas; at 100 TB strata are few (languages/domains) and the window
+  carries only (stratum, hash, id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_features, repetition_features
+
+# Gopher-shaped default thresholds (Rae et al. 2021 §A1.1), tuned only
+# where the synthetic corpus' scale differs; deployments override.
+DEFAULT_RULES: dict[str, float] = {
+    "min_tokens": 5,
+    "max_tokens": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "min_stopword_ratio": 0.0,
+    "min_uniq_ratio": 0.2,
+    "max_dup_line_char_fraction": 0.3,
+    "max_top_2gram_char_fraction": 0.6,
+    "max_dup_3gram_char_fraction": 0.8,
+}
+
+
+def quality_predicates(
+    text: Column, rules: dict[str, float] | None = None
+) -> dict[str, Column]:
+    """One boolean Column per rule (True = passes). Exposed separately so
+    audits can count per-rule rejection rates, not just the conjunction."""
+    r = {**DEFAULT_RULES, **(rules or {})}
+    q = quality_features(text)
+    rep = repetition_features(text)
+    return {
+        "tokens_in_band": q["n_tokens"].between(r["min_tokens"], r["max_tokens"]),
+        "mean_word_len_in_band": q["mean_word_len"].between(
+            r["min_mean_word_len"], r["max_mean_word_len"]
+        ),
+        "stopword_ok": q["stopword_ratio"] >= r["min_stopword_ratio"],
+        "uniq_ok": q["uniq_ratio"] >= r["min_uniq_ratio"],
+        "dup_line_ok": rep["dup_line_char_fraction"]
+        <= r["max_dup_line_char_fraction"],
+        "top_2gram_ok": rep["top_2gram_char_fraction"]
+        <= r["max_top_2gram_char_fraction"],
+        "dup_3gram_ok": rep["dup_3gram_char_fraction"]
+        <= r["max_dup_3gram_char_fraction"],
+    }
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    rules: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep documents passing EVERY rule — one in-row conjunction, no
+    shuffle. The reference pipeline has no text-quality stage (vision
+    corpus); this is the LLM-corpus extension the engine exists for."""
+    preds = quality_predicates(F.col(text_col), rules)
+    keep = F.lit(True)
+    for p in preds.values():
+        keep = keep & p
+    return docs.filter(keep)
+
+
+def quality_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    rules: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-rule pass counts + overall survivors over one scan (map-side
+    partial aggregation; output is one row)."""
+    preds = quality_predicates(F.col(text_col), rules)
+    keep = F.lit(True)
+    for p in preds.values():
+        keep = keep & p
+    aggs = [
+        F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"n_{name}")
+        for name, p in preds.items()
+    ]
+    return docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *aggs,
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_survivors"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: str = "strata",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) docs per stratum, chosen by a
+    deterministic md5-derived order (ties impossible: the id breaks
+    them) — the data-mixing primitive (fixed per-language/domain quotas)
+    with reproducibility independent of partitioning, engine, and run.
+    """
+    # \x1f unit separator keeps ("ab","c") != ("a","bc") — the
+    # detrandom seed convention; the oracle mirrors it with chr(31)
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.lit(seed),
+            F.col(strata_col).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = W.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

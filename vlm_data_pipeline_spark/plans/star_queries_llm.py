@@ -748,3 +748,198 @@ def dedup_retention_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = dedup.neardup_components(pairs)
     return dedup.dedup_keep_filter(docs, comp).select("doc_id", "lang")
+
+
+_R_LINES = "list_filter(string_split(text, chr(10)), l -> l <> '')"
+_R_G2 = (
+    "CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),"
+    " i -> concat(w[i], '_', w[i+1])) ELSE [] END"
+)
+_R_G3 = (
+    "CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),"
+    " i -> concat(w[i], '_', w[i+1], '_', w[i+2])) ELSE [] END"
+)
+
+
+def _r_cnt(arr: str, d: str = "d") -> str:
+    return f"len(list_filter({arr}, x -> x = {d}))"
+
+
+def _r_dup_sum(arr: str, weight: str) -> str:
+    """Σ over distinct elements with count ≥ 2 of count × weight(d)."""
+    return (
+        f"coalesce(list_sum(list_transform(list_distinct({arr}), d -> "
+        f"CASE WHEN {_r_cnt(arr)} >= 2 THEN {_r_cnt(arr)} * ({weight})"
+        f" ELSE 0 END)), 0)"
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH g AS (
+    SELECT doc_id, {_R_LINES} AS lines, {_D_TOKS} AS w FROM documents
+), gg AS (
+    SELECT doc_id, lines, w, {_R_G2} AS g2, {_R_G3} AS g3 FROM g
+), stats AS (
+    SELECT doc_id,
+        len(lines) AS n_lines,
+        {_r_dup_sum("lines", "1")} AS dup_line_occ,
+        {_r_dup_sum("lines", "length(d)")} AS dup_line_chars,
+        coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+            AS line_chars,
+        list_sort(list_transform(list_distinct(g2),
+            d -> {{'neg': -{_r_cnt("g2")}, 'gram': d}}))[1] AS top2,
+        {_r_dup_sum("g3", "length(d) - 2")} AS dup_g3_chars,
+        coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS tok_chars
+    FROM gg
+)
+SELECT doc_id,
+    n_lines,
+    CASE WHEN n_lines > 0
+         THEN cast(dup_line_occ AS DOUBLE) / cast(n_lines AS DOUBLE)
+         ELSE 0.0 END AS dup_line_fraction,
+    CASE WHEN line_chars > 0
+         THEN cast(dup_line_chars AS DOUBLE) / cast(line_chars AS DOUBLE)
+         ELSE 0.0 END AS dup_line_char_fraction,
+    CASE WHEN tok_chars > 0
+         THEN cast(coalesce((-top2.neg) * (length(top2.gram) - 1), 0)
+                   AS DOUBLE) / cast(tok_chars AS DOUBLE)
+         ELSE 0.0 END AS top_2gram_char_fraction,
+    CASE WHEN tok_chars > 0
+         THEN cast(dup_g3_chars AS DOUBLE) / cast(tok_chars AS DOUBLE)
+         ELSE 0.0 END AS dup_3gram_char_fraction
+FROM stats
+"""
+
+
+@register(
+    "text_repetition_signals",
+    _REPETITION_ORACLE,
+    "Within-document repetition quality signals (extension; the "
+    "Gopher-style filters of Rae et al. 2021 A1.1): duplicate-line "
+    "occurrence and character fractions, most-frequent-2-gram character "
+    "fraction, duplicated-3-gram character fraction. All in-row array "
+    "programs over one scan — zero shuffle at any corpus size; ratios "
+    "are exact integer quotients. Library: functions.text."
+    "repetition_features.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    feats = T.repetition_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+
+
+# ---------------------------------------------------------------------------
+# Curation: quality filtering + stratified sampling
+# ---------------------------------------------------------------------------
+
+# feature fragments over (doc_id, text, lines, w, g2, g3) — reused by the
+# audit oracle; thresholds mirror operators.curation.DEFAULT_RULES
+_C_FEATURES = f"""
+    g AS (
+        SELECT doc_id, text, {_R_LINES} AS lines, {_D_TOKS} AS w
+        FROM documents
+    ), gg AS (
+        SELECT doc_id, text, lines, w, {_R_G2} AS g2, {_R_G3} AS g3 FROM g
+    ), feat AS (
+        SELECT doc_id,
+            len(w) AS n_tokens,
+            CASE WHEN len(w) > 0 THEN
+                cast(len(list_filter(w, t -> t IN ('{_D_STOP}'))) as DOUBLE)
+                    / cast(len(w) as DOUBLE) ELSE 0.0 END AS stopword_ratio,
+            CASE WHEN len(w) > 0 THEN
+                cast(len(list_distinct(w)) as DOUBLE) / cast(len(w) as DOUBLE)
+                ELSE 0.0 END AS uniq_ratio,
+            CASE WHEN len(w) > 0 THEN
+                cast(list_sum(list_transform(w, t -> length(t))) as DOUBLE)
+                    / cast(len(w) as DOUBLE) ELSE 0.0 END AS mean_word_len,
+            CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+                 THEN cast({_r_dup_sum("lines", "length(d)")} AS DOUBLE)
+                     / cast(list_sum(list_transform(lines, l -> length(l))) AS DOUBLE)
+                 ELSE 0.0 END AS dup_line_char_fraction,
+            CASE WHEN coalesce(list_sum(list_transform(w, t -> length(t))), 0) > 0
+                 THEN cast(coalesce(
+                        (-(list_sort(list_transform(list_distinct(g2),
+                            d -> {{'neg': -{_r_cnt("g2")}, 'gram': d}}))[1].neg))
+                        * (length(list_sort(list_transform(list_distinct(g2),
+                            d -> {{'neg': -{_r_cnt("g2")}, 'gram': d}}))[1].gram) - 1),
+                        0) AS DOUBLE)
+                     / cast(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                 ELSE 0.0 END AS top_2gram_char_fraction,
+            CASE WHEN coalesce(list_sum(list_transform(w, t -> length(t))), 0) > 0
+                 THEN cast({_r_dup_sum("g3", "length(d) - 2")} AS DOUBLE)
+                     / cast(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                 ELSE 0.0 END AS dup_3gram_char_fraction
+        FROM gg
+    ), preds AS (
+        SELECT doc_id,
+            (n_tokens BETWEEN 5 AND 100000) AS tokens_in_band,
+            (mean_word_len BETWEEN 2.0 AND 12.0) AS mean_word_len_in_band,
+            (stopword_ratio >= 0.0) AS stopword_ok,
+            (uniq_ratio >= 0.2) AS uniq_ok,
+            (dup_line_char_fraction <= 0.3) AS dup_line_ok,
+            (top_2gram_char_fraction <= 0.6) AS top_2gram_ok,
+            (dup_3gram_char_fraction <= 0.8) AS dup_3gram_ok
+        FROM feat
+    )
+"""
+
+_QUALITY_AUDIT_ORACLE = f"""
+WITH {_C_FEATURES}
+SELECT count(*) AS n_docs,
+    sum(CASE WHEN tokens_in_band THEN 1 ELSE 0 END) AS n_tokens_in_band,
+    sum(CASE WHEN mean_word_len_in_band THEN 1 ELSE 0 END)
+        AS n_mean_word_len_in_band,
+    sum(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS n_stopword_ok,
+    sum(CASE WHEN uniq_ok THEN 1 ELSE 0 END) AS n_uniq_ok,
+    sum(CASE WHEN dup_line_ok THEN 1 ELSE 0 END) AS n_dup_line_ok,
+    sum(CASE WHEN top_2gram_ok THEN 1 ELSE 0 END) AS n_top_2gram_ok,
+    sum(CASE WHEN dup_3gram_ok THEN 1 ELSE 0 END) AS n_dup_3gram_ok,
+    sum(CASE WHEN tokens_in_band AND mean_word_len_in_band AND stopword_ok
+              AND uniq_ok AND dup_line_ok AND top_2gram_ok AND dup_3gram_ok
+         THEN 1 ELSE 0 END) AS n_survivors
+FROM preds
+"""
+
+
+@register(
+    "curation_quality_audit",
+    _QUALITY_AUDIT_ORACLE,
+    "Rule-based quality filtering (extension; Gopher heuristics, Rae et "
+    "al. 2021 A1.1): per-rule pass counts + overall survivors over ONE "
+    "scan — every rule is an in-row predicate over the text/repetition "
+    "features, aggregated map-side into a single row. Library: "
+    "operators.curation.quality_audit / quality_filter.",
+)
+def curation_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return curation.quality_audit(docs)
+
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY
+               md5('strata' || chr(31) || lang || chr(31) || doc_id) ASC,
+               doc_id ASC) AS rn
+    FROM documents
+) WHERE rn <= 20
+"""
+
+
+@register(
+    "curation_stratified_sample",
+    _STRATIFIED_ORACLE,
+    "Stratified deterministic sampling (extension; the data-mixing "
+    "primitive): exactly min(20, |stratum|) docs per language, ordered "
+    "by an md5-derived key — the sample is a pure function of (seed, "
+    "stratum, id), independent of partitioning, engine, and run. One "
+    "shuffle on the stratum key; the window carries only (stratum, "
+    "hash, id). Library: operators.curation.stratified_sample.",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return curation.stratified_sample(docs, "lang", 20).select("doc_id", "lang")
