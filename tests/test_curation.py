@@ -62,3 +62,51 @@ def test_stratified_sample_quota_and_determinism(spark):
     # quota larger than the stratum returns the whole stratum
     small = curation.stratified_sample(docs.filter("doc_id < 5"), "lang", 10)
     assert small.count() == 5
+
+
+def test_scrub_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.io or visit https://ex.com/a?b=1 ok"),
+            (2, "server 192.168.0.1 phone 555 123 4567 and 555-123-4567"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.clean
+        for r in df.select(
+            "doc_id", curation.scrub_pii(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert out[1] == "mail me at <EMAIL> or visit <URL> ok"
+    assert out[2] == "server <IP> phone <PHONE> and <PHONE>"
+    assert out[3] == "no pii here at all"
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(200)], "doc_id long, text string"
+    )
+    packed = curation.pack_sequences(docs, max_tokens=10, n_shards=4).collect()
+    assert len(packed) == 200
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.tokens_before)
+        # running totals are consistent and bins are the floor rule
+        acc = 0
+        for r in rows:
+            assert r.tokens_before == acc
+            assert r.bin == acc // 10
+            acc += r.n_tokens
+    # deterministic under repartitioning
+    again = sorted(
+        (r.shard, r.bin, r.doc_id)
+        for r in curation.pack_sequences(
+            docs.repartition(17), max_tokens=10, n_shards=4
+        ).collect()
+    )
+    assert again == sorted((r.shard, r.bin, r.doc_id) for r in packed)

@@ -129,3 +129,84 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB) share:
+# no lookaround, no backrefs. Order matters: emails before URLs would leave
+# 'mailto:' hosts half-scrubbed, so URLs go first, then emails, IPs, phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact URLs, emails, IPv4s, and US-style phone numbers with typed
+    placeholder tokens — the standard pre-training privacy pass. One
+    chained regexp_replace per pattern: in-row, zero shuffle, and the
+    patterns are RE2-compatible so the oracle replays them verbatim."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+    seed: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins — the
+    sequence-packing stage of an LLM pre-training pipeline — fully
+    deterministically and without a global sort.
+
+    Layout: shard = hash-derived bucket of the doc id (``n_shards`` of
+    them, so the per-shard window sort never sees more than corpus/shards
+    rows — the 100 TB knob); within a shard docs take a deterministic
+    md5 order and a running token total; a doc lands in bin
+    ``floor(tokens_before / max_tokens)``. Contiguous packing: a bin can
+    overflow by its last (straddling) document — consumers truncate at
+    the token budget; documents are never split here.
+
+    Returns (shard, bin, ``id_col``, n_tokens, tokens_before) — the
+    assignment table a downstream concat/tokenize stage joins on.
+    """
+    from ..functions.text import hash32, token_count
+
+    key = F.md5(
+        F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    shard = (hash32(F.col(id_col).cast("string")) % n_shards).cast("int")
+    staged = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        key.alias("__k"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(F.col("__k").asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        staged.withColumn("tokens_before", before)
+        .withColumn(
+            "bin", F.floor(F.col("tokens_before") / max_tokens).cast("long")
+        )
+        .select("shard", "bin", id_col, "n_tokens", "tokens_before")
+    )

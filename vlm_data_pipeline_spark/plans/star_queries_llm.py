@@ -943,3 +943,90 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return curation.stratified_sample(docs, "lang", 20).select("doc_id", "lang")
+
+
+_PLANT_PII = (
+    "text || ' contact user' || doc_id || '@example.com at "
+    "http://ex.com/page/' || doc_id || ' or 555-123-4567 from 10.0.0.' "
+    "|| (doc_id % 255)"
+)
+
+_SCRUB_ORACLE = f"""
+SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace({_PLANT_PII},
+            'https?://[^\\s]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+      '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g') AS clean
+FROM documents
+"""
+
+
+@register(
+    "curation_scrub_pii",
+    _SCRUB_ORACLE,
+    "PII scrubbing (extension): URLs, emails, IPv4s, phone numbers "
+    "redacted with typed placeholders via chained regexp_replace — "
+    "in-row, zero shuffle; patterns restricted to Java-regex/RE2 common "
+    "syntax so the oracle replays them verbatim. PII is PLANTED "
+    "deterministically per doc (the synthetic corpus has none), so the "
+    "value check exercises every pattern on every row. Library: "
+    "operators.curation.scrub_pii.",
+)
+def curation_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at http://ex.com/page/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or 555-123-4567 from 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+    )
+    return docs.select("doc_id", curation.scrub_pii(planted).alias("clean"))
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           cast(len({_D_TOKS}) AS BIGINT) AS n_tokens,
+           {_d_hash32("cast(doc_id AS VARCHAR)")} % 8 AS shard,
+           md5('pack' || chr(31) || doc_id) AS k
+    FROM documents
+), w AS (
+    SELECT shard, doc_id, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY k ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+    FROM t
+)
+SELECT cast(shard AS INT) AS shard,
+       cast(floor(tokens_before / 256.0) AS BIGINT) AS bin,
+       doc_id, n_tokens, tokens_before
+FROM w
+"""
+
+
+@register(
+    "curation_pack_sequences",
+    _PACK_ORACLE,
+    "Sequence packing (extension; the LLM pre-training packing stage): "
+    "deterministic fixed-token-budget bin assignment — hash-derived "
+    "shards bound the per-shard window sort (the 100 TB knob: no global "
+    "sort anywhere), md5 order + running token totals inside each shard, "
+    "bin = floor(tokens_before / budget), straddlers overflow rather "
+    "than split. Value-oracled including the running sums. Library: "
+    "operators.curation.pack_sequences.",
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return curation.pack_sequences(docs, max_tokens=256, n_shards=8)
