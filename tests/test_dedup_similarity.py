@@ -306,3 +306,28 @@ def test_repetition_features_zero_shuffle(spark, sf_dir):
     out = docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark n-gram set is dimension-sized by construction — the
+    hit check must be a broadcast join (a shuffled join here would move
+    the corpus' exploded n-grams through an exchange at 100 TB)."""
+    docs = _docs(spark, sf_dir)
+    out = dedup.decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:1500]
+
+
+def test_ivf_fixed_probes_broadcast(spark, sf_dir):
+    """Fixed-centroid IVF: probes (queries × nprobe) broadcast into the
+    inverted lists; the corpus side must never shuffle for the join."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.ivf_ann_fixed_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5, n_lists=8, nprobe=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
