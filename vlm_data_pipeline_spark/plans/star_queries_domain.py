@@ -384,21 +384,54 @@ def qa_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa_summary(generate_all(synthetic_frames(spark, sf_dir)))
 
 
+_FRAMES_SUMMARY_ORACLE = """
+WITH f AS (SELECT l_orderkey, count(*) AS nb FROM lineitem GROUP BY 1)
+SELECT 'synthetic' AS dataset, 'train' AS split,
+       count(*) AS n_frames, sum(nb) AS n_boxes_3d,
+       0 AS n_boxes_2d, 0 AS n_scenes
+FROM f
+UNION ALL
+SELECT 'synthetic', 'ALL', count(*), sum(nb), 0, 0 FROM f
+UNION ALL
+SELECT 'ALL', 'ALL', count(*), sum(nb), 0, 0 FROM f
+"""
+
+
 @register(
     "frames_dataset_summary",
-    None,
+    _FRAMES_SUMMARY_ORACLE,
     "K2: per-(dataset, split) totals with grand rollup over the canonical "
-    "frames schema (sunrgbd_processor.py:326-337).",
+    "frames schema (sunrgbd_processor.py:326-337). Value-oracled: the "
+    "synthetic corpus is one dataset/split, so the rollup's three rows "
+    "re-derive from lineitem directly (frames = orders, boxes = "
+    "lineitems, no scenes, no 2D boxes).",
 )
 def frames_dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_summary(synthetic_frames(spark, sf_dir))
 
 
+_FRAMES_AUDIT_ORACLE = """
+WITH f AS (SELECT l_orderkey FROM lineitem GROUP BY 1)
+SELECT 'synthetic' AS dataset,
+       count(*) AS n_files,
+       count(*) AS with_camera,
+       0 AS with_intrinsics,
+       sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS with_extrinsics,
+       0 AS with_bbox_2d,
+       count(*) AS with_bbox_3d,
+       0 AS with_depth
+FROM f
+"""
+
+
 @register(
     "frames_parameter_audit",
-    None,
+    _FRAMES_AUDIT_ORACLE,
     "A10: the check_dataset_parameters audit as one aggregation pass over "
-    "frames (camera/intrinsics/extrinsics/bbox completeness counters).",
+    "frames (camera/intrinsics/extrinsics/bbox completeness counters). "
+    "Value-oracled: every completeness counter re-derives from the star "
+    "mapping (camera always set, intrinsics never, extrinsics on even "
+    "order keys, 3D boxes on every frame, no 2D/depth).",
 )
 def frames_parameter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parameter_audit(synthetic_frames(spark, sf_dir))
