@@ -223,3 +223,41 @@ def test_mask_parser_palette_collision(spark, tmp_path):
     pixels = taskonomy.read_instance_pixels(spark, str(tmp_path))
     rows = {r.instance_id: r.n_pixels for r in pixels.collect()}
     assert rows == {1: 2, 2: 1}
+
+
+def test_on_error_skip_and_decode_error_audit(spark, tmp_path):
+    """A corrupt file in the tree: fail mode raises, skip mode yields the
+    good file's rows, and file_decode_errors names the bad file with the
+    exception text — the production triage loop."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from vlm_data_pipeline_spark.sources.robust import file_decode_errors
+    from vlm_data_pipeline_spark.sources.taskonomy import _default_mask_parser
+
+    good = [[0, 3], [3, 0]]
+    (tmp_path / "point_1_view_1_domain_segmentunlabeled.png").write_bytes(
+        encode_png(good)
+    )
+    (tmp_path / "point_2_view_1_domain_segmentunlabeled.png").write_bytes(
+        b"\x89PNG but actually garbage"
+    )
+
+    with _pytest.raises(Exception):
+        taskonomy.read_instance_pixels(spark, str(tmp_path)).collect()
+
+    rows = taskonomy.read_instance_pixels(
+        spark, str(tmp_path), on_error="skip"
+    ).collect()
+    assert {r.instance_id for r in rows} == {3}
+    assert all("point_1" in r.path for r in rows)
+
+    errs = file_decode_errors(
+        spark, str(tmp_path), "*.png", _default_mask_parser
+    ).collect()
+    assert len(errs) == 1
+    assert "point_2" in errs[0].path
+    assert "ValueError" in errs[0].error
+
+    with _pytest.raises(ValueError, match="on_error"):
+        taskonomy.read_instance_pixels(spark, str(tmp_path), on_error="bogus")

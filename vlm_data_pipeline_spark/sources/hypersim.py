@@ -119,14 +119,19 @@ def read_hdf5_datasets(
     pattern: str,
     keys: list[str],
     parser: Callable[[str, bytes, list[str]], list[dict[str, Any]]] | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """S5: ``binaryFile`` scan + mapInPandas decode → one row per (file,
     dataset key), tensors flattened with an explicit shape column.
 
     Each executor decodes only the files in its split (Arrow-batched); the
     flattened layout keeps downstream math in native array functions.
+    ``on_error='skip'`` drops corrupt files instead of failing the job
+    (sources.robust).
     """
-    parse = parser or _default_hdf5_parser
+    from .robust import guard
+
+    parse = guard(parser or _default_hdf5_parser, on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

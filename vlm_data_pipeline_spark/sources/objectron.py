@@ -115,14 +115,19 @@ def read_pbdata_frames(
     pattern: str,
     stride: int = 10,
     parser: Callable[[str, bytes, int], list[dict[str, Any]]] | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """S6 + O3: distributed ``.pbdata`` decode with in-parser frame stride.
 
     One sequence file ≈ one video; files are the unit of parallelism. The
     stride is applied while iterating ``frame_annotations`` so skipped
     frames cost nothing (objectron_processor.py:126-128).
+    ``on_error='skip'`` drops corrupt files instead of failing the job
+    (sources.robust).
     """
-    parse = parser or _default_pbdata_parser
+    from .robust import guard
+
+    parse = guard(parser or _default_pbdata_parser, on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in PB_FRAME.fields]
@@ -350,20 +355,32 @@ def _parse_tf_example_record(
     }
 
 
-def read_tf_example_frames(spark: SparkSession, pattern: str) -> DataFrame:
+def read_tf_example_frames(
+    spark: SparkSession, pattern: str, on_error: str = "fail"
+) -> DataFrame:
     """S6 sibling for the TFRecord release of Objectron: ``binaryFile``
     fans record files across executors; each file's records decode
     in-stage through the pure-Python wire reader (pbwire.iter_tfrecords +
-    parse_tf_example). No tensorflow dependency anywhere."""
+    parse_tf_example). No tensorflow dependency anywhere.
+    ``on_error='skip'`` drops corrupt FILES (whole record files, the
+    TFRecord framing's failure unit) instead of failing the job."""
     from .pbwire import iter_tfrecords
+    from .robust import guard
+
+    def parse_file(path: str, content: bytes) -> list[dict[str, Any]]:
+        return [
+            _parse_tf_example_record(path, i, rec)
+            for i, rec in enumerate(iter_tfrecords(content))
+        ]
+
+    parse = guard(parse_file, on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in TF_EXAMPLE_FRAME.fields]
         for pdf in batches:
             rows: list[dict[str, Any]] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                for i, rec in enumerate(iter_tfrecords(content)):
-                    rows.append(_parse_tf_example_record(path, i, rec))
+                rows.extend(parse(path, content))
             yield pd.DataFrame(rows, columns=cols)
 
     binary = (

@@ -137,6 +137,7 @@ def read_instance_pixels(
     spark: SparkSession,
     pattern: str,
     parser: Callable[[str, bytes], list[dict[str, Any]]] | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """S8/F7: mask files → per-(instance, semantic-class) pixel summaries.
 
@@ -144,9 +145,12 @@ def read_instance_pixels(
     (instance_id, sem_class) → (count, pixel AABB) *inside* the UDF — the
     map-side combine the reference does with np.bincount
     (taskonomy_processor.py:307-329) — so executors ship kilobytes, not
-    megapixel masks, into the shuffle.
+    megapixel masks, into the shuffle. ``on_error='skip'`` drops corrupt
+    files instead of failing the job (sources.robust).
     """
-    parse = parser or _default_mask_parser
+    from .robust import guard
+
+    parse = guard(parser or _default_mask_parser, on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in INSTANCE_PIXELS.fields]
