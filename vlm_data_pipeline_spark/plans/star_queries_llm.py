@@ -834,10 +834,12 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # feature fragments over (doc_id, text, lines, w, g2, g3) — reused by the
 # audit oracle; thresholds mirror operators.curation.DEFAULT_RULES
-_C_FEATURES = f"""
+def _c_features(src: str = "documents") -> str:
+    """Quality feature/predicate CTE chain over ``src`` (g/gg/feat/preds)."""
+    return f"""
     g AS (
         SELECT doc_id, text, {_R_LINES} AS lines, {_D_TOKS} AS w
-        FROM documents
+        FROM {src}
     ), gg AS (
         SELECT doc_id, text, lines, w, {_R_G2} AS g2, {_R_G3} AS g3 FROM g
     ), feat AS (
@@ -882,6 +884,9 @@ _C_FEATURES = f"""
         FROM feat
     )
 """
+
+
+_C_FEATURES = _c_features()
 
 _QUALITY_AUDIT_ORACLE = f"""
 WITH {_C_FEATURES}
@@ -1030,3 +1035,90 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return curation.pack_sequences(docs, max_tokens=256, n_shards=8)
+
+
+_CLEAN_PIPELINE_ORACLE = f"""
+WITH RECURSIVE corpus AS (
+    SELECT * FROM documents WHERE doc_id % 20 <> 0
+), {_c_features("corpus")},
+qdocs AS (
+    SELECT c.* FROM corpus c JOIN preds p ON c.doc_id = p.doc_id
+    WHERE p.tokens_in_band AND p.mean_word_len_in_band AND p.stopword_ok
+      AND p.uniq_ok AND p.dup_line_ok AND p.top_2gram_ok AND p.dup_3gram_ok
+), mtoks AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM qdocs
+), msh AS (
+    SELECT doc_id, {_D_SHINGLES} AS sh FROM mtoks
+), sig AS (
+    SELECT doc_id, sh, {_D_SIG} AS sig FROM msh WHERE len(sh) > 0
+), banded AS (
+    SELECT doc_id, sh, b.b AS band,
+           md5(array_to_string(sig[b.b * {_MINHASH_R} + 1 : b.b * {_MINHASH_R} + {_MINHASH_R}], ',')) AS bucket
+    FROM sig, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) b
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT id_a, id_b FROM cand
+    WHERE (cast(len(list_intersect(sh_a, sh_b)) as DOUBLE)
+           / cast(len(list_distinct(list_concat(sh_a, sh_b))) as DOUBLE)) >= 0.8
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT a AS v, b AS r FROM edges
+    UNION
+    SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+    SELECT v AS doc_id, least(v, min(r)) AS component_id
+    FROM reach GROUP BY v
+), kept AS (
+    SELECT q.* FROM qdocs q LEFT JOIN comp c ON q.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component_id = q.doc_id
+), kgrams AS (
+    SELECT doc_id, {_d_hash60("unnest(" + _D_SHINGLES4 + ")")} AS h
+    FROM (SELECT doc_id, {_D_TOKS} AS w FROM kept)
+), bgrams AS (
+    SELECT DISTINCT {_d_hash60("unnest(" + _D_SHINGLES4 + ")")} AS h
+    FROM (SELECT doc_id, {_D_TOKS} AS w FROM documents WHERE doc_id % 20 = 0)
+), flagged AS (
+    SELECT DISTINCT kg.doc_id FROM kgrams kg JOIN bgrams b ON kg.h = b.h
+)
+SELECT k.doc_id, k.lang
+FROM kept k LEFT JOIN flagged f ON k.doc_id = f.doc_id
+WHERE f.doc_id IS NULL
+"""
+
+
+@register(
+    "curation_clean_pipeline",
+    _CLEAN_PIPELINE_ORACLE,
+    "The COMPLETE corpus-cleaning pipeline end-to-end (extension): "
+    "Gopher quality rules -> MinHash+LSH pair detection -> connected-"
+    "component clustering -> min-id retention -> 4-gram benchmark "
+    "decontamination, composed from the library operators, with the "
+    "whole chain re-derived in one SQL oracle (incl. the recursive "
+    "closure). Scale shape: every stage is the operator's own "
+    "(in-row rules, skinny banded self-join, narrow component joins, "
+    "broadcast gram/drop lists) — the corpus streams through scans and "
+    "broadcast anti-joins; nothing corpus-sized shuffles except the "
+    "O(near-dup) candidate verify. Library: operators.curation + "
+    "operators.dedup.",
+)
+def curation_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    q = curation.quality_filter(corpus)
+    pairs = dedup.minhash_lsh_pairs(
+        q, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
+    )
+    kept = dedup.dedup_keep_filter(q, dedup.neardup_components(pairs))
+    flagged = dedup.decontaminate(kept, benchmark, n=4).select("doc_id")
+    return kept.join(F.broadcast(flagged), "doc_id", "left_anti").select(
+        "doc_id", "lang"
+    )
