@@ -187,3 +187,60 @@ def test_normalize_angle_range_property(spark, degs):
     for g, d in zip(got, degs):
         assert -1.0 <= g <= 1.0
         assert g == model(d) or abs(g - model(d)) < 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    width=st.integers(min_value=1, max_value=8),
+    height=st.integers(min_value=1, max_value=8),
+    bit16=st.booleans(),
+)
+def test_png_roundtrip_random_images(data, width, height, bit16):
+    """Random gray images at random per-row filter choices survive the
+    encode → decode round-trip exactly — exercises all five PNG filters
+    on arbitrary content, both bit depths."""
+    from tests.test_png_codec import encode_png
+    from vlm_data_pipeline_spark.sources.png_codec import decode_png
+
+    hi = 65535 if bit16 else 255
+    rows = [
+        [data.draw(st.integers(min_value=0, max_value=hi)) for _ in range(width)]
+        for _ in range(height)
+    ]
+    filters = [data.draw(st.integers(min_value=0, max_value=4)) for _ in range(height)]
+    png = encode_png(rows, bit_depth=16 if bit16 else 8, filters=filters)
+    img = decode_png(png)
+    assert (img.width, img.height) == (width, height)
+    assert img.rows == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    shape=st.lists(st.integers(min_value=1, max_value=5), min_size=1, max_size=3),
+    chunked=st.booleans(),
+)
+def test_hdf5_roundtrip_random_tensors(data, shape, chunked):
+    """Random float64 tensors at random shapes survive the hdf5lite
+    decode round-trip through the test-side writer (contiguous and
+    gzip-chunked layouts)."""
+    import numpy as np
+
+    from tests.test_hdf5lite import make_hdf5
+    from vlm_data_pipeline_spark.sources.hdf5lite import read_datasets
+
+    n = 1
+    for d in shape:
+        n *= d
+    vals = [
+        data.draw(
+            st.floats(allow_nan=False, allow_infinity=False, width=32)
+        )
+        for _ in range(n)
+    ]
+    arr = np.array(vals, dtype="<f8").reshape(shape)
+    blob = make_hdf5({"t": arr}, chunk_gzip={"t"} if chunked else frozenset())
+    out = read_datasets(blob, ["t"])
+    assert out["t"].shape == tuple(shape)
+    assert np.array_equal(out["t"], arr)

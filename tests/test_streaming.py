@@ -126,3 +126,47 @@ def test_qa_pipeline_streams_unchanged(spark, tmp_path):
     batch = generate_all(spark.read.parquet(src), tasks=tasks, persist=False)
     assert as_sorted_rows(out) == as_sorted_rows(batch)
     assert out.count() > 0
+
+
+def test_curation_ops_stream_unchanged(spark, tmp_path):
+    """The LLM curation surface is stateless per-row (quality rules,
+    repetition signals, PII scrub), so the SAME functions run unchanged
+    on a readStream in append mode — stream/batch outputs equal
+    row-for-row. Sampling/dedup (windows, joins, iteration) are the
+    deliberate batch-side exceptions."""
+    from vlm_data_pipeline_spark.functions.text import repetition_features
+    from vlm_data_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data pipeline reads the parquet files quickly today"),
+            (2, "hi"),
+            (3, "spam spam spam spam spam spam spam"),
+            (4, "mail jo@corp.io or https://ex.com now the end is here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def transform(df):
+        feats = repetition_features(F.col("text"))
+        return curation.quality_filter(df).select(
+            "doc_id",
+            curation.scrub_pii(F.col("text")).alias("clean"),
+            feats["dup_line_fraction"].alias("dlf"),
+        )
+
+    out = run_stream(
+        transform(spark.readStream.schema(schema).parquet(src)),
+        tmp_path,
+        "curation_stream",
+        output_mode="append",
+    )
+    batch = transform(spark.read.parquet(src))
+    assert as_sorted_rows(out) == as_sorted_rows(batch)
+    assert out.count() == 2  # docs 1 and 4 pass the rules
+    assert {r.clean for r in out.collect() if r.doc_id == 4} == {
+        "mail <EMAIL> or <URL> now the end is here ok"
+    }
