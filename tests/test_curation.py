@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from vlm_data_pipeline_spark.operators import curation
@@ -110,3 +111,47 @@ def test_pack_sequences_invariants(spark):
         ).collect()
     )
     assert again == sorted((r.shard, r.bin, r.doc_id) for r in packed)
+
+
+def test_bigram_lm_analytic(spark):
+    """Hand-computed add-one-smoothed bigram scores on a 3-doc corpus."""
+    import math
+
+    from vlm_data_pipeline_spark.operators import lm
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    model = lm.train_bigram_lm(ref)
+    # unigrams: a=3, b=3, c=1 (V=3); bigrams: a_b=3, b_a=1, b_c=1
+    assert model.vocab_size == 3
+    assert model.unigrams == {"a": 3, "b": 3, "c": 1}
+    assert model.bigrams == {"a\x1fb": 3, "b\x1fa": 1, "b\x1fc": 1}
+
+    score_df = spark.createDataFrame(
+        [(10, "a b"), (11, "c c"), (12, "a")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.s
+        for r in score_df.select(
+            "doc_id", lm.mean_neg_log_prob(F.col("text"), model).alias("s")
+        ).collect()
+    }
+    # P(b|a) = (3+1)/(3+3) = 2/3 -> -ln(2/3)
+    assert out[10] == pytest.approx(-math.log((3 + 1) / (3 + 3)))
+    # unseen bigram over unseen... c_c: (0+1)/(1+3) = 1/4
+    assert out[11] == pytest.approx(-math.log(1 / 4))
+    # single token -> NULL
+    assert out[12] is None
+
+
+def test_lm_scoring_zero_shuffle(spark):
+    """Scoring is a broadcast-model in-row fold — no Exchange."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    ref = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    model = lm.train_bigram_lm(ref)
+    docs = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    out = docs.select(lm.mean_neg_log_prob(F.col("text"), model).alias("s"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1200]

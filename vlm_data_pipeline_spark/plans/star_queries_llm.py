@@ -1188,3 +1188,63 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_ann_topk(
         emb, queries, dim=64, m=_PQ_M, ksub=_PQ_KSUB, k=5
     )
+
+
+_LM_ORACLE = f"""
+WITH rt AS (
+    SELECT {_D_TOKS} AS t FROM documents WHERE doc_id % 20 = 0
+), uni AS (
+    SELECT w, count(*) AS cnt FROM (SELECT unnest(t) AS w FROM rt) GROUP BY w
+), bi AS (
+    SELECT b, count(*) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || chr(31) || t[i + 1])) AS b
+        FROM rt
+    ) GROUP BY b
+), vs AS (
+    SELECT count(*) AS v FROM uni
+), corpus AS (
+    SELECT doc_id, {_D_TOKS} AS t FROM documents WHERE doc_id % 20 <> 0
+), pairs AS (
+    SELECT doc_id, n, t[i] AS w1, t[i] || chr(31) || t[i + 1] AS b
+    FROM (SELECT doc_id, t, len(t) AS n, unnest(range(1, len(t))) AS i
+          FROM corpus WHERE len(t) >= 2)
+), scored AS (
+    SELECT p.doc_id, p.n,
+           -ln(cast(coalesce(bi.cnt, 0) + 1 AS DOUBLE)
+               / cast(coalesce(u.cnt, 0) + vs.v AS DOUBLE)) AS nlp
+    FROM pairs p
+    LEFT JOIN bi ON p.b = bi.b
+    LEFT JOIN uni u ON p.w1 = u.w, vs
+)
+SELECT doc_id, round(sum(nlp) / (max(n) - 1), 6) AS mean_nlp
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "curation_lm_score",
+    _LM_ORACLE,
+    "N-gram LM quality scoring (extension; the CCNet/Wenzek 2020 "
+    "pattern): an add-one-smoothed bigram LM trained on the held-out "
+    "reference slice (every 20th doc — CCNet trains on Wikipedia), then "
+    "every corpus doc scored by mean negative log-probability IN-ROW "
+    "via two map-literal lookups per token pair — the broadcast-model "
+    "zero-shuffle scoring shape (production ships KenLM the same way). "
+    "Training is one vocab-bounded counts pass. The oracle re-derives "
+    "the counts and replays the scoring as joins. Library: "
+    "operators.lm.train_bigram_lm / mean_neg_log_prob.",
+)
+def curation_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators import lm
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    model = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 20 == 0))
+    corpus = docs.filter(
+        (F.col("doc_id") % 20 != 0) & (token_count(F.col("text")) >= 2)
+    )
+    return corpus.select(
+        "doc_id",
+        F.round(lm.mean_neg_log_prob(F.col("text"), model), 6).alias("mean_nlp"),
+    )
