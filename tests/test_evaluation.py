@@ -108,3 +108,90 @@ def test_accuracy_under_threshold(spark):
     row = ev.accuracy_under_threshold(errs, ["grp"], thresh=0.1).collect()[0]
     assert row.accuracy == pytest.approx(50.0)  # 0.05 and 0.1 pass
     assert row.n == 4
+
+
+def test_greedy_match_voc_protocol(spark):
+    """The VOC matching rules, analytically: best-IoU gt wins, each gt
+    matches once, later detections of a matched gt are FPs, sub-threshold
+    overlaps are FPs, ties break toward the lower gt index."""
+    from vlm_data_pipeline_spark.functions.evaluation import greedy_match_hits
+
+    box = lambda x0, y0, x1, y1: {  # noqa: E731
+        "x_min": float(x0), "y_min": float(y0),
+        "x_max": float(x1), "y_max": float(y1),
+    }
+    det = lambda s, b: {"score": float(s), "box": b}  # noqa: E731
+    gts = [box(0, 0, 10, 10), box(20, 0, 30, 10)]
+    dets = [
+        det(0.9, box(0, 0, 10, 10)),    # perfect on gt0 -> hit
+        det(0.8, box(1, 0, 11, 10)),    # gt0 already claimed -> FP
+        det(0.7, box(20, 0, 30, 10)),   # perfect on gt1 -> hit
+        det(0.6, box(50, 50, 60, 60)),  # overlaps nothing -> FP
+        det(0.5, box(0, 9, 10, 19)),    # IoU with gt0 ~ 0.05 < 0.5 -> FP
+    ]
+    schema = (
+        "dets array<struct<score:double,box:struct<x_min:double,y_min:double,"
+        "x_max:double,y_max:double>>>, gts array<struct<x_min:double,"
+        "y_min:double,x_max:double,y_max:double>>"
+    )
+    df = spark.createDataFrame([(dets, gts)], schema)
+    out = df.select(
+        greedy_match_hits(F.col("dets"), F.col("gts"), 0.5).alias("h")
+    ).collect()[0].h
+    assert [(r.score, r.hit) for r in out] == [
+        (0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0), (0.5, 0),
+    ]
+    # no shuffle: one frame is one row
+    plan = (
+        df.select(greedy_match_hits(F.col("dets"), F.col("gts")).alias("h"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_greedy_match_feeds_average_precision(spark):
+    """End-to-end §2.11 eval composition: per-frame greedy matching ->
+    explode -> VOC AP. One gt, two dets (one TP at rank 1): AP = 1.0;
+    with the TP at rank 2, AP = 0.5."""
+    from vlm_data_pipeline_spark.functions.evaluation import (
+        average_precision,
+        greedy_match_hits,
+    )
+
+    box = lambda x0: {  # noqa: E731
+        "x_min": float(x0), "y_min": 0.0, "x_max": float(x0 + 10), "y_max": 10.0,
+    }
+    schema = (
+        "image_id string, dets array<struct<score:double,box:struct<"
+        "x_min:double,y_min:double,x_max:double,y_max:double>>>, "
+        "gts array<struct<x_min:double,y_min:double,x_max:double,"
+        "y_max:double>>"
+    )
+    frames = spark.createDataFrame(
+        [
+            ("a", [{"score": 0.9, "box": box(0)}, {"score": 0.8, "box": box(50)}],
+             [box(0)]),
+            ("b", [{"score": 0.9, "box": box(50)}, {"score": 0.8, "box": box(0)}],
+             [box(0)]),
+        ],
+        schema,
+    )
+    matched = frames.select(
+        "image_id",
+        F.posexplode(
+            greedy_match_hits(F.col("dets"), F.col("gts"), 0.5)
+        ).alias("pos", "m"),
+    ).select(
+        "image_id",
+        F.col("m.score").alias("score"),
+        F.col("m.hit").alias("hit"),
+        "pos",
+    )
+    ap = {
+        r.image_id: r.ap
+        for r in average_precision(
+            matched, ["image_id"], order_cols=["pos"]
+        ).collect()
+    }
+    assert ap["a"] == pytest.approx(1.0)
+    assert ap["b"] == pytest.approx(0.5)

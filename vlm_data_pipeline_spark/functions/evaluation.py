@@ -32,6 +32,7 @@ __all__ = [
     "monte_carlo_iou_3d_udf",
     "average_precision",
     "accuracy_under_threshold",
+    "greedy_match_hits",
 ]
 
 
@@ -196,4 +197,79 @@ def accuracy_under_threshold(
             6,
         ).alias("accuracy"),
         F.count("*").alias("n"),
+    )
+
+
+def greedy_match_hits(
+    dets: Column, gts: Column, iou_thresh: float = 0.5
+) -> Column:
+    """VOC greedy detection↔ground-truth matching, IN-ROW (§2.11,
+    metrics.py protocol): detections in descending-score order each claim
+    the highest-IoU unmatched ground-truth box with IoU ≥ ``iou_thresh``;
+    every GT matches at most once; later (lower-score) detections of the
+    same object are false positives.
+
+    ``dets``: array<struct<score double, box struct<x_min..y_max>>>;
+    ``gts``: array of the same box struct. Returns
+    array<struct<score double, hit int>> in descending-score order —
+    the exact input shape :func:`average_precision` consumes after an
+    explode. One frame is one row, so the inherently-sequential greedy
+    protocol is an array FOLD: no shuffle, no UDF, scales with splits.
+
+    The fold accumulator carries (list of claimed gt indices, emitted
+    hits); each step scans gts for the best (iou, -index) candidate not
+    yet claimed — O(|dets|·|gts|) per frame, the same complexity the
+    reference's per-image loops pay.
+    """
+    from .text import let
+
+    def mk(ds: Column, gs: Column) -> Column:
+        ordered = F.array_sort(
+            F.transform(
+                ds,
+                lambda d, i: F.struct(
+                    (-d["score"]).alias("negscore"),
+                    i.alias("idx"),
+                    d["score"].alias("score"),
+                    d["box"].alias("box"),
+                ),
+            )
+        )
+        init = F.struct(
+            F.array().cast("array<int>").alias("claimed"),
+            F.array().cast("array<struct<score:double,hit:int>>").alias("out"),
+        )
+
+        def step(acc: Column, d: Column) -> Column:
+            cands = F.filter(
+                F.transform(
+                    gs,
+                    lambda g, gi: F.struct(
+                        (-iou_2d(d["box"], g)).alias("negiou"),
+                        gi.alias("gi"),
+                    ),
+                ),
+                lambda c: (-c["negiou"] >= F.lit(iou_thresh))
+                & ~F.array_contains(acc["claimed"], c["gi"]),
+            )
+            best = F.get(F.array_sort(cands), 0)
+            hit = best["gi"].isNotNull()
+            return F.struct(
+                F.when(
+                    hit, F.array_append(acc["claimed"], best["gi"])
+                ).otherwise(acc["claimed"]).alias("claimed"),
+                F.array_append(
+                    acc["out"],
+                    F.struct(
+                        d["score"].alias("score"),
+                        F.when(hit, 1).otherwise(0).alias("hit"),
+                    ),
+                ).alias("out"),
+            )
+
+        return F.aggregate(ordered, init, step)["out"]
+
+    return let(
+        F.coalesce(dets, F.array()),
+        lambda ds: let(F.coalesce(gts, F.array()), lambda gs: mk(ds, gs)),
     )

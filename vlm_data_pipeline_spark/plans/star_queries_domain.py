@@ -1330,3 +1330,95 @@ FROM n_samples
 )
 def qa_pipeline_summary_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa_summary(generate_all(synthetic_frames(spark, sf_dir)))
+
+
+_GREEDY_ORACLE = """
+WITH d AS (
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(l_partkey % 2 AS INT) AS gt_idx,
+           CAST(l_partkey % 7 AS INT) AS off,
+           cast(l_partkey % 997 AS DOUBLE) / 997.0 AS score
+    FROM lineitem
+), posd AS (
+    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey) - 1 AS pos
+    FROM d
+), iou AS (
+    SELECT *, (10.0 - off) / (10.0 + off) AS iou FROM posd
+), won AS (
+    SELECT *, CASE WHEN iou >= 0.5 THEN
+        row_number() OVER (PARTITION BY l_orderkey, gt_idx, iou >= 0.5
+                           ORDER BY score DESC, pos ASC)
+        END AS rn
+    FROM iou
+)
+SELECT l_orderkey AS image,
+       row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY score DESC, pos ASC) - 1 AS rank_pos,
+       round(score, 6) AS score,
+       CASE WHEN iou >= 0.5 AND rn = 1 THEN 1 ELSE 0 END AS hit
+FROM won
+"""
+
+
+@register(
+    "eval_greedy_match",
+    _GREEDY_ORACLE,
+    "2.11 tail closed: VOC greedy detection-GT matching as an IN-ROW "
+    "array fold (descending-score claims of the best unmatched GT, each "
+    "GT once) — zero shuffle per frame. Demo synthesizes dets whose "
+    "neighborhoods are disjoint (each det overlaps at most one GT), "
+    "where greedy provably reduces to per-GT score-argmax — which the "
+    "SQL oracle expresses with windows; the contention cases (multiple "
+    "GTs in reach) are pinned analytically in tests/test_evaluation.py. "
+    "Composes with average_precision for the full eval CLI semantics. "
+    "Library: functions.evaluation.greedy_match_hits.",
+)
+def eval_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.evaluation import greedy_match_hits
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    x0 = ((F.col("l_partkey") % 2) * 100 + F.col("l_partkey") % 7).cast("double")
+    det = F.struct(
+        ((F.col("l_partkey") % 997).cast("double") / 997.0).alias("score"),
+        F.struct(
+            x0.alias("x_min"),
+            F.lit(0.0).alias("y_min"),
+            (x0 + 10.0).alias("x_max"),
+            F.lit(10.0).alias("y_max"),
+        ).alias("box"),
+    )
+    frames = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", det.alias("det")
+    ).groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_partkey").alias("pk"),
+                        F.col("det").alias("det"),
+                    )
+                )
+            ),
+            lambda s: s["det"],
+        ).alias("dets")
+    )
+    gt = lambda x: F.struct(  # noqa: E731
+        F.lit(float(x)).alias("x_min"),
+        F.lit(0.0).alias("y_min"),
+        F.lit(float(x) + 10.0).alias("x_max"),
+        F.lit(10.0).alias("y_max"),
+    )
+    matched = frames.select(
+        F.col("l_orderkey").alias("image"),
+        F.posexplode(
+            greedy_match_hits(F.col("dets"), F.array(gt(0), gt(100)), 0.5)
+        ).alias("rank_pos", "m"),
+    )
+    return matched.select(
+        "image",
+        "rank_pos",
+        F.round("m.score", 6).alias("score"),
+        F.col("m.hit").alias("hit"),
+    )
