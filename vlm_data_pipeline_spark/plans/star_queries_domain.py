@@ -1422,3 +1422,35 @@ def eval_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m.score", 6).alias("score"),
         F.col("m.hit").alias("hit"),
     )
+
+
+_ACC_ORACLE = """
+SELECT l_returnflag AS grp,
+       round(sum(CASE WHEN abs(cast(l_quantity AS DOUBLE) - 25.0) / 25.0
+                           <= 0.2 THEN 1 ELSE 0 END) * 100.0 / count(*), 6)
+           AS accuracy,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+@register(
+    "eval_accuracy_under_threshold",
+    _ACC_ORACLE,
+    "2.11 (objectron/dataset/metrics.py:101-117): accuracy-under-"
+    "threshold — the percent of per-row errors within a tolerance, one "
+    "conditional aggregate with map-side partial combine. Errors "
+    "synthesized per lineitem (relative quantity deviation, returnflag "
+    "groups). Completes the eval metric family's driver checks "
+    "(iou_2d + AP + greedy matching + accuracy). Library: "
+    "functions.evaluation.accuracy_under_threshold.",
+)
+def eval_accuracy_under_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.evaluation import accuracy_under_threshold
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    errors = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (F.abs(F.col("l_quantity").cast("double") - 25.0) / 25.0).alias("error"),
+    )
+    return accuracy_under_threshold(errors, ["grp"], thresh=0.2)
