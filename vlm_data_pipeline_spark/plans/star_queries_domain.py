@@ -1454,3 +1454,44 @@ def eval_accuracy_under_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.abs(F.col("l_quantity").cast("double") - 25.0) / 25.0).alias("error"),
     )
     return accuracy_under_threshold(errors, ["grp"], thresh=0.2)
+
+
+_QA_2D_SUMMARY_ORACLE = f"""
+WITH {_SQL_BOXES_2D},
+counts AS (
+    SELECT l_orderkey, cat, count(*) AS cnt FROM b2 GROUP BY 1, 2
+), f AS (
+    SELECT count(DISTINCT l_orderkey) AS nf FROM b2
+), fc AS (
+    SELECT count(*) AS nq, count(DISTINCT l_orderkey) AS ni
+    FROM (SELECT DISTINCT l_orderkey, cat FROM b2)
+), mc AS (
+    SELECT count(*) AS nq, count(DISTINCT l_orderkey) AS ni
+    FROM counts WHERE cnt >= 2
+)
+SELECT 'object_count_2d' AS task, nf AS n_questions, nf AS n_images,
+       0 AS n_multiple_choice, nf AS n_numerical, 0 AS n_text
+FROM f
+UNION ALL
+SELECT 'object_count_mc', nq, ni, nq, 0, 0 FROM mc
+UNION ALL
+SELECT 'bbox_2d_size', nq, ni, nq, 0, 0 FROM fc
+UNION ALL
+SELECT 'object_2d_size', nq, ni, 0, nq, 0 FROM fc
+"""
+
+
+@register(
+    "qa_pipeline_2d_summary",
+    _QA_2D_SUMMARY_ORACLE,
+    "A9 over the routed 2D pipeline: per-task question counts, image "
+    "counts, and answer-type mix of the four 2D task generators, "
+    "re-derived in SQL (counts per frame/category; the 1-20 total bound "
+    "holds vacuously at <= 7 boxes per synthetic frame). Together with "
+    "qa_pipeline_summary_oracle this value-checks the pipeline summary "
+    "surface on BOTH modality routes.",
+)
+def qa_pipeline_2d_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.star_frames import synthetic_frames_2d
+
+    return qa_summary(generate_all(synthetic_frames_2d(spark, sf_dir)))
