@@ -1,0 +1,129 @@
+"""CLI entry points — the engine's analogue of the reference's driver
+scripts (process_all.py / generate_qa.py / create_labeled_dataset.py):
+
+    python -m vlm_data_pipeline_spark qa      --frames DIR --out DIR
+    python -m vlm_data_pipeline_spark enrich  --frames DIR --out DIR
+    python -m vlm_data_pipeline_spark clean   --docs PARQUET --out DIR
+    python -m vlm_data_pipeline_spark summary --frames DIR
+
+``--frames`` reads a parquet directory holding the canonical FRAME
+schema (any ingest adapter's output); ``--docs`` a documents table
+(doc_id, text, ...). Cluster deployments pass the same flags to
+spark-submit — the SparkSession factory only chooses local[] when no
+master is configured upstream.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: int | None):
+    from .session import get_spark
+
+    return get_spark("vlm-pipeline-cli", cpus=cpus)
+
+
+def cmd_qa(args: argparse.Namespace) -> int:
+    from .qa import generate_all, qa_summary, write_qa_outputs
+
+    spark = _spark(args.cpus)
+    frames = spark.read.parquet(args.frames)
+    all_qa = generate_all(frames, tasks=args.tasks)
+    write_qa_outputs(all_qa, args.out)
+    qa_summary(all_qa).show(20, truncate=False)
+    return 0
+
+
+def cmd_enrich(args: argparse.Namespace) -> int:
+    from .enrich import apply_codebook, build_codebook, label_histogram
+
+    spark = _spark(args.cpus)
+    frames = spark.read.parquet(args.frames)
+    codebook = build_codebook(frames)
+    labeled = apply_codebook(frames, codebook, labeled_only=not args.keep_unlabeled)
+    labeled.write.mode("overwrite").parquet(f"{args.out}/labeled")
+    codebook.coalesce(1).write.mode("overwrite").json(f"{args.out}/codebook")
+    label_histogram(codebook).show(50, truncate=False)
+    return 0
+
+
+def cmd_clean(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators import curation, dedup
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.docs)
+    q = curation.quality_filter(docs)
+    pairs = dedup.minhash_lsh_pairs(q, threshold=args.jaccard)
+    kept = dedup.dedup_keep_filter(q, dedup.neardup_components(pairs))
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        flagged = dedup.decontaminate(kept, bench, n=args.ngram).select("doc_id")
+        kept = kept.join(F.broadcast(flagged), "doc_id", "left_anti")
+    if args.scrub_pii:
+        kept = kept.withColumn("text", curation.scrub_pii(F.col("text")))
+    kept.write.mode("overwrite").parquet(f"{args.out}/clean")
+    n_in, n_out = docs.count(), spark.read.parquet(f"{args.out}/clean").count()
+    print(f"kept {n_out}/{n_in} documents")
+    return 0
+
+
+def cmd_summary(args: argparse.Namespace) -> int:
+    from .sources.json_frames import dataset_summary, parameter_audit
+
+    spark = _spark(args.cpus)
+    frames = spark.read.parquet(args.frames)
+    dataset_summary(frames).show(50, truncate=False)
+    parameter_audit(frames).show(50, truncate=False)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vlm_data_pipeline_spark")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    qa = sub.add_parser("qa", help="run the QA task generators", parents=[common])
+    qa.add_argument("--frames", required=True)
+    qa.add_argument("--out", required=True)
+    qa.add_argument("--tasks", nargs="*", default=None)
+    qa.set_defaults(fn=cmd_qa)
+
+    en = sub.add_parser(
+        "enrich", help="build + apply the label codebook", parents=[common]
+    )
+    en.add_argument("--frames", required=True)
+    en.add_argument("--out", required=True)
+    en.add_argument("--keep-unlabeled", action="store_true")
+    en.set_defaults(fn=cmd_enrich)
+
+    cl = sub.add_parser(
+        "clean", help="quality + dedup + decontamination", parents=[common]
+    )
+    cl.add_argument("--docs", required=True)
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--benchmark", default=None)
+    cl.add_argument("--jaccard", type=float, default=0.8)
+    cl.add_argument("--ngram", type=int, default=13)
+    cl.add_argument("--scrub-pii", action="store_true")
+    cl.set_defaults(fn=cmd_clean)
+
+    sm = sub.add_parser(
+        "summary", help="dataset summary + parameter audit", parents=[common]
+    )
+    sm.add_argument("--frames", required=True)
+    sm.set_defaults(fn=cmd_summary)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
