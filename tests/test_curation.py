@@ -155,3 +155,46 @@ def test_lm_scoring_zero_shuffle(spark):
     out = docs.select(lm.mean_neg_log_prob(F.col("text"), model).alias("s"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1200]
+
+
+def test_stratified_sample_single_exchange(spark):
+    """The quota window shuffles ONCE on the stratum key — no second
+    exchange sneaks in from the key expression."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in range(50)], "doc_id long, text string, lang string"
+    )
+    plan = (
+        curation.stratified_sample(docs, "lang", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:1500]
+
+
+def test_scrub_pii_url_with_embedded_email(spark):
+    """Pattern ORDER: URLs first, so an address inside a URL is swallowed
+    by <URL> instead of leaving a half-scrubbed mailto host."""
+    df = spark.createDataFrame(
+        [(1, "see https://ex.com/mail?to=a@b.co for info x@y.io end")],
+        "doc_id long, text string",
+    )
+    out = df.select(curation.scrub_pii(F.col("text")).alias("c")).collect()[0].c
+    assert out == "see <URL> for info <EMAIL> end"
+
+
+def test_bigram_lm_unseen_tokens(spark):
+    """A doc of entirely unseen tokens scores with pure smoothing mass:
+    -ln(1 / (0 + V)) per pair — finite, no nulls, no crashes."""
+    import math
+
+    from vlm_data_pipeline_spark.operators import lm
+
+    model = lm.train_bigram_lm(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    )
+    out = (
+        spark.createDataFrame([(2, "zz qq zz")], "doc_id long, text string")
+        .select(lm.mean_neg_log_prob(F.col("text"), model).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert out == pytest.approx(-math.log(1 / 3))  # V = 3, c1 = 0, c12 = 0
