@@ -198,3 +198,20 @@ def test_bigram_lm_unseen_tokens(spark):
         .s
     )
     assert out == pytest.approx(-math.log(1 / 3))  # V = 3, c1 = 0, c12 = 0
+
+
+def test_pack_sequences_oversized_doc_overflows_own_bin(spark):
+    """A doc larger than the budget is never split: it starts in the bin
+    its running total lands on and overflows it (documented contract)."""
+    docs = spark.createDataFrame(
+        [(1, "w " * 25), (2, "w w"), (3, "w w w")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in curation.pack_sequences(
+        docs, max_tokens=10, n_shards=1
+    ).collect()}
+    assert len(rows) == 3
+    acc = 0
+    for r in sorted(rows.values(), key=lambda x: x.tokens_before):
+        assert r.bin == r.tokens_before // 10
+        acc += r.n_tokens
+    assert acc == 30

@@ -367,3 +367,21 @@ def test_pq_ann_recall_and_determinism(spark, sf_dir):
     trained_recall = len(brute & trained) / len(brute)
     assert trained_recall >= 0.4, f"trained recall@5 = {trained_recall}"
     assert trained_recall > recall
+
+
+def test_components_and_keep_filter_degenerate_inputs(spark):
+    """No pairs -> empty components, keep filter passes everything; a
+    self-loop edge (defensive input) must not corrupt labels."""
+    empty = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    assert dedup.neardup_components(empty).count() == 0
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(4)], "doc_id long, text string"
+    )
+    kept = dedup.dedup_keep_filter(docs, dedup.neardup_components(empty))
+    assert kept.count() == 4
+
+    selfloop = spark.createDataFrame(
+        [(5, 5, 1.0), (5, 6, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    comp = {r.doc_id: r.component_id for r in dedup.neardup_components(selfloop).collect()}
+    assert comp == {5: 5, 6: 5}

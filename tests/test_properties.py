@@ -244,3 +244,17 @@ def test_hdf5_roundtrip_random_tensors(data, shape, chunked):
     out = read_datasets(blob, ["t"])
     assert out["t"].shape == tuple(shape)
     assert np.array_equal(out["t"], arr)
+
+
+def test_tfrecord_truncated_raises():
+    import pytest as _pytest
+
+    good = struct.pack("<Q", 5) + b"\x00" * 4 + b"hello" + b"\x00" * 4
+    bad = struct.pack("<Q", 99) + b"\x00" * 4 + b"short"
+    assert list(iter_tfrecords(good)) == [b"hello"]
+    with _pytest.raises(ValueError, match="truncated"):
+        list(iter_tfrecords(good + bad))
+
+
+def test_tf_example_no_features():
+    assert parse_tf_example(b"") == {}
