@@ -15,6 +15,7 @@ def test_quality_filter_rules(spark):
             (2, "hi"),                                    # too few tokens
             (3, "spam spam spam spam spam spam spam"),    # uniq_ratio too low
             (4, "a " * 200 + "bb"),                       # mean word len < 2
+            (5, "alpha beta gamma delta epsilon zeta"),   # < 2 stopwords
         ],
         "doc_id long, text string",
     )
@@ -22,10 +23,14 @@ def test_quality_filter_rules(spark):
     assert kept == [1]
 
     audit = curation.quality_audit(docs).collect()[0]
-    assert audit.n_docs == 4
+    assert audit.n_docs == 5
     assert audit.n_survivors == 1
-    assert audit.n_tokens_in_band == 3          # doc 2 fails the band
-    assert audit.n_uniq_ok == 2                 # docs 3 and 4 fail diversity
+    assert audit.n_tokens_in_band == 4          # doc 2 fails the band
+    assert audit.n_uniq_ok == 3                 # docs 3 and 4 fail diversity
+    # the Gopher stopword floor (≥ 2 stopwords) is a real rule, not the
+    # vacuous ratio >= 0.0 default: doc 5 fails it and nothing else
+    assert audit.n_stopword_count_ok == 2       # only docs 1 and 4 pass
+    assert audit.n_stopword_ok == 5             # ratio floor stays opt-in
 
 
 def test_quality_filter_zero_shuffle(spark):
@@ -157,9 +162,10 @@ def test_lm_scoring_zero_shuffle(spark):
     assert "Exchange" not in plan, plan[:1200]
 
 
-def test_stratified_sample_single_exchange(spark):
-    """The quota window shuffles ONCE on the stratum key — no second
-    exchange sneaks in from the key expression."""
+def test_stratified_sample_two_phase_no_stratum_reducer(spark):
+    """Scale shape: the FULL input is windowed per (stratum, shard) —
+    n_shards-way parallel — and only the ≤ n_shards×n survivors hit the
+    per-stratum window. No corpus-sized single-stratum reducer exists."""
     docs = spark.createDataFrame(
         [(i, f"t{i}", "en") for i in range(50)], "doc_id long, text string, lang string"
     )
@@ -167,7 +173,34 @@ def test_stratified_sample_single_exchange(spark):
         curation.stratified_sample(docs, "lang", 5)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Exchange") == 1, plan[:1500]
+    # two row_number windows: phase 1 partitions by (lang, __shard),
+    # phase 2 by lang — and Spark's WindowGroupLimit adds map-side
+    # Partial limits before each exchange on top
+    assert plan.count("+- Window [") == 2, plan[:2000]
+    assert "hashpartitioning(lang" in plan
+    assert "__shard" in plan
+    assert "row_number(), 5, Partial" in plan
+
+    # output == the naive single-window sample (union-of-shard-top-n
+    # containment), for quotas straddling shard boundaries
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit("strata"), F.col("lang"), F.col("doc_id").cast("string")
+        )
+    )
+    w = W.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    for quota in (1, 5, 49, 50, 60):
+        naive = (
+            docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= quota)
+            .drop("rn")
+        )
+        got = curation.stratified_sample(docs, "lang", quota)
+        assert sorted(r.doc_id for r in got.collect()) == sorted(
+            r.doc_id for r in naive.collect()
+        ), f"quota={quota}"
 
 
 def test_scrub_pii_url_with_embedded_email(spark):
@@ -215,3 +248,68 @@ def test_pack_sequences_oversized_doc_overflows_own_bin(spark):
         assert r.bin == r.tokens_before // 10
         acc += r.n_tokens
     assert acc == 30
+
+
+def test_bigram_lm_collect_is_bounded(spark):
+    """On a corpus with unbounded vocabulary (every token unique) the
+    driver collect is hard-capped by max_vocab/max_bigrams, and the caps
+    keep the deterministic top-K order (count desc, key asc)."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(20))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    model = lm.train_bigram_lm(docs, max_vocab=100, max_bigrams=150)
+    assert len(model.unigrams) == 100
+    assert len(model.bigrams) == 150
+    assert model.vocab_size == 100
+    # all counts are 1 here, so the retained keys are the lexicographic head
+    all_tokens = sorted(f"tok{i}_{j}" for i in range(50) for j in range(20))
+    assert sorted(model.unigrams) == all_tokens[:100]
+    # min_count pruning drops the whole singleton vocabulary
+    pruned = lm.train_bigram_lm(docs, min_count=2)
+    assert pruned.unigrams == {} and pruned.bigrams == {}
+
+
+def test_lm_score_corpus_paths_agree(spark):
+    """The broadcast-join scoring path (large models) must produce the
+    exact same scores as the map-literal in-row path (small models)."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b c d"), (2, "a b c")], "doc_id long, text string"
+    )
+    model = lm.train_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "d d a"), (12, "only"), (13, "zz qq")],
+        "doc_id long, text string",
+    )
+    small = {
+        r.doc_id: r.mean_nlp for r in lm.score_corpus(docs, model).collect()
+    }
+    # force the join path with a tiny literal limit
+    orig = lm.MAP_LITERAL_LIMIT
+    lm.MAP_LITERAL_LIMIT = 0
+    try:
+        joined = {
+            r.doc_id: r.mean_nlp for r in lm.score_corpus(docs, model).collect()
+        }
+    finally:
+        lm.MAP_LITERAL_LIMIT = orig
+    assert set(small) == set(joined) == {10, 11, 13}  # doc 12 has < 2 tokens
+    for k in small:
+        assert small[k] == pytest.approx(joined[k], abs=1e-12)
+
+
+def test_lm_map_literal_guard():
+    """mean_neg_log_prob refuses a model too big for a plan literal."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    big = lm.BigramLM(
+        unigrams={f"w{i}": 1 for i in range(lm.MAP_LITERAL_LIMIT + 1)},
+        bigrams={},
+        vocab_size=lm.MAP_LITERAL_LIMIT + 1,
+    )
+    with pytest.raises(ValueError, match="score_corpus"):
+        lm.mean_neg_log_prob(F.lit("a b"), big)

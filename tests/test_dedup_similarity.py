@@ -385,3 +385,43 @@ def test_components_and_keep_filter_degenerate_inputs(spark):
     )
     comp = {r.doc_id: r.component_id for r in dedup.neardup_components(selfloop).collect()}
     assert comp == {5: 5, 6: 5}
+
+
+def test_neardup_components_string_ids(spark):
+    """Non-numeric ids propagate natively (no silent cast-to-long →
+    NULL → empty graph): component id = lexicographic min."""
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c")], "id_a string, id_b string"
+    )
+    comp = {r.doc_id: r.component_id for r in dedup.neardup_components(pairs).collect()}
+    assert comp == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+
+
+def test_neardup_components_rejects_bad_id_types(spark):
+    import pytest as _pytest
+
+    mixed = spark.createDataFrame([(1, "a")], "id_a long, id_b string")
+    with _pytest.raises(TypeError, match="differ"):
+        dedup.neardup_components(mixed)
+    arrays = spark.createDataFrame([([1], [2])], "id_a array<int>, id_b array<int>")
+    with _pytest.raises(TypeError, match="integral or string"):
+        dedup.neardup_components(arrays)
+
+
+def test_neardup_components_nonconvergence_raises(spark):
+    """A chain deeper than max_iter must RAISE, not return a silently
+    unconverged (wrong) labeling."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    # converges fine with enough rounds...
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.neardup_components(chain, max_iter=25).collect()
+    }
+    assert set(comp.values()) == {0}
+    # ...raises when cut off before the fixpoint
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_components(chain, max_iter=1)

@@ -254,6 +254,12 @@ def test_tfrecord_truncated_raises():
     assert list(iter_tfrecords(good)) == [b"hello"]
     with _pytest.raises(ValueError, match="truncated"):
         list(iter_tfrecords(good + bad))
+    # cut INSIDE the trailing payload CRC: payload complete, CRC short
+    with _pytest.raises(ValueError, match="truncated"):
+        list(iter_tfrecords(good[:-2]))
+    # trailing partial 12-byte header must raise, not be silently dropped
+    with _pytest.raises(ValueError, match="truncated"):
+        list(iter_tfrecords(good + struct.pack("<Q", 5)[:6]))
 
 
 def test_tf_example_no_features():

@@ -147,23 +147,43 @@ def rolling_fingerprint(toks: Column) -> Column:
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
+def quality_counts(text: Column) -> dict[str, Column]:
+    """The INTEGER numerators/denominators behind the quality ratios.
+
+    Exposed separately so threshold rules can compare by integer
+    cross-multiplication (``10 * total_len >= 20 * n_tokens``) instead of
+    double quotients — a ratio that lands exactly on a threshold must not
+    flip with engine-specific last-ulp division (the knife edge behind
+    the CORRECTNESS_r03 ``curation_quality_audit`` hash mismatch).
+    """
+    toks = tokens(text)
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "n_chars": F.length(text).cast("long"),
+        "n_stop": F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long"),
+        "n_uniq": F.size(F.array_distinct(toks)).cast("long"),
+        "total_len": F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ),
+    }
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Length / lexical-diversity / stopword features, all exact ratios of
-    integers (deterministic doubles)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    n_uniq = F.size(F.array_distinct(toks))
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
+    integers (deterministic doubles). Derived from :func:`quality_counts`."""
+    c = quality_counts(text)
+    n = c["n_tokens"]
     nd = n.cast("double")
     return {
-        "n_tokens": n,
+        "n_tokens": F.size(tokens(text)),
         "n_chars": F.length(text),
-        "stopword_ratio": F.when(n > 0, n_stop.cast("double") / nd).otherwise(0.0),
-        "uniq_ratio": F.when(n > 0, n_uniq.cast("double") / nd).otherwise(0.0),
-        "mean_word_len": F.when(n > 0, total_len.cast("double") / nd).otherwise(0.0),
+        "stopword_ratio": F.when(n > 0, c["n_stop"].cast("double") / nd).otherwise(
+            0.0
+        ),
+        "uniq_ratio": F.when(n > 0, c["n_uniq"].cast("double") / nd).otherwise(0.0),
+        "mean_word_len": F.when(
+            n > 0, c["total_len"].cast("double") / nd
+        ).otherwise(0.0),
     }
 
 
@@ -214,10 +234,13 @@ def word_ngrams(toks: Column, n: int) -> Column:
     return let(toks, mk)
 
 
-def repetition_features(text: Column) -> dict[str, Column]:
-    """Within-document repetition signals — the standard LLM-corpus
-    quality filters (duplicate lines, dominant n-grams). Conventions,
-    chosen to be integer-exact and oracle-reproducible:
+def repetition_counts(text: Column) -> dict[str, Column]:
+    """The INTEGER numerators/denominators behind the repetition ratios
+    (see :func:`quality_counts` for why integer counts are the primitive):
+    duplicate-line occurrence/char counts, total line chars, the dominant
+    2-gram's occurrence×char product, duplicated-3-gram chars, and total
+    token chars. Conventions, chosen to be integer-exact and
+    oracle-reproducible:
 
     - lines = newline split, empties dropped; a line's weight is its
       character length;
@@ -308,17 +331,29 @@ def repetition_features(text: Column) -> dict[str, Column]:
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
 
+    return {
+        "n_lines": line_stats["n"],
+        "dup_line_occ": line_stats["n_dup_occ"],
+        "dup_line_chars": line_stats["dup_chars"],
+        "line_chars": line_stats["total_chars"],
+        "top2_chars": F.coalesce(t2["cnt"] * t2["len"], F.lit(0).cast("long")),
+        "g3_dup_chars": g3_stats["dup_chars"],
+        "tok_chars": tok_chars,
+    }
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Ratio view of :func:`repetition_counts` — the Gopher-style
+    repetition signals as exact integer quotients cast at the end."""
+    c = repetition_counts(text)
+
     def ratio(num: Column, den: Column) -> Column:
         return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
 
     return {
-        "n_lines": line_stats["n"],
-        "dup_line_fraction": ratio(line_stats["n_dup_occ"], line_stats["n"]),
-        "dup_line_char_fraction": ratio(
-            line_stats["dup_chars"], line_stats["total_chars"]
-        ),
-        "top_2gram_char_fraction": ratio(
-            F.coalesce(t2["cnt"] * t2["len"], F.lit(0)), tok_chars
-        ),
-        "dup_3gram_char_fraction": ratio(g3_stats["dup_chars"], tok_chars),
+        "n_lines": c["n_lines"],
+        "dup_line_fraction": ratio(c["dup_line_occ"], c["n_lines"]),
+        "dup_line_char_fraction": ratio(c["dup_line_chars"], c["line_chars"]),
+        "top_2gram_char_fraction": ratio(c["top2_chars"], c["tok_chars"]),
+        "dup_3gram_char_fraction": ratio(c["g3_dup_chars"], c["tok_chars"]),
     }

@@ -19,19 +19,25 @@ Scale design:
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import quality_features, repetition_features
+from ..functions.text import quality_counts, repetition_counts
 
 # Gopher-shaped default thresholds (Rae et al. 2021 §A1.1), tuned only
 # where the synthetic corpus' scale differs; deployments override.
+# ``min_stopword_count`` is the Gopher floor proper (a document must
+# contain at least 2 stopwords); ``min_stopword_ratio`` defaults to 0.0
+# (vacuously true) and is an opt-in tightening on top of the count floor.
 DEFAULT_RULES: dict[str, float] = {
     "min_tokens": 5,
     "max_tokens": 100_000,
     "min_mean_word_len": 2.0,
     "max_mean_word_len": 12.0,
+    "min_stopword_count": 2,
     "min_stopword_ratio": 0.0,
     "min_uniq_ratio": 0.2,
     "max_dup_line_char_fraction": 0.3,
@@ -40,27 +46,71 @@ DEFAULT_RULES: dict[str, float] = {
 }
 
 
+def rule_fraction(threshold: float) -> Fraction:
+    """Threshold as an exact rational (via its decimal repr): 0.3 → 3/10.
+
+    Every ratio rule compares by integer cross-multiplication
+    (``num * denominator <op> den * numerator``) so a document landing
+    exactly on a threshold evaluates identically in every engine — double
+    quotients differ in the last ulp between Spark and DuckDB, which is
+    what flipped one audit counter in CORRECTNESS_r03.
+    """
+    return Fraction(str(threshold))
+
+
 def quality_predicates(
     text: Column, rules: dict[str, float] | None = None
 ) -> dict[str, Column]:
     """One boolean Column per rule (True = passes). Exposed separately so
-    audits can count per-rule rejection rates, not just the conjunction."""
+    audits can count per-rule rejection rates, not just the conjunction.
+
+    All comparisons are INTEGER-exact: counts from ``quality_counts`` /
+    ``repetition_counts`` cross-multiplied against the rule's exact
+    rational threshold — no double division anywhere. Empty-denominator
+    conventions mirror the ratio view (ratio = 0.0 when the denominator
+    is 0).
+    """
     r = {**DEFAULT_RULES, **(rules or {})}
-    q = quality_features(text)
-    rep = repetition_features(text)
+    q = quality_counts(text)
+    rep = repetition_counts(text)
+    n, tok_chars, line_chars = q["n_tokens"], rep["tok_chars"], rep["line_chars"]
+
+    def ge(num: Column, den: Column, thr: float) -> Column:
+        f = rule_fraction(thr)
+        return num * f.denominator >= den * f.numerator
+
+    def le(num: Column, den: Column, thr: float) -> Column:
+        f = rule_fraction(thr)
+        return num * f.denominator <= den * f.numerator
+
+    one = F.lit(1).cast("long")
+    lo, hi = rule_fraction(r["min_mean_word_len"]), rule_fraction(r["max_mean_word_len"])
     return {
-        "tokens_in_band": q["n_tokens"].between(r["min_tokens"], r["max_tokens"]),
-        "mean_word_len_in_band": q["mean_word_len"].between(
-            r["min_mean_word_len"], r["max_mean_word_len"]
+        "tokens_in_band": ge(n, one, r["min_tokens"]) & le(n, one, r["max_tokens"]),
+        "mean_word_len_in_band": F.when(
+            n > 0,
+            ge(q["total_len"], n, r["min_mean_word_len"])
+            & le(q["total_len"], n, r["max_mean_word_len"]),
+        ).otherwise(F.lit(lo <= 0 <= hi)),
+        "stopword_count_ok": q["n_stop"] >= int(r["min_stopword_count"]),
+        "stopword_ok": F.when(
+            n > 0, ge(q["n_stop"], n, r["min_stopword_ratio"])
+        ).otherwise(F.lit(rule_fraction(r["min_stopword_ratio"]) <= 0)),
+        "uniq_ok": F.when(n > 0, ge(q["n_uniq"], n, r["min_uniq_ratio"])).otherwise(
+            F.lit(rule_fraction(r["min_uniq_ratio"]) <= 0)
         ),
-        "stopword_ok": q["stopword_ratio"] >= r["min_stopword_ratio"],
-        "uniq_ok": q["uniq_ratio"] >= r["min_uniq_ratio"],
-        "dup_line_ok": rep["dup_line_char_fraction"]
-        <= r["max_dup_line_char_fraction"],
-        "top_2gram_ok": rep["top_2gram_char_fraction"]
-        <= r["max_top_2gram_char_fraction"],
-        "dup_3gram_ok": rep["dup_3gram_char_fraction"]
-        <= r["max_dup_3gram_char_fraction"],
+        "dup_line_ok": F.when(
+            line_chars > 0,
+            le(rep["dup_line_chars"], line_chars, r["max_dup_line_char_fraction"]),
+        ).otherwise(F.lit(rule_fraction(r["max_dup_line_char_fraction"]) >= 0)),
+        "top_2gram_ok": F.when(
+            tok_chars > 0,
+            le(rep["top2_chars"], tok_chars, r["max_top_2gram_char_fraction"]),
+        ).otherwise(F.lit(rule_fraction(r["max_top_2gram_char_fraction"]) >= 0)),
+        "dup_3gram_ok": F.when(
+            tok_chars > 0,
+            le(rep["g3_dup_chars"], tok_chars, r["max_dup_3gram_char_fraction"]),
+        ).otherwise(F.lit(rule_fraction(r["max_dup_3gram_char_fraction"]) >= 0)),
     }
 
 
@@ -107,12 +157,24 @@ def stratified_sample(
     n_per_stratum: int,
     id_col: str = "doc_id",
     seed: str = "strata",
+    n_shards: int = 64,
 ) -> DataFrame:
     """Exactly min(n, |stratum|) docs per stratum, chosen by a
     deterministic md5-derived order (ties impossible: the id breaks
     them) — the data-mixing primitive (fixed per-language/domain quotas)
     with reproducibility independent of partitioning, engine, and run.
+
+    TWO-PHASE at scale: a naive ``row_number() OVER (PARTITION BY
+    stratum)`` funnels every row of a stratum through ONE reducer —
+    strata are few (languages/domains), so that's corpus/|strata| rows
+    per task at 100 TB. Phase 1 takes the per-(stratum, shard) top-n by
+    the same key (``n_shards``× parallel, each window sees ≤
+    |stratum|/n_shards rows); phase 2 re-windows over the ≤ n_shards×n
+    survivors per stratum. Identical output: the global top-n of a total
+    order is contained in the union of shard top-ns.
     """
+    from ..functions.text import hash32
+
     # \x1f unit separator keeps ("ab","c") != ("a","bc") — the
     # detrandom seed convention; the oracle mirrors it with chr(31)
     key = F.md5(
@@ -123,11 +185,21 @@ def stratified_sample(
             F.col(id_col).cast("string"),
         )
     )
-    w = W.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    shard = (hash32(F.col(id_col).cast("string")) % n_shards).cast("int")
+    staged = docs.withColumn("__k", key).withColumn("__shard", shard)
+    w1 = W.partitionBy(strata_col, "__shard").orderBy(
+        F.col("__k").asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        staged.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= n_per_stratum)
+        .drop("__rn1")
+    )
+    w2 = W.partitionBy(strata_col).orderBy(F.col("__k").asc(), F.col(id_col).asc())
     return (
-        docs.withColumn("__rn", F.row_number().over(w))
+        survivors.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= n_per_stratum)
-        .drop("__rn")
+        .drop("__rn", "__k", "__shard")
     )
 
 

@@ -448,10 +448,28 @@ def neardup_components(
     one distributed join per round, localCheckpoint to cut lineage) —
     like KMeans this cannot be one SQL expression, but the FIXPOINT is
     SQL-checkable via a recursive CTE, so the driver value-checks it.
+
+    Ids keep their NATIVE type (min/least are total orders on integrals
+    and strings alike); a silent cast-to-long would NULL out string/UUID
+    ids and empty the pair graph. Raises if the fixpoint is not reached
+    within ``max_iter`` rounds — an unconverged labeling is WRONG (some
+    vertices still carry a non-minimal label), never a best-effort.
     """
-    edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    from pyspark.sql.types import IntegerType, LongType, ShortType, StringType
+
+    t_a, t_b = pairs.schema[id_a].dataType, pairs.schema[id_b].dataType
+    ok_types = (IntegerType, LongType, ShortType, StringType)
+    if not (isinstance(t_a, ok_types) and isinstance(t_b, ok_types)):
+        raise TypeError(
+            f"neardup_components needs integral or string id columns, got "
+            f"{id_a}:{t_a.simpleString()}, {id_b}:{t_b.simpleString()}"
+        )
+    if t_a.simpleString() != t_b.simpleString():
+        raise TypeError(
+            f"id column types differ: {id_a}:{t_a.simpleString()} vs "
+            f"{id_b}:{t_b.simpleString()} — min-label order would be ambiguous"
+        )
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -489,6 +507,13 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the component graph is "
+            f"deeper than expected; raise max_iter (propagation needs "
+            f"O(component diameter) rounds)"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
 
 

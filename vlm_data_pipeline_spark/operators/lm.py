@@ -31,18 +31,42 @@ class BigramLM:
     vocab_size: int
 
 
+DEFAULT_MAX_VOCAB = 65_536
+DEFAULT_MAX_BIGRAMS = 262_144
+
+
 def train_bigram_lm(
-    corpus: DataFrame, text_col: str = "text"
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int = DEFAULT_MAX_VOCAB,
+    max_bigrams: int = DEFAULT_MAX_BIGRAMS,
+    sample_fraction: float | None = None,
 ) -> BigramLM:
     """One distributed counts pass (explode → groupBy, the only shuffle —
-    training-time, not scoring-time), collected to the driver: counts are
-    vocab-bounded, the dimension-table contract every broadcast in this
-    repo relies on."""
+    training-time, not scoring-time), collected to the driver.
+
+    Raw web text has UNBOUNDED unigram/bigram vocabulary, so the collect
+    is hard-capped: counts below ``min_count`` are dropped and only the
+    top ``max_vocab`` unigrams / ``max_bigrams`` bigrams by count (ties →
+    lexicographically-first) ship to the driver — the distributed top-K
+    (TakeOrderedAndProject) runs BEFORE the collect, so driver memory is
+    bounded by the caps, never by the corpus. CCNet additionally trains
+    on a bounded reference sample; ``sample_fraction`` applies a
+    deterministic (seed=0) row sample first. ``vocab_size`` (the
+    add-one-smoothing V) is the RETAINED vocabulary size, mirroring
+    whatever pruning was applied.
+    """
+    if sample_fraction is not None:
+        corpus = corpus.sample(fraction=sample_fraction, seed=0)
     toks = corpus.select(tokens(F.col(text_col)).alias("t"))
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .count()
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(max_vocab)
         .collect()
     )
     bi = (
@@ -56,6 +80,9 @@ def train_bigram_lm(
         )
         .groupBy("b")
         .count()
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("b").asc())
+        .limit(max_bigrams)
         .collect()
     )
     unigrams = {r.w: r["count"] for r in uni}
@@ -66,14 +93,30 @@ def train_bigram_lm(
     )
 
 
+# Above this many count entries a create_map literal bloats the plan
+# (Catalyst optimization time + driver memory grow with plan size); the
+# broadcast-join path in score_corpus takes over.
+MAP_LITERAL_LIMIT = 20_000
+
+
 def mean_neg_log_prob(text: Column, model: BigramLM) -> Column:
     """Per-document mean negative log-probability under the bigram model —
     the (log-)perplexity proxy CCNet buckets on; lower = more fluent.
     NULL for documents with fewer than 2 tokens.
 
     In-row: two map-literal lookups per token pair inside one fold —
-    no explode, no join, no shuffle.
+    no explode, no join, no shuffle. Only valid for SMALL models (the
+    counts become plan literals): raises above MAP_LITERAL_LIMIT
+    entries — use :func:`score_corpus`, which auto-selects the
+    broadcast-join path for large models.
     """
+    n_entries = len(model.unigrams) + len(model.bigrams)
+    if n_entries > MAP_LITERAL_LIMIT:
+        raise ValueError(
+            f"model has {n_entries} count entries (> {MAP_LITERAL_LIMIT}): "
+            f"a create_map plan literal this size blows up Catalyst — use "
+            f"score_corpus(), which joins against broadcast count tables"
+        )
     v = model.vocab_size
     uni_pairs: list[Column] = []
     for w, c in sorted(model.unigrams.items()):
@@ -119,3 +162,63 @@ def mean_neg_log_prob(text: Column, model: BigramLM) -> Column:
         return F.when(n >= 2, total / (n - 1).cast("double"))
 
     return let(tokens(text), score)
+
+
+def score_corpus(
+    docs: DataFrame,
+    model: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "mean_nlp",
+) -> DataFrame:
+    """Score every document (≥ 2 tokens) → (id, ``out_col``), choosing the
+    execution path by model size:
+
+    - small model: the zero-shuffle in-row map-literal fold
+      (:func:`mean_neg_log_prob`);
+    - large model (> MAP_LITERAL_LIMIT count entries): explode each
+      document's token pairs and LEFT-join the unigram/bigram count
+      tables — both joins BROADCAST (the model is cap-bounded by
+      ``train_bigram_lm``, i.e. dimension-sized), then one partial-agg
+      groupBy(id) carrying only (id, partial sum, n). Identical scores
+      (the same add-one formula), shuffle bounded by documents, never by
+      the model.
+    """
+    if len(model.unigrams) + len(model.bigrams) <= MAP_LITERAL_LIMIT:
+        return docs.select(
+            F.col(id_col),
+            mean_neg_log_prob(F.col(text_col), model).alias(out_col),
+        ).filter(F.col(out_col).isNotNull())
+
+    spark = docs.sparkSession
+    uni_df = spark.createDataFrame(
+        list(model.unigrams.items()), "w string, c_uni long"
+    )
+    bi_df = spark.createDataFrame(list(model.bigrams.items()), "b string, c_bi long")
+    pairs = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.col(id_col),
+            F.size("t").alias("n"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] as w, "
+                    "concat(t[i - 1], chr(31), t[i]) as b))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "n", "p.w", "p.b")
+    )
+    v = model.vocab_size
+    nlp = -F.log(
+        (F.coalesce(F.col("c_bi"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c_uni"), F.lit(0)) + v).cast("double")
+    )
+    return (
+        pairs.join(F.broadcast(bi_df), "b", "left")
+        .join(F.broadcast(uni_df), "w", "left")
+        .groupBy(id_col)
+        .agg((F.sum(nlp) / (F.max("n") - 1).cast("double")).alias(out_col))
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup, similarity
+from ..operators import lm as lm_ops
 from .registry import load_tables, register
 
 # ---------------------------------------------------------------------------
@@ -833,7 +834,71 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # feature fragments over (doc_id, text, lines, w, g2, g3) — reused by the
-# audit oracle; thresholds mirror operators.curation.DEFAULT_RULES
+# audit oracle. The feat CTE carries INTEGER counts only and the preds
+# CTE is GENERATED from operators.curation.DEFAULT_RULES via the same
+# exact-rational cross-multiplication the Spark predicates use — no
+# double quotient exists on either side (the CORRECTNESS_r03 audit
+# hash mismatch was a last-ulp division knife edge).
+def _c_preds() -> str:
+    """Integer-exact predicate expressions over the feat counts."""
+    from ..operators.curation import DEFAULT_RULES, rule_fraction
+
+    r = DEFAULT_RULES
+
+    def ge(num: str, den: str, thr: float) -> str:
+        f = rule_fraction(thr)
+        return f"({num} * {f.denominator} >= {den} * {f.numerator})"
+
+    def le(num: str, den: str, thr: float) -> str:
+        f = rule_fraction(thr)
+        return f"({num} * {f.denominator} <= {den} * {f.numerator})"
+
+    def b(x: bool) -> str:
+        return "TRUE" if x else "FALSE"
+
+    lo = rule_fraction(r["min_mean_word_len"])
+    hi = rule_fraction(r["max_mean_word_len"])
+    return f"""
+            ({ge("n_tokens", "1", r["min_tokens"])}
+             AND {le("n_tokens", "1", r["max_tokens"])}) AS tokens_in_band,
+            (CASE WHEN n_tokens > 0
+                  THEN {ge("tok_chars", "n_tokens", r["min_mean_word_len"])}
+                       AND {le("tok_chars", "n_tokens", r["max_mean_word_len"])}
+                  ELSE {b(lo <= 0 <= hi)} END) AS mean_word_len_in_band,
+            (n_stop >= {int(r["min_stopword_count"])}) AS stopword_count_ok,
+            (CASE WHEN n_tokens > 0
+                  THEN {ge("n_stop", "n_tokens", r["min_stopword_ratio"])}
+                  ELSE {b(rule_fraction(r["min_stopword_ratio"]) <= 0)} END)
+                AS stopword_ok,
+            (CASE WHEN n_tokens > 0
+                  THEN {ge("n_uniq", "n_tokens", r["min_uniq_ratio"])}
+                  ELSE {b(rule_fraction(r["min_uniq_ratio"]) <= 0)} END) AS uniq_ok,
+            (CASE WHEN line_chars > 0
+                  THEN {le("dup_line_chars", "line_chars",
+                           r["max_dup_line_char_fraction"])}
+                  ELSE {b(rule_fraction(r["max_dup_line_char_fraction"]) >= 0)} END)
+                AS dup_line_ok,
+            (CASE WHEN tok_chars > 0
+                  THEN {le("top2_chars", "tok_chars",
+                           r["max_top_2gram_char_fraction"])}
+                  ELSE {b(rule_fraction(r["max_top_2gram_char_fraction"]) >= 0)} END)
+                AS top_2gram_ok,
+            (CASE WHEN tok_chars > 0
+                  THEN {le("g3_dup_chars", "tok_chars",
+                           r["max_dup_3gram_char_fraction"])}
+                  ELSE {b(rule_fraction(r["max_dup_3gram_char_fraction"]) >= 0)} END)
+                AS dup_3gram_ok
+"""
+
+
+# every quality predicate, for filter-stage conjunctions
+_C_ALL_PREDS = (
+    "tokens_in_band AND mean_word_len_in_band AND stopword_count_ok "
+    "AND stopword_ok AND uniq_ok AND dup_line_ok AND top_2gram_ok "
+    "AND dup_3gram_ok"
+)
+
+
 def _c_features(src: str = "documents") -> str:
     """Quality feature/predicate CTE chain over ``src`` (g/gg/feat/preds)."""
     return f"""
@@ -845,42 +910,23 @@ def _c_features(src: str = "documents") -> str:
     ), feat AS (
         SELECT doc_id,
             len(w) AS n_tokens,
-            CASE WHEN len(w) > 0 THEN
-                cast(len(list_filter(w, t -> t IN ('{_D_STOP}'))) as DOUBLE)
-                    / cast(len(w) as DOUBLE) ELSE 0.0 END AS stopword_ratio,
-            CASE WHEN len(w) > 0 THEN
-                cast(len(list_distinct(w)) as DOUBLE) / cast(len(w) as DOUBLE)
-                ELSE 0.0 END AS uniq_ratio,
-            CASE WHEN len(w) > 0 THEN
-                cast(list_sum(list_transform(w, t -> length(t))) as DOUBLE)
-                    / cast(len(w) as DOUBLE) ELSE 0.0 END AS mean_word_len,
-            CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
-                 THEN cast({_r_dup_sum("lines", "length(d)")} AS DOUBLE)
-                     / cast(list_sum(list_transform(lines, l -> length(l))) AS DOUBLE)
-                 ELSE 0.0 END AS dup_line_char_fraction,
-            CASE WHEN coalesce(list_sum(list_transform(w, t -> length(t))), 0) > 0
-                 THEN cast(coalesce(
-                        (-(list_sort(list_transform(list_distinct(g2),
-                            d -> {{'neg': -{_r_cnt("g2")}, 'gram': d}}))[1].neg))
-                        * (length(list_sort(list_transform(list_distinct(g2),
-                            d -> {{'neg': -{_r_cnt("g2")}, 'gram': d}}))[1].gram) - 1),
-                        0) AS DOUBLE)
-                     / cast(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
-                 ELSE 0.0 END AS top_2gram_char_fraction,
-            CASE WHEN coalesce(list_sum(list_transform(w, t -> length(t))), 0) > 0
-                 THEN cast({_r_dup_sum("g3", "length(d) - 2")} AS DOUBLE)
-                     / cast(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
-                 ELSE 0.0 END AS dup_3gram_char_fraction
+            len(list_filter(w, t -> t IN ('{_D_STOP}'))) AS n_stop,
+            len(list_distinct(w)) AS n_uniq,
+            coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS tok_chars,
+            coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+                AS line_chars,
+            {_r_dup_sum("lines", "length(d)")} AS dup_line_chars,
+            coalesce(
+                (-(list_sort(list_transform(list_distinct(g2),
+                    d -> {{'neg': -{_r_cnt("g2")}, 'gram': d}}))[1].neg))
+                * (length(list_sort(list_transform(list_distinct(g2),
+                    d -> {{'neg': -{_r_cnt("g2")}, 'gram': d}}))[1].gram) - 1),
+                0) AS top2_chars,
+            {_r_dup_sum("g3", "length(d) - 2")} AS g3_dup_chars
         FROM gg
     ), preds AS (
         SELECT doc_id,
-            (n_tokens BETWEEN 5 AND 100000) AS tokens_in_band,
-            (mean_word_len BETWEEN 2.0 AND 12.0) AS mean_word_len_in_band,
-            (stopword_ratio >= 0.0) AS stopword_ok,
-            (uniq_ratio >= 0.2) AS uniq_ok,
-            (dup_line_char_fraction <= 0.3) AS dup_line_ok,
-            (top_2gram_char_fraction <= 0.6) AS top_2gram_ok,
-            (dup_3gram_char_fraction <= 0.8) AS dup_3gram_ok
+            {_c_preds()}
         FROM feat
     )
 """
@@ -894,14 +940,13 @@ SELECT count(*) AS n_docs,
     sum(CASE WHEN tokens_in_band THEN 1 ELSE 0 END) AS n_tokens_in_band,
     sum(CASE WHEN mean_word_len_in_band THEN 1 ELSE 0 END)
         AS n_mean_word_len_in_band,
+    sum(CASE WHEN stopword_count_ok THEN 1 ELSE 0 END) AS n_stopword_count_ok,
     sum(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS n_stopword_ok,
     sum(CASE WHEN uniq_ok THEN 1 ELSE 0 END) AS n_uniq_ok,
     sum(CASE WHEN dup_line_ok THEN 1 ELSE 0 END) AS n_dup_line_ok,
     sum(CASE WHEN top_2gram_ok THEN 1 ELSE 0 END) AS n_top_2gram_ok,
     sum(CASE WHEN dup_3gram_ok THEN 1 ELSE 0 END) AS n_dup_3gram_ok,
-    sum(CASE WHEN tokens_in_band AND mean_word_len_in_band AND stopword_ok
-              AND uniq_ok AND dup_line_ok AND top_2gram_ok AND dup_3gram_ok
-         THEN 1 ELSE 0 END) AS n_survivors
+    sum(CASE WHEN {_C_ALL_PREDS} THEN 1 ELSE 0 END) AS n_survivors
 FROM preds
 """
 
@@ -1043,8 +1088,7 @@ WITH RECURSIVE corpus AS (
 ), {_c_features("corpus")},
 qdocs AS (
     SELECT c.* FROM corpus c JOIN preds p ON c.doc_id = p.doc_id
-    WHERE p.tokens_in_band AND p.mean_word_len_in_band AND p.stopword_ok
-      AND p.uniq_ok AND p.dup_line_ok AND p.top_2gram_ok AND p.dup_3gram_ok
+    WHERE {_C_ALL_PREDS}
 ), mtoks AS (
     SELECT doc_id, {_D_TOKS} AS w FROM qdocs
 ), msh AS (
@@ -1194,13 +1238,20 @@ _LM_ORACLE = f"""
 WITH rt AS (
     SELECT {_D_TOKS} AS t FROM documents WHERE doc_id % 20 = 0
 ), uni AS (
-    SELECT w, count(*) AS cnt FROM (SELECT unnest(t) AS w FROM rt) GROUP BY w
+    -- mirrors train_bigram_lm's driver-collect cap: top max_vocab by
+    -- count, ties lexicographically-first (a no-op at this scale, but
+    -- the pruning is part of the operator's contract)
+    SELECT w, cnt FROM (
+        SELECT w, count(*) AS cnt FROM (SELECT unnest(t) AS w FROM rt) GROUP BY w
+    ) ORDER BY cnt DESC, w ASC LIMIT {lm_ops.DEFAULT_MAX_VOCAB}
 ), bi AS (
-    SELECT b, count(*) AS cnt FROM (
-        SELECT unnest(list_transform(range(1, len(t)),
-                      i -> t[i] || chr(31) || t[i + 1])) AS b
-        FROM rt
-    ) GROUP BY b
+    SELECT b, cnt FROM (
+        SELECT b, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || chr(31) || t[i + 1])) AS b
+            FROM rt
+        ) GROUP BY b
+    ) ORDER BY cnt DESC, b ASC LIMIT {lm_ops.DEFAULT_MAX_BIGRAMS}
 ), vs AS (
     SELECT count(*) AS v FROM uni
 ), corpus AS (

@@ -312,7 +312,13 @@ def iter_tfrecords(content: bytes) -> Iterator[bytes]:
     while i + 12 <= n:
         (length,) = struct.unpack("<Q", content[i : i + 8])
         start = i + 12
-        if start + length > n:
+        # the trailing 4-byte payload CRC must be present too: a file cut
+        # inside it is just as truncated as one cut inside the payload
+        if start + length + 4 > n:
             raise ValueError("truncated TFRecord")
         yield content[start : start + length]
         i = start + length + 4
+    if 0 < n - i < 12:
+        # partial trailing header (file cut mid-framing) — symmetric with
+        # the mid-payload case above, not silently ignorable
+        raise ValueError("truncated TFRecord")
