@@ -36,6 +36,8 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     result = 0
     shift = 0
     while True:
+        if i >= len(buf):
+            raise ValueError("truncated varint")
         b = buf[i]
         i += 1
         result |= (b & 0x7F) << shift
@@ -60,13 +62,21 @@ def iter_fields(buf: bytes) -> Iterator[tuple[int, int, Any]]:
         if wt == 0:
             val, i = _read_varint(buf, i)
         elif wt == 1:
+            if i + 8 > n:
+                raise ValueError("truncated fixed64")
             val = int.from_bytes(buf[i : i + 8], "little")
             i += 8
         elif wt == 2:
             ln, i = _read_varint(buf, i)
+            if i + ln > n:
+                # a silent short slice would hand downstream parsers a
+                # plausible-looking but wrong payload
+                raise ValueError("truncated LEN field")
             val = buf[i : i + ln]
             i += ln
         elif wt == 5:
+            if i + 4 > n:
+                raise ValueError("truncated fixed32")
             val = int.from_bytes(buf[i : i + 4], "little")
             i += 4
         else:  # groups (3/4) are long-deprecated and absent from proto3

@@ -96,7 +96,12 @@ def decode_png(content: bytes, apply_palette: bool = True) -> PngImage:
     channels = _CHANNELS[color_type]
     bpp = channels * (bit_depth // 8)  # filter unit: bytes per pixel
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # normalize: every decode failure is a ValueError, so callers and
+        # the on_error='skip' policy handle one exception family
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated IDAT")
 
