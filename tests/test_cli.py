@@ -3,6 +3,8 @@ fixture data — the switch-from-the-reference usability surface."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.fixtures import fixture_frames
 from vlm_data_pipeline_spark.__main__ import main
 
@@ -38,3 +40,41 @@ def test_cli_clean(spark, tmp_path):
     kept = spark.read.parquet(f"{out}/clean")
     # doc 2 fails quality; docs 1/3 are near-dups -> min id survives
     assert sorted(r.doc_id for r in kept.collect()) == [1]
+
+
+def test_cli_eval(spark, tmp_path):
+    """Hand-computed AP through the eval subcommand (the Objectron
+    eval.py analogue): greedy matching then VOC AP per category."""
+    dets = spark.createDataFrame(
+        [
+            # chair, image A: two dets on one GT (second is a dup -> FP),
+            # one det on the other GT
+            ("A", "chair", 0.9, 0.0, 0.0, 10.0, 10.0),
+            ("A", "chair", 0.8, 0.0, 0.0, 10.0, 10.0),
+            ("A", "chair", 0.7, 20.0, 20.0, 30.0, 30.0),
+            # table: a det with NO ground truth anywhere -> pure FP
+            ("A", "table", 0.6, 0.0, 0.0, 5.0, 5.0),
+        ],
+        "image_id string, category string, score double, "
+        "x_min double, y_min double, x_max double, y_max double",
+    )
+    gts = spark.createDataFrame(
+        [
+            ("A", "chair", 0.0, 0.0, 10.0, 10.0),
+            ("A", "chair", 20.0, 20.0, 30.0, 30.0),
+        ],
+        "image_id string, category string, "
+        "x_min double, y_min double, x_max double, y_max double",
+    )
+    d_src, g_src = str(tmp_path / "dets"), str(tmp_path / "gts")
+    dets.write.mode("overwrite").parquet(d_src)
+    gts.write.mode("overwrite").parquet(g_src)
+    out = str(tmp_path / "eval_out")
+    assert main(["eval", "--detections", d_src, "--groundtruth", g_src,
+                 "--out", out, "--cpus", "4"]) == 0
+    ap = {r.category: r.ap for r in spark.read.json(f"{out}/ap").collect()}
+    # hits in score order: 1, 0, 1 -> recall .5,.5,1; precision 1,.5,2/3;
+    # p_mono 1,2/3,2/3; AP = .5*1 + 0 + .5*(2/3)
+    assert ap["chair"] == pytest.approx(0.5 + 0.5 * 2 / 3, abs=1e-6)
+    # no ground truth -> n_true 0 -> AP undefined (NULL), never a fake 0/1
+    assert ap["table"] is None

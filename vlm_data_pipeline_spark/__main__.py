@@ -5,6 +5,7 @@ scripts (process_all.py / generate_qa.py / create_labeled_dataset.py):
     python -m vlm_data_pipeline_spark enrich  --frames DIR --out DIR
     python -m vlm_data_pipeline_spark clean   --docs PARQUET --out DIR
     python -m vlm_data_pipeline_spark summary --frames DIR
+    python -m vlm_data_pipeline_spark eval    --detections P --groundtruth P
 
 ``--frames`` reads a parquet directory holding the canonical FRAME
 schema (any ingest adapter's output); ``--docs`` a documents table
@@ -71,6 +72,30 @@ def cmd_clean(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_eval(args: argparse.Namespace) -> int:
+    """Detection-quality metrics — the analogue of the reference's
+    vendored Objectron eval CLI (objectron/dataset/eval.py): per-category
+    AP via greedy matching at an IoU threshold, plus optional
+    accuracy-under-threshold over an error column."""
+    from .functions.evaluation import accuracy_under_threshold, detection_ap
+
+    spark = _spark(args.cpus)
+    dets = spark.read.parquet(args.detections)
+    gts = spark.read.parquet(args.groundtruth)
+    ap = detection_ap(dets, gts, iou_thresh=args.iou)
+    ap.show(100, truncate=False)
+    if args.out:
+        ap.coalesce(1).write.mode("overwrite").json(f"{args.out}/ap")
+    if args.error_col and args.error_col in dets.columns:
+        acc = accuracy_under_threshold(
+            dets, ["category"], error_col=args.error_col, thresh=args.error_thresh
+        )
+        acc.show(100, truncate=False)
+        if args.out:
+            acc.coalesce(1).write.mode("overwrite").json(f"{args.out}/accuracy")
+    return 0
+
+
 def cmd_summary(args: argparse.Namespace) -> int:
     from .sources.json_frames import dataset_summary, parameter_audit
 
@@ -117,6 +142,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sm.add_argument("--frames", required=True)
     sm.set_defaults(fn=cmd_summary)
+
+    ev = sub.add_parser(
+        "eval", help="detection AP + accuracy metrics", parents=[common]
+    )
+    ev.add_argument("--detections", required=True)
+    ev.add_argument("--groundtruth", required=True)
+    ev.add_argument("--out", default=None)
+    ev.add_argument("--iou", type=float, default=0.5)
+    ev.add_argument("--error-col", default=None)
+    ev.add_argument("--error-thresh", type=float, default=0.1)
+    ev.set_defaults(fn=cmd_eval)
     return p
 
 

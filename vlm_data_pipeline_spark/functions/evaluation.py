@@ -33,6 +33,7 @@ __all__ = [
     "average_precision",
     "accuracy_under_threshold",
     "greedy_match_hits",
+    "detection_ap",
 ]
 
 
@@ -170,7 +171,12 @@ def average_precision(
         detections.withColumn("_tp", F.sum(hit_col).over(w_cum).cast("double"))
         .withColumn("_i", F.count("*").over(w_cum).cast("double"))
         .withColumn("_n_true", F.sum(hit_col).over(total).cast("double"))
-        .withColumn("_recall", F.col("_tp") / F.col("_n_true"))
+        # a group with zero matched GTs has undefined recall → NULL AP
+        # (never a fake 0/1, and never an ANSI divide-by-zero)
+        .withColumn(
+            "_recall",
+            F.when(F.col("_n_true") > 0, F.col("_tp") / F.col("_n_true")),
+        )
         .withColumn("_precision", F.col("_tp") / F.col("_i"))
         .withColumn("_p_mono", F.max("_precision").over(w_suffix))
         .withColumn("_d_recall", F.col("_recall") - F.lag("_recall", 1, 0.0).over(w_lag))
@@ -272,4 +278,56 @@ def greedy_match_hits(
     return let(
         F.coalesce(dets, F.array()),
         lambda ds: let(F.coalesce(gts, F.array()), lambda gs: mk(ds, gs)),
+    )
+
+
+def detection_ap(
+    dets: DataFrame,
+    gts: DataFrame,
+    image_col: str = "image_id",
+    category_col: str = "category",
+    score_col: str = "score",
+    box_cols: tuple[str, str, str, str] = ("x_min", "y_min", "x_max", "y_max"),
+    iou_thresh: float = 0.5,
+) -> DataFrame:
+    """Per-category AP over flat detection/ground-truth tables — the
+    engine's analogue of the vendored Objectron eval CLI
+    (objectron/dataset/eval.py): greedy per-image matching at
+    ``iou_thresh``, then VOC AP per category.
+
+    Pipeline shape: one groupBy per table collects the per-(image,
+    category) box arrays (the only corpus-sized shuffles, both keyed the
+    same); the greedy protocol runs IN-ROW per image; AP is window
+    algebra per category. Images whose detections have no ground truth
+    still contribute false positives (left join, empty gt array).
+    Recall is normalized to MATCHED ground truths (Σ hit, the
+    :func:`average_precision` convention).
+    """
+    xs = [F.col(c).cast("double").alias(c) for c in box_cols]
+    d_boxes = dets.groupBy(image_col, category_col).agg(
+        F.collect_list(
+            F.struct(F.col(score_col).cast("double").alias("score"),
+                     F.struct(*xs).alias("box"))
+        ).alias("_dets")
+    )
+    g_boxes = gts.groupBy(image_col, category_col).agg(
+        F.collect_list(F.struct(*xs)).alias("_gts")
+    )
+    hits = d_boxes.join(g_boxes, [image_col, category_col], "left").select(
+        image_col,
+        category_col,
+        F.posexplode(
+            greedy_match_hits(F.col("_dets"), F.col("_gts"), iou_thresh)
+        ).alias("pos", "h"),
+    )
+    flat = hits.select(
+        category_col,
+        F.col(image_col),
+        "pos",
+        F.col("h.score").alias("score"),
+        F.col("h.hit").alias("hit"),
+    )
+    # (image, pos) makes the per-category sort total → deterministic AP
+    return average_precision(
+        flat, [category_col], order_cols=[image_col, "pos"]
     )
