@@ -78,3 +78,33 @@ def test_cli_eval(spark, tmp_path):
     assert ap["chair"] == pytest.approx(0.5 + 0.5 * 2 / 3, abs=1e-6)
     # no ground truth -> n_true 0 -> AP undefined (NULL), never a fake 0/1
     assert ap["table"] is None
+
+
+def test_cli_eval_3d(spark, tmp_path):
+    """3D mode: greedy matching with the axis-aligned closed-form IoU over
+    center/extent boxes (the Objectron protocol's fast path)."""
+    # GT: unit cube at origin. Det A overlaps 0.5^3 shifted -> IoU
+    # = 0.125/(1+1-0.125) = 1/15 < 0.5 -> miss; det B is exact -> hit.
+    dets = spark.createDataFrame(
+        [
+            ("A", "chair", 0.9, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0),   # exact: hit
+            ("A", "chair", 0.8, 0.5, 0.5, 0.5, 1.0, 1.0, 1.0),   # IoU 1/15: miss
+        ],
+        "image_id string, category string, score double, "
+        "x double, y double, z double, xl double, yl double, zl double",
+    )
+    gts = spark.createDataFrame(
+        [("A", "chair", 0.0, 0.0, 0.0, 1.0, 1.0, 1.0)],
+        "image_id string, category string, "
+        "x double, y double, z double, xl double, yl double, zl double",
+    )
+    d_src, g_src = str(tmp_path / "d3"), str(tmp_path / "g3")
+    dets.write.mode("overwrite").parquet(d_src)
+    gts.write.mode("overwrite").parquet(g_src)
+    out = str(tmp_path / "eval3d_out")
+    assert main(["eval", "--detections", d_src, "--groundtruth", g_src,
+                 "--mode", "3d", "--out", out, "--cpus", "4"]) == 0
+    row = spark.read.json(f"{out}/ap").collect()[0]
+    # hits: 1, 0 -> recall 1, 1; precision 1, .5; AP = 1*1 + 0*.5 = 1.0
+    assert row.category == "chair" and row.ap == pytest.approx(1.0)
+    assert row.n_true == 1 and row.n_detections == 2

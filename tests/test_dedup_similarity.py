@@ -425,3 +425,34 @@ def test_neardup_components_nonconvergence_raises(spark):
     # ...raises when cut off before the fixpoint
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.neardup_components(chain, max_iter=1)
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """Hand-checked: shared boilerplate keeps its (min doc, min pos)
+    occurrence only; docs rebuild in original paragraph order; a doc
+    reduced to nothing drops out."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nFOOTER\nbeta"),
+            (2, "FOOTER\ngamma\nFOOTER"),   # in-doc repeat too
+            (3, "FOOTER"),                   # nothing survives
+            (4, "delta\n\nalpha"),           # empty para ignored; 'alpha' is doc 1's
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup.dedup_paragraphs(docs).collect()}
+    assert out == {1: "alpha\nFOOTER\nbeta", 2: "gamma", 4: "delta"}
+
+
+def test_dedup_paragraphs_window_group_limit_is_map_side(spark):
+    """Scale shape: the winner window's rank-1 limit must push map-side
+    (Partial WindowGroupLimit) so massive duplicates never flood one
+    reducer."""
+    docs = spark.createDataFrame(
+        [(i, "same para\nother") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        dedup.dedup_paragraphs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "row_number(), 1, Partial" in plan, plan[:2000]

@@ -82,7 +82,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
     spark = _spark(args.cpus)
     dets = spark.read.parquet(args.detections)
     gts = spark.read.parquet(args.groundtruth)
-    ap = detection_ap(dets, gts, iou_thresh=args.iou)
+    ap = detection_ap(dets, gts, iou_thresh=args.iou, mode=args.mode)
     ap.show(100, truncate=False)
     if args.out:
         ap.coalesce(1).write.mode("overwrite").json(f"{args.out}/ap")
@@ -150,6 +150,7 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--groundtruth", required=True)
     ev.add_argument("--out", default=None)
     ev.add_argument("--iou", type=float, default=0.5)
+    ev.add_argument("--mode", choices=["2d", "3d"], default="2d")
     ev.add_argument("--error-col", default=None)
     ev.add_argument("--error-thresh", type=float, default=0.1)
     ev.set_defaults(fn=cmd_eval)

@@ -207,7 +207,7 @@ def accuracy_under_threshold(
 
 
 def greedy_match_hits(
-    dets: Column, gts: Column, iou_thresh: float = 0.5
+    dets: Column, gts: Column, iou_thresh: float = 0.5, iou_fn=None
 ) -> Column:
     """VOC greedy detection↔ground-truth matching, IN-ROW (§2.11,
     metrics.py protocol): detections in descending-score order each claim
@@ -215,8 +215,11 @@ def greedy_match_hits(
     every GT matches at most once; later (lower-score) detections of the
     same object are false positives.
 
-    ``dets``: array<struct<score double, box struct<x_min..y_max>>>;
-    ``gts``: array of the same box struct. Returns
+    ``dets``: array<struct<score double, box B>>; ``gts``: array of the
+    same box struct B. ``iou_fn(a, b) -> Column`` defaults to
+    :func:`iou_2d` (B = corner-encoded x_min..y_max); pass
+    :func:`aabb_iou_3d` with center/extent structs for the 3D protocol
+    the reference's Objectron eval CLI runs. Returns
     array<struct<score double, hit int>> in descending-score order —
     the exact input shape :func:`average_precision` consumes after an
     explode. One frame is one row, so the inherently-sequential greedy
@@ -228,6 +231,8 @@ def greedy_match_hits(
     reference's per-image loops pay.
     """
     from .text import let
+
+    iou_fn = iou_fn or iou_2d
 
     def mk(ds: Column, gs: Column) -> Column:
         ordered = F.array_sort(
@@ -251,7 +256,7 @@ def greedy_match_hits(
                 F.transform(
                     gs,
                     lambda g, gi: F.struct(
-                        (-iou_2d(d["box"], g)).alias("negiou"),
+                        (-iou_fn(d["box"], g)).alias("negiou"),
                         gi.alias("gi"),
                     ),
                 ),
@@ -281,19 +286,31 @@ def greedy_match_hits(
     )
 
 
+BOX_COLS_2D = ("x_min", "y_min", "x_max", "y_max")
+BOX_COLS_3D = ("x", "y", "z", "xl", "yl", "zl")
+
+
 def detection_ap(
     dets: DataFrame,
     gts: DataFrame,
     image_col: str = "image_id",
     category_col: str = "category",
     score_col: str = "score",
-    box_cols: tuple[str, str, str, str] = ("x_min", "y_min", "x_max", "y_max"),
+    box_cols: tuple[str, ...] | None = None,
     iou_thresh: float = 0.5,
+    mode: str = "2d",
 ) -> DataFrame:
     """Per-category AP over flat detection/ground-truth tables — the
     engine's analogue of the vendored Objectron eval CLI
     (objectron/dataset/eval.py): greedy per-image matching at
     ``iou_thresh``, then VOC AP per category.
+
+    ``mode='2d'`` matches corner-encoded pixel boxes with :func:`iou_2d`;
+    ``mode='3d'`` matches center/extent 9-DoF boxes with
+    :func:`aabb_iou_3d` — the axis-aligned closed form (Objectron's own
+    protocol is 3D; its oriented sampling IoU stays the pandas-UDF path,
+    pluggable here via ``box_cols`` + a custom matcher when a deployment
+    needs rotation-exact matching).
 
     Pipeline shape: one groupBy per table collects the per-(image,
     category) box arrays (the only corpus-sized shuffles, both keyed the
@@ -303,6 +320,11 @@ def detection_ap(
     Recall is normalized to MATCHED ground truths (Σ hit, the
     :func:`average_precision` convention).
     """
+    if mode not in ("2d", "3d"):
+        raise ValueError(f"mode must be '2d' or '3d', got {mode!r}")
+    if box_cols is None:
+        box_cols = BOX_COLS_2D if mode == "2d" else BOX_COLS_3D
+    iou_fn = iou_2d if mode == "2d" else aabb_iou_3d
     xs = [F.col(c).cast("double").alias(c) for c in box_cols]
     d_boxes = dets.groupBy(image_col, category_col).agg(
         F.collect_list(
@@ -317,7 +339,7 @@ def detection_ap(
         image_col,
         category_col,
         F.posexplode(
-            greedy_match_hits(F.col("_dets"), F.col("_gts"), iou_thresh)
+            greedy_match_hits(F.col("_dets"), F.col("_gts"), iou_thresh, iou_fn)
         ).alias("pos", "h"),
     )
     flat = hits.select(

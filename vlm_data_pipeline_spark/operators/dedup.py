@@ -530,3 +530,57 @@ def dedup_keep_filter(
     return docs.join(
         F.broadcast(drops), docs[id_col] == F.col("__drop_id"), "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (paragraph-level) exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Exact duplicate-PARAGRAPH removal across the whole corpus — the
+    sub-document granularity of MassiveText/Gopher's repetition removal
+    (Rae et al. 2021 §A1.2): boilerplate headers, license blocks, and
+    navigation chrome repeat across documents that are NOT near-dups, so
+    document-level dedup never catches them.
+
+    Semantics: split on ``sep``, drop empty paragraphs; each distinct
+    paragraph string keeps its globally-FIRST occurrence (min (doc id,
+    position) — deterministic, engine-independent); every later
+    occurrence is dropped; documents are rebuilt from their surviving
+    paragraphs in original order. Documents with no surviving paragraph
+    drop out.
+
+    Scale shape: one shuffle keyed on the paragraph string for the
+    winner window — Spark's WindowGroupLimit pushes the rank-1 limit
+    map-side, so a paragraph duplicated a million times ships ONE
+    candidate row per input partition, not a million (the same partial
+    top-n that makes stratified_sample scale); then one groupBy(doc) to
+    reconstruct. Returns (``id_col``, ``text_col``) of rebuilt docs.
+    """
+    from pyspark.sql import Window as W
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    w = W.partitionBy("para").orderBy(id_col, "pos")
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )

@@ -751,6 +751,61 @@ def dedup_retention_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_filter(docs, comp).select("doc_id", "lang")
 
 
+# Plant cross-document boilerplate (a shared footer on EVERY doc + one of 7
+# rotating promo lines) so the paragraph dedup has real work on every row —
+# the synthetic corpus has no natural cross-doc paragraph repeats.
+_PLANT_PARAS_SQL = (
+    "text || chr(10) || 'COMMON FOOTER all rights reserved' || chr(10) "
+    "|| 'PROMO block ' || (doc_id % 7)"
+)
+
+_PARA_DEDUP_ORACLE = f"""
+WITH sp AS (
+    SELECT doc_id, string_split({_PLANT_PARAS_SQL}, chr(10)) AS parts
+    FROM documents
+), p AS (
+    SELECT doc_id, i AS pos, parts[i] AS para
+    FROM (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM sp)
+    WHERE parts[i] <> ''
+), kept AS (
+    SELECT doc_id, pos, para FROM (
+        SELECT *, row_number() OVER (PARTITION BY para
+                                     ORDER BY doc_id, pos) AS rn
+        FROM p
+    ) WHERE rn = 1
+)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_paragraphs",
+    _PARA_DEDUP_ORACLE,
+    "Sub-document exact dedup (extension; MassiveText/Gopher repetition "
+    "removal, Rae et al. 2021 A1.2): every distinct paragraph keeps its "
+    "globally-first (doc, position) occurrence; boilerplate repeated "
+    "across non-near-dup documents (footers, licenses, promo blocks) is "
+    "stripped and documents are rebuilt in original paragraph order. One "
+    "paragraph-keyed winner window (WindowGroupLimit makes the rank-1 "
+    "limit map-side, so a million-fold duplicate ships one candidate per "
+    "input partition) + one groupBy(doc) rebuild. Boilerplate is PLANTED "
+    "on every row so the value check exercises the winner rule corpus-"
+    "wide. Library: operators.dedup.dedup_paragraphs.",
+)
+def dedup_paragraphs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nCOMMON FOOTER all rights reserved\nPROMO block "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return dedup.dedup_paragraphs(planted)
+
+
 _R_LINES = "list_filter(string_split(text, chr(10)), l -> l <> '')"
 _R_G2 = (
     "CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),"
