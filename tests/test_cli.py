@@ -108,3 +108,20 @@ def test_cli_eval_3d(spark, tmp_path):
     # hits: 1, 0 -> recall 1, 1; precision 1, .5; AP = 1*1 + 0*.5 = 1.0
     assert row.category == "chair" and row.ap == pytest.approx(1.0)
     assert row.n_true == 1 and row.n_detections == 2
+
+
+def test_cli_mix(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "tok " * 5, "en" if i % 2 else "fr") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "mixdocs")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "mix_out")
+    assert main(["mix", "--docs", src, "--weights", "en=0.5,fr=0.5",
+                 "--budget", "200", "--out", out, "--cpus", "4"]) == 0
+    plan = {r.lang: r for r in spark.read.json(f"{out}/plan").collect()}
+    # each lang: 10 docs x 5 tokens = 50 avail, target 100 -> 2 epochs
+    assert plan["en"].epochs == 2 and plan["en"].residual_tokens == 0
+    mixed = spark.read.parquet(f"{out}/mixed")
+    assert mixed.count() == 40  # every doc exactly twice, nothing sampled

@@ -313,3 +313,73 @@ def test_lm_map_literal_guard():
     )
     with pytest.raises(ValueError, match="score_corpus"):
         lm.mean_neg_log_prob(F.lit("a b"), big)
+
+
+def test_mixing_plan_exact_integer_allocation(spark):
+    """Hand-checked targets/epochs/residuals; weights normalize as exact
+    rationals; unweighted strata get target 0."""
+    docs = spark.createDataFrame(
+        # en: 2 docs x 4 tokens; fr: 1 doc x 3 tokens; de: unweighted
+        [(1, "a b c d", "en"), (2, "e f g h", "en"), (3, "x y z", "fr"),
+         (4, "u v w", "de")],
+        "doc_id long, text string, lang string",
+    )
+    plan = {
+        r.lang: r
+        for r in curation.mixing_plan(
+            docs, "lang", {"en": 0.75, "fr": 0.25}, budget_tokens=100
+        ).collect()
+    }
+    en, fr, de = plan["en"], plan["fr"], plan["de"]
+    assert (en.n_docs, en.n_tokens, en.target_tokens) == (2, 8, 75)
+    assert (en.epochs, en.residual_tokens) == (9, 3)       # 75 = 9*8 + 3
+    assert (fr.n_docs, fr.n_tokens, fr.target_tokens) == (1, 3, 25)
+    assert (fr.epochs, fr.residual_tokens) == (8, 1)       # 25 = 8*3 + 1
+    assert (de.target_tokens, de.epochs, de.residual_tokens) == (0, 0, 0)
+
+    # weights needn't sum to 1: 3:1 normalizes identically
+    plan2 = {
+        r.lang: r.target_tokens
+        for r in curation.mixing_plan(
+            docs, "lang", {"en": 3, "fr": 1}, budget_tokens=100
+        ).collect()
+    }
+    assert plan2 == {"en": 75, "fr": 25, "de": 0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        curation.mixing_plan(docs, "lang", {}, 10)
+
+
+def test_apply_mixing_plan_replicates_and_samples(spark):
+    """Every doc appears epochs or epochs+1 times; zero-target strata
+    drop; the mix is deterministic across repartitionings."""
+    docs = spark.createDataFrame(
+        [(i, "tok " * 5, "en") for i in range(40)]
+        + [(100 + i, "tok " * 5, "de") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    plan = curation.mixing_plan(docs, "lang", {"en": 1.0}, budget_tokens=500)
+    # en: 40 docs x 5 tokens = 200 avail, target 500 -> epochs 2, residual 100
+    p = {r.lang: r for r in plan.collect()}
+    assert (p["en"].epochs, p["en"].residual_tokens) == (2, 100)
+
+    out = curation.apply_mixing_plan(docs, plan, "lang").collect()
+    assert all(r.lang == "en" for r in out)                 # de dropped
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert set(per_doc) == set(range(40))                   # every doc present
+    for epochs in per_doc.values():
+        assert sorted(epochs) in ([1, 2], [1, 2, 3])        # 2 or 3 copies
+    n_extra = sum(1 for e in per_doc.values() if len(e) == 3)
+    assert 0 < n_extra < 40                                 # residual sampled some
+
+    again = sorted(
+        (r.doc_id, r.epoch)
+        for r in curation.apply_mixing_plan(
+            docs.repartition(7), plan, "lang"
+        ).collect()
+    )
+    assert again == sorted((r.doc_id, r.epoch) for r in out)

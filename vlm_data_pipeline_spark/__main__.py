@@ -72,6 +72,27 @@ def cmd_clean(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_mix(args: argparse.Namespace) -> int:
+    """Data-mixing stage: plan per-stratum token budgets from domain
+    weights, then materialize the replicate/sample mix deterministically."""
+    from .operators.curation import apply_mixing_plan, mixing_plan
+
+    weights = {}
+    for kv in args.weights.split(","):
+        k, _, v = kv.partition("=")
+        weights[k.strip()] = float(v)
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.docs)
+    plan = mixing_plan(docs, args.strata, weights, args.budget)
+    plan.show(100, truncate=False)
+    if args.out:
+        plan.coalesce(1).write.mode("overwrite").json(f"{args.out}/plan")
+        mixed = apply_mixing_plan(docs, plan, args.strata, seed=args.seed)
+        mixed.write.mode("overwrite").parquet(f"{args.out}/mixed")
+        print(f"mixed rows: {spark.read.parquet(f'{args.out}/mixed').count()}")
+    return 0
+
+
 def cmd_eval(args: argparse.Namespace) -> int:
     """Detection-quality metrics — the analogue of the reference's
     vendored Objectron eval CLI (objectron/dataset/eval.py): per-category
@@ -142,6 +163,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sm.add_argument("--frames", required=True)
     sm.set_defaults(fn=cmd_summary)
+
+    mx = sub.add_parser(
+        "mix", help="token-budget mixing plan + deterministic mix", parents=[common]
+    )
+    mx.add_argument("--docs", required=True)
+    mx.add_argument("--strata", default="lang")
+    mx.add_argument("--weights", required=True,
+                    help="comma list, e.g. en=0.5,fr=0.25,zh=0.25")
+    mx.add_argument("--budget", type=int, required=True)
+    mx.add_argument("--seed", default="mix")
+    mx.add_argument("--out", default=None)
+    mx.set_defaults(fn=cmd_mix)
 
     ev = sub.add_parser(
         "eval", help="detection AP + accuracy metrics", parents=[common]

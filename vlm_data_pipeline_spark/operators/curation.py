@@ -282,3 +282,115 @@ def pack_sequences(
         )
         .select("shard", "bin", id_col, "n_tokens", "tokens_before")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: per-stratum token budgeting + deterministic replicate/sample
+# ---------------------------------------------------------------------------
+
+
+def mixing_plan(
+    docs: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum token-budget plan — the data-mixing stage of an LLM
+    pre-training run (The Pile / DoReMi-style domain weights): given a
+    total token budget and per-stratum weights, compute each stratum's
+    available docs/tokens, its integer token allocation, and the exact
+    replicate/sample knobs :func:`apply_mixing_plan` consumes.
+
+    All arithmetic is INTEGER-exact: weights normalize to exact
+    rationals (Fraction over their sum), ``target_tokens`` =
+    floor(budget · w), ``epochs`` = target // available (full corpus
+    repeats — upsampling), ``residual_tokens`` = target % available (the
+    partial pass, applied as an exact hash-threshold sample). No
+    floating division anywhere, so the plan value-oracles bit-for-bit.
+    Strata absent from ``weights`` get target 0 (dropped downstream).
+
+    One groupBy; the plan is strata-sized — a dimension table.
+    """
+    from ..functions.text import token_count
+
+    total_w = sum((Fraction(str(w)) for w in weights.values()), Fraction(0))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    pairs: list[Column] = []
+    for s, w in sorted(weights.items()):
+        frac = Fraction(str(w)) / total_w
+        tgt = (budget_tokens * frac.numerator) // frac.denominator
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(int(tgt)))
+    tgt_map = F.create_map(*pairs)
+
+    counts = docs.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens"),
+    )
+    target = F.coalesce(
+        F.element_at(tgt_map, F.col(strata_col).cast("string")), F.lit(0)
+    ).cast("long")
+    return counts.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        target.alias("target_tokens"),
+        F.when(
+            F.col("n_tokens") > 0, F.expr("target_tokens div n_tokens")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("epochs"),
+        F.when(F.col("n_tokens") > 0, F.col("target_tokens") % F.col("n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("residual_tokens"),
+    )
+
+
+def apply_mixing_plan(
+    docs: DataFrame,
+    plan: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Materialize a :func:`mixing_plan`: every doc appears ``epochs``
+    times plus one more copy with probability residual/available —
+    decided by an EXACT hash threshold (md5-derived 32-bit uniform,
+    compared by decimal cross-multiplication: u · n_tokens <
+    residual · 2^32 — no float anywhere), so the mix is a pure function
+    of (seed, stratum, id): reproducible across engines, partitionings,
+    and runs, and expected sampled tokens ≈ residual_tokens per stratum.
+
+    Output = input columns + ``epoch`` (1-based copy index). Scale
+    shape: the plan broadcasts (strata-sized); the replicate is an
+    in-row explode — zero shuffle beyond the broadcast.
+    """
+    from ..functions.text import hash32
+
+    joined = docs.join(F.broadcast(plan), strata_col, "inner")
+    u = hash32(
+        F.concat_ws(
+            "\x1f",
+            F.lit(seed),
+            F.col(strata_col).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    extra = (
+        u.cast("decimal(38,0)") * F.col("n_tokens").cast("decimal(38,0)")
+    ) < (
+        F.col("residual_tokens").cast("decimal(38,0)")
+        * F.lit(4294967296).cast("decimal(38,0)")
+    )
+    n_copies = (F.col("epochs") + F.when(extra, 1).otherwise(0)).cast("int")
+    return (
+        joined.filter(n_copies > 0)
+        .select(
+            *[F.col(c) for c in docs.columns],
+            F.explode(F.sequence(F.lit(1), n_copies)).alias("epoch"),
+        )
+    )

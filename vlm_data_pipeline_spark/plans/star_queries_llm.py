@@ -1354,3 +1354,108 @@ def curation_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(lm.mean_neg_log_prob(F.col("text"), model), 6).alias("mean_nlp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: token-budget plan + deterministic replicate/sample
+# ---------------------------------------------------------------------------
+
+# Domain weights over the language strata (es/de deliberately absent —
+# the dropped-stratum path) and a budget that pushes en to epochs=1 and
+# fr/zh to epochs=2 with nonzero residuals at both pytest and driver SFs.
+_MIX_WEIGHTS = {"en": 0.5, "fr": 0.25, "zh": 0.25}
+_MIX_BUDGET = 40_000
+
+
+def _mix_targets_sql() -> str:
+    """VALUES list of (lang, target_tokens) computed by the SAME exact-
+    rational arithmetic mixing_plan uses — one source of truth."""
+    from fractions import Fraction
+
+    total = sum((Fraction(str(w)) for w in _MIX_WEIGHTS.values()), Fraction(0))
+    rows = []
+    for s, w in sorted(_MIX_WEIGHTS.items()):
+        f = Fraction(str(w)) / total
+        rows.append(f"('{s}', {(_MIX_BUDGET * f.numerator) // f.denominator})")
+    return ", ".join(rows)
+
+
+_MIX_COUNTS = f"""
+c AS (
+    SELECT lang, count(*) AS n_docs,
+           cast(sum(len({_D_TOKS})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), t(lang, target) AS (
+    VALUES {_mix_targets_sql()}
+), plan AS (
+    SELECT c.lang, c.n_docs, c.n_tokens,
+           cast(coalesce(t.target, 0) AS BIGINT) AS target_tokens,
+           cast(CASE WHEN c.n_tokens > 0
+                     THEN coalesce(t.target, 0) // c.n_tokens
+                     ELSE 0 END AS BIGINT) AS epochs,
+           cast(CASE WHEN c.n_tokens > 0
+                     THEN coalesce(t.target, 0) % c.n_tokens
+                     ELSE 0 END AS BIGINT) AS residual_tokens
+    FROM c LEFT JOIN t ON c.lang = t.lang
+)
+"""
+
+_MIX_PLAN_ORACLE = f"WITH {_MIX_COUNTS} SELECT * FROM plan"
+
+
+@register(
+    "curation_mixing_plan",
+    _MIX_PLAN_ORACLE,
+    "Data-mixing token-budget plan (extension; The Pile / DoReMi domain "
+    "weights): per-stratum available docs/tokens, integer target "
+    "allocation floor(budget * normalized weight), full-corpus repeat "
+    "count (epochs = target div available) and residual token mass for "
+    "the partial pass. All integer-exact (weights normalize as exact "
+    "rationals, no floating division), one groupBy, strata-sized output. "
+    "Library: operators.curation.mixing_plan.",
+)
+def curation_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return curation.mixing_plan(docs, "lang", _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+_MIX_APPLY_ORACLE = f"""
+WITH {_MIX_COUNTS},
+joined AS (
+    SELECT d.doc_id, d.lang, p.n_tokens, p.epochs, p.residual_tokens,
+           {_d_hash32("'mix' || chr(31) || d.lang || chr(31) || d.doc_id")} AS u
+    FROM documents d JOIN plan p ON d.lang = p.lang
+), copies AS (
+    SELECT doc_id, lang,
+           epochs + (CASE WHEN cast(u AS HUGEINT) * n_tokens
+                               < cast(residual_tokens AS HUGEINT) * 4294967296
+                          THEN 1 ELSE 0 END) AS n_copies
+    FROM joined
+)
+SELECT doc_id, lang, cast(e.epoch AS INT) AS epoch
+FROM (SELECT doc_id, lang, n_copies, unnest(range(1, n_copies + 1)) AS epoch
+      FROM copies WHERE n_copies > 0) e
+"""
+
+
+@register(
+    "curation_apply_mixing",
+    _MIX_APPLY_ORACLE,
+    "Materialized data mix (extension): every doc appears epochs times "
+    "plus one more with probability residual/available, decided by an "
+    "exact hash threshold (32-bit md5 uniform, decimal cross-multiplied "
+    "— no float) so the mix is a pure function of (seed, stratum, id). "
+    "The plan broadcasts; replication is an in-row explode — zero "
+    "shuffle beyond the broadcast. Library: operators.curation."
+    "apply_mixing_plan.",
+)
+def curation_apply_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    plan = curation.mixing_plan(docs, "lang", _MIX_WEIGHTS, _MIX_BUDGET)
+    return curation.apply_mixing_plan(
+        docs.select("doc_id", "lang"), plan, "lang"
+    ).select("doc_id", "lang", "epoch")
