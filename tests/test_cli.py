@@ -62,6 +62,11 @@ def test_cli_eval(spark, tmp_path):
         [
             ("A", "chair", 0.0, 0.0, 10.0, 10.0),
             ("A", "chair", 20.0, 20.0, 30.0, 30.0),
+            # chair in an image with NO detections: a false negative that
+            # must lower recall's denominator
+            ("B", "chair", 0.0, 0.0, 10.0, 10.0),
+            # category with ground truth but zero detections -> AP 0 row
+            ("B", "plant", 5.0, 5.0, 8.0, 8.0),
         ],
         "image_id string, category string, "
         "x_min double, y_min double, x_max double, y_max double",
@@ -72,12 +77,17 @@ def test_cli_eval(spark, tmp_path):
     out = str(tmp_path / "eval_out")
     assert main(["eval", "--detections", d_src, "--groundtruth", g_src,
                  "--out", out, "--cpus", "4"]) == 0
-    ap = {r.category: r.ap for r in spark.read.json(f"{out}/ap").collect()}
-    # hits in score order: 1, 0, 1 -> recall .5,.5,1; precision 1,.5,2/3;
-    # p_mono 1,2/3,2/3; AP = .5*1 + 0 + .5*(2/3)
-    assert ap["chair"] == pytest.approx(0.5 + 0.5 * 2 / 3, abs=1e-6)
-    # no ground truth -> n_true 0 -> AP undefined (NULL), never a fake 0/1
-    assert ap["table"] is None
+    rows = {r.category: r for r in spark.read.json(f"{out}/ap").collect()}
+    # chair: hits in score order 1, 0, 1 over n_true=3 (one GT missed) ->
+    # recall 1/3,1/3,2/3; precision 1,.5,2/3; p_mono 1,2/3,2/3;
+    # AP = (1/3)*1 + 0 + (1/3)*(2/3) = 5/9 — the missed box COSTS recall
+    assert rows["chair"].ap == pytest.approx(5 / 9, abs=1e-6)
+    assert rows["chair"].n_true == 3
+    # detections but no ground truth -> AP undefined (NULL), never fake 0/1
+    assert rows["table"].ap is None
+    # ground truth but no detections -> explicit AP-0 row
+    assert rows["plant"].ap == 0.0
+    assert rows["plant"].n_true == 1 and rows["plant"].n_detections == 0
 
 
 def test_cli_eval_3d(spark, tmp_path):

@@ -383,3 +383,45 @@ def test_apply_mixing_plan_replicates_and_samples(spark):
         ).collect()
     )
     assert again == sorted((r.doc_id, r.epoch) for r in out)
+
+
+def test_quality_rules_nonterminating_threshold_no_overflow(spark):
+    """A custom threshold like 1/3 has a 10^16 exact-rational denominator;
+    the cross-multiplication must run in decimal128, not overflow BIGINT
+    under ANSI mode."""
+    docs = spark.createDataFrame(
+        [(1, "the data pipeline reads the parquet files quickly today " * 50)],
+        "doc_id long, text string",
+    )
+    out = curation.quality_filter(
+        docs, rules={"max_dup_3gram_char_fraction": 1 / 3,
+                     "min_uniq_ratio": 0.1 + 0.2}  # 0.30000000000000004
+    ).count()
+    assert out in (0, 1)  # no ArithmeticException is the property
+
+
+def test_mixing_plan_rejects_unknown_weight_keys(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="english"):
+        curation.mixing_plan(docs, "lang", {"english": 1.0}, 10)
+
+
+def test_apply_mixing_plan_tolerates_colliding_doc_columns(spark):
+    """A docs table that itself carries n_tokens (pack_sequences output
+    does) must join the plan unambiguously; a pre-existing epoch column
+    raises instead of being silently shadowed."""
+    docs = spark.createDataFrame(
+        [(i, "tok tok", "en", 2) for i in range(4)],
+        "doc_id long, text string, lang string, n_tokens long",
+    )
+    plan = curation.mixing_plan(docs, "lang", {"en": 1.0}, budget_tokens=16)
+    out = curation.apply_mixing_plan(docs, plan, "lang").collect()
+    assert len(out) == 8  # 8 tokens avail, target 16 -> exactly 2 epochs
+    assert all(r.n_tokens == 2 for r in out)  # docs' own column survives
+
+    with pytest.raises(ValueError, match="epoch"):
+        curation.apply_mixing_plan(
+            docs.withColumn("epoch", F.lit(1)), plan, "lang"
+        )

@@ -456,3 +456,21 @@ def test_dedup_paragraphs_window_group_limit_is_map_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "row_number(), 1, Partial" in plan, plan[:2000]
+
+
+def test_dedup_paragraphs_literal_separator(spark):
+    """sep is a LITERAL, not a regex: '.' must split on dots, and regex
+    metacharacters must not explode the text into characters."""
+    docs = spark.createDataFrame(
+        [(1, "alpha.beta"), (2, "beta.gamma")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in dedup.dedup_paragraphs(docs, sep=".").collect()}
+    assert out == {1: "alpha.beta", 2: "gamma"}
+
+
+def test_neardup_components_rejects_nonpositive_max_iter(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="max_iter"):
+        dedup.neardup_components(pairs, max_iter=0)

@@ -107,7 +107,12 @@ def cmd_eval(args: argparse.Namespace) -> int:
     ap.show(100, truncate=False)
     if args.out:
         ap.coalesce(1).write.mode("overwrite").json(f"{args.out}/ap")
-    if args.error_col and args.error_col in dets.columns:
+    if args.error_col:
+        if args.error_col not in dets.columns:
+            raise SystemExit(
+                f"--error-col {args.error_col!r} not in detections columns "
+                f"{dets.columns}"
+            )
         acc = accuracy_under_threshold(
             dets, ["category"], error_col=args.error_col, thresh=args.error_thresh
         )

@@ -139,11 +139,16 @@ def average_precision(
     score_col: str = "score",
     hit_col: str = "hit",
     order_cols: list[str] | None = None,
+    n_true_col: str | None = None,
 ) -> DataFrame:
     """VOC-style AP per group as pure window algebra (metrics.py:31-99).
 
     Input: one row per detection with a confidence score and a 0/1 hit
-    flag; ground-truth count per group = Σ hit (recall reaches 1.0).
+    flag. ``n_true_col`` names a per-row column carrying the group's TRUE
+    ground-truth count (constant within a group) — recall then ends below
+    1.0 when detections miss objects, the real VOC denominator. Without
+    it, ground-truth count per group falls back to Σ hit (recall reaches
+    1.0 by construction — only correct when every GT is matched).
 
     recall_i = cumTP/Σhit, precision_i = cumTP/i over descending score;
     monotonic precision = max(precision) over the suffix (reverse running
@@ -167,10 +172,15 @@ def average_precision(
     w_lag = Window.partitionBy(*group_cols).orderBy(*order)
     total = Window.partitionBy(*group_cols)
 
+    n_true_expr = (
+        F.col(n_true_col).cast("double")
+        if n_true_col is not None
+        else F.sum(hit_col).over(total).cast("double")
+    )
     ranked = (
         detections.withColumn("_tp", F.sum(hit_col).over(w_cum).cast("double"))
         .withColumn("_i", F.count("*").over(w_cum).cast("double"))
-        .withColumn("_n_true", F.sum(hit_col).over(total).cast("double"))
+        .withColumn("_n_true", n_true_expr)
         # a group with zero matched GTs has undefined recall → NULL AP
         # (never a fake 0/1, and never an ANSI divide-by-zero)
         .withColumn(
@@ -317,8 +327,11 @@ def detection_ap(
     same); the greedy protocol runs IN-ROW per image; AP is window
     algebra per category. Images whose detections have no ground truth
     still contribute false positives (left join, empty gt array).
-    Recall is normalized to MATCHED ground truths (Σ hit, the
-    :func:`average_precision` convention).
+    Recall is normalized to the REAL per-category ground-truth count, so
+    missed objects (false negatives) lower AP — including categories
+    with ground truth but zero detections, which emit an AP-0 row. A
+    category with detections but no ground truth anywhere has undefined
+    recall → NULL AP.
     """
     if mode not in ("2d", "3d"):
         raise ValueError(f"mode must be '2d' or '3d', got {mode!r}")
@@ -349,7 +362,24 @@ def detection_ap(
         F.col("h.score").alias("score"),
         F.col("h.hit").alias("hit"),
     )
-    # (image, pos) makes the per-category sort total → deterministic AP
-    return average_precision(
-        flat, [category_col], order_cols=[image_col, "pos"]
+    gt_counts = gts.groupBy(category_col).agg(
+        F.count("*").cast("long").alias("_cat_n_true")
     )
+    flat = flat.join(F.broadcast(gt_counts), category_col, "left").withColumn(
+        "_cat_n_true", F.coalesce(F.col("_cat_n_true"), F.lit(0))
+    )
+    # (image, pos) makes the per-category sort total → deterministic AP
+    ap = average_precision(
+        flat, [category_col], order_cols=[image_col, "pos"],
+        n_true_col="_cat_n_true",
+    )
+    # ground truth with zero detections anywhere → AP 0 (all missed)
+    undetected = gt_counts.join(
+        ap.select(category_col), category_col, "left_anti"
+    ).select(
+        category_col,
+        F.lit(0.0).alias("ap"),
+        F.col("_cat_n_true").alias("n_true"),
+        F.lit(0).cast("long").alias("n_detections"),
+    )
+    return ap.unionByName(undetected)

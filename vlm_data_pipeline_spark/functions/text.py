@@ -175,7 +175,7 @@ def quality_features(text: Column) -> dict[str, Column]:
     n = c["n_tokens"]
     nd = n.cast("double")
     return {
-        "n_tokens": F.size(tokens(text)),
+        "n_tokens": n.cast("int"),
         "n_chars": F.length(text),
         "stopword_ratio": F.when(n > 0, c["n_stop"].cast("double") / nd).otherwise(
             0.0

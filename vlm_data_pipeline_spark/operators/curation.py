@@ -75,13 +75,22 @@ def quality_predicates(
     rep = repetition_counts(text)
     n, tok_chars, line_chars = q["n_tokens"], rep["tok_chars"], rep["line_chars"]
 
+    # Cross-multiply in decimal(38,0): counts are <= ~2^63 and a float
+    # threshold's exact-rational denominator can reach 10^16 (e.g. 1/3 →
+    # 3333…/10^16), so the products overflow BIGINT — ANSI mode would
+    # kill the job on a perfectly legitimate custom rule. decimal128
+    # holds count·denominator up to ~10^35 exactly; the oracle mirrors
+    # with HUGEINT.
+    def _d(x: Column | int) -> Column:
+        return (F.lit(x) if isinstance(x, int) else x).cast("decimal(38,0)")
+
     def ge(num: Column, den: Column, thr: float) -> Column:
         f = rule_fraction(thr)
-        return num * f.denominator >= den * f.numerator
+        return _d(num) * _d(f.denominator) >= _d(den) * _d(f.numerator)
 
     def le(num: Column, den: Column, thr: float) -> Column:
         f = rule_fraction(thr)
-        return num * f.denominator <= den * f.numerator
+        return _d(num) * _d(f.denominator) <= _d(den) * _d(f.numerator)
 
     one = F.lit(1).cast("long")
     lo, hi = rule_fraction(r["min_mean_word_len"]), rule_fraction(r["max_mean_word_len"])
@@ -310,44 +319,59 @@ def mixing_plan(
     floating division anywhere, so the plan value-oracles bit-for-bit.
     Strata absent from ``weights`` get target 0 (dropped downstream).
 
-    One groupBy; the plan is strata-sized — a dimension table.
+    EAGER by design: the one distributed groupBy collects the
+    strata-sized counts (the dimension-table contract), the plan math
+    runs in exact Python integers on the driver, and the result is a
+    small materialized DataFrame — so downstream ``show``/write/
+    broadcast consumers never re-run the corpus aggregation, and weight
+    keys naming no observed stratum FAIL FAST (a typo'd domain weight
+    must not silently evaporate its share of the budget).
     """
     from ..functions.text import token_count
 
     total_w = sum((Fraction(str(w)) for w in weights.values()), Fraction(0))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
-    pairs: list[Column] = []
-    for s, w in sorted(weights.items()):
-        frac = Fraction(str(w)) / total_w
-        tgt = (budget_tokens * frac.numerator) // frac.denominator
-        pairs.append(F.lit(s))
-        pairs.append(F.lit(int(tgt)))
-    tgt_map = F.create_map(*pairs)
-
-    counts = docs.groupBy(strata_col).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens"),
-    )
-    target = F.coalesce(
-        F.element_at(tgt_map, F.col(strata_col).cast("string")), F.lit(0)
-    ).cast("long")
-    return counts.select(
-        strata_col,
-        "n_docs",
-        "n_tokens",
-        target.alias("target_tokens"),
-        F.when(
-            F.col("n_tokens") > 0, F.expr("target_tokens div n_tokens")
+    counts = (
+        docs.groupBy(strata_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens"),
         )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("epochs"),
-        F.when(F.col("n_tokens") > 0, F.col("target_tokens") % F.col("n_tokens"))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("residual_tokens"),
+        .collect()
     )
+    observed = {str(r[strata_col]) for r in counts}
+    unknown = sorted(str(s) for s in weights if str(s) not in observed)
+    if unknown:
+        raise ValueError(
+            f"weight keys match no observed stratum: {unknown} "
+            f"(observed: {sorted(observed)})"
+        )
+    targets = {
+        str(s): (budget_tokens * (Fraction(str(w)) / total_w).numerator)
+        // (Fraction(str(w)) / total_w).denominator
+        for s, w in weights.items()
+    }
+    rows = []
+    for r in counts:
+        tgt = int(targets.get(str(r[strata_col]), 0))
+        n_tok = int(r["n_tokens"] or 0)
+        rows.append(
+            (
+                r[strata_col],
+                int(r["n_docs"]),
+                n_tok,
+                tgt,
+                tgt // n_tok if n_tok > 0 else 0,
+                tgt % n_tok if n_tok > 0 else 0,
+            )
+        )
+    stype = docs.schema[strata_col].dataType.simpleString()
+    schema = (
+        f"{strata_col} {stype}, n_docs long, n_tokens long, "
+        "target_tokens long, epochs long, residual_tokens long"
+    )
+    return docs.sparkSession.createDataFrame(rows, schema)
 
 
 def apply_mixing_plan(
@@ -368,10 +392,25 @@ def apply_mixing_plan(
     Output = input columns + ``epoch`` (1-based copy index). Scale
     shape: the plan broadcasts (strata-sized); the replicate is an
     in-row explode — zero shuffle beyond the broadcast.
+
+    The plan's knob columns are renamed behind a ``__mix_`` prefix
+    before the join, so a docs table that itself carries ``n_tokens``/
+    ``epochs``/… (pack_sequences output does) joins unambiguously;
+    ``epoch`` colliding with an input column raises.
     """
     from ..functions.text import hash32
 
-    joined = docs.join(F.broadcast(plan), strata_col, "inner")
+    if "epoch" in docs.columns:
+        raise ValueError(
+            "docs already has an 'epoch' column — rename it before mixing"
+        )
+    knobs = plan.select(
+        strata_col,
+        F.col("n_tokens").alias("__mix_n_tokens"),
+        F.col("epochs").alias("__mix_epochs"),
+        F.col("residual_tokens").alias("__mix_residual"),
+    )
+    joined = docs.join(F.broadcast(knobs), strata_col, "inner")
     u = hash32(
         F.concat_ws(
             "\x1f",
@@ -381,12 +420,12 @@ def apply_mixing_plan(
         )
     )
     extra = (
-        u.cast("decimal(38,0)") * F.col("n_tokens").cast("decimal(38,0)")
+        u.cast("decimal(38,0)") * F.col("__mix_n_tokens").cast("decimal(38,0)")
     ) < (
-        F.col("residual_tokens").cast("decimal(38,0)")
+        F.col("__mix_residual").cast("decimal(38,0)")
         * F.lit(4294967296).cast("decimal(38,0)")
     )
-    n_copies = (F.col("epochs") + F.when(extra, 1).otherwise(0)).cast("int")
+    n_copies = (F.col("__mix_epochs") + F.when(extra, 1).otherwise(0)).cast("int")
     return (
         joined.filter(n_copies > 0)
         .select(

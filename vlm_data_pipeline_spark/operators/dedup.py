@@ -457,6 +457,8 @@ def neardup_components(
     """
     from pyspark.sql.types import IntegerType, LongType, ShortType, StringType
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     t_a, t_b = pairs.schema[id_a].dataType, pairs.schema[id_b].dataType
     ok_types = (IntegerType, LongType, ShortType, StringType)
     if not (isinstance(t_a, ok_types) and isinstance(t_b, ok_types)):
@@ -565,9 +567,12 @@ def dedup_paragraphs(
     """
     from pyspark.sql import Window as W
 
+    # F.split takes a REGEX; quote the separator (\Q…\E) so sep='.'
+    # or '||' splits literally instead of on every character
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), F.lit(quoted))).alias("pos", "para"),
     ).filter(F.col("para") != "")
     w = W.partitionBy("para").orderBy(id_col, "pos")
     kept = (

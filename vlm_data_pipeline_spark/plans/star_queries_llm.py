@@ -900,13 +900,21 @@ def _c_preds() -> str:
 
     r = DEFAULT_RULES
 
+    # HUGEINT products mirror the Spark side's decimal(38,0): a float
+    # threshold's exact denominator can reach 10^16, overflowing BIGINT
     def ge(num: str, den: str, thr: float) -> str:
         f = rule_fraction(thr)
-        return f"({num} * {f.denominator} >= {den} * {f.numerator})"
+        return (
+            f"(CAST({num} AS HUGEINT) * {f.denominator} "
+            f">= CAST({den} AS HUGEINT) * {f.numerator})"
+        )
 
     def le(num: str, den: str, thr: float) -> str:
         f = rule_fraction(thr)
-        return f"({num} * {f.denominator} <= {den} * {f.numerator})"
+        return (
+            f"(CAST({num} AS HUGEINT) * {f.denominator} "
+            f"<= CAST({den} AS HUGEINT) * {f.numerator})"
+        )
 
     def b(x: bool) -> str:
         return "TRUE" if x else "FALSE"
