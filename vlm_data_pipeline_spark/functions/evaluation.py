@@ -339,14 +339,26 @@ def detection_ap(
         box_cols = BOX_COLS_2D if mode == "2d" else BOX_COLS_3D
     iou_fn = iou_2d if mode == "2d" else aabb_iou_3d
     xs = [F.col(c).cast("double").alias(c) for c in box_cols]
+    # collect_list order is partition-dependent; sort the det array by
+    # (score desc, box fields) and the gt array by box fields so greedy's
+    # tie-breaks — and therefore every hit sequence and AP — are a pure
+    # function of the data, not of shuffle arrival order
     d_boxes = dets.groupBy(image_col, category_col).agg(
-        F.collect_list(
-            F.struct(F.col(score_col).cast("double").alias("score"),
-                     F.struct(*xs).alias("box"))
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col(score_col).cast("double")).alias("neg"),
+                        F.struct(*xs).alias("box"),
+                        F.col(score_col).cast("double").alias("score"),
+                    )
+                )
+            ),
+            lambda s: F.struct(s["score"].alias("score"), s["box"].alias("box")),
         ).alias("_dets")
     )
     g_boxes = gts.groupBy(image_col, category_col).agg(
-        F.collect_list(F.struct(*xs)).alias("_gts")
+        F.array_sort(F.collect_list(F.struct(*xs))).alias("_gts")
     )
     hits = d_boxes.join(g_boxes, [image_col, category_col], "left").select(
         image_col,
