@@ -157,6 +157,13 @@ def average_precision(
     (1, 0) point contributes 0 by construction.
 
     ``order_cols`` must make the sort total for deterministic results.
+
+    Scale note: the cumulative/suffix windows serialize each group
+    through one reducer — inherent to AP's global ranking. That is the
+    right trade for this operator's workload: detection EVAL sets are
+    benchmark-sized (10^5–10^7 rows per category), not corpus-sized, and
+    a single window task handles that comfortably; the corpus-scale
+    stages of this engine never funnel a whole stratum this way.
     """
     order = [F.col(score_col).desc()] + [F.col(c) for c in (order_cols or [])]
     w_cum = (
