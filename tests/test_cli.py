@@ -135,3 +135,27 @@ def test_cli_mix(spark, tmp_path):
     assert plan["en"].epochs == 2 and plan["en"].residual_tokens == 0
     mixed = spark.read.parquet(f"{out}/mixed")
     assert mixed.count() == 40  # every doc exactly twice, nothing sampled
+
+
+def test_cli_clean_jsonl_input(spark, tmp_path):
+    """LLM corpora ship as JSONL(.gz); --format jsonl reads them
+    natively through the same cleaning pipeline."""
+    import gzip, json
+
+    src = tmp_path / "docs_jsonl"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1,
+         "text": "the data pipeline reads the parquet files quickly today ok"},
+        {"doc_id": 2, "text": "hi"},
+        {"doc_id": 3,
+         "text": "the data pipeline reads the parquet files quickly today ok"},
+    ]
+    with gzip.open(src / "part-0.jsonl.gz", "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "clean_jsonl_out")
+    assert main(["clean", "--docs", str(src), "--format", "jsonl",
+                 "--out", out, "--cpus", "4"]) == 0
+    kept = spark.read.parquet(f"{out}/clean")
+    assert sorted(r.doc_id for r in kept.collect()) == [1]

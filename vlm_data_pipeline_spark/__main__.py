@@ -26,6 +26,19 @@ def _spark(cpus: int | None):
     return get_spark("vlm-pipeline-cli", cpus=cpus)
 
 
+def _read_docs(spark, path: str, fmt: str):
+    """Documents table in the format LLM corpora actually ship in.
+    jsonl covers .jsonl/.json.gz trees (Spark decompresses gzip text
+    sources transparently); orc/parquet are the columnar lake formats."""
+    if fmt == "jsonl":
+        return spark.read.json(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    raise SystemExit(f"unsupported --format {fmt!r}")
+
+
 def cmd_qa(args: argparse.Namespace) -> int:
     from .qa import generate_all, qa_summary, write_qa_outputs
 
@@ -56,7 +69,7 @@ def cmd_clean(args: argparse.Namespace) -> int:
     from .operators import curation, dedup
 
     spark = _spark(args.cpus)
-    docs = spark.read.parquet(args.docs)
+    docs = _read_docs(spark, args.docs, args.format)
     q = curation.quality_filter(docs)
     pairs = dedup.minhash_lsh_pairs(q, threshold=args.jaccard)
     kept = dedup.dedup_keep_filter(q, dedup.neardup_components(pairs))
@@ -82,7 +95,7 @@ def cmd_mix(args: argparse.Namespace) -> int:
         k, _, v = kv.partition("=")
         weights[k.strip()] = float(v)
     spark = _spark(args.cpus)
-    docs = spark.read.parquet(args.docs)
+    docs = _read_docs(spark, args.docs, args.format)
     plan = mixing_plan(docs, args.strata, weights, args.budget)
     plan.show(100, truncate=False)
     if args.out:
@@ -156,6 +169,8 @@ def build_parser() -> argparse.ArgumentParser:
         "clean", help="quality + dedup + decontamination", parents=[common]
     )
     cl.add_argument("--docs", required=True)
+    cl.add_argument("--format", choices=["parquet", "jsonl", "orc"],
+                    default="parquet")
     cl.add_argument("--out", required=True)
     cl.add_argument("--benchmark", default=None)
     cl.add_argument("--jaccard", type=float, default=0.8)
@@ -173,6 +188,8 @@ def build_parser() -> argparse.ArgumentParser:
         "mix", help="token-budget mixing plan + deterministic mix", parents=[common]
     )
     mx.add_argument("--docs", required=True)
+    mx.add_argument("--format", choices=["parquet", "jsonl", "orc"],
+                    default="parquet")
     mx.add_argument("--strata", default="lang")
     mx.add_argument("--weights", required=True,
                     help="comma list, e.g. en=0.5,fr=0.25,zh=0.25")
