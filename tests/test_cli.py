@@ -159,3 +159,16 @@ def test_cli_clean_jsonl_input(spark, tmp_path):
                  "--out", out, "--cpus", "4"]) == 0
     kept = spark.read.parquet(f"{out}/clean")
     assert sorted(r.doc_id for r in kept.collect()) == [1]
+
+
+def test_cli_mix_orc_input(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "tok tok", "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(src)
+    out = str(tmp_path / "mix_orc_out")
+    assert main(["mix", "--docs", src, "--format", "orc", "--weights",
+                 "en=1.0", "--budget", "16", "--out", out, "--cpus", "4"]) == 0
+    assert spark.read.parquet(f"{out}/mixed").count() == 8  # 2 epochs x 4

@@ -3,9 +3,12 @@ scripts (process_all.py / generate_qa.py / create_labeled_dataset.py):
 
     python -m vlm_data_pipeline_spark qa      --frames DIR --out DIR
     python -m vlm_data_pipeline_spark enrich  --frames DIR --out DIR
-    python -m vlm_data_pipeline_spark clean   --docs PARQUET --out DIR
+    python -m vlm_data_pipeline_spark clean   --docs PATH --out DIR
+    python -m vlm_data_pipeline_spark mix     --docs PATH --weights k=v,.. --budget N
     python -m vlm_data_pipeline_spark summary --frames DIR
     python -m vlm_data_pipeline_spark eval    --detections P --groundtruth P
+
+``clean``/``mix`` read parquet, JSONL(.gz), or ORC corpora (--format).
 
 ``--frames`` reads a parquet directory holding the canonical FRAME
 schema (any ingest adapter's output); ``--docs`` a documents table
@@ -116,16 +119,17 @@ def cmd_eval(args: argparse.Namespace) -> int:
     spark = _spark(args.cpus)
     dets = spark.read.parquet(args.detections)
     gts = spark.read.parquet(args.groundtruth)
+    # fail fast on a typo'd column BEFORE the expensive AP job runs
+    if args.error_col and args.error_col not in dets.columns:
+        raise SystemExit(
+            f"--error-col {args.error_col!r} not in detections columns "
+            f"{dets.columns}"
+        )
     ap = detection_ap(dets, gts, iou_thresh=args.iou, mode=args.mode)
     ap.show(100, truncate=False)
     if args.out:
         ap.coalesce(1).write.mode("overwrite").json(f"{args.out}/ap")
     if args.error_col:
-        if args.error_col not in dets.columns:
-            raise SystemExit(
-                f"--error-col {args.error_col!r} not in detections columns "
-                f"{dets.columns}"
-            )
         acc = accuracy_under_threshold(
             dets, ["category"], error_col=args.error_col, thresh=args.error_thresh
         )

@@ -392,9 +392,12 @@ def detection_ap(
         flat, [category_col], order_cols=[image_col, "pos"],
         n_true_col="_cat_n_true",
     )
-    # ground truth with zero detections anywhere → AP 0 (all missed)
+    # ground truth with zero detections anywhere → AP 0 (all missed).
+    # Anti-join against the (cheap) detected-category set, NOT against
+    # `ap` — the latter would re-evaluate the whole greedy+window subtree
+    # a second time inside the union.
     undetected = gt_counts.join(
-        ap.select(category_col), category_col, "left_anti"
+        dets.select(category_col).distinct(), category_col, "left_anti"
     ).select(
         category_col,
         F.lit(0.0).alias("ap"),

@@ -367,8 +367,10 @@ def mixing_plan(
             )
         )
     stype = docs.schema[strata_col].dataType.simpleString()
+    # backticks: a strata column named e.g. 'lang-id' must survive the
+    # DDL round-trip like it survived the old groupBy projection
     schema = (
-        f"{strata_col} {stype}, n_docs long, n_tokens long, "
+        f"`{strata_col}` {stype}, n_docs long, n_tokens long, "
         "target_tokens long, epochs long, residual_tokens long"
     )
     return docs.sparkSession.createDataFrame(rows, schema)

@@ -1505,18 +1505,25 @@ WITH d AS (
            cast(l_partkey % 997 AS DOUBLE) / 997.0 AS score,
            CAST((l_partkey % 2) * 100 + l_partkey % 7 AS DOUBLE) AS x_min
     FROM lineitem
+), posd AS (
+    -- pos FIRST, then the per-GT argmax tie-breaks on pos: two
+    -- byte-identical detections (duplicate lineitems exist) must pin the
+    -- hit to the LOWER pos, exactly as the library's greedy fold does —
+    -- independent row_numbers could pair hit and pos arbitrarily
+    SELECT *, row_number() OVER (PARTITION BY image
+                                 ORDER BY score DESC, x_min ASC) - 1 AS pos
+    FROM d
 ), iou AS (
-    SELECT *, (10.0 - off) / (10.0 + off) AS iou FROM d
+    SELECT *, (10.0 - off) / (10.0 + off) AS iou FROM posd
 ), won AS (
     SELECT *, CASE WHEN iou >= 0.5 THEN
         row_number() OVER (PARTITION BY image, gt_idx, iou >= 0.5
-                           ORDER BY score DESC, x_min ASC) END AS rn
+                           ORDER BY score DESC, x_min ASC, pos ASC) END AS rn
     FROM iou
 ), hits AS (
     SELECT image, category, score,
            CASE WHEN iou >= 0.5 AND rn = 1 THEN 1 ELSE 0 END AS hit,
-           row_number() OVER (PARTITION BY image
-                              ORDER BY score DESC, x_min ASC) - 1 AS pos
+           pos
     FROM won
 ), nt AS (
     SELECT 'c' || (l_orderkey % 3) AS category,
