@@ -425,3 +425,94 @@ def test_apply_mixing_plan_tolerates_colliding_doc_columns(spark):
         curation.apply_mixing_plan(
             docs.withColumn("epoch", F.lit(1)), plan, "lang"
         )
+
+
+def test_chunk_documents_sliding_windows(spark):
+    """Hand-checked sliding windows: max 4, overlap 1 -> stride 3;
+    10 tokens -> starts 1,4,7,10 -> lengths 4,4,4,1."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in curation.chunk_documents(docs, max_tokens=4, overlap=1).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk))
+    for v in out.values():
+        v.sort()
+    assert out[1] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+        (3, 1, "w9"),
+    ]
+    assert out[2] == [(0, 2, "a b")]
+    assert 3 not in out  # empty doc -> no chunks
+
+    # overlapping windows cover every token; empty overlap partitions
+    flat = curation.chunk_documents(docs, max_tokens=4, overlap=0).collect()
+    doc1 = sorted(
+        (r.chunk_idx, r.chunk) for r in flat if r.doc_id == 1
+    )
+    assert " ".join(c for _, c in doc1).split() == [f"w{i}" for i in range(10)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        curation.chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        curation.chunk_documents(docs, max_tokens=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_filter_blocked_domains_suffix_match(spark):
+    """Blocked registrable domains ban every subdomain; similar-looking
+    but distinct hosts (notbad.net) survive; docs without a URL are kept."""
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ok.org/x"),
+            (2, "https://bad.net/x"),
+            (3, "https://cdn.ads.bad.net/y"),   # subdomain of banned
+            (4, "https://notbad.net/z"),        # suffix is 'bad.net'? NO —
+                                                # dot-suffixes only
+            (5, "no url in this text"),
+            (6, "HTTPS://BAD.NET/CAPS"),        # case-insensitive...
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("bad.net",)], "domain string")
+    kept = sorted(
+        r.doc_id
+        for r in curation.filter_blocked_domains(docs, blocked).collect()
+    )
+    # 6 is kept: the regex requires lowercase scheme (planted URLs are
+    # normalized); host case is folded AFTER extraction
+    assert kept == [1, 4, 5, 6]
+
+    lower6 = docs.withColumn(
+        "url", F.when(F.col("doc_id") == 6, "https://BAD.NET/CAPS").otherwise(
+            F.col("url")
+        )
+    )
+    kept2 = sorted(
+        r.doc_id
+        for r in curation.filter_blocked_domains(lower6, blocked).collect()
+    )
+    assert kept2 == [1, 4, 5]  # host case folded -> blocked
+
+
+def test_filter_blocked_domains_broadcasts_blocklist(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://a.b/x")], "doc_id long, url string"
+    )
+    blocked = spark.createDataFrame([("b",)], "domain string")
+    plan = (
+        curation.filter_blocked_domains(docs, blocked)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:1500]

@@ -435,3 +435,120 @@ def apply_mixing_plan(
             F.explode(F.sequence(F.lit(1), n_copies)).alias("epoch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Long-document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into fixed-token-window chunks with optional
+    overlap — the long-document complement of :func:`pack_sequences`
+    (packing joins short docs; chunking splits long ones; a pre-training
+    pipeline runs both). Standard sliding-window semantics: chunk k
+    starts at token k·(max_tokens − overlap); the last chunk may be
+    short; token-joined text (single spaces — token-level chunking does
+    not preserve original whitespace).
+
+    In-row: one ``transform(sequence)`` + explode per document — zero
+    shuffle at any corpus size. Returns (``id_col``, chunk_idx,
+    n_tokens, chunk).
+    """
+    from ..functions.text import let, tokens
+
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_tokens ({max_tokens})"
+        )
+    stride = max_tokens - overlap
+
+    def chunks(t: Column) -> Column:
+        windows = F.transform(
+            F.sequence(F.lit(1), F.size(t), F.lit(stride)),
+            lambda start, k: F.struct(
+                k.cast("long").alias("chunk_idx"),
+                F.size(F.slice(t, start, max_tokens)).cast("long").alias(
+                    "n_tokens"
+                ),
+                F.array_join(F.slice(t, start, max_tokens), " ").alias("chunk"),
+            ),
+        )
+        # sequence(1, 0) is illegal — a token-less doc yields NULL, which
+        # explode drops (no chunks), instead of crashing the task
+        return F.when(F.size(t) > 0, windows)
+
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(let(tokens(F.col(text_col)), chunks)).alias("c"),
+        )
+        .select(id_col, "c.chunk_idx", "c.n_tokens", "c.chunk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filtering (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def extract_domain(url: Column) -> Column:
+    """Lower-cased host of an http(s) URL ('' when not a URL) — in-row."""
+    return F.lower(F.regexp_extract(url, r"^https?://([^/:?#\s]+)", 1))
+
+
+def domain_suffixes(domain: Column) -> Column:
+    """All dot-suffixes of a host: 'a.b.c' → ['a.b.c', 'b.c', 'c'] —
+    blocklists ban registrable domains and every subdomain must match."""
+
+    from ..functions.text import let
+
+    def mk(parts: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(
+                F.slice(parts, i, F.size(parts) - i + 1), "."
+            ),
+        )
+
+    return let(F.split(domain, r"\."), mk)
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents whose URL's host — or ANY parent domain of it —
+    appears in the blocklist (the C4 'bad domains' stage; Raffel et al.
+    2020 §2.2 filter corpora by source host).
+
+    Scale shape: suffixes are generated in-row (≤ label-count per doc);
+    the skinny (id, suffix) explode semi-joins the BROADCAST blocklist
+    (blocklists are list-sized, not corpus-sized), and the resulting
+    blocked-id set anti-joins back — the corpus text never shuffles.
+    Documents with no parseable host are KEPT (no URL ≠ banned URL).
+    """
+    sufs = docs.select(
+        F.col(id_col).alias("__bid"),
+        F.explode(domain_suffixes(extract_domain(F.col(url_col)))).alias(
+            "__suffix"
+        ),
+    )
+    bl = blocked.select(F.lower(F.col(domain_col)).alias("__suffix")).distinct()
+    blocked_ids = (
+        sufs.join(F.broadcast(bl), "__suffix", "semi")
+        .select("__bid")
+        .distinct()
+    )
+    return docs.join(
+        blocked_ids, docs[id_col] == F.col("__bid"), "left_anti"
+    )

@@ -1467,3 +1467,116 @@ def curation_apply_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.apply_mixing_plan(
         docs.select("doc_id", "lang"), plan, "lang"
     ).select("doc_id", "lang", "epoch")
+
+
+_CHUNK_MAX, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM documents
+), starts AS (
+    SELECT doc_id, w, unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS start
+    FROM t WHERE len(w) > 0
+)
+SELECT doc_id,
+       cast((start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       cast(len(w[start : start + {_CHUNK_MAX} - 1]) AS BIGINT) AS n_tokens,
+       array_to_string(w[start : start + {_CHUNK_MAX} - 1], ' ') AS chunk
+FROM starts
+"""
+
+
+@register(
+    "curation_chunk_documents",
+    _CHUNK_ORACLE,
+    "Long-document chunking (extension; the complement of "
+    "pack_sequences — packing joins short docs, chunking splits long "
+    "ones): sliding token windows of max_tokens with overlap, last "
+    "chunk short. One in-row transform+explode per doc — zero shuffle "
+    "at any corpus size; the oracle replays the windows with stepped "
+    "range + list slices. Library: operators.curation.chunk_documents.",
+)
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return curation.chunk_documents(
+        docs, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
+    )
+
+
+# Plant a URL per doc: host rotates through 6 domains (2 blocked, one of
+# them via a SUBdomain — the parent-suffix match path), so the filter has
+# real work on every row.
+_PLANT_URL = (
+    "'https://' || CASE doc_id % 6 "
+    "WHEN 0 THEN 'spam.example' "
+    "WHEN 1 THEN 'ok.org' "
+    "WHEN 2 THEN 'cdn.ads.bad.net' "
+    "WHEN 3 THEN 'news.site' "
+    "WHEN 4 THEN 'sub.ok.org' "
+    "ELSE 'bad.net' END || '/p/' || doc_id"
+)
+
+_BLOCKLIST_ORACLE = f"""
+WITH u AS (
+    SELECT doc_id, lang, {_PLANT_URL} AS url FROM documents
+), host AS (
+    SELECT doc_id, lang,
+           lower(regexp_extract(url, '^https?://([^/:?#\\s]+)', 1)) AS dom
+    FROM u
+), sufs AS (
+    SELECT doc_id, lang,
+           array_to_string(parts[i:len(parts)], '.') AS suffix
+    FROM (SELECT doc_id, lang, string_split(dom, '.') AS parts,
+                 unnest(range(1, len(string_split(dom, '.')) + 1)) AS i
+          FROM host)
+), blocked_ids AS (
+    SELECT DISTINCT doc_id FROM sufs
+    WHERE suffix IN ('spam.example', 'bad.net')
+)
+SELECT h.doc_id, h.lang FROM host h
+LEFT JOIN blocked_ids b ON h.doc_id = b.doc_id
+WHERE b.doc_id IS NULL
+"""
+
+
+@register(
+    "curation_domain_blocklist",
+    _BLOCKLIST_ORACLE,
+    "C4-style domain blocklist filtering (extension; Raffel et al. 2020 "
+    "2.2): drop docs whose URL host — or any parent domain (subdomains "
+    "of a banned registrable domain are banned) — is blocklisted. "
+    "In-row host extraction + dot-suffix generation, skinny (id, "
+    "suffix) explode semi-joined against the BROADCAST blocklist, "
+    "blocked ids anti-joined back: the corpus text never shuffles. "
+    "URLs are PLANTED per doc (2 of 6 rotating hosts blocked, one via "
+    "subdomain) so every row exercises the match. Library: "
+    "operators.curation.filter_blocked_domains.",
+)
+def curation_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    hosts = [
+        "spam.example", "ok.org", "cdn.ads.bad.net",
+        "news.site", "sub.ok.org", "bad.net",
+    ]
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in hosts]),
+        (F.col("doc_id") % 6).cast("int") + 1,
+    )
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("spam.example",), ("bad.net",)], "domain string"
+    )
+    return curation.filter_blocked_domains(planted, blocked).select(
+        "doc_id", "lang"
+    )
