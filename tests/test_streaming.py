@@ -170,3 +170,37 @@ def test_curation_ops_stream_unchanged(spark, tmp_path):
     assert {r.clean for r in out.collect() if r.doc_id == 4} == {
         "mail <EMAIL> or <URL> now the end is here ok"
     }
+
+
+def test_chunk_documents_streams_unchanged(spark, tmp_path):
+    """chunk_documents is a per-row transform+explode, so it runs
+    unchanged on a readStream in append mode with row-identical output.
+    (filter_blocked_domains semi/anti-joins an id set derived from the
+    input — like mixing and paragraph dedup, a deliberate batch-side
+    exception: streaming-on-right anti-joins are unsupported.)"""
+    from vlm_data_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),
+            (2, "a b c"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "chunk_src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def transform(df):
+        return curation.chunk_documents(df, max_tokens=4, overlap=1)
+
+    out = run_stream(
+        transform(spark.readStream.schema(schema).parquet(src)),
+        tmp_path,
+        "chunk_stream",
+        output_mode="append",
+    )
+    batch = transform(spark.read.parquet(src))
+    assert as_sorted_rows(out) == as_sorted_rows(batch)
+    assert sorted({r.doc_id for r in out.collect()}) == [1, 2]  # empty doc: none

@@ -536,6 +536,8 @@ def filter_blocked_domains(
     (blocklists are list-sized, not corpus-sized), and the resulting
     blocked-id set anti-joins back — the corpus text never shuffles.
     Documents with no parseable host are KEPT (no URL ≠ banned URL).
+    Batch-only (like mixing/paragraph dedup): the anti-join's right side
+    derives from the input, which streaming does not support.
     """
     sufs = docs.select(
         F.col(id_col).alias("__bid"),
