@@ -474,3 +474,30 @@ def test_neardup_components_rejects_nonpositive_max_iter(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with _pytest.raises(ValueError, match="max_iter"):
         dedup.neardup_components(pairs, max_iter=0)
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Hand-planted semantic dupes: two clusters, three near-copies of
+    v1 and one of v2; min-id keeper per component survives, the
+    orthogonal vector passes untouched."""
+    from vlm_data_pipeline_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.9999, 0.01, 0.0, 0.0]),    # dup of 1
+        (4, [0.0, 0.9999, 0.01, 0.0]),    # dup of 2
+        (5, [0.0, 0.0, 1.0, 0.0]),        # orthogonal — no pair
+        (6, [0.9998, 0.015, 0.0, 0.0]),   # dup of 1 (and of 3)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.semantic_dedup_pairs(emb, threshold=0.9, n_lists=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 3), (1, 6), (3, 6), (2, 4)}
+
+    comp = dedup.neardup_components(pairs)
+    kept = sorted(
+        r.vec_id
+        for r in dedup.dedup_keep_filter(emb, comp, id_col="vec_id").collect()
+    )
+    assert kept == [1, 2, 5]

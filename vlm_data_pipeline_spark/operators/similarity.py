@@ -532,3 +532,89 @@ def train_pq_codebooks(
                     cent[c] = sub[mask].mean(axis=0)
         books.append([[float(v) for v in c] for c in cent])
     return books
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_lists: int = 16,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023):
+    coarse-cluster the embeddings, then exact pairwise cosine WITHIN each
+    cluster only — the cluster bounds the quadratic term (Σ|cluster|²,
+    not |corpus|²; SemDeDup used 100k clusters on LAION — ``n_lists``
+    scales with the corpus). Pairs straddling a cluster boundary are
+    missed by design (the method's documented approximation; the
+    text-level LSH pass catches lexical near-dups independently).
+
+    Deterministic end-to-end: the coarse quantizer is the fixed-centroid
+    one from :func:`ivf_ann_fixed_topk` (lowest-id corpus vectors by
+    default, integer-scaled L2 assignment in-row), and cosines are exact
+    integer-scaled dots — fully value-oracle-able. Feed the output to
+    ``dedup.neardup_components`` + ``dedup.dedup_keep_filter`` for the
+    retention pass.
+    """
+    from ..functions.text import let
+
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_lists)
+            .select(F.col(id_col), F.col(vec_col))
+        )
+    cent_rows = sorted(centroids.collect(), key=lambda r: r[0])
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                _int_vec(F.array(*[F.lit(float(x)) for x in r[1]])).alias("civ"),
+            )
+            for i, r in enumerate(cent_rows)
+        ]
+    )
+
+    def d2(iv: Column, civ: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(iv, civ, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def best_list(iv: Column) -> Column:
+        return F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda e: F.struct(
+                    d2(iv, e["civ"]).alias("d"), e["list_id"].alias("list_id")
+                ),
+            )
+        )[0]["list_id"]
+
+    assigned = corpus.select(
+        F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("iv")
+    ).withColumn("list_id", let(F.col("iv"), best_list))
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col("a.iv"), F.col("b.iv")).cast("double") / float(SCALE * SCALE)
+    return (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1580,3 +1580,65 @@ def curation_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.filter_blocked_domains(planted, blocked).select(
         "doc_id", "lang"
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE v AS (
+    SELECT vec_id, {_d_intvec("embedding")} AS iv FROM embeddings
+), cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, iv AS civ
+    FROM (SELECT vec_id, iv FROM v ORDER BY vec_id LIMIT 16)
+), adist AS (
+    SELECT v.vec_id, v.iv, c.list_id,
+           {_IVF_D2.format(a="v.iv", b="c.civ")} AS d2
+    FROM v, cent c
+), assigned AS (
+    SELECT vec_id, iv, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, list_id) AS rn
+        FROM adist
+    ) WHERE rn = 1
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assigned a JOIN assigned b
+      ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    WHERE (cast({_D_DOT.format(a="a.iv", b="b.iv")} as DOUBLE)
+               / 100000000.0) >= 0.35
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT a AS vx, b AS r FROM edges
+    UNION
+    SELECT reach.vx, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+    SELECT vx AS vec_id, least(vx, min(r)) AS component_id
+    FROM reach GROUP BY vx
+)
+SELECT e.vec_id, e.label FROM embeddings e
+LEFT JOIN comp c ON e.vec_id = c.vec_id
+WHERE c.vec_id IS NULL OR c.component_id = e.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_survivors",
+    _SEMDEDUP_ORACLE,
+    "Semantic dedup end-to-end, SemDeDup-style (extension; Abbas et al. "
+    "2023): embeddings coarse-clustered by the deterministic fixed "
+    "quantizer (in-row integer-L2 argmin), exact pairwise cosine WITHIN "
+    "clusters only (the cluster bounds the quadratic — n_lists scales "
+    "with the corpus), connected components over the pair graph, min-id "
+    "keeper per component. The whole chain — assignment, pairs, "
+    "recursive closure, retention — re-derived in one SQL oracle. "
+    "Library: operators.similarity.semantic_dedup_pairs + "
+    "operators.dedup.neardup_components / dedup_keep_filter.",
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = similarity.semantic_dedup_pairs(emb, threshold=0.35, n_lists=16)
+    comp = dedup.neardup_components(pairs)
+    return dedup.dedup_keep_filter(
+        emb.select("vec_id", "label"), comp, id_col="vec_id"
+    )
