@@ -121,3 +121,76 @@ def test_default_decoder_real_png(spark):
 
     with _pytest.raises(Exception, match="Pillow|NotImplemented"):
         M.decode_images(bad).collect()
+
+
+def test_image_ahash_real_png_near_and_far(spark):
+    """Real-decoder aHash: a one-pixel perturbation moves the hash at
+    most a few bits; an inverted image lands far away; identical bytes
+    collide exactly — through the mapInPandas stage end-to-end."""
+    from tests.test_png_codec import encode_png
+    from vlm_data_pipeline_spark.sources.multimodal import (
+        image_ahash_64,
+        perceptual_hashes,
+        phash_near_pairs,
+    )
+
+    base = [[(x * 13 + y * 29) % 256 for x in range(16)] for y in range(16)]
+    noisy = [row[:] for row in base]
+    noisy[3][5] = (noisy[3][5] + 1) % 256
+    inverted = [[255 - v for v in row] for row in base]
+
+    p_base = encode_png(base)
+    p_noise = encode_png(noisy)
+    p_inv = encode_png(inverted)
+
+    M64 = (1 << 64) - 1
+    h_base = image_ahash_64(p_base)
+    assert image_ahash_64(p_base) == h_base  # deterministic
+    near = bin((h_base ^ image_ahash_64(p_noise)) & M64).count("1")
+    far = bin((h_base ^ image_ahash_64(p_inv)) & M64).count("1")
+    assert near <= 2
+    assert far >= 20  # inversion flips (almost) every block bit
+
+    assets = spark.createDataFrame(
+        [("a", bytearray(p_base)), ("b", bytearray(p_noise)),
+         ("c", bytearray(p_inv)), ("d", bytearray(p_base))],
+        "asset_id string, payload binary",
+    )
+    hashes = perceptual_hashes(assets)
+    got = {r.asset_id: r.phash for r in hashes.collect()}
+    assert got["a"] == got["d"] == h_base
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(
+            hashes, max_hamming=4, bands=8, bits=64
+        ).collect()
+    }
+    assert pairs[("a", "d")] == 0
+    assert ("a", "b") in pairs and pairs[("a", "b")] <= 2
+    assert all("c" not in p for p in pairs)  # inverted image is no near-dup
+
+
+def test_phash_near_pairs_pigeonhole_exact_recall(spark):
+    """bands > max_hamming -> 100% recall vs the brute-force pair set."""
+    import random
+
+    from vlm_data_pipeline_spark.sources.multimodal import phash_near_pairs
+
+    rng = random.Random(7)
+    hashes = [(i, rng.getrandbits(60)) for i in range(30)]
+    # plant near pairs at known distances
+    hashes.append((100, hashes[0][1] ^ 0b1011))          # hamming 3 vs id 0
+    hashes.append((101, hashes[1][1] ^ (1 << 59)))       # hamming 1 vs id 1
+    df = spark.createDataFrame(hashes, "asset_id long, phash long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in phash_near_pairs(df, max_hamming=4, bands=5, bits=60).collect()
+    }
+    brute = {
+        (a, b)
+        for i, (a, ha) in enumerate(hashes)
+        for b, hb in hashes[i + 1 :]
+        if a < b and bin(ha ^ hb).count("1") <= 4
+    }
+    assert got == brute and {(0, 100), (1, 101)} <= got

@@ -1642,3 +1642,76 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_filter(
         emb.select("vec_id", "label"), comp, id_col="vec_id"
     )
+
+
+# Planted perceptual hashes: customers form groups of 4 sharing a base
+# 60-bit hash; members 1-3 flip 1/2/4 known bits. Within a group at
+# max_hamming=4: pairs (0,1)=1, (0,2)=2, (0,3)=4, (1,2)=3 pass; (1,3)=5
+# and (2,3)=6 are rejected by the exact popcount verify — both accept
+# and reject paths exercised on every group.
+_PHASH_FLIPS = (0, 1 << 3, (1 << 7) | (1 << 23),
+                (1 << 1) | (1 << 12) | (1 << 33) | (1 << 47))
+
+_PHASH_HASHES = f"""
+h AS (
+    SELECT c_custkey AS asset_id,
+           xor({_d_hash60("'grp' || (c_custkey // 4)")},
+               CASE c_custkey % 4
+                    WHEN 0 THEN 0 WHEN 1 THEN {_PHASH_FLIPS[1]}
+                    WHEN 2 THEN {_PHASH_FLIPS[2]}
+                    ELSE {_PHASH_FLIPS[3]} END) AS phash
+    FROM customer
+)
+"""
+
+_PHASH_ORACLE = f"""
+WITH {_PHASH_HASHES},
+banded AS (
+    SELECT asset_id, phash, b.b AS band,
+           (phash >> (b.b * 12)) & 4095 AS val
+    FROM h, (SELECT unnest(range(0, 5)) AS b) b
+), cand AS (
+    SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+           a.phash AS ha, b.phash AS hb
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.val = b.val AND a.asset_id < b.asset_id
+)
+SELECT id_a, id_b, cast(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+"""
+
+
+@register(
+    "multimodal_phash_neardup",
+    _PHASH_ORACLE,
+    "Image near-dup by perceptual hash (extension; the image sibling of "
+    "MinHash): 60-bit hashes banded into 5 bit-bands, pigeonhole "
+    "candidate join (hamming <= bands-1 guarantees a shared band), "
+    "exact XOR-popcount verify. The REAL hash is the PNG aHash over "
+    "sources.png_codec (pytest-pinned); here hashes are PLANTED with "
+    "known bit flips so the banding/popcount machinery value-checks "
+    "on both accept and reject paths. Library: sources.multimodal."
+    "phash_near_pairs / image_ahash_64.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash60
+    from ..sources import multimodal
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    base = hash60(
+        F.concat(F.lit("grp"), F.expr("c_custkey div 4").cast("string"))
+    )
+    mask = (
+        F.when(F.col("c_custkey") % 4 == 0, 0)
+        .when(F.col("c_custkey") % 4 == 1, _PHASH_FLIPS[1])
+        .when(F.col("c_custkey") % 4 == 2, _PHASH_FLIPS[2])
+        .otherwise(_PHASH_FLIPS[3])
+        .cast("long")
+    )
+    hashes = cust.select(
+        F.col("c_custkey").alias("asset_id"),
+        base.bitwiseXOR(mask).alias("phash"),
+    )
+    return multimodal.phash_near_pairs(
+        hashes, max_hamming=4, bands=5, bits=60
+    )

@@ -253,3 +253,132 @@ def frame_sample_plan(assets: DataFrame, stride: int = 10) -> DataFrame:
             F.explode(idx).alias("frame_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash dedup
+# ---------------------------------------------------------------------------
+
+
+def image_ahash_64(payload: bytes) -> int:
+    """64-bit average hash (aHash) of a PNG payload via the REAL decoder:
+    per-pixel luma (channel mean) → 8×8 block means → bit = block mean
+    above the global mean of block means. Near-identical images (small
+    noise, light recompression) land within a few hamming bits; unrelated
+    images land ~32 apart — the standard cheap image-dedup key. Non-PNG
+    payloads need an injected hasher (Pillow in production)."""
+    if (payload or b"")[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("non-PNG payloads need an injected hasher")
+    from .png_codec import decode_png
+
+    img = decode_png(payload)
+    w, h, c = img.width, img.height, img.channels
+    sums = [[0.0] * 8 for _ in range(8)]
+    counts = [[0] * 8 for _ in range(8)]
+    for y, row in enumerate(img.rows):
+        by = y * 8 // h
+        for x in range(w):
+            bx = x * 8 // w
+            px = sum(row[x * c : (x + 1) * c]) / c
+            sums[by][bx] += px
+            counts[by][bx] += 1
+    means = [
+        sums[by][bx] / counts[by][bx] if counts[by][bx] else 0.0
+        for by in range(8)
+        for bx in range(8)
+    ]
+    overall = sum(means) / 64.0
+    bits = 0
+    for i, m in enumerate(means):
+        if m > overall:
+            bits |= 1 << i
+    # two's-complement signed so the value rides in a Spark LongType
+    # (bit 63 set would overflow int64 as an unsigned value)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hashes(
+    assets: DataFrame, hasher: Callable[[bytes], int] | None = None
+) -> DataFrame:
+    """Hash stage: payload → 64-bit perceptual hash (Arrow-batched
+    mapInPandas, same shape as decode_images). Output joins into
+    :func:`phash_near_pairs` — the image sibling of text MinHash."""
+    hash_fn = hasher or image_ahash_64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "phash": [
+                        hash_fn(bytes(p or b"")) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 5,
+    bits: int = 60,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate pairs by hamming distance on perceptual hashes,
+    purely relationally: split each hash into ``bands`` equal bit bands
+    (pigeonhole: two hashes within ``bands − 1`` hamming bits MUST agree
+    on ≥ 1 band — set ``bands > max_hamming`` for exact recall), join on
+    (band index, band value) — candidates ≈ O(near-dups), never |corpus|²
+    — then verify bit_count(xor) ≤ ``max_hamming`` exactly. The image
+    sibling of MinHash banding, with XOR popcount instead of Jaccard.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "h", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
