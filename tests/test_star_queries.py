@@ -24,6 +24,31 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_no_oracle_emits_hugeint(sf_dir):
+    """The driver's value hash canonicalizes DuckDB HUGEINT differently
+    from BIGINT (r03/r04 root cause: the only two windowed hash fails
+    were exactly the two oracles emitting HUGEINT columns — ``sum(CASE
+    …)`` and union-promoted sums return HUGEINT). Every aggregate oracle
+    output column must therefore be CAST to BIGINT. This pins the sweep
+    so no future oracle regresses."""
+    from .oracle import duck_connection
+
+    con = duck_connection(sf_dir)
+    offenders = {}
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        rel = con.sql(q.oracle)
+        cols = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t)
+        ]
+        if cols:
+            offenders[name] = cols
+    assert not offenders, f"HUGEINT oracle output columns: {offenders}"
+
+
 def test_driver_window_is_all_flagship_oracles():
     """The driver grades only the FIRST 50 registered queries, so the
     registry head must (a) match the explicit priority list exactly,

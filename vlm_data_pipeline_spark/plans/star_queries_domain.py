@@ -387,13 +387,13 @@ def qa_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAMES_SUMMARY_ORACLE = """
 WITH f AS (SELECT l_orderkey, count(*) AS nb FROM lineitem GROUP BY 1)
 SELECT 'synthetic' AS dataset, 'train' AS split,
-       count(*) AS n_frames, sum(nb) AS n_boxes_3d,
+       count(*) AS n_frames, CAST(sum(nb) AS BIGINT) AS n_boxes_3d,
        0 AS n_boxes_2d, 0 AS n_scenes
 FROM f
 UNION ALL
-SELECT 'synthetic', 'ALL', count(*), sum(nb), 0, 0 FROM f
+SELECT 'synthetic', 'ALL', count(*), CAST(sum(nb) AS BIGINT), 0, 0 FROM f
 UNION ALL
-SELECT 'ALL', 'ALL', count(*), sum(nb), 0, 0 FROM f
+SELECT 'ALL', 'ALL', count(*), CAST(sum(nb) AS BIGINT), 0, 0 FROM f
 """
 
 
@@ -416,7 +416,8 @@ SELECT 'synthetic' AS dataset,
        count(*) AS n_files,
        count(*) AS with_camera,
        0 AS with_intrinsics,
-       sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS with_extrinsics,
+       CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS with_extrinsics,
        0 AS with_bbox_2d,
        count(*) AS with_bbox_3d,
        0 AS with_depth
@@ -1312,8 +1313,9 @@ FROM pair_rel
 WHERE l_orderkey % 2 = 0
   AND NOT (abs(dz) < 0.1 AND abs(dx) < 0.1 AND abs(dy) < 0.1)
 UNION ALL
-SELECT 'cam_obj_rel_dist', sum(k) * 2, count(DISTINCT l_orderkey),
-       0, 0, sum(k) * 2
+SELECT 'cam_obj_rel_dist', CAST(sum(k) * 2 AS BIGINT),
+       count(DISTINCT l_orderkey),
+       0, 0, CAST(sum(k) * 2 AS BIGINT)
 FROM n_samples
 """
 

@@ -1000,16 +1000,23 @@ _C_FEATURES = _c_features()
 _QUALITY_AUDIT_ORACLE = f"""
 WITH {_C_FEATURES}
 SELECT count(*) AS n_docs,
-    sum(CASE WHEN tokens_in_band THEN 1 ELSE 0 END) AS n_tokens_in_band,
-    sum(CASE WHEN mean_word_len_in_band THEN 1 ELSE 0 END)
+    CAST(sum(CASE WHEN tokens_in_band THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_tokens_in_band,
+    CAST(sum(CASE WHEN mean_word_len_in_band THEN 1 ELSE 0 END) AS BIGINT)
         AS n_mean_word_len_in_band,
-    sum(CASE WHEN stopword_count_ok THEN 1 ELSE 0 END) AS n_stopword_count_ok,
-    sum(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS n_stopword_ok,
-    sum(CASE WHEN uniq_ok THEN 1 ELSE 0 END) AS n_uniq_ok,
-    sum(CASE WHEN dup_line_ok THEN 1 ELSE 0 END) AS n_dup_line_ok,
-    sum(CASE WHEN top_2gram_ok THEN 1 ELSE 0 END) AS n_top_2gram_ok,
-    sum(CASE WHEN dup_3gram_ok THEN 1 ELSE 0 END) AS n_dup_3gram_ok,
-    sum(CASE WHEN {_C_ALL_PREDS} THEN 1 ELSE 0 END) AS n_survivors
+    CAST(sum(CASE WHEN stopword_count_ok THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_stopword_count_ok,
+    CAST(sum(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_stopword_ok,
+    CAST(sum(CASE WHEN uniq_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq_ok,
+    CAST(sum(CASE WHEN dup_line_ok THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_line_ok,
+    CAST(sum(CASE WHEN top_2gram_ok THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_top_2gram_ok,
+    CAST(sum(CASE WHEN dup_3gram_ok THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_3gram_ok,
+    CAST(sum(CASE WHEN {_C_ALL_PREDS} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_survivors
 FROM preds
 """
 
@@ -1114,10 +1121,10 @@ WITH t AS (
     FROM documents
 ), w AS (
     SELECT shard, doc_id, n_tokens,
-           coalesce(sum(n_tokens) OVER (
+           CAST(coalesce(sum(n_tokens) OVER (
                PARTITION BY shard ORDER BY k ASC, doc_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS tokens_before
+               AS BIGINT) AS tokens_before
     FROM t
 )
 SELECT cast(shard AS INT) AS shard,
