@@ -501,3 +501,35 @@ def test_semantic_dedup_planted_clusters(spark):
         for r in dedup.dedup_keep_filter(emb, comp, id_col="vec_id").collect()
     )
     assert kept == [1, 2, 5]
+
+
+def test_semantic_dedup_salted_plan(spark, sf_dir):
+    """The within-cluster self-join must carry the skew salt (same shape
+    as embedding_neardup_pairs): without it, each cluster's quadratic
+    pair generation lands on the one task owning its list_id partition
+    and parallelism caps at n_lists. Side A repartitioned on _salt,
+    side B replicated via explode; pair semantics unchanged."""
+    from vlm_data_pipeline_spark.operators import similarity
+
+    # threshold -1 on a bounded sample: every within-cluster pair
+    # survives, so the bucket-spread assertion below is non-vacuous.
+    emb = _emb(spark, sf_dir).orderBy("vec_id").limit(120)
+    pairs = similarity.semantic_dedup_pairs(emb, threshold=-1.0, n_lists=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_salt" in plan, plan[:2000]
+
+    rows = pairs.collect()
+    keys = [(r.id_a, r.id_b) for r in rows]
+    assert len(keys) == len(set(keys))          # no duplicate pairs from salting
+    assert all(a < b for a, b in keys)          # orientation preserved
+
+    # Pair generation actually spreads: with the salt, the surviving
+    # pairs' side-A ids hash across many salt buckets, not one.
+    from pyspark.sql import functions as F
+
+    n_buckets = (
+        pairs.select(F.pmod(F.hash("id_a"), F.lit(32)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1, "all pairs landed in one salt bucket"

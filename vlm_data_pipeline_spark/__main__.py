@@ -79,7 +79,9 @@ def cmd_clean(args: argparse.Namespace) -> int:
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         flagged = dedup.decontaminate(kept, bench, n=args.ngram).select("doc_id")
-        kept = kept.join(F.broadcast(flagged), "doc_id", "left_anti")
+        # contamination-hit-sized, corpus-proportional worst case: AQE
+        # broadcasts when small rather than forcing it
+        kept = kept.join(flagged, "doc_id", "left_anti")
     if args.scrub_pii:
         kept = kept.withColumn("text", curation.scrub_pii(F.col("text")))
     kept.write.mode("overwrite").parquet(f"{args.out}/clean")
@@ -125,7 +127,9 @@ def cmd_eval(args: argparse.Namespace) -> int:
             f"--error-col {args.error_col!r} not in detections columns "
             f"{dets.columns}"
         )
-    ap = detection_ap(dets, gts, iou_thresh=args.iou, mode=args.mode)
+    ap = detection_ap(
+        dets, gts, iou_thresh=args.iou, mode=args.mode, matcher=args.matcher
+    )
     ap.show(100, truncate=False)
     if args.out:
         ap.coalesce(1).write.mode("overwrite").json(f"{args.out}/ap")
@@ -210,6 +214,12 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--out", default=None)
     ev.add_argument("--iou", type=float, default=0.5)
     ev.add_argument("--mode", choices=["2d", "3d"], default="2d")
+    ev.add_argument(
+        "--matcher",
+        choices=["closed", "exact"],
+        default="closed",
+        help="3d only: 'exact' = rotation-exact Sutherland-Hodgman IoU",
+    )
     ev.add_argument("--error-col", default=None)
     ev.add_argument("--error-thresh", type=float, default=0.1)
     ev.set_defaults(fn=cmd_eval)

@@ -524,14 +524,18 @@ def dedup_keep_filter(
 ) -> DataFrame:
     """Retention pass: drop every doc whose component id differs from its
     own id (the min-id doc per near-dup cluster survives; docs in no
-    cluster pass through untouched). Broadcast-friendly: the drop list is
-    near-dup-sized, not corpus-sized."""
+    cluster pass through untouched).
+
+    No forced broadcast: the drop list is dup-population-sized, and web
+    corpora run 30-50% duplicates — at 100 TB that is billions of ids,
+    far past broadcastable. Left as a plain anti-join so AQE broadcasts
+    it when it measures small (localRelationThreshold /
+    autoBroadcastJoinThreshold) and shuffles it when it isn't — same
+    output either way."""
     drops = components.filter(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias("__drop_id")
     )
-    return docs.join(
-        F.broadcast(drops), docs[id_col] == F.col("__drop_id"), "left_anti"
-    )
+    return docs.join(drops, docs[id_col] == F.col("__drop_id"), "left_anti")
 
 
 # ---------------------------------------------------------------------------

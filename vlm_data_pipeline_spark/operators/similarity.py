@@ -550,10 +550,17 @@ def semantic_dedup_pairs(
     """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023):
     coarse-cluster the embeddings, then exact pairwise cosine WITHIN each
     cluster only — the cluster bounds the quadratic term (Σ|cluster|²,
-    not |corpus|²; SemDeDup used 100k clusters on LAION — ``n_lists``
-    scales with the corpus). Pairs straddling a cluster boundary are
-    missed by design (the method's documented approximation; the
-    text-level LSH pass catches lexical near-dups independently).
+    not |corpus|²). Pairs straddling a cluster boundary are missed by
+    design (the method's documented approximation; the text-level LSH
+    pass catches lexical near-dups independently).
+
+    Sizing ``n_lists``: clusters should scale with the corpus so the
+    per-cluster quadratic stays bounded — roughly |corpus| / 1k vectors
+    per cluster (SemDeDup used 100k clusters on LAION-440M). The default
+    16 is demo-sized for the sf test tables only. Within-cluster pair
+    generation is additionally salted 32 ways (see below), so even a
+    skewed hot cluster spreads its verify across tasks rather than
+    serializing on the one task that owns its hash partition.
 
     Deterministic end-to-end: the coarse quantizer is the fixed-centroid
     one from :func:`ivf_ann_fixed_topk` (lowest-id corpus vectors by
@@ -602,12 +609,30 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("iv")
     ).withColumn("list_id", let(F.col("iv"), best_list))
 
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # Salted self-join, same pattern as dedup.ngram_jaccard_pairs /
+    # embedding_neardup_pairs: joining on list_id alone puts each
+    # cluster's entire quadratic pair generation on the one task that
+    # owns its hash partition, and parallelism caps at n_lists with no
+    # skew protection — one hot cluster serializes. Side A takes
+    # salt = hash(id) mod S and is repartitioned on it (so a broadcast
+    # build side still probes across S tasks); side B replicates S ways.
+    # Every (x < y) pair still forms exactly once, at salt(x), and each
+    # cluster's verify spreads across S tasks.
+    salt = 32
+    a = (
+        assigned.withColumn("_salt", F.pmod(F.hash("id"), F.lit(salt)))
+        .repartition(salt, "_salt")
+        .alias("a")
+    )
+    b = assigned.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).alias("b")
     cos = _dot(F.col("a.iv"), F.col("b.iv")).cast("double") / float(SCALE * SCALE)
     return (
         a.join(
             b,
             (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .withColumn("cosine", cos)

@@ -1216,10 +1216,10 @@ WHERE f.doc_id IS NULL
     "whole chain re-derived in one SQL oracle (incl. the recursive "
     "closure). Scale shape: every stage is the operator's own "
     "(in-row rules, skinny banded self-join, narrow component joins, "
-    "broadcast gram/drop lists) — the corpus streams through scans and "
-    "broadcast anti-joins; nothing corpus-sized shuffles except the "
-    "O(near-dup) candidate verify. Library: operators.curation + "
-    "operators.dedup.",
+    "broadcast benchmark grams; drop/flag lists are AQE-sized anti-"
+    "joins since they are dup/contamination-proportional) — nothing "
+    "corpus-sized shuffles except the O(near-dup) candidate verify. "
+    "Library: operators.curation + operators.dedup.",
 )
 def curation_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import curation
@@ -1233,9 +1233,10 @@ def curation_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = dedup.dedup_keep_filter(q, dedup.neardup_components(pairs))
     flagged = dedup.decontaminate(kept, benchmark, n=4).select("doc_id")
-    return kept.join(F.broadcast(flagged), "doc_id", "left_anti").select(
-        "doc_id", "lang"
-    )
+    # Plain anti-join: the flagged list is contamination-hit-sized, which
+    # is usually tiny but corpus-proportional in the worst case — let AQE
+    # broadcast it when it measures small instead of forcing it.
+    return kept.join(flagged, "doc_id", "left_anti").select("doc_id", "lang")
 
 
 _PQ_M, _PQ_DSUB, _PQ_KSUB = 8, 8, 16
