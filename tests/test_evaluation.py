@@ -195,3 +195,169 @@ def test_greedy_match_feeds_average_precision(spark):
     }
     assert ap["a"] == pytest.approx(1.0)
     assert ap["b"] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# Exact oriented 3D IoU (Sutherland–Hodgman)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_iou_3d_analytic():
+    """Closed-form fixtures: identity, disjoint, half-shift, nesting both
+    ways, and the classic 45°-rotated unit square (octagon section, area
+    2(√2−1)) extruded to 3D."""
+    import math
+
+    u = [0, 0, 0, 1, 1, 1, 0, 0, 0]
+    assert ev.exact_iou_3d(u, u) == pytest.approx(1.0)
+    assert ev.exact_iou_3d(u, [5, 0, 0, 1, 1, 1, 0, 0, 0]) == 0.0
+    assert ev.exact_iou_3d(u, [0.5, 0, 0, 1, 1, 1, 0, 0, 0]) == pytest.approx(
+        0.5 / 1.5
+    )
+    small = [0, 0, 0, 0.5, 0.5, 0.5, 0, 0, 0]
+    assert ev.exact_iou_3d(u, small) == pytest.approx(0.125)
+    assert ev.exact_iou_3d(small, u) == pytest.approx(0.125)
+    # 45° about z (roll = 0.25 in normalized [-1,1] angle units):
+    # unit square ∩ its 45° rotation = octagon, area 2(√2−1)
+    a_oct = 2 * (math.sqrt(2) - 1)
+    assert ev.exact_iou_3d(u, [0, 0, 0, 1, 1, 1, 0, 0, 0.25]) == pytest.approx(
+        a_oct / (2 - a_oct)
+    )
+    # arbitrarily rotated box nested in a big box: IoU = V_b / V_a
+    big = [0, 0, 0, 3, 3, 3, 0, 0, 0]
+    assert ev.exact_iou_3d(big, [0, 0, 0, 1, 1, 1, 0.3, 0.1, 0.25]) == pytest.approx(
+        1 / 27
+    )
+    # zero-extent degenerate → 0, matching aabb_iou_3d's guard
+    assert ev.exact_iou_3d(u, [0, 0, 0, 0, 1, 1, 0, 0, 0]) == 0.0
+
+
+def test_exact_iou_3d_matches_aabb_closed_form():
+    """On axis-aligned boxes the exact oriented kernel must agree with the
+    closed-form aabb_iou_3d to machine precision."""
+    import itertools
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        a = np.concatenate([rng.uniform(-1, 1, 3), rng.uniform(0.2, 2.0, 3), [0, 0, 0]])
+        b = np.concatenate([rng.uniform(-1, 1, 3), rng.uniform(0.2, 2.0, 3), [0, 0, 0]])
+        inter = 1.0
+        for i in range(3):
+            lo = max(a[i] - a[i + 3] / 2, b[i] - b[i + 3] / 2)
+            hi = min(a[i] + a[i + 3] / 2, b[i] + b[i + 3] / 2)
+            inter *= max(hi - lo, 0.0)
+        va, vb = np.prod(a[3:6]), np.prod(b[3:6])
+        expect = inter / (va + vb - inter) if va + vb - inter > 0 else 0.0
+        assert ev.exact_iou_3d(a, b) == pytest.approx(expect, abs=1e-12)
+
+
+def test_exact_iou_3d_vs_monte_carlo_property():
+    """|exact − MC| must sit inside the MC estimator's error bound on
+    random ORIENTED pairs — the cross-check the sampling path was built
+    for (reference iou.py computes both and they agree statistically)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+
+    def rot(pitch, yaw, roll):
+        return ev._rot_zyx(pitch, yaw, roll)
+
+    n_samples = 8192
+    for trial in range(12):
+        a = np.concatenate(
+            [rng.uniform(-0.3, 0.3, 3), rng.uniform(0.5, 1.5, 3), rng.uniform(-1, 1, 3)]
+        )
+        b = np.concatenate(
+            [rng.uniform(-0.3, 0.3, 3), rng.uniform(0.5, 1.5, 3), rng.uniform(-1, 1, 3)]
+        )
+        exact = ev.exact_iou_3d(a, b)
+        # reference-protocol two-sided MC estimate (same math as the UDF)
+        mc_rng = np.random.default_rng(trial)
+        boxes = [(x[0:3], x[3:6], rot(x[6], x[7], x[8])) for x in (a, b)]
+        vols = [float(np.prod(d)) for _, d, _ in boxes]
+        hits = []
+        for (c_s, d_s, r_s), (c_o, d_o, r_o) in (
+            (boxes[0], boxes[1]),
+            (boxes[1], boxes[0]),
+        ):
+            local = (mc_rng.random((n_samples, 3)) - 0.5) * d_s
+            world = local @ r_s.T + c_s
+            other = (world - c_o) @ r_o
+            hits.append(int(np.all(np.abs(other) <= d_o / 2.0, axis=1).sum()))
+        inter = (vols[0] * hits[0] + vols[1] * hits[1]) / 2.0
+        union = (vols[0] + vols[1]) * n_samples - inter
+        mc = inter / union if union > 0 else 0.0
+        # binomial noise on the hit counts → ~4σ bound on the IoU
+        p = max(hits[0], hits[1]) / n_samples
+        sigma = (p * (1 - p) / n_samples) ** 0.5 + 1e-4
+        assert abs(exact - mc) < 4 * sigma + 0.01, (trial, exact, mc)
+
+
+def test_exact_iou_udf_and_detection_ap_exact_matcher(spark):
+    """End-to-end: the exact matcher flips a match the AABB closed form
+    gets wrong. Against a unit ground-truth box, a detection rotated 45°
+    about z has ORIENTED IoU = octagon-prism ≈ 0.707, while the closed
+    form ignores rotation and scores the same extents as identical boxes
+    (IoU 1.0) — so at thresh 0.75 matcher='exact' records a miss where
+    matcher='closed' records a hit."""
+    import math
+
+    rows = [
+        # image, category, score, box9 (det)
+        ("i1", "cup", 0.9, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.25),
+        # second detection: axis-aligned exact match on gt2
+        ("i1", "cup", 0.8, 5.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0),
+    ]
+    dets = spark.createDataFrame(
+        rows,
+        "image_id string, category string, score double, x double, y double,"
+        "z double, xl double, yl double, zl double, pitch double, yaw double,"
+        "roll double",
+    )
+    gts = spark.createDataFrame(
+        [
+            ("i1", "cup", 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0),
+            ("i1", "cup", 5.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0),
+        ],
+        "image_id string, category string, x double, y double, z double,"
+        "xl double, yl double, zl double, pitch double, yaw double, roll double",
+    )
+    # sanity: the rotated det's oriented IoU sits between the thresholds
+    a_oct = 2 * (math.sqrt(2) - 1)
+    assert 0.5 < a_oct / (2 - a_oct) < 0.75
+
+    ap_exact = ev.detection_ap(
+        dets, gts, mode="3d", matcher="exact", iou_thresh=0.75
+    ).collect()
+    assert len(ap_exact) == 1
+    # det1 (score .9) misses, det2 (score .8) hits → precision at the hit
+    # is 1/2, recall 1/2 over n_true=2 → AP = 0.25
+    assert ap_exact[0].ap == pytest.approx(0.25)
+
+    # closed-form AABB matcher ignores rotation → both hit → AP = 1.0
+    ap_aabb = ev.detection_ap(
+        dets, gts, mode="3d", matcher="closed", iou_thresh=0.75
+    ).collect()
+    assert ap_aabb[0].ap == pytest.approx(1.0)
+
+    # the scalar UDF agrees with the kernel through Spark
+    pair = spark.createDataFrame(
+        [(
+            [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.25],
+            [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0],
+        )],
+        "a array<double>, b array<double>",
+    )
+    got = pair.select(ev.exact_iou_3d_udf()(F.col("a"), F.col("b")).alias("v")).collect()
+    assert got[0].v == pytest.approx(a_oct / (2 - a_oct))
+
+
+def test_detection_ap_matcher_validation(spark):
+    import pytest as _pytest
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="matcher"):
+        ev.detection_ap(df, df, matcher="bogus")
+    with _pytest.raises(ValueError, match="oriented 3D"):
+        ev.detection_ap(df, df, mode="2d", matcher="exact")

@@ -30,6 +30,9 @@ __all__ = [
     "aabb_iou_3d",
     "box_as_array",
     "monte_carlo_iou_3d_udf",
+    "exact_iou_3d",
+    "exact_iou_3d_udf",
+    "greedy_match_hits_exact_udf",
     "average_precision",
     "accuracy_under_threshold",
     "greedy_match_hits",
@@ -131,6 +134,162 @@ def monte_carlo_iou_3d_udf(n_samples: int = 2048):
         )
 
     return mc_iou
+
+
+# ---------------------------------------------------------------------------
+# Exact oriented 3D IoU (Sutherland–Hodgman polyhedron clipping)
+# ---------------------------------------------------------------------------
+
+# 8 corners of the unit box, index = ix*4 + iy*2 + iz over (−.5, +.5)
+_UNIT_CORNERS = np.array(
+    [
+        [sx, sy, sz]
+        for sx in (-0.5, 0.5)
+        for sy in (-0.5, 0.5)
+        for sz in (-0.5, 0.5)
+    ]
+)
+# the six faces as cyclically-ordered corner-index quads
+_FACE_IDX = (
+    (0, 1, 3, 2),  # x−
+    (4, 5, 7, 6),  # x+
+    (0, 1, 5, 4),  # y−
+    (2, 3, 7, 6),  # y+
+    (0, 2, 6, 4),  # z−
+    (1, 3, 7, 5),  # z+
+)
+
+
+def _rot_zyx(pitch: float, yaw: float, roll: float) -> np.ndarray:
+    """Rz·Ry·Rx from the stored normalized [−1,1] angles (×π = radians) —
+    identical to the Monte-Carlo UDF's convention."""
+    p, y, r = pitch * np.pi, yaw * np.pi, roll * np.pi
+    cp, sp, cy, sy, cr, sr = (
+        np.cos(p), np.sin(p), np.cos(y), np.sin(y), np.cos(r), np.sin(r),
+    )
+    rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def _clip_faces_halfspace(
+    faces: list[np.ndarray], axis: int, bound: float, sign: float
+) -> list[np.ndarray]:
+    """One Sutherland–Hodgman pass of a closed convex polyhedron (list of
+    convex face polygons, each an (n,3) array) against the half-space
+    ``sign·(p[axis] − bound) ≤ 0``, re-capping the cut so the result stays
+    closed. The cap polygon is the plane section of a convex polyhedron —
+    itself convex — so its crossing points order by angle around their
+    centroid in the plane's two free axes. Robust-clipping shape follows
+    Ericson, *Real-Time Collision Detection* p. 370 (the same source the
+    reference's iou.py cites); the reference instead collects clipped
+    points from both boxes and runs scipy's ConvexHull
+    (data_processing/objectron/dataset/iou.py:22-34) — capping the
+    polyhedron directly gives the identical intersection volume with no
+    hull dependency."""
+    eps = 1e-12
+    out_faces: list[np.ndarray] = []
+    cap: list[np.ndarray] = []
+    for poly in faces:
+        d = sign * (poly[:, axis] - bound)
+        if np.all(d <= eps):
+            out_faces.append(poly)
+            continue
+        if np.all(d >= -eps):
+            continue
+        keep: list[np.ndarray] = []
+        n = len(poly)
+        for i in range(n):
+            dc, dp = d[i], d[i - 1]
+            if (dc > eps) != (dp > eps):
+                # edge crosses the plane: lerp the intersection point
+                t = dp / (dp - dc)
+                ip = poly[i - 1] + t * (poly[i] - poly[i - 1])
+                keep.append(ip)
+                cap.append(ip)
+            if dc <= eps:
+                keep.append(poly[i])
+        if len(keep) >= 3:
+            out_faces.append(np.array(keep))
+    if len(cap) >= 3:
+        pts = np.array(cap)
+        ax1, ax2 = [i for i in range(3) if i != axis]
+        c = pts.mean(axis=0)
+        order = np.argsort(np.arctan2(pts[:, ax2] - c[ax2], pts[:, ax1] - c[ax1]))
+        out_faces.append(pts[order])
+    return out_faces
+
+
+def _faces_volume(faces: list[np.ndarray]) -> float:
+    """Volume of a closed convex polyhedron given its faces: sum of the
+    pyramids from the vertex centroid to each face, each pyramid a fan of
+    tetrahedra (divergence theorem; per-face |Σ signed tetra| is safe
+    because convexity makes every face's fan uniformly signed)."""
+    if not faces:
+        return 0.0
+    c = np.vstack(faces).mean(axis=0)
+    vol = 0.0
+    for poly in faces:
+        q = poly - c
+        if len(q) < 3:
+            continue
+        cross = np.cross(q[1:-1], q[2:])
+        vol += abs(float((cross @ q[0]).sum())) / 6.0
+    return vol
+
+
+def exact_iou_3d(a, b) -> float:
+    """EXACT IoU of two oriented 9-DoF boxes — the reference's
+    Sutherland–Hodgman protocol (data_processing/objectron/dataset/
+    iou.py:22-34) re-expressed as closed polyhedron clipping:
+
+    1. express box B's 8 corners in box A's local frame (A becomes the
+       axis-aligned slab [−extent/2, +extent/2]³);
+    2. clip B's six faces against A's six half-spaces, re-capping each
+       cut (the cap is the convex plane section, ordered by angle);
+    3. intersection volume by the divergence theorem over the surviving
+       faces; IoU = V∩ / (V_A + V_B − V∩).
+
+    Inputs are the 9-element ``box_as_array`` layout
+    (x, y, z, xl, yl, zl, pitch, yaw, roll; angles normalized [−1,1]).
+    Degenerate (zero-extent) boxes → 0.0, matching aabb_iou_3d's guard.
+    """
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    ca, da, ra = a[0:3], a[3:6], _rot_zyx(a[6], a[7], a[8])
+    cb, db, rb = b[0:3], b[3:6], _rot_zyx(b[6], b[7], b[8])
+    va, vb = float(np.prod(da)), float(np.prod(db))
+    if va <= 0.0 or vb <= 0.0:
+        return 0.0
+    corners_world = (_UNIT_CORNERS * db) @ rb.T + cb
+    corners_local = (corners_world - ca) @ ra  # Rᵀ(p−c): rigid inverse
+    faces = [corners_local[list(idx)] for idx in _FACE_IDX]
+    half = da / 2.0
+    for axis in range(3):
+        faces = _clip_faces_halfspace(faces, axis, float(half[axis]), 1.0)
+        if not faces:
+            return 0.0
+        faces = _clip_faces_halfspace(faces, axis, float(-half[axis]), -1.0)
+        if not faces:
+            return 0.0
+    inter = min(_faces_volume(faces), min(va, vb))
+    union = va + vb - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+def exact_iou_3d_udf():
+    """Pandas UDF ``(box_as_array(a), box_as_array(b)) → double`` over
+    :func:`exact_iou_3d` — the rotation-exact sibling of
+    :func:`monte_carlo_iou_3d_udf` (no seed: the result is
+    deterministic), Arrow-batched like every binary-kernel seam."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ex_iou(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([exact_iou_3d(x, y) for x, y in zip(a, b)])
+
+    return ex_iou
 
 
 def average_precision(
@@ -305,6 +464,61 @@ def greedy_match_hits(
 
 BOX_COLS_2D = ("x_min", "y_min", "x_max", "y_max")
 BOX_COLS_3D = ("x", "y", "z", "xl", "yl", "zl")
+BOX_COLS_3D_ORIENTED = ("x", "y", "z", "xl", "yl", "zl", "pitch", "yaw", "roll")
+
+
+def greedy_match_hits_exact_udf(iou_thresh: float = 0.5):
+    """The VOC greedy protocol of :func:`greedy_match_hits` with the
+    rotation-EXACT oriented IoU kernel — a pandas UDF because
+    :func:`exact_iou_3d` is numpy, not a column expression. Wire format
+    is flat double arrays (Arrow ships nested primitive lists cheaply):
+    ``dets`` = array of [−score, *box9] already lexicographically sorted
+    (descending score with box tie-breaks — same total order the column
+    fold uses), ``gts`` = array of box9 arrays. Returns array of
+    [score, hit] pairs in descending-score order. Tie-break matches the
+    fold exactly: highest IoU, then lowest ground-truth index."""
+    from pyspark.sql.functions import pandas_udf
+
+    def world_aabb(box9: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # half-extent of the oriented box's world AABB along axis k is
+        # Σⱼ |R[k,j]|·dⱼ/2 — disjoint AABBs ⇒ empty intersection, so the
+        # O(36-clip) kernel only runs on pairs that can actually overlap
+        c, d = box9[0:3], box9[3:6]
+        r = _rot_zyx(box9[6], box9[7], box9[8])
+        h = np.abs(r) @ (d / 2.0)
+        return c - h, c + h
+
+    def one(dets, gts):
+        gs = [np.asarray(g, dtype=float) for g in (gts if gts is not None else [])]
+        g_aabb = [world_aabb(g) for g in gs]
+        claimed: set[int] = set()
+        out = []
+        for d in dets if dets is not None else []:
+            d = np.asarray(d, dtype=float)
+            score, box = -d[0], d[1:]
+            d_lo, d_hi = world_aabb(box)
+            best_gi, best_iou = -1, -1.0
+            for gi, g in enumerate(gs):
+                if gi in claimed:
+                    continue
+                g_lo, g_hi = g_aabb[gi]
+                if np.any(d_lo > g_hi) or np.any(d_hi < g_lo):
+                    continue
+                v = exact_iou_3d(box, g)
+                if v >= iou_thresh and v > best_iou:
+                    best_gi, best_iou = gi, v
+            if best_gi >= 0:
+                claimed.add(best_gi)
+                out.append([float(score), 1.0])
+            else:
+                out.append([float(score), 0.0])
+        return out
+
+    @pandas_udf("array<array<double>>")
+    def match(dets: pd.Series, gts: pd.Series) -> pd.Series:
+        return pd.Series([one(d, g) for d, g in zip(dets, gts)])
+
+    return match
 
 
 def detection_ap(
@@ -316,6 +530,7 @@ def detection_ap(
     box_cols: tuple[str, ...] | None = None,
     iou_thresh: float = 0.5,
     mode: str = "2d",
+    matcher: str = "closed",
 ) -> DataFrame:
     """Per-category AP over flat detection/ground-truth tables — the
     engine's analogue of the vendored Objectron eval CLI
@@ -324,10 +539,13 @@ def detection_ap(
 
     ``mode='2d'`` matches corner-encoded pixel boxes with :func:`iou_2d`;
     ``mode='3d'`` matches center/extent 9-DoF boxes with
-    :func:`aabb_iou_3d` — the axis-aligned closed form (Objectron's own
-    protocol is 3D; its oriented sampling IoU stays the pandas-UDF path,
-    pluggable here via ``box_cols`` + a custom matcher when a deployment
-    needs rotation-exact matching).
+    :func:`aabb_iou_3d` — the axis-aligned closed form.
+    ``matcher='exact'`` (3D only) instead matches with the rotation-EXACT
+    Sutherland–Hodgman kernel :func:`exact_iou_3d` — Objectron's own
+    clipping protocol (data_processing/objectron/dataset/iou.py:22-34) —
+    over the 9-DoF oriented box columns via the Arrow-batched greedy UDF;
+    everything downstream of the per-image hit sequence (AP windows,
+    real-GT recall, AP-0 rows) is shared with the closed-form path.
 
     Pipeline shape: one groupBy per table collects the per-(image,
     category) box arrays (the only corpus-sized shuffles, both keyed the
@@ -342,45 +560,79 @@ def detection_ap(
     """
     if mode not in ("2d", "3d"):
         raise ValueError(f"mode must be '2d' or '3d', got {mode!r}")
+    if matcher not in ("closed", "exact"):
+        raise ValueError(f"matcher must be 'closed' or 'exact', got {matcher!r}")
+    if matcher == "exact" and mode != "3d":
+        raise ValueError("matcher='exact' is the oriented 3D protocol")
     if box_cols is None:
-        box_cols = BOX_COLS_2D if mode == "2d" else BOX_COLS_3D
-    iou_fn = iou_2d if mode == "2d" else aabb_iou_3d
-    xs = [F.col(c).cast("double").alias(c) for c in box_cols]
+        box_cols = (
+            BOX_COLS_2D
+            if mode == "2d"
+            else (BOX_COLS_3D_ORIENTED if matcher == "exact" else BOX_COLS_3D)
+        )
     # collect_list order is partition-dependent; sort the det array by
     # (score desc, box fields) and the gt array by box fields so greedy's
     # tie-breaks — and therefore every hit sequence and AP — are a pure
     # function of the data, not of shuffle arrival order
-    d_boxes = dets.groupBy(image_col, category_col).agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col(score_col).cast("double")).alias("neg"),
-                        F.struct(*xs).alias("box"),
-                        F.col(score_col).cast("double").alias("score"),
+    if matcher == "exact":
+        darr = F.array(
+            -F.col(score_col).cast("double"),
+            *[F.col(c).cast("double") for c in box_cols],
+        )
+        garr = F.array(*[F.col(c).cast("double") for c in box_cols])
+        d_boxes = dets.groupBy(image_col, category_col).agg(
+            F.array_sort(F.collect_list(darr)).alias("_dets")
+        )
+        g_boxes = gts.groupBy(image_col, category_col).agg(
+            F.array_sort(F.collect_list(garr)).alias("_gts")
+        )
+        match = greedy_match_hits_exact_udf(iou_thresh)
+        hits = d_boxes.join(g_boxes, [image_col, category_col], "left").select(
+            image_col,
+            category_col,
+            F.posexplode(match(F.col("_dets"), F.col("_gts"))).alias("pos", "h"),
+        )
+        flat = hits.select(
+            category_col,
+            F.col(image_col),
+            "pos",
+            F.col("h")[0].alias("score"),
+            F.col("h")[1].cast("int").alias("hit"),
+        )
+    else:
+        iou_fn = iou_2d if mode == "2d" else aabb_iou_3d
+        xs = [F.col(c).cast("double").alias(c) for c in box_cols]
+        d_boxes = dets.groupBy(image_col, category_col).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col(score_col).cast("double")).alias("neg"),
+                            F.struct(*xs).alias("box"),
+                            F.col(score_col).cast("double").alias("score"),
+                        )
                     )
-                )
-            ),
-            lambda s: F.struct(s["score"].alias("score"), s["box"].alias("box")),
-        ).alias("_dets")
-    )
-    g_boxes = gts.groupBy(image_col, category_col).agg(
-        F.array_sort(F.collect_list(F.struct(*xs))).alias("_gts")
-    )
-    hits = d_boxes.join(g_boxes, [image_col, category_col], "left").select(
-        image_col,
-        category_col,
-        F.posexplode(
-            greedy_match_hits(F.col("_dets"), F.col("_gts"), iou_thresh, iou_fn)
-        ).alias("pos", "h"),
-    )
-    flat = hits.select(
-        category_col,
-        F.col(image_col),
-        "pos",
-        F.col("h.score").alias("score"),
-        F.col("h.hit").alias("hit"),
-    )
+                ),
+                lambda s: F.struct(s["score"].alias("score"), s["box"].alias("box")),
+            ).alias("_dets")
+        )
+        g_boxes = gts.groupBy(image_col, category_col).agg(
+            F.array_sort(F.collect_list(F.struct(*xs))).alias("_gts")
+        )
+        hits = d_boxes.join(g_boxes, [image_col, category_col], "left").select(
+            image_col,
+            category_col,
+            F.posexplode(
+                greedy_match_hits(F.col("_dets"), F.col("_gts"), iou_thresh, iou_fn)
+            ).alias("pos", "h"),
+        )
+        flat = hits.select(
+            category_col,
+            F.col(image_col),
+            "pos",
+            F.col("h.score").alias("score"),
+            F.col("h.hit").alias("hit"),
+        )
     gt_counts = gts.groupBy(category_col).agg(
         F.count("*").cast("long").alias("_cat_n_true")
     )

@@ -1603,3 +1603,141 @@ def eval_detection_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10.0).alias("y_max"),
     )
     return detection_ap(dets, gts, iou_thresh=0.5)
+
+
+_DETECTION_AP_EXACT_ORACLE = """
+WITH d AS (
+    SELECT l_orderkey AS image, 'c' || (l_orderkey % 3) AS category,
+           CAST(l_partkey % 2 AS INT) AS gt_idx,
+           CAST(l_partkey % 7 AS INT) AS off,
+           (l_partkey % 5 = 0) AS rot,
+           cast(l_partkey % 997 AS DOUBLE) / 997.0 AS score
+    FROM lineitem WHERE l_partkey % 3 = 0
+), geo AS (
+    SELECT *,
+           CASE WHEN rot THEN CAST(gt_idx * 100 AS DOUBLE)
+                ELSE gt_idx * 100 + off / 5.0 END AS x,
+           CASE WHEN rot THEN 0.25 ELSE 0.0 END AS roll,
+           CASE WHEN rot THEN 1.0 / sqrt(2.0)
+                ELSE greatest(1.0 - off / 5.0, 0.0)
+                     / (2.0 - greatest(1.0 - off / 5.0, 0.0)) END AS iou
+    FROM d
+), posd AS (
+    -- pos = the exact matcher's det-array order: lexicographic over
+    -- [-score, x, y, z, extents, pitch, yaw, roll]; only score, x and
+    -- roll vary here. pos then tie-breaks the per-GT argmax so
+    -- byte-identical duplicate detections pin the hit to the LOWER pos,
+    -- exactly like the greedy UDF's first-eligible-wins scan
+    SELECT *, row_number() OVER (PARTITION BY image
+                                 ORDER BY score DESC, x ASC, roll ASC) - 1
+              AS pos
+    FROM geo
+), won AS (
+    SELECT *, CASE WHEN iou >= 0.5 THEN
+        row_number() OVER (PARTITION BY image, gt_idx, iou >= 0.5
+                           ORDER BY score DESC, x ASC, roll ASC, pos ASC)
+        END AS rn
+    FROM posd
+), hits AS (
+    SELECT image, category, score,
+           CASE WHEN iou >= 0.5 AND rn = 1 THEN 1 ELSE 0 END AS hit,
+           pos
+    FROM won
+), nt AS (
+    SELECT 'c' || (l_orderkey % 3) AS category,
+           CAST(2 * count(DISTINCT l_orderkey) AS BIGINT) AS n_true
+    FROM lineitem GROUP BY 1
+), ranked AS (
+    SELECT h.category, h.score, h.hit, nt.n_true,
+           CAST(sum(h.hit) OVER w AS DOUBLE) AS tp,
+           CAST(count(*) OVER w AS DOUBLE) AS i,
+           h.image, h.pos
+    FROM hits h JOIN nt ON h.category = nt.category
+    WINDOW w AS (PARTITION BY h.category
+                 ORDER BY h.score DESC, h.image, h.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pr AS (
+    SELECT category, n_true,
+           max(tp / i) OVER (PARTITION BY category
+                             ORDER BY score DESC, image, pos
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS p_mono,
+           tp / n_true
+             - coalesce(lag(tp / n_true) OVER (PARTITION BY category
+                                               ORDER BY score DESC, image, pos),
+                        0.0) AS d_recall
+    FROM ranked
+)
+SELECT category, round(sum(d_recall * p_mono), 6) AS ap,
+       CAST(max(n_true) AS BIGINT) AS n_true, count(*) AS n_detections
+FROM pr GROUP BY category
+"""
+
+
+@register(
+    "eval_detection_ap_exact_3d",
+    _DETECTION_AP_EXACT_ORACLE,
+    "2.11 completion: detection AP with the rotation-EXACT oriented 3D "
+    "IoU (Sutherland-Hodgman polyhedron clipping, reference "
+    "objectron/dataset/iou.py:22-34 protocol, scipy-free). Demo built so "
+    "the oriented IoUs have CLOSED FORMS the oracle expresses: each "
+    "detection either rolls 45 deg in place on its ground-truth box "
+    "(octagon-prism IoU = 1/sqrt(2), a hit at 0.5) or shifts along x by "
+    "off/5 (IoU = ov/(2-ov), ov = max(1-off/5, 0) - off >= 2 is "
+    "unmatchable, keeping the real-GT recall denominator load-bearing); "
+    "two disjoint GTs per image make greedy provably per-GT argmax. "
+    "Rotation-sensitive matching itself (exact != AABB outcomes) plus "
+    "the MC cross-check property are pinned in pytest "
+    "(test_evaluation.py). Library: functions.evaluation.exact_iou_3d / "
+    "detection_ap(mode='3d', matcher='exact').",
+)
+def eval_detection_ap_exact_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.evaluation import detection_ap
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    sub = li.filter(F.col("l_partkey") % 3 == 0)
+    cat = F.concat(F.lit("c"), (F.col("l_orderkey") % 3).cast("string"))
+    gt_idx = (F.col("l_partkey") % 2).cast("int")
+    off = (F.col("l_partkey") % 7).cast("int")
+    rot = F.col("l_partkey") % 5 == 0
+    dets = sub.select(
+        F.col("l_orderkey").alias("image_id"),
+        cat.alias("category"),
+        ((F.col("l_partkey") % 997).cast("double") / 997.0).alias("score"),
+        F.when(rot, (gt_idx * 100).cast("double"))
+        .otherwise(gt_idx * 100 + off / F.lit(5.0))
+        .alias("x"),
+        F.lit(0.0).alias("y"),
+        F.lit(0.0).alias("z"),
+        F.lit(1.0).alias("xl"),
+        F.lit(1.0).alias("yl"),
+        F.lit(1.0).alias("zl"),
+        F.lit(0.0).alias("pitch"),
+        F.lit(0.0).alias("yaw"),
+        F.when(rot, F.lit(0.25)).otherwise(F.lit(0.0)).alias("roll"),
+    )
+    gts = (
+        li.select("l_orderkey")
+        .distinct()
+        .select(
+            F.col("l_orderkey").alias("image_id"),
+            F.concat(F.lit("c"), (F.col("l_orderkey") % 3).cast("string")).alias(
+                "category"
+            ),
+            F.explode(F.array(F.lit(0.0), F.lit(100.0))).alias("x"),
+        )
+        .select(
+            "image_id",
+            "category",
+            "x",
+            F.lit(0.0).alias("y"),
+            F.lit(0.0).alias("z"),
+            F.lit(1.0).alias("xl"),
+            F.lit(1.0).alias("yl"),
+            F.lit(1.0).alias("zl"),
+            F.lit(0.0).alias("pitch"),
+            F.lit(0.0).alias("yaw"),
+            F.lit(0.0).alias("roll"),
+        )
+    )
+    return detection_ap(dets, gts, mode="3d", matcher="exact", iou_thresh=0.5)
