@@ -42,9 +42,37 @@ HEADLINE = [
 ]
 
 
+def _foreign_jvms() -> int:
+    """Count java processes that are NOT this benchmark's own session.
+    Wall-clock on a shared box swings ±2× when another JVM is alive
+    (burned a round on exactly this); recording the count in the JSON
+    makes a contaminated run self-diagnosing instead of a dispute."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,ppid,comm"], capture_output=True, text=True,
+            timeout=10,
+        ).stdout
+    except Exception:
+        return -1  # unknown — ps unavailable
+    me = os.getpid()
+    n = 0
+    for line in out.splitlines()[1:]:
+        parts = line.split()
+        if len(parts) >= 3 and "java" in parts[2]:
+            # our own executor JVM is a child of this process
+            if int(parts[1]) != me:
+                n += 1
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # snapshot BEFORE our own JVM starts: anything alive now is foreign
+    foreign_jvms = _foreign_jvms()
 
     from vlm_data_pipeline_spark.plans import QUERIES
     from vlm_data_pipeline_spark.session import get_spark
@@ -90,6 +118,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # >0 = another JVM was alive at bench start: treat the
+                # wall-clocks as contaminated (±2× variance observed)
+                "foreign_jvms_at_start": foreign_jvms,
             }
         )
     )
