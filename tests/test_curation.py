@@ -516,3 +516,50 @@ def test_filter_blocked_domains_broadcasts_blocklist(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_clean_lines_rules(spark):
+    """Each C4 rule on a hand-built doc: punctuation, min-words,
+    javascript marker, brace/lorem doc kills, min-lines doc drop."""
+    from vlm_data_pipeline_spark.operators.curation import clean_lines
+
+    rows = [
+        # doc 1: 3 good lines, 3 bad ones
+        (1, "A good first sentence here.\nno punctuation on this line\n"
+            "Tiny.\nPlease enable JavaScript now.\nSecond good line stays!\n"
+            'He said "fine."'),
+        # doc 2: brace anywhere kills the whole doc
+        (2, "A perfectly fine sentence here.\n{ config }"),
+        # doc 3: lorem ipsum (any case) kills the whole doc
+        (3, "A perfectly fine sentence here.\nLorem IPSUM dolor."),
+        # doc 4: only one good line -> below min_lines=2
+        (4, "Only one good sentence here.\nnope"),
+        # doc 5: trailing/leading spaces are trimmed before the rules
+        (5, "  Padded good sentence one.  \n  Padded good sentence two!  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in clean_lines(docs, min_words=3, min_lines=2).collect()
+    }
+    assert set(out) == {1, 5}
+    assert out[1].n_lines == 6 and out[1].n_kept == 3
+    assert out[1].text == (
+        "A good first sentence here.\nSecond good line stays!\n"
+        'He said "fine."'
+    )
+    assert out[5].n_kept == 2
+    assert out[5].text == (
+        "Padded good sentence one.\nPadded good sentence two!"
+    )
+
+
+def test_clean_lines_zero_shuffle(spark, sf_dir):
+    from vlm_data_pipeline_spark.operators.curation import clean_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        clean_lines(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

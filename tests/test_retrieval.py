@@ -1,0 +1,89 @@
+"""BM25 / TF-IDF retrieval operators: hand-computed fixtures and plan
+shape (one map-side stats row, in-row scoring, TakeOrderedAndProject)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from vlm_data_pipeline_spark.operators import retrieval
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark join window"),
+        (2, "spark spark spark"),
+        (3, "table scan merge"),
+        (4, "join join spark table"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_frequencies(spark):
+    df = {
+        r.term: r.df for r in retrieval.doc_frequencies(_docs(spark)).collect()
+    }
+    assert df["spark"] == 3 and df["join"] == 2 and df["window"] == 1
+    assert df["table"] == 2
+
+
+def test_bm25_hand_computed(spark):
+    """Single-term query: score must equal the scalar formula exactly."""
+    docs = _docs(spark)
+    got = {
+        r.doc_id: r.score
+        for r in retrieval.bm25_scores(docs, ["spark"]).collect()
+    }
+    n, avgdl = 4, (3 + 3 + 3 + 4) / 4.0
+    idf = retrieval.idf_of(n, 3)
+
+    def expect(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert set(got) == {1, 2, 4}  # doc 3 has no query term
+    assert got[1] == pytest.approx(expect(1, 3), rel=1e-12)
+    assert got[2] == pytest.approx(expect(3, 3), rel=1e-12)
+    assert got[4] == pytest.approx(expect(1, 4), rel=1e-12)
+    # more occurrences of the term → higher score at equal length
+    assert got[2] > got[1]
+
+
+def test_bm25_multi_term_and_topk(spark):
+    docs = _docs(spark)
+    top = retrieval.bm25_topk(docs, ["spark", "join"], k=2).collect()
+    assert len(top) == 2
+    # doc 4 carries both terms (join twice) → must beat the single-term docs
+    assert top[0].doc_id == 4
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+    plan = (
+        retrieval.bm25_topk(docs, ["spark"], k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # LIMIT under ORDER BY must be the heap-merge, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_bm25_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        retrieval.bm25_scores(docs, [])
+    with pytest.raises(ValueError, match="distinct"):
+        retrieval.bm25_scores(docs, ["a", "a"])
+    with pytest.raises(ValueError, match="positive"):
+        retrieval.bm25_topk(docs, ["a"], k=0)
+
+
+def test_bm25_idf_penalizes_common_terms(spark):
+    """A term in every doc scores below a rare term at equal tf/dl."""
+    rows = [(i, "common " + ("rare" if i == 0 else "filler")) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.score
+        for r in retrieval.bm25_scores(docs, ["common", "rare"]).collect()
+    }
+    # doc 0 has both; its margin over the common-only docs is the rare idf
+    assert got[0] > max(v for k, v in got.items() if k != 0)
+    assert retrieval.idf_of(6, 6) < retrieval.idf_of(6, 1)

@@ -554,3 +554,72 @@ def filter_blocked_domains(
     return docs.join(
         blocked_ids, docs[id_col] == F.col("__bid"), "left_anti"
     )
+
+
+def clean_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2), the
+    sub-document sibling of ``quality_filter``'s doc-level rules:
+
+    - a LINE is kept iff it ends in terminal punctuation (``. ! ? "``),
+      has ≥ ``min_words`` whitespace words, and does not mention
+      ``javascript`` (case-insensitive) — the cookie/JS-warning filter;
+    - a DOCUMENT is dropped wholesale if it contains a curly brace or
+      the phrase ``lorem ipsum`` anywhere (case-insensitive), or keeps
+      fewer than ``min_lines`` lines.
+
+    Returns (``id_col``, n_lines, n_kept, text) with ``text`` rebuilt
+    from the kept lines in original order (newline-joined).
+
+    Scale shape: every rule is an in-row array program over one split —
+    one scan, zero shuffle, scales with input splits. Streaming-safe
+    (pure per-row transform).
+    """
+    from ..functions.text import let
+
+    def word_count(line):
+        return F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+
+    def keep_line(line):
+        punct = (
+            line.endswith(".")
+            | line.endswith("!")
+            | line.endswith("?")
+            | line.endswith('"')
+        )
+        return (
+            punct
+            & (word_count(line) >= min_words)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def mk(ls):
+        kept = F.filter(ls, keep_line)
+        return F.struct(
+            F.size(ls).alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, "\n").alias("text"),
+        )
+
+    doc_ok = ~F.col(text_col).contains("{") & ~F.lower(
+        F.col(text_col)
+    ).contains("lorem ipsum")
+    out = docs.filter(doc_ok).select(
+        F.col(id_col), let(lines, mk).alias("_c")
+    )
+    return out.filter(F.col("_c.n_kept") >= min_lines).select(
+        id_col,
+        F.col("_c.n_lines").alias("n_lines"),
+        F.col("_c.n_kept").alias("n_kept"),
+        F.col("_c.text").alias("text"),
+    )

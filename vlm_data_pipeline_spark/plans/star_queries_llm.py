@@ -1723,3 +1723,170 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_near_pairs(
         hashes, max_hamming=4, bands=5, bits=60
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "join")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    """Mirror bm25_scores' expression tree EXACTLY (same association
+    order, same constant folding — Python folds 1.0 − b to 0.25 before
+    the Column ever sees it) so the rounded score is bit-stable."""
+    dfs = ",\n           ".join(
+        f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    one_minus_b = 1.0 - _BM25_B
+    k1p1 = _BM25_K1 + 1.0
+    parts = []
+    for i, t in enumerate(_BM25_TERMS):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = (
+            f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        )
+        parts.append(
+            f"({idf} * {tf} * {k1p1!r}) / ({tf} + {_BM25_K1!r} *"
+            f" ({one_minus_b!r} + ({_BM25_B!r} * dl) / avgdl))"
+        )
+    score = "0.0"
+    for p in parts:
+        score = f"({score} + {p})"
+    return f"""
+WITH t AS (
+    SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS sum_dl,
+           {dfs}
+    FROM t
+), d AS (
+    SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl,
+           CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+           n_docs, {', '.join(f'df_{i}' for i in range(len(_BM25_TERMS)))}
+    FROM t, s
+)
+SELECT doc_id, round({score}, 6) AS score
+FROM d
+WHERE {score} > 0.0
+"""
+
+
+@register(
+    "retrieval_bm25",
+    _bm25_oracle(),
+    "BM25 relevance scoring over the corpus (extension; Robertson BM25, "
+    "Lucene idf variant) for a literal 3-term query: TWO corpus passes, "
+    "no wide shuffle — pass 1 folds N / total tokens / per-term document "
+    "frequencies into ONE map-side aggregate row (conditional "
+    "array_contains counters, not an explode); pass 2 broadcasts that "
+    "row back and scores in-row from a single let-bound tokenization. "
+    "Library: operators.retrieval.bm25_scores / bm25_topk "
+    "(TakeOrderedAndProject for the top-k variant).",
+)
+def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    scored = retrieval.bm25_scores(
+        docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    )
+    return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning
+# ---------------------------------------------------------------------------
+
+_C4_PLANT = """concat(text, '.',
+    chr(10), 'Planted sentence number ', CAST(doc_id % 5 AS VARCHAR),
+        ' stays here.',
+    chr(10), 'filler line without punctuation at all',
+    chr(10), 'Tiny.',
+    chr(10), 'Please enable JavaScript to continue.',
+    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Another planted sentence number '
+        || CAST(doc_id % 7 AS VARCHAR) || ' here.' ELSE '' END,
+    CASE WHEN doc_id % 17 = 0 THEN chr(10) || '{ bad }' ELSE '' END,
+    CASE WHEN doc_id % 19 = 3 THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+        ELSE '' END)"""
+
+_C4_WORDS = "len(list_filter(string_split_regex(l, '\\s+'), w -> w <> ''))"
+_C4_KEEP = (
+    "(ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')"
+    " OR ends_with(l, '\"'))"
+    f" AND {_C4_WORDS} >= 3 AND NOT contains(lower(l), 'javascript')"
+)
+
+_CLEAN_LINES_ORACLE = f"""
+WITH planted AS (
+    SELECT doc_id, {_C4_PLANT} AS text FROM documents
+), ok AS (
+    SELECT doc_id, text FROM planted
+    WHERE NOT contains(text, '{{') AND NOT contains(lower(text), 'lorem ipsum')
+), split AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      l -> trim(l)), l -> l <> '') AS ls
+    FROM ok
+), kept AS (
+    SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+           list_filter(ls, l -> {_C4_KEEP}) AS ks
+    FROM split
+)
+SELECT doc_id, n_lines, CAST(len(ks) AS INT) AS n_kept,
+       md5(array_to_string(ks, chr(10))) AS fp
+FROM kept WHERE len(ks) >= 2
+"""
+
+
+@register(
+    "curation_clean_lines",
+    _CLEAN_LINES_ORACLE,
+    "C4 LINE-level cleaning (extension; Raffel et al. 2020 2.2): keep "
+    "lines ending in terminal punctuation with >= 3 words and no "
+    "javascript marker; drop whole docs containing braces or lorem "
+    "ipsum, or keeping < 2 lines. Good/bad lines and doc-killers are "
+    "PLANTED per row so every rule fires corpus-wide; the value check "
+    "pins counts AND the md5 of each rebuilt document. All in-row array "
+    "programs over one split - zero shuffle, streaming-safe. Library: "
+    "operators.curation.clean_lines.",
+)
+def curation_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("."),
+            F.lit("\nPlanted sentence number "),
+            (did % 5).cast("string"),
+            F.lit(" stays here."),
+            F.lit("\nfiller line without punctuation at all"),
+            F.lit("\nTiny."),
+            F.lit("\nPlease enable JavaScript to continue."),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit("\nAnother planted sentence number "),
+                    (did % 7).cast("string"),
+                    F.lit(" here."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 17 == 0, F.lit("\n{ bad }")).otherwise(F.lit("")),
+            F.when(did % 19 == 3, F.lit("\nLorem Ipsum dolor sit amet."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = curation.clean_lines(planted, min_words=3, min_lines=2)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5(F.col("text")).alias("fp")
+    )
