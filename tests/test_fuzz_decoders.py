@@ -120,3 +120,26 @@ def test_fuzz_hdf5(n, chunked, c):
     except Exception as exc:
         assert not isinstance(exc, (SystemExit, KeyboardInterrupt)), exc
     _skip_never_raises(lambda b: read_datasets(b, ["t"]) and [], blob)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(st.integers(min_value=0, max_value=255), min_size=3, max_size=12),
+        min_size=1,
+        max_size=4,
+    ).filter(
+        lambda r: len({len(x) for x in r}) == 1 and len(r[0]) % 3 == 0
+    ),
+    c=corruption,
+)
+def test_fuzz_bmp(rows, c):
+    from vlm_data_pipeline_spark.sources.bmp_codec import decode_bmp, encode_bmp
+
+    blob = _corrupt(encode_bmp(rows), *c)
+    try:
+        img = decode_bmp(blob)
+        assert img.width > 0 and img.height > 0
+    except Exception as exc:  # decode failure must be a normalized one
+        assert isinstance(exc, (ValueError, struct.error, IndexError)), exc
+    _skip_never_raises(decode_bmp, blob)

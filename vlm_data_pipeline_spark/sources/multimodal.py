@@ -116,32 +116,48 @@ def binary_stats(assets: DataFrame) -> DataFrame:
     )
 
 
-def _default_image_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
-    """REAL default for PNG payloads via ``sources.png_codec`` (stdlib
-    zlib, no Pillow); other formats need an injected decoder (Pillow/cv2
-    in production — ``fake_image_decoder`` is the deterministic test
-    stand-in)."""
-    if (payload or b"")[:8] == b"\x89PNG\r\n\x1a\n":
+def _decode_pixels(payload: bytes):
+    """Format dispatch over the two REAL stdlib codecs: PNG
+    (``sources.png_codec``) and uncompressed BMP (``sources.bmp_codec``),
+    both returning the same rows-of-channel-ints contract (RGB/RGBA,
+    top-down), so every pixel consumer (luma stats, aHash) is
+    codec-agnostic. Other formats (JPEG etc.) need an injected decoder
+    — Pillow/cv2 in production."""
+    head = (payload or b"")[:8]
+    if head == b"\x89PNG\r\n\x1a\n":
         from .png_codec import decode_png
 
-        img = decode_png(payload)
-        total = 0
-        count = 0
-        for row in img.rows:
-            total += sum(row)
-            count += len(row)
-        scale = 255.0 if img.bit_depth == 8 else 65535.0
-        return {
-            "width": img.width,
-            "height": img.height,
-            "channels": img.channels,
-            "mean_luma": round(total / (count * scale), 6) if count else None,
-        }
+        return decode_png(payload)
+    if head[:2] == b"BM":
+        from .bmp_codec import decode_bmp
+
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "Non-PNG image decoding needs Pillow/cv2 (not installed in this "
-        "container). Inject decode_images(..., decoder=...) — the "
+        "image decoding beyond PNG/BMP needs Pillow/cv2 (not installed in "
+        "this container). Inject decode_images(..., decoder=...) — the "
         "mapInPandas batching, schema, and partitioning are fully wired."
     )
+
+
+def _default_image_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
+    """REAL default for PNG/BMP payloads via the stdlib codecs; other
+    formats need an injected decoder (``fake_image_decoder`` is the
+    deterministic test stand-in)."""
+    img = _decode_pixels(payload)
+    total = 0
+    count = 0
+    for row in img.rows:
+        total += sum(row)
+        count += len(row)
+    # per-SAMPLE depth: PNG reports 8/16 bits per sample; BMP's
+    # bit_depth field is bits per PIXEL (8/24/32) with 8-bit samples
+    scale = 65535.0 if img.bit_depth == 16 else 255.0
+    return {
+        "width": img.width,
+        "height": img.height,
+        "channels": img.channels,
+        "mean_luma": round(total / (count * scale), 6) if count else None,
+    }
 
 
 def fake_image_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
@@ -261,17 +277,16 @@ def frame_sample_plan(assets: DataFrame, stride: int = 10) -> DataFrame:
 
 
 def image_ahash_64(payload: bytes) -> int:
-    """64-bit average hash (aHash) of a PNG payload via the REAL decoder:
-    per-pixel luma (channel mean) → 8×8 block means → bit = block mean
-    above the global mean of block means. Near-identical images (small
-    noise, light recompression) land within a few hamming bits; unrelated
-    images land ~32 apart — the standard cheap image-dedup key. Non-PNG
-    payloads need an injected hasher (Pillow in production)."""
-    if (payload or b"")[:8] != b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("non-PNG payloads need an injected hasher")
-    from .png_codec import decode_png
-
-    img = decode_png(payload)
+    """64-bit average hash (aHash) of a PNG or BMP payload via the REAL
+    stdlib codecs: per-pixel luma (channel mean) → 8×8 block means →
+    bit = block mean above the global mean of block means. Near-identical
+    images (small noise, light recompression) land within a few hamming
+    bits; unrelated images land ~32 apart — the standard cheap
+    image-dedup key. CODEC-AGNOSTIC by construction: the same pixels
+    produce the same hash whether they arrived as PNG or BMP
+    (cross-format near-dup detection). Other formats need an injected
+    hasher (Pillow in production)."""
+    img = _decode_pixels(payload)
     w, h, c = img.width, img.height, img.channels
     # numpy-vectorized (~100x the per-pixel Python loop this replaced),
     # bit-identical to it: integer channel sums / c reproduce the exact
