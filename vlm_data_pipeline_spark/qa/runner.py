@@ -66,6 +66,13 @@ def generate_all(
     if persist and len(names) > 1 and not frames.isStreaming:
         from pyspark.storagelevel import StorageLevel
 
+        # The task generators are per-row array programs, so their
+        # parallelism equals the PERSISTED partition count. The session
+        # caps AQE's coalescing floor (minPartitionSize) so a small-byte
+        # but CPU-heavy relation like frames keeps ~core-count partitions
+        # — see session.get_spark; probing/repartitioning here instead
+        # would double-execute the synthesis under AQE (df.rdd runs the
+        # query stages eagerly).
         frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
     outs = []
     for name in names:

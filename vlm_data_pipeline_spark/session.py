@@ -39,6 +39,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst coalescing is floored by minPartitionSize
+        # (default 1 MiB): a small-byte but CPU-heavy shuffle output —
+        # e.g. the ~16 MB frames relation whose per-row QA programs
+        # dominate the pipeline — coalesces to 16 partitions and idles
+        # half of local[32] through the hottest stage (measured 10.2s →
+        # ~6.5s for the 10-task pass at sf0.1 with the floor lowered).
+        # 256 KiB keeps such relations at ~core-count partitions while
+        # still merging genuinely tiny outputs; at cluster scale
+        # partitions >> cores and this floor never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
