@@ -50,21 +50,23 @@ def _foreign_jvms() -> int:
     import subprocess
 
     try:
-        out = subprocess.run(
+        res = subprocess.run(
             ["ps", "-eo", "pid,ppid,comm"], capture_output=True, text=True,
             timeout=10,
-        ).stdout
+        )
+        if res.returncode != 0 or not res.stdout.strip():
+            return -1  # unknown — ps unusable (busybox etc.); don't claim clean
+        me = os.getpid()
+        n = 0
+        for line in res.stdout.splitlines()[1:]:
+            parts = line.split()
+            if len(parts) >= 3 and "java" in parts[2]:
+                # our own executor JVM is a child of this process
+                if int(parts[1]) != me:
+                    n += 1
+        return n
     except Exception:
-        return -1  # unknown — ps unavailable
-    me = os.getpid()
-    n = 0
-    for line in out.splitlines()[1:]:
-        parts = line.split()
-        if len(parts) >= 3 and "java" in parts[2]:
-            # our own executor JVM is a child of this process
-            if int(parts[1]) != me:
-                n += 1
-    return n
+        return -1  # unknown — never abort the benchmark over the probe
 
 
 def main() -> None:

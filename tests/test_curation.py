@@ -563,3 +563,24 @@ def test_clean_lines_zero_shuffle(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_clean_lines_crlf_and_closing_brace(spark):
+    """CRLF documents must clean exactly like LF ones (the \\r?\\n split;
+    a space-only trim would leave trailing \\r and wipe the doc), and a
+    closing brace alone kills a doc just like an opening one (C4 drops
+    pages containing curly brackets, either side)."""
+    from vlm_data_pipeline_spark.operators.curation import clean_lines
+
+    rows = [
+        (1, "A good crlf sentence one.\r\nA good crlf sentence two!\r\n"),
+        (2, "A good sentence here.\nAnother good one stays.\n...config } end."),
+        (3, "A good sentence here.\nAnother good one stays.\n{ config start"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in clean_lines(docs, min_lines=2).collect()}
+    assert set(out) == {1}
+    assert out[1].n_kept == 2
+    assert out[1].text == (
+        "A good crlf sentence one.\nA good crlf sentence two!"
+    )

@@ -87,3 +87,14 @@ def test_bm25_idf_penalizes_common_terms(spark):
     # doc 0 has both; its margin over the common-only docs is the rare idf
     assert got[0] > max(v for k, v in got.items() if k != 0)
     assert retrieval.idf_of(6, 6) < retrieval.idf_of(6, 1)
+
+
+def test_corpus_stats_tokenizes_once(spark):
+    """The token array must stay a single projected column under the
+    aggregate — embedding tokens() into each aggregate would re-run the
+    split + interpreted HOF filter Q+1 times per row."""
+    from vlm_data_pipeline_spark.operators.retrieval import _corpus_stats
+
+    st = _corpus_stats(_docs(spark), ["spark", "join", "window"], "text")
+    opt = st._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1, opt[:1500]

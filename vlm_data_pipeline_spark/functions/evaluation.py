@@ -99,13 +99,9 @@ def monte_carlo_iou_3d_udf(n_samples: int = 2048):
     """
     from pyspark.sql.functions import pandas_udf
 
-    def rot(pitch: float, yaw: float, roll: float) -> np.ndarray:
-        p, y, r = pitch * np.pi, yaw * np.pi, roll * np.pi
-        cp, sp, cy, sy, cr, sr = np.cos(p), np.sin(p), np.cos(y), np.sin(y), np.cos(r), np.sin(r)
-        rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
-        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-        rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
-        return rz @ ry @ rx
+    # single shared rotation convention: the exact-vs-MC cross-check
+    # property is only meaningful while both paths use the same matrix
+    rot = _rot_zyx
 
     def one_iou(a, b, seed: int) -> float:
         rng = np.random.default_rng(seed)

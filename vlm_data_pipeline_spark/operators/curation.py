@@ -598,8 +598,11 @@ def clean_lines(
             & ~F.lower(line).contains("javascript")
         )
 
+    # split on \r?\n so CRLF corpora don't leave a trailing \r that the
+    # space-only trim misses (which would fail every terminal-punctuation
+    # check and silently wipe whole Windows-lineending documents)
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        F.transform(F.split(F.col(text_col), "\r?\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
 
@@ -611,9 +614,11 @@ def clean_lines(
             F.array_join(kept, "\n").alias("text"),
         )
 
-    doc_ok = ~F.col(text_col).contains("{") & ~F.lower(
-        F.col(text_col)
-    ).contains("lorem ipsum")
+    doc_ok = (
+        ~F.col(text_col).contains("{")
+        & ~F.col(text_col).contains("}")
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+    )
     out = docs.filter(doc_ok).select(
         F.col(id_col), let(lines, mk).alias("_c")
     )

@@ -52,8 +52,14 @@ def doc_frequencies(
 def _corpus_stats(docs: DataFrame, terms: list[str], text_col: str) -> DataFrame:
     """One row: (n_docs, sum_dl, df_0 … df_{Q−1}) in a single map-side
     aggregated pass — per-term df is a conditional count over
-    ``array_contains``, so no explode and no per-term scan."""
-    toks = tokens(F.col(text_col))
+    ``array_contains``, so no explode and no per-term scan.
+
+    The token array is PROJECTED once before the aggregation: embedding
+    ``tokens(text)`` into each aggregate expression would re-run the
+    split + interpreted HOF filter Q+1 times per row (the no-codegen-CSE
+    hazard ``functions.text.let`` documents)."""
+    toked = docs.select(tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     aggs = [
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size(toks)).cast("long").alias("sum_dl"),
@@ -66,7 +72,7 @@ def _corpus_stats(docs: DataFrame, terms: list[str], text_col: str) -> DataFrame
             .cast("long")
             .alias(f"df_{i}")
         )
-    return docs.agg(*aggs)
+    return toked.agg(*aggs)
 
 
 def bm25_scores(

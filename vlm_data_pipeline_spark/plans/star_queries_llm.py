@@ -1828,10 +1828,11 @@ WITH planted AS (
     SELECT doc_id, {_C4_PLANT} AS text FROM documents
 ), ok AS (
     SELECT doc_id, text FROM planted
-    WHERE NOT contains(text, '{{') AND NOT contains(lower(text), 'lorem ipsum')
+    WHERE NOT contains(text, '{{') AND NOT contains(text, '}}')
+      AND NOT contains(lower(text), 'lorem ipsum')
 ), split AS (
     SELECT doc_id,
-           list_filter(list_transform(string_split(text, chr(10)),
+           list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
                                       l -> trim(l)), l -> l <> '') AS ls
     FROM ok
 ), kept AS (
