@@ -584,3 +584,30 @@ def test_clean_lines_crlf_and_closing_brace(spark):
     assert out[1].text == (
         "A good crlf sentence one.\nA good crlf sentence two!"
     )
+
+
+def test_clean_lines_idempotent(spark, sf_dir):
+    """Cleaning a cleaned corpus is a no-op: every surviving line already
+    passes every line rule and every surviving doc passes the doc rules
+    — the fixed-point property that makes the stage safe to re-run in a
+    resumed pipeline."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.curation import clean_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(".\nA planted good second sentence here."),
+            F.lit("\nno terminal punctuation so this one drops"),
+        ).alias("text"),
+    )
+    once = clean_lines(docs, min_lines=1)
+    twice = clean_lines(
+        once.select("doc_id", "text"), min_lines=1
+    )
+    a = {(r.doc_id, r.n_kept, r.text) for r in once.collect()}
+    b = {(r.doc_id, r.n_kept, r.text) for r in twice.collect()}
+    assert a == b
+    assert all(r.n_lines == r.n_kept for r in twice.collect())

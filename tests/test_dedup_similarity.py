@@ -533,3 +533,33 @@ def test_semantic_dedup_salted_plan(spark, sf_dir):
         .count()
     )
     assert n_buckets > 1, "all pairs landed in one salt bucket"
+
+
+def test_dedup_incremental_loop_invariant(spark):
+    """Three-batch ingestion: store grows by each batch's survivor
+    fingerprints; cross-batch copies drop, within-batch copies keep the
+    min id, and re-ingesting an already-cleaned batch drops everything."""
+    from vlm_data_pipeline_spark.operators.dedup import dedup_incremental
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    s1 = dedup_incremental(b1, None)
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]
+
+    store = s1.select("fp")
+    b2 = spark.createDataFrame(
+        [
+            (10, "gamma beta alpha"),      # bag-of-words copy of doc 1 -> drop
+            (11, "zeta eta theta"),        # new -> keep
+            (12, "zeta eta theta"),        # within-batch copy -> drop
+        ],
+        "doc_id long, text string",
+    )
+    s2 = dedup_incremental(b2, store)
+    assert sorted(r.doc_id for r in s2.collect()) == [11]
+
+    store = store.unionByName(s2.select("fp"))
+    # re-ingesting batch 2 against the updated store yields nothing
+    assert dedup_incremental(b2, store).count() == 0

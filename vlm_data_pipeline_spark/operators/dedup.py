@@ -593,3 +593,57 @@ def dedup_paragraphs(
             sep,
         ).alias(text_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-batch) exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Exact dedup for BATCH-APPEND ingestion: drop new documents whose
+    canonical fingerprint already exists in the ``seen`` store (all
+    fingerprints from prior batches) or duplicates another new document
+    (min-id winner within the batch — the ``exact_dedup_groups`` rule).
+    Returns the surviving rows WITH their ``fp_col`` so the caller can
+    append exactly ``survivors.select(fp_col)`` to the store for the
+    next batch: store ∪ batchᵢ fingerprints is the loop invariant.
+
+    ``seen`` may be None/empty for the first batch (everything within-
+    batch-deduped only).
+
+    Scale shape: the fingerprint is in-row; the within-batch winner is
+    one groupBy-min on the skinny (fp, id) projection re-joined as a
+    semi-join; the store check is an anti-join that shuffles ONLY
+    fingerprint columns (the store is corpus-sized, so no broadcast hint
+    — AQE picks broadcast only while the store is genuinely small; at
+    100 TB both sides hash-partition on fp, and a production deployment
+    would bucket the store by fp to make the anti-join zero-shuffle on
+    the store side).
+    """
+    from ..functions.text import doc_fingerprint
+
+    fp = doc_fingerprint(F.col(text_col)).alias(fp_col)
+    withfp = new_docs.withColumn(fp_col, fp)
+    if seen is not None:
+        store = seen.select(F.col(fp_col).alias("__seen_fp")).distinct()
+        withfp = withfp.join(
+            store, F.col(fp_col) == F.col("__seen_fp"), "left_anti"
+        )
+    winners = (
+        withfp.select(F.col(fp_col).alias("__keep_fp"), F.col(id_col))
+        .groupBy("__keep_fp")
+        .agg(F.min(id_col).alias("__keep_id"))
+    )
+    return withfp.join(
+        winners,
+        (F.col(fp_col) == F.col("__keep_fp"))
+        & (F.col(id_col) == F.col("__keep_id")),
+        "left_semi",
+    )

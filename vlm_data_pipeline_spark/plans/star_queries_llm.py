@@ -1891,3 +1891,50 @@ def curation_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_lines", "n_kept", F.md5(F.col("text")).alias("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-batch) exact dedup
+# ---------------------------------------------------------------------------
+
+_D_FP = f"md5(array_to_string(list_sort(list_distinct({_D_TOKS})), ' '))"
+
+_INCR_DEDUP_ORACLE = f"""
+WITH fps AS (
+    SELECT doc_id, {_D_FP} AS fp FROM documents
+), store AS (
+    SELECT DISTINCT fp FROM fps WHERE doc_id % 4 = 0
+), batch AS (
+    SELECT doc_id, fp FROM fps WHERE doc_id % 4 <> 0
+), unseen AS (
+    SELECT b.doc_id, b.fp FROM batch b
+    LEFT JOIN store s ON b.fp = s.fp WHERE s.fp IS NULL
+)
+SELECT doc_id, fp FROM unseen
+WHERE (fp, doc_id) IN (SELECT (fp, min(doc_id)) FROM unseen GROUP BY fp)
+"""
+
+
+@register(
+    "dedup_incremental_batch",
+    _INCR_DEDUP_ORACLE,
+    "Incremental exact dedup for batch-append ingestion (extension; the "
+    "production loop the one-shot dedup operators feed): new docs drop "
+    "when their canonical fingerprint exists in the prior-batches store "
+    "(anti-join shuffling fingerprints only) or lose the min-id within-"
+    "batch race. Demo: docs with doc_id % 4 = 0 play the seen store, the "
+    "rest arrive as the new batch; the planted near-copies in the "
+    "synthetic corpus make both drop paths fire. Survivors carry their "
+    "fingerprint so store := store UNION survivors.fp is the loop "
+    "invariant. Library: operators.dedup.dedup_incremental.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    from ..functions.text import doc_fingerprint
+
+    seen = docs.filter(F.col("doc_id") % 4 == 0).select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    out = dedup.dedup_incremental(batch, seen)
+    return out.select("doc_id", "fp")
