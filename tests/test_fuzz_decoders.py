@@ -143,3 +143,24 @@ def test_fuzz_bmp(rows, c):
     except Exception as exc:  # decode failure must be a normalized one
         assert isinstance(exc, (ValueError, struct.error, IndexError)), exc
     _skip_never_raises(decode_bmp, blob)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=64),
+    bits=st.sampled_from([8, 16, 32]),
+    c=corruption,
+)
+def test_fuzz_wav(n, bits, c):
+    import numpy as np
+
+    from vlm_data_pipeline_spark.sources.wav_codec import decode_wav, encode_wav
+
+    x = np.linspace(-0.9, 0.9, n)
+    blob = _corrupt(encode_wav(x, 8000, bits=bits), *c)
+    try:
+        au = decode_wav(blob)
+        assert au.sample_rate >= 1 and au.n_channels >= 1
+    except Exception as exc:  # decode failure must be a normalized one
+        assert isinstance(exc, (ValueError, struct.error)), exc
+    _skip_never_raises(decode_wav, blob)

@@ -32,6 +32,7 @@ import hashlib
 from collections.abc import Callable, Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -193,6 +194,81 @@ def decode_images(
 
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema=DECODED_IMAGE
+    )
+
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def _default_audio_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
+    """REAL default for WAV payloads via ``sources.wav_codec`` (stdlib
+    struct + numpy; PCM 8/16/24/32 + float32): scalar loudness features
+    over the normalized [−1,1) frames. Compressed formats (mp3/flac/ogg)
+    need an injected decoder — ffmpeg/soundfile in production."""
+    if (payload or b"")[:4] != b"RIFF":
+        raise NotImplementedError(
+            "audio decoding beyond RIFF/WAV needs ffmpeg/soundfile (not "
+            "installed in this container). Inject audio_features(..., "
+            "decoder=...) — batching, schema, and partitioning are wired."
+        )
+    from .wav_codec import decode_wav
+
+    au = decode_wav(payload)
+    x = au.samples
+    return {
+        "sample_rate": au.sample_rate,
+        "n_channels": au.n_channels,
+        "n_frames": au.n_frames,
+        "duration_s": round(au.duration_s, 6),
+        "rms": round(float(np.sqrt(np.mean(x * x))), 6) if x.size else None,
+        "peak": round(float(np.max(np.abs(x))), 6) if x.size else None,
+    }
+
+
+def fake_audio_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in: features derived from the payload digest —
+    stable across runs, no decode."""
+    h = hashlib.md5(payload or b"").digest()
+    return {
+        "sample_rate": 8000 * (1 + h[0] % 6),
+        "n_channels": 1 + h[1] % 2,
+        "n_frames": 1000 + h[2] * 64,
+        "duration_s": round((1000 + h[2] * 64) / (8000 * (1 + h[0] % 6)), 6),
+        "rms": round(h[3] / 512.0, 6),
+        "peak": round(h[4] / 256.0, 6),
+    }
+
+
+def audio_features(
+    assets: DataFrame, decoder: Decoder | None = None
+) -> DataFrame:
+    """Audio feature-extract stage — the audio sibling of
+    :func:`decode_images`: Arrow-batched mapInPandas over the payloads,
+    scalar features out (samples never leave the stage). Filter to
+    ``modality == 'audio'`` upstream so Catalyst prunes image/video
+    payload bytes from the scan."""
+    decode = decoder or _default_audio_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES.fields]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rows.append({"asset_id": aid, **decode(aid, bytes(payload or b""))})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES
     )
 
 
