@@ -361,3 +361,27 @@ def test_detection_ap_matcher_validation(spark):
         ev.detection_ap(df, df, matcher="bogus")
     with _pytest.raises(ValueError, match="oriented 3D"):
         ev.detection_ap(df, df, mode="2d", matcher="exact")
+
+
+def test_exact_iou_3d_properties():
+    """Hypothesis-style invariants over random oriented pairs: bounds,
+    symmetry, self-IoU = 1, and translation invariance."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    for _ in range(200):
+        a = np.concatenate(
+            [rng.uniform(-1, 1, 3), rng.uniform(0.1, 2.0, 3), rng.uniform(-1, 1, 3)]
+        )
+        b = np.concatenate(
+            [rng.uniform(-1, 1, 3), rng.uniform(0.1, 2.0, 3), rng.uniform(-1, 1, 3)]
+        )
+        v = ev.exact_iou_3d(a, b)
+        assert 0.0 <= v <= 1.0
+        assert abs(v - ev.exact_iou_3d(b, a)) < 1e-9          # symmetry
+        assert ev.exact_iou_3d(a, a) == pytest.approx(1.0)    # identity
+        shift = rng.uniform(-5, 5, 3)
+        a2, b2 = a.copy(), b.copy()
+        a2[0:3] += shift
+        b2[0:3] += shift
+        assert abs(ev.exact_iou_3d(a2, b2) - v) < 1e-9        # translation

@@ -164,3 +164,24 @@ def test_fuzz_wav(n, bits, c):
     except Exception as exc:  # decode failure must be a normalized one
         assert isinstance(exc, (ValueError, struct.error)), exc
     _skip_never_raises(decode_wav, blob)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=3),
+    w=st.integers(min_value=2, max_value=8),
+    h=st.integers(min_value=2, max_value=8),
+    c=corruption,
+)
+def test_fuzz_y4m(n, w, h, c):
+    from vlm_data_pipeline_spark.sources.y4m_codec import decode_y4m, encode_y4m
+
+    frames = [[[(x + y + f) % 256 for x in range(w)] for y in range(h)]
+              for f in range(n)]
+    blob = _corrupt(encode_y4m(frames), *c)
+    try:
+        v = decode_y4m(blob)
+        assert v.width > 0 and v.height > 0
+    except Exception as exc:  # decode failure must be a normalized one
+        assert isinstance(exc, (ValueError, struct.error)), exc
+    _skip_never_raises(decode_y4m, blob)

@@ -363,15 +363,18 @@ def image_ahash_64(payload: bytes) -> int:
     (cross-format near-dup detection). Other formats need an injected
     hasher (Pillow in production)."""
     img = _decode_pixels(payload)
-    w, h, c = img.width, img.height, img.channels
-    # numpy-vectorized (~100x the per-pixel Python loop this replaced),
-    # bit-identical to it: integer channel sums / c reproduce the exact
-    # per-pixel luma doubles, and bincount accumulates weights in the
-    # same row-major order the loop did, so the block sums are the same
-    # doubles bit for bit.
-    import numpy as np
+    return ahash_from_rows(img.rows, img.width, img.height, img.channels)
 
-    arr = np.asarray(img.rows, dtype=np.int64).reshape(h, w, c)
+
+def ahash_from_rows(rows, w: int, h: int, c: int) -> int:
+    """The aHash kernel over the shared rows-of-channel-ints contract —
+    used by the image path above AND per-video-frame hashing (a Y4M luma
+    plane is a 1-channel rows list), so image↔frame near-dups share one
+    hash space. numpy-vectorized (~100× the per-pixel Python loop it
+    replaced), bit-identical to it: integer channel sums / c reproduce
+    the exact per-pixel luma doubles, and bincount accumulates weights
+    in the same row-major order the loop did."""
+    arr = np.asarray(rows, dtype=np.int64).reshape(h, w, c)
     luma = arr.sum(axis=2) / c
     by = (np.arange(h) * 8) // h
     bx = (np.arange(w) * 8) // w
@@ -387,6 +390,105 @@ def image_ahash_64(payload: bytes) -> int:
     # two's-complement signed so the value rides in a Spark LongType
     # (bit 63 set would overflow int64 as an unsigned value)
     return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+VIDEO_FEATURES = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("colorspace", T.StringType()),
+    ]
+)
+
+FRAME_HASHES = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _default_video_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
+    """REAL default for Y4M payloads via ``sources.y4m_codec``; compressed
+    containers (mp4/mkv/webm) need an injected decoder — ffmpeg in
+    production."""
+    if not (payload or b"").startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "video decoding beyond Y4M needs ffmpeg (not installed in this "
+            "container). Inject video_features(..., decoder=...) — "
+            "batching, schema, and partitioning are wired."
+        )
+    from .y4m_codec import decode_y4m
+
+    v = decode_y4m(payload)
+    return {
+        "width": v.width,
+        "height": v.height,
+        "n_frames": v.n_frames,
+        "fps": round(v.fps_num / v.fps_den, 6),
+        "duration_s": round(v.duration_s, 6),
+        "colorspace": v.colorspace,
+    }
+
+
+def video_features(
+    assets: DataFrame, decoder: Decoder | None = None
+) -> DataFrame:
+    """Video metadata stage — the video sibling of :func:`decode_images` /
+    :func:`audio_features`: Arrow-batched mapInPandas, scalar features
+    out, planes never leave the stage."""
+    decode = decoder or _default_video_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_FEATURES.fields]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rows.append({"asset_id": aid, **decode(aid, bytes(payload or b""))})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=VIDEO_FEATURES
+    )
+
+
+def video_frame_hashes(assets: DataFrame, stride: int = 1) -> DataFrame:
+    """Per-frame aHash over Y4M luma planes, every ``stride``-th frame —
+    (asset_id, frame_idx, phash) rows that feed :func:`phash_near_pairs`
+    DIRECTLY (alias frame rows into the id column): video↔video and even
+    video↔image near-dup detection in the same banded-hamming pipeline,
+    because :func:`ahash_from_rows` is the one hash kernel for both."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    from .y4m_codec import decode_y4m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_HASHES.fields]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                v = decode_y4m(bytes(payload or b""))
+                for i in range(0, v.n_frames, stride):
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_idx": i,
+                            "phash": ahash_from_rows(
+                                v.luma_rows(i), v.width, v.height, 1
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=FRAME_HASHES
+    )
 
 
 PHASH_SCHEMA = T.StructType(
