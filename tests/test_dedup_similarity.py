@@ -563,3 +563,18 @@ def test_dedup_incremental_loop_invariant(spark):
     store = store.unionByName(s2.select("fp"))
     # re-ingesting batch 2 against the updated store yields nothing
     assert dedup_incremental(b2, store).count() == 0
+
+
+def test_dedup_incremental_null_text_passes_through(spark):
+    """Null-text rows (extraction failures) must survive, not vanish: a
+    null fingerprint can't dedup against anything, and the equality
+    semi-join would otherwise evaluate NULL == NULL to NULL and delete
+    the whole group."""
+    from vlm_data_pipeline_spark.operators.dedup import dedup_incremental
+
+    b = spark.createDataFrame(
+        [(1, None), (2, "real text here"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in dedup_incremental(b, None).collect())
+    assert got == [1, 2, 3]

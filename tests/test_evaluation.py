@@ -235,7 +235,6 @@ def test_exact_iou_3d_analytic():
 def test_exact_iou_3d_matches_aabb_closed_form():
     """On axis-aligned boxes the exact oriented kernel must agree with the
     closed-form aabb_iou_3d to machine precision."""
-    import itertools
     import numpy as np
 
     rng = np.random.default_rng(7)

@@ -149,3 +149,26 @@ def test_video_frame_hashes_stride(spark):
     assert idx == [0, 2, 4]
     with pytest.raises(ValueError, match="stride"):
         video_frame_hashes(assets, stride=0)
+
+
+def test_high_bit_depth_colorspaces_rejected():
+    """C420p10/C444p16 are 2 bytes/sample — prefix matching would decode
+    them as 8-bit garbage at half the true frame size; they must raise
+    the unsupported-colorspace error instead."""
+    blob = encode_y4m(_frames(1), colorspace="420")
+    for cs in (b"C420p10", b"C444p16", b"C422p12"):
+        bad = blob.replace(b"C420", cs, 1)
+        with pytest.raises(ValueError, match="unsupported colorspace"):
+            decode_y4m(bad)
+
+
+def test_frame_stride_pushdown():
+    """frame_stride keeps 1/k of the plane bytes but still counts and
+    indexes the full stream (duration unchanged, true stream indices)."""
+    v = decode_y4m(encode_y4m(_frames(6), fps=(30, 1)), frame_stride=3)
+    assert v.total_frames == 6
+    assert v.n_frames == 2
+    assert v.frame_indices == [0, 3]
+    assert v.duration_s == pytest.approx(0.2)
+    assert v.luma_rows(0) == _frames(6)[0]
+    assert v.luma_rows(1) == _frames(6)[3]

@@ -636,14 +636,22 @@ def dedup_incremental(
         withfp = withfp.join(
             store, F.col(fp_col) == F.col("__seen_fp"), "left_anti"
         )
+    # Null-fingerprint rows (null/undecodable text) PASS THROUGH: they
+    # can't be deduped against anything and must not be lost — a plain
+    # equality semi-join would evaluate NULL == NULL to NULL and silently
+    # delete the whole group (they also sail through the store anti-join
+    # above for the same reason, which is the correct keep behavior).
+    nullfp = withfp.filter(F.col(fp_col).isNull())
+    keyed = withfp.filter(F.col(fp_col).isNotNull())
     winners = (
-        withfp.select(F.col(fp_col).alias("__keep_fp"), F.col(id_col))
+        keyed.select(F.col(fp_col).alias("__keep_fp"), F.col(id_col))
         .groupBy("__keep_fp")
         .agg(F.min(id_col).alias("__keep_id"))
     )
-    return withfp.join(
+    kept = keyed.join(
         winners,
         (F.col(fp_col) == F.col("__keep_fp"))
         & (F.col(id_col) == F.col("__keep_id")),
         "left_semi",
     )
+    return kept.unionByName(nullfp)

@@ -117,13 +117,33 @@ def binary_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+def _scalar_feature_stage(assets: DataFrame, schema: T.StructType, decode):
+    """The one Arrow-batched mapInPandas body every decode/feature stage
+    shares (images, audio, video): one decoder call per asset, scalar
+    features out, payloads never leave the stage. Kept in ONE place so
+    payload/batch handling fixes apply to every modality at once."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rows.append({"asset_id": aid, **decode(aid, bytes(payload or b""))})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=schema)
+
+
 def _decode_pixels(payload: bytes):
     """Format dispatch over the two REAL stdlib codecs: PNG
     (``sources.png_codec``) and uncompressed BMP (``sources.bmp_codec``),
     both returning the same rows-of-channel-ints contract (RGB/RGBA,
     top-down), so every pixel consumer (luma stats, aHash) is
     codec-agnostic. Other formats (JPEG etc.) need an injected decoder
-    — Pillow/cv2 in production."""
+    — Pillow/cv2 in production. Empty payloads are corrupt DATA
+    (ValueError → the robust skip policy), not a missing capability."""
+    if not payload:
+        raise ValueError("empty image payload")
     head = (payload or b"")[:8]
     if head == b"\x89PNG\r\n\x1a\n":
         from .png_codec import decode_png
@@ -182,18 +202,8 @@ def decode_images(
     worker), decode, downscale before emitting. Emits scalar features only
     — pixels stay inside the stage unless a downstream op needs them.
     """
-    decode = decoder or _default_image_decoder
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in DECODED_IMAGE.fields]
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                rows.append({"asset_id": aid, **decode(aid, bytes(payload or b""))})
-            yield pd.DataFrame(rows, columns=cols)
-
-    return assets.select("asset_id", "payload").mapInPandas(
-        run, schema=DECODED_IMAGE
+    return _scalar_feature_stage(
+        assets, DECODED_IMAGE, decoder or _default_image_decoder
     )
 
 
@@ -214,7 +224,10 @@ def _default_audio_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
     """REAL default for WAV payloads via ``sources.wav_codec`` (stdlib
     struct + numpy; PCM 8/16/24/32 + float32): scalar loudness features
     over the normalized [−1,1) frames. Compressed formats (mp3/flac/ogg)
-    need an injected decoder — ffmpeg/soundfile in production."""
+    need an injected decoder — ffmpeg/soundfile in production. Empty
+    payloads are corrupt DATA (ValueError → robust skip policy)."""
+    if not payload:
+        raise ValueError("empty audio payload")
     if (payload or b"")[:4] != b"RIFF":
         raise NotImplementedError(
             "audio decoding beyond RIFF/WAV needs ffmpeg/soundfile (not "
@@ -257,18 +270,8 @@ def audio_features(
     scalar features out (samples never leave the stage). Filter to
     ``modality == 'audio'`` upstream so Catalyst prunes image/video
     payload bytes from the scan."""
-    decode = decoder or _default_audio_decoder
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in AUDIO_FEATURES.fields]
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                rows.append({"asset_id": aid, **decode(aid, bytes(payload or b""))})
-            yield pd.DataFrame(rows, columns=cols)
-
-    return assets.select("asset_id", "payload").mapInPandas(
-        run, schema=AUDIO_FEATURES
+    return _scalar_feature_stage(
+        assets, AUDIO_FEATURES, decoder or _default_audio_decoder
     )
 
 
@@ -417,6 +420,8 @@ def _default_video_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
     """REAL default for Y4M payloads via ``sources.y4m_codec``; compressed
     containers (mp4/mkv/webm) need an injected decoder — ffmpeg in
     production."""
+    if not payload:
+        raise ValueError("empty video payload")
     if not (payload or b"").startswith(b"YUV4MPEG2"):
         raise NotImplementedError(
             "video decoding beyond Y4M needs ffmpeg (not installed in this "
@@ -442,48 +447,54 @@ def video_features(
     """Video metadata stage — the video sibling of :func:`decode_images` /
     :func:`audio_features`: Arrow-batched mapInPandas, scalar features
     out, planes never leave the stage."""
-    decode = decoder or _default_video_decoder
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in VIDEO_FEATURES.fields]
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                rows.append({"asset_id": aid, **decode(aid, bytes(payload or b""))})
-            yield pd.DataFrame(rows, columns=cols)
-
-    return assets.select("asset_id", "payload").mapInPandas(
-        run, schema=VIDEO_FEATURES
+    return _scalar_feature_stage(
+        assets, VIDEO_FEATURES, decoder or _default_video_decoder
     )
 
 
-def video_frame_hashes(assets: DataFrame, stride: int = 1) -> DataFrame:
-    """Per-frame aHash over Y4M luma planes, every ``stride``-th frame —
+def video_frame_hashes(
+    assets: DataFrame,
+    stride: int = 1,
+    hasher: Callable[[str, bytes], list[tuple[int, int]]] | None = None,
+) -> DataFrame:
+    """Per-frame aHash over video payloads, every ``stride``-th frame —
     (asset_id, frame_idx, phash) rows that feed :func:`phash_near_pairs`
     DIRECTLY (alias frame rows into the id column): video↔video and even
     video↔image near-dup detection in the same banded-hamming pipeline,
-    because :func:`ahash_from_rows` is the one hash kernel for both."""
+    because :func:`ahash_from_rows` is the one hash kernel for both.
+    The default handles Y4M via ``sources.y4m_codec`` with the stride
+    pushed into the decode (1/stride of the plane bytes held) and
+    zero-copy luma hashing; compressed containers need an injected
+    ``hasher`` (ffmpeg in production), same seam as every other stage."""
     if stride < 1:
         raise ValueError("stride must be >= 1")
 
     from .y4m_codec import decode_y4m
+
+    def y4m_hasher(aid: str, payload: bytes) -> list[tuple[int, int]]:
+        if not payload:
+            raise ValueError("empty video payload")
+        if not payload.startswith(b"YUV4MPEG2"):
+            raise NotImplementedError(
+                "frame hashing beyond Y4M needs ffmpeg (not installed in "
+                "this container). Inject video_frame_hashes(..., hasher=...)."
+            )
+        v = decode_y4m(payload, frame_stride=stride)
+        out = []
+        for k, idx in enumerate(v.frame_indices):
+            luma = np.frombuffer(v.frames[k]["y"], dtype=np.uint8)
+            out.append((idx, ahash_from_rows(luma, v.width, v.height, 1)))
+        return out
+
+    hash_frames = hasher or y4m_hasher
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in FRAME_HASHES.fields]
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                v = decode_y4m(bytes(payload or b""))
-                for i in range(0, v.n_frames, stride):
-                    rows.append(
-                        {
-                            "asset_id": aid,
-                            "frame_idx": i,
-                            "phash": ahash_from_rows(
-                                v.luma_rows(i), v.width, v.height, 1
-                            ),
-                        }
-                    )
+                for idx, h in hash_frames(aid, bytes(payload or b"")):
+                    rows.append({"asset_id": aid, "frame_idx": idx, "phash": h})
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.select("asset_id", "payload").mapInPandas(

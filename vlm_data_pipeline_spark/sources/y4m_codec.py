@@ -30,9 +30,15 @@ _SUBSAMPLING = {
 
 
 class Y4mVideo:
-    __slots__ = ("width", "height", "fps_num", "fps_den", "colorspace", "frames")
+    __slots__ = (
+        "width", "height", "fps_num", "fps_den", "colorspace", "frames",
+        "frame_indices", "total_frames",
+    )
 
-    def __init__(self, width, height, fps_num, fps_den, colorspace, frames):
+    def __init__(
+        self, width, height, fps_num, fps_den, colorspace, frames,
+        frame_indices=None, total_frames=None,
+    ):
         self.width = width
         self.height = height
         self.fps_num = fps_num
@@ -42,14 +48,22 @@ class Y4mVideo:
         # "v": bytes|None} — raw planes; luma_rows() adapts to the image
         # codecs' rows convention
         self.frames = frames
+        # stream index of each DECODED frame (≠ range(len) under
+        # frame_stride), and the stream's total frame count
+        self.frame_indices = (
+            frame_indices if frame_indices is not None else list(range(len(frames)))
+        )
+        self.total_frames = total_frames if total_frames is not None else len(frames)
 
     @property
     def n_frames(self) -> int:
+        """DECODED frame count (= total_frames unless frame_stride/
+        max_frames bounded the decode)."""
         return len(self.frames)
 
     @property
     def duration_s(self) -> float:
-        return self.n_frames * self.fps_den / self.fps_num
+        return self.total_frames * self.fps_den / self.fps_num
 
     def luma_rows(self, frame_idx: int) -> list[list[int]]:
         """Frame's luma plane as height rows of width ints — the shared
@@ -59,21 +73,40 @@ class Y4mVideo:
         return [list(y[r * w : (r + 1) * w]) for r in range(self.height)]
 
 
+# Exact allowlist of 8-bit planar variants. Prefix matching would
+# silently accept the 10/16-bit formats ffmpeg also emits (C420p10,
+# C444p16 — 2 bytes/sample, so frame_bytes would be computed at half the
+# real size and the luma plane would decode as interleaved garbage).
+_FAMILIES = {
+    "420": "420",
+    "420jpeg": "420",
+    "420mpeg2": "420",
+    "420paldv": "420",
+    "422": "422",
+    "444": "444",
+    "mono": "mono",
+}
+
+
 def _family(colorspace: str) -> str:
-    if colorspace.startswith("420"):
-        return "420"
-    if colorspace.startswith("422"):
-        return "422"
-    if colorspace.startswith("444"):
-        return "444"
-    if colorspace.startswith("mono"):
-        return "mono"
-    raise ValueError(f"unsupported colorspace C{colorspace}")
+    fam = _FAMILIES.get(colorspace)
+    if fam is None:
+        raise ValueError(f"unsupported colorspace C{colorspace} (8-bit planar only)")
+    return fam
 
 
-def decode_y4m(content: bytes, max_frames: int | None = None) -> Y4mVideo:
-    """Decode a YUV4MPEG2 stream; ``max_frames`` bounds work for probes
-    (metadata + first-frame hashing shouldn't read a whole clip)."""
+def decode_y4m(
+    content: bytes,
+    max_frames: int | None = None,
+    frame_stride: int = 1,
+) -> Y4mVideo:
+    """Decode a YUV4MPEG2 stream. ``max_frames`` bounds DECODED frames
+    for probes; ``frame_stride`` keeps every k-th frame's planes while
+    still walking (and counting) the whole stream — sampled hashing of a
+    long clip holds 1/k of the plane bytes instead of all of them.
+    ``frame_indices`` records each decoded frame's stream index."""
+    if frame_stride < 1:
+        raise ValueError("frame_stride must be >= 1")
     nl = content.find(b"\n")
     if nl < 0 or not content.startswith(_MAGIC):
         raise ValueError("not a Y4M stream (missing YUV4MPEG2 header)")
@@ -111,6 +144,8 @@ def decode_y4m(content: bytes, max_frames: int | None = None) -> Y4mVideo:
     frame_bytes = y_size + 2 * c_size
 
     frames = []
+    indices = []
+    seen = 0
     off = nl + 1
     while off < len(content):
         if max_frames is not None and len(frames) >= max_frames:
@@ -119,21 +154,27 @@ def decode_y4m(content: bytes, max_frames: int | None = None) -> Y4mVideo:
         if fnl < 0 or not content.startswith(b"FRAME", off):
             raise ValueError(f"missing FRAME marker at offset {off}")
         off = fnl + 1
-        plane = content[off : off + frame_bytes]
-        if len(plane) < frame_bytes:
+        if off + frame_bytes > len(content):
             raise ValueError(
-                f"truncated frame {len(frames)}: need {frame_bytes} bytes, "
-                f"have {len(plane)}"
+                f"truncated frame {seen}: need {frame_bytes} bytes, "
+                f"have {len(content) - off}"
             )
-        frames.append(
-            {
-                "y": plane[:y_size],
-                "u": plane[y_size : y_size + c_size] if c_size else None,
-                "v": plane[y_size + c_size :] if c_size else None,
-            }
-        )
+        if seen % frame_stride == 0:
+            plane = content[off : off + frame_bytes]
+            frames.append(
+                {
+                    "y": plane[:y_size],
+                    "u": plane[y_size : y_size + c_size] if c_size else None,
+                    "v": plane[y_size + c_size :] if c_size else None,
+                }
+            )
+            indices.append(seen)
+        seen += 1
         off += frame_bytes
-    return Y4mVideo(width, height, fps_num, fps_den, colorspace, frames)
+    return Y4mVideo(
+        width, height, fps_num, fps_den, colorspace, frames,
+        frame_indices=indices, total_frames=seen,
+    )
 
 
 def encode_y4m(
