@@ -204,3 +204,52 @@ def test_chunk_documents_streams_unchanged(spark, tmp_path):
     batch = transform(spark.read.parquet(src))
     assert as_sorted_rows(out) == as_sorted_rows(batch)
     assert sorted({r.doc_id for r in out.collect()}) == [1, 2]  # empty doc: none
+
+
+def test_modality_stages_stream_unchanged(spark, tmp_path):
+    """The three modality feature stages are stateless mapInPandas over
+    payload rows, so they run UNCHANGED on a readStream in append mode —
+    image decode, audio loudness, and per-frame video hashes all equal
+    their batch runs row-for-row."""
+    from tests.test_png_codec import encode_png
+    from vlm_data_pipeline_spark.sources.multimodal import (
+        audio_features,
+        decode_images,
+        video_frame_hashes,
+    )
+    from vlm_data_pipeline_spark.sources.wav_codec import encode_wav
+    from vlm_data_pipeline_spark.sources.y4m_codec import encode_y4m
+
+    import numpy as np
+
+    png = encode_png([[10, 20, 30, 40, 50, 60]], color_type=2)  # 2x1 RGB
+    wav = encode_wav(0.5 * np.sin(np.linspace(0, 20, 800)), 8000)
+    y4m = encode_y4m(
+        [[[(x * 3 + y) % 256 for x in range(16)] for y in range(16)]]
+    )
+    imgs = spark.createDataFrame(
+        [("i1", bytearray(png))], "asset_id string, payload binary"
+    )
+    auds = spark.createDataFrame(
+        [("a1", bytearray(wav))], "asset_id string, payload binary"
+    )
+    vids = spark.createDataFrame(
+        [("v1", bytearray(y4m))], "asset_id string, payload binary"
+    )
+    for name, df, stage in (
+        ("imgs", imgs, decode_images),
+        ("auds", auds, audio_features),
+        ("vids", vids, video_frame_hashes),
+    ):
+        src = str(tmp_path / f"{name}_src")
+        df.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        out = run_stream(
+            stage(spark.readStream.schema(schema).parquet(src)),
+            tmp_path,
+            f"{name}_stream",
+            output_mode="append",
+        )
+        batch = stage(spark.read.parquet(src))
+        assert as_sorted_rows(out) == as_sorted_rows(batch)
+        assert out.count() >= 1
