@@ -611,3 +611,39 @@ def test_clean_lines_idempotent(spark, sf_dir):
     b = {(r.doc_id, r.n_kept, r.text) for r in twice.collect()}
     assert a == b
     assert all(r.n_lines == r.n_kept for r in twice.collect())
+
+
+def test_clean_lines_fuzz_invariants(spark):
+    """Random unicode text never crashes the stage, and the structural
+    invariants hold: n_kept <= n_lines, output text contains exactly
+    n_kept newline-joined lines, every kept line passes every rule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vlm_data_pipeline_spark.operators.curation import clean_lines
+
+    texts = st.lists(
+        st.text(alphabet=st.characters(codec="utf-8"), max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(parts=texts)
+    def run(parts):
+        text = "\n".join(parts)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = clean_lines(docs, min_words=2, min_lines=1).collect()
+        assert len(rows) <= 1
+        if rows:
+            r = rows[0]
+            assert 1 <= r.n_kept <= r.n_lines
+            kept = r.text.split("\n")
+            assert len(kept) == r.n_kept
+            for line in kept:
+                assert line == line.strip() and line
+                assert line[-1] in '.!?"'
+                assert len(line.split()) >= 2
+                assert "javascript" not in line.lower()
+
+    run()

@@ -578,3 +578,41 @@ def test_dedup_incremental_null_text_passes_through(spark):
     )
     got = sorted(r.doc_id for r in dedup_incremental(b, None).collect())
     assert got == [1, 2, 3]
+
+
+def test_minhash_incremental_store_and_batch_paths(spark):
+    """Cross-batch near-dups surface via the signature store (text never
+    needed), within-batch ones via the self-join; the estimator agrees
+    with exact Jaccard at the extremes (identical → 1.0, disjoint → no
+    pair)."""
+    from vlm_data_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again ok"
+    prior = spark.createDataFrame(
+        [(100, t1)], "doc_id long, text string"
+    )
+    store = minhash_signatures(prior)
+    batch = spark.createDataFrame(
+        [
+            (1, t1),                                  # exact copy of stored
+            (2, "completely different words about spark shuffles here yes"),
+            (3, t1 + " extra"),                       # near-copy of doc 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_incremental_pairs(batch, store, threshold=0.8).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, set()).add((r.id_a, r.id_b))
+    assert (1, 100) in by_source.get("store", set())
+    assert (1, 3) in by_source.get("batch", set())
+    exact_copy = [r for r in rows if (r.id_a, r.id_b) == (1, 100)][0]
+    assert exact_copy.est_jaccard == 1.0
+    assert not any(r.id_a == 2 or r.id_b == 2 for r in rows)
+
+    # first batch with no store: within-batch pairs only
+    first = minhash_incremental_pairs(batch, None, threshold=0.8).collect()
+    assert {r.source for r in first} == {"batch"}

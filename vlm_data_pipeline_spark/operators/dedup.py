@@ -655,3 +655,139 @@ def dedup_incremental(
         "left_semi",
     )
     return kept.unionByName(nullfp)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-batch) MinHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig) rows — the signature STORE format for incremental
+    near-dup: signatures are k longs per doc (text never persists in the
+    store), computed with the same staged projections as
+    :func:`minhash_lsh_pairs`."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+        .select("doc_id", word_shingles(F.col("t"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("hs", F.transform(F.col("sh"), hash32))
+        .select("doc_id", minhash_signature_from_hashes(F.col("hs"), k).alias("sig"))
+    )
+
+
+def _banded(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    r = k // bands
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("sig"), b * r + 1, r).cast("array<string>"),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs for BATCH-APPEND ingestion — the MinHash
+    sibling of :func:`dedup_incremental`: the new batch's signatures are
+    banded and joined against (a) the prior-batches signature ``store``
+    (cross-batch pairs, ``source='store'``) and (b) themselves
+    (within-batch pairs, ``source='batch'``). Verification uses the
+    SIGNATURE Jaccard estimator — fraction of equal minhash components
+    (unbiased, granularity 1/k; the store holds k longs per doc, never
+    the text, which is what makes the store corpus-scale persistable).
+    Returns (id_a, id_b, est_jaccard, source); id_a is always the new
+    doc in cross pairs. Caller appends ``minhash_signatures(new_batch)``
+    survivors to the store — same loop invariant as the exact pass.
+
+    Scale shape: both banded sides are skinny (doc_id, band, bucket,
+    k-long sig); bucket keys are md5 of signature slices (high
+    cardinality — no salting needed), so the join shuffles O(candidates)
+    and the store side is bucketable on (band, bucket) for a
+    zero-shuffle probe at 100 TB.
+    """
+    if k // bands * bands != k:
+        raise ValueError("k must divide into equal bands")
+    sig_new = minhash_signatures(new_docs, id_col, text_col, k, n)
+    nb = _banded(sig_new, k, bands)
+
+    def est(sig_a: Column, sig_b: Column) -> Column:
+        eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+        return (
+            F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+            / float(k)
+        )
+
+    def verify(cands: DataFrame, source: str) -> DataFrame:
+        return (
+            cands.withColumn("est_jaccard", est(F.col("sig_a"), F.col("sig_b")))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard", F.lit(source).alias("source"))
+        )
+
+    a, b = nb.alias("a"), nb.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = verify(within, "batch")
+    if store is not None:
+        sb = _banded(
+            store.select(F.col(id_col).alias("doc_id"), "sig"), k, bands
+        ).alias("s")
+        cross = (
+            nb.alias("n")
+            .join(
+                sb,
+                (F.col("n.band") == F.col("s.band"))
+                & (F.col("n.bucket") == F.col("s.bucket")),
+            )
+            .select(
+                F.col("n.doc_id").alias("id_a"),
+                F.col("s.doc_id").alias("id_b"),
+                F.col("n.sig").alias("sig_a"),
+                F.col("s.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        out = out.unionByName(verify(cross, "store"))
+    return out

@@ -1938,3 +1938,70 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 4 != 0)
     out = dedup.dedup_incremental(batch, seen)
     return out.select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-batch) MinHash near-dup
+# ---------------------------------------------------------------------------
+
+_D_EST = (
+    f"CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))"
+    f" AS DOUBLE) / {float(_MINHASH_K)}"
+)
+
+_INCR_MINHASH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM documents
+), sh AS (
+    SELECT doc_id, {_D_SHINGLES} AS sh FROM toks
+), sig AS (
+    SELECT doc_id, {_D_SIG} AS sig FROM sh WHERE len(sh) > 0
+), banded AS (
+    SELECT doc_id, sig, b.b AS band,
+           md5(array_to_string(sig[b.b * {_MINHASH_R} + 1 :
+               b.b * {_MINHASH_R} + {_MINHASH_R}], ',')) AS bucket
+    FROM sig, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) b
+), nb AS (SELECT * FROM banded WHERE doc_id % 4 <> 0
+), sb AS (SELECT * FROM banded WHERE doc_id % 4 = 0
+), within AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM nb a JOIN nb b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), cross_ AS (
+    SELECT DISTINCT n.doc_id AS id_a, s.doc_id AS id_b,
+           n.sig AS sig_a, s.sig AS sig_b
+    FROM nb n JOIN sb s ON n.band = s.band AND n.bucket = s.bucket
+)
+SELECT id_a, id_b, {_D_EST} AS est_jaccard, 'batch' AS source
+FROM within WHERE {_D_EST} >= 0.8
+UNION ALL
+SELECT id_a, id_b, {_D_EST} AS est_jaccard, 'store' AS source
+FROM cross_ WHERE {_D_EST} >= 0.8
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    _INCR_MINHASH_ORACLE,
+    "Incremental NEAR-dup for batch-append ingestion (extension) - the "
+    "MinHash sibling of dedup_incremental_batch: the new batch's "
+    "signatures band-join against the prior-batches signature STORE "
+    "(k longs per doc, text never persists) and against themselves; "
+    "candidates verify with the signature Jaccard estimator (fraction "
+    "of equal components, granularity 1/k). Demo: docs with "
+    "doc_id % 4 = 0 play the store; the synthetic corpus's planted "
+    "near-copies fire both the within-batch and cross-store paths. "
+    "Store side is bucketable on (band, bucket) for a zero-shuffle "
+    "probe at scale. Library: operators.dedup."
+    "minhash_incremental_pairs / minhash_signatures.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    store = dedup.minhash_signatures(
+        docs.filter(F.col("doc_id") % 4 == 0), k=_MINHASH_K
+    )
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    return dedup.minhash_incremental_pairs(
+        batch, store, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
+    )
