@@ -72,3 +72,43 @@ def test_unbucketed_join_shuffles_for_contrast(bucketed_tables, sf_dir):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_bucketed_signature_store_probe_avoids_store_shuffle(spark, sf_dir):
+    """The incremental-MinHash docstring claims the signature store is
+    'bucketable on (band, bucket) for a zero-shuffle probe' — prove it:
+    with the banded store written bucketed on the join keys, the
+    band+bucket probe join plans with NO exchange on the store side
+    (only the incoming batch shuffles)."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.dedup import (
+        _banded,
+        minhash_signatures,
+    )
+    from vlm_data_pipeline_spark.sources import bronze
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_banded = _banded(
+        minhash_signatures(docs.filter(F.col("doc_id") % 4 == 0)), 12, 4
+    ).select("doc_id", "band", "bucket")
+    bronze.write_bucketed(
+        store_banded, "b_sig_store", ["band", "bucket"], n_buckets=8
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store = bronze.read_table(spark, "b_sig_store")
+        probe = _banded(
+            minhash_signatures(docs.filter(F.col("doc_id") % 4 != 0)), 12, 4
+        ).select(
+            F.col("doc_id").alias("q_id"), "band", "bucket"
+        )
+        joined = probe.join(store, ["band", "bucket"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # exactly one exchange: the probe side; the store scan feeds the
+        # join straight from its bucketed layout
+        assert plan.count("Exchange") == 1, plan[:2500]
+        assert joined.count() >= 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_sig_store")
