@@ -83,13 +83,13 @@ def test_bucketed_signature_store_probe_avoids_store_shuffle(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from vlm_data_pipeline_spark.operators.dedup import (
-        _banded,
+        banded_signatures,
         minhash_signatures,
     )
     from vlm_data_pipeline_spark.sources import bronze
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    store_banded = _banded(
+    store_banded = banded_signatures(
         minhash_signatures(docs.filter(F.col("doc_id") % 4 == 0)), 12, 4
     ).select("doc_id", "band", "bucket")
     bronze.write_bucketed(
@@ -98,7 +98,7 @@ def test_bucketed_signature_store_probe_avoids_store_shuffle(spark, sf_dir):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         store = bronze.read_table(spark, "b_sig_store")
-        probe = _banded(
+        probe = banded_signatures(
             minhash_signatures(docs.filter(F.col("doc_id") % 4 != 0)), 12, 4
         ).select(
             F.col("doc_id").alias("q_id"), "band", "bucket"
@@ -108,7 +108,9 @@ def test_bucketed_signature_store_probe_avoids_store_shuffle(spark, sf_dir):
         # exactly one exchange: the probe side; the store scan feeds the
         # join straight from its bucketed layout
         assert plan.count("Exchange") == 1, plan[:2500]
-        assert joined.count() >= 0
+        # non-vacuous: the planted near-copies straddle the store/batch
+        # split, so the banded probe must actually find collisions
+        assert joined.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_sig_store")

@@ -640,8 +640,12 @@ def test_clean_lines_fuzz_invariants(spark):
             assert 1 <= r.n_kept <= r.n_lines
             kept = r.text.split("\n")
             assert len(kept) == r.n_kept
+            ascii_ws = " \t\n\r\x0b\x0c"
             for line in kept:
-                assert line == line.strip() and line
+                # Spark/RE2 \s is ASCII-only; unicode spaces (\xa0) are
+                # deliberately NOT stripped, so compare against the same
+                # ASCII-whitespace strip, not Python's unicode strip()
+                assert line == line.strip(ascii_ws) and line
                 assert line[-1] in '.!?"'
                 assert len(line.split()) >= 2
                 assert "javascript" not in line.lower()

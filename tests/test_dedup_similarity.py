@@ -616,3 +616,46 @@ def test_minhash_incremental_store_and_batch_paths(spark):
     # first batch with no store: within-batch pairs only
     first = minhash_incremental_pairs(batch, None, threshold=0.8).collect()
     assert {r.source for r in first} == {"batch"}
+
+
+def test_minhash_incremental_banded_store_and_custom_id(spark):
+    """The persisted store format (banded_signatures output) feeds the
+    probe directly — same pairs as the raw-signature form — and the loop
+    round-trips under a non-default id column name."""
+    from vlm_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again ok"
+    prior = spark.createDataFrame([(100, t1)], "asset_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, t1), (2, "unrelated words about shuffles and exchanges here")],
+        "asset_id long, text string",
+    )
+    raw_store = minhash_signatures(prior, id_col="asset_id")
+    assert raw_store.columns == ["asset_id", "sig"]
+    banded_store = banded_signatures(raw_store, 12, 4, id_col="asset_id")
+
+    raw_pairs = {
+        (r.id_a, r.id_b, r.source)
+        for r in minhash_incremental_pairs(
+            batch, raw_store, id_col="asset_id"
+        ).collect()
+    }
+    banded_pairs = {
+        (r.id_a, r.id_b, r.source)
+        for r in minhash_incremental_pairs(
+            batch, banded_store, id_col="asset_id"
+        ).collect()
+    }
+    assert raw_pairs == banded_pairs == {(1, 100, "store")}
+
+    # re-ingesting a doc whose id is already stored yields no (x, x)
+    # self-pair (the exact sibling's anti-join semantics)
+    re_batch = spark.createDataFrame([(100, t1)], "asset_id long, text string")
+    again = minhash_incremental_pairs(
+        re_batch, raw_store, id_col="asset_id"
+    ).collect()
+    assert not any(r.id_a == r.id_b for r in again)

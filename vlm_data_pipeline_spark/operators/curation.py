@@ -598,11 +598,15 @@ def clean_lines(
             & ~F.lower(line).contains("javascript")
         )
 
-    # split on \r?\n so CRLF corpora don't leave a trailing \r that the
-    # space-only trim misses (which would fail every terminal-punctuation
-    # check and silently wipe whole Windows-lineending documents)
+    # split on \r?\n, then strip ALL ASCII whitespace from line ends —
+    # F.trim strips spaces only, so a trailing \r (CRLF corpora) or \t
+    # would fail every terminal-punctuation check and silently wipe
+    # valid lines
+    def strip_ws(l: Column) -> Column:
+        return F.regexp_replace(l, r"^\s+|\s+$", "")
+
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\r?\n"), lambda l: F.trim(l)),
+        F.transform(F.split(F.col(text_col), "\r?\n"), strip_ws),
         lambda l: l != "",
     )
 

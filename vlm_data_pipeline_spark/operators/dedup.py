@@ -134,28 +134,15 @@ def minhash_lsh_pairs(
         "sig", minhash_signature_from_hashes(F.col("hs"), k)
     )
 
-    # band index b → bucket key = md5 of that signature slice.
+    # band index b → bucket key = md5 of that signature slice, via the
+    # ONE shared banding expression (banded_signatures — incremental LSH
+    # and the DuckDB oracles must stay bucket-compatible with this path).
     # The banded table is SKINNY (doc_id, band, bucket) — the O(candidates)
     # self-join never shuffles shingle arrays; those re-attach afterwards
     # to only the surviving candidate pairs (two narrow hash joins). At
     # corpus scale this is the difference between shuffling ids and
     # shuffling the corpus.
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.slice(F.col("sig"), b * r + 1, r).cast("array<string>"), ","
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = banded_signatures(sig.select("doc_id", "sig"), k, bands).drop("sig")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -669,23 +656,38 @@ def minhash_signatures(
     k: int = 12,
     n: int = 3,
 ) -> DataFrame:
-    """(id, sig) rows — the signature STORE format for incremental
-    near-dup: signatures are k longs per doc (text never persists in the
-    store), computed with the same staged projections as
-    :func:`minhash_lsh_pairs`."""
+    """(``id_col``, sig) rows — the signature STORE format for
+    incremental near-dup: signatures are k longs per doc (text never
+    persists in the store), computed with the same staged projections as
+    :func:`minhash_lsh_pairs`. The id keeps the caller's column name so
+    the store round-trips through :func:`minhash_incremental_pairs`
+    under any ``id_col``."""
     return (
         df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
         .select("doc_id", word_shingles(F.col("t"), n).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform(F.col("sh"), hash32))
-        .select("doc_id", minhash_signature_from_hashes(F.col("hs"), k).alias("sig"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            minhash_signature_from_hashes(F.col("hs"), k).alias("sig"),
+        )
     )
 
 
-def _banded(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+def banded_signatures(
+    sigs: DataFrame, k: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig, band, bucket) rows — the BANDED store format. This is
+    the ONE banding expression for batch LSH, incremental LSH, and the
+    DuckDB oracles' bucket SQL (drift between copies would silently make
+    their buckets incompatible). Persist the store in THIS form bucketed
+    on (band, bucket) and the per-batch probe joins on stored columns —
+    zero re-banding, zero store-side shuffle (plan-proven in
+    tests/test_bronze_bucketing.py).
+    """
     r = k // bands
     return sigs.select(
-        "doc_id",
+        F.col(id_col),
         "sig",
         F.explode(
             F.transform(
@@ -702,7 +704,10 @@ def _banded(sigs: DataFrame, k: int, bands: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        F.col(id_col),
+        "sig",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
 
 
@@ -725,19 +730,31 @@ def minhash_incremental_pairs(
     (unbiased, granularity 1/k; the store holds k longs per doc, never
     the text, which is what makes the store corpus-scale persistable).
     Returns (id_a, id_b, est_jaccard, source); id_a is always the new
-    doc in cross pairs. Caller appends ``minhash_signatures(new_batch)``
-    survivors to the store — same loop invariant as the exact pass.
+    doc in cross pairs; cross self-pairs (the same id on both sides —
+    a re-ingested doc) are excluded, matching the exact sibling's
+    anti-join semantics. Ids must be unique WITHIN a batch (standard
+    ingestion contract; two rows sharing an id are never compared).
+    Caller appends ``minhash_signatures(new_batch)`` survivors to the
+    store — same loop invariant as the exact pass.
 
-    Scale shape: both banded sides are skinny (doc_id, band, bucket,
-    k-long sig); bucket keys are md5 of signature slices (high
-    cardinality — no salting needed), so the join shuffles O(candidates)
-    and the store side is bucketable on (band, bucket) for a
-    zero-shuffle probe at 100 TB.
+    ``store`` accepts EITHER format: raw (``id_col``, sig) rows — banded
+    on the fly — or the pre-banded :func:`banded_signatures` form
+    (``id_col``, sig, band, bucket), which a persisted store should use:
+    banding the raw form costs O(store) md5s + a shuffle on derived keys
+    EVERY batch, while the banded form persisted bucketed on
+    (band, bucket) probes with zero store-side shuffle (plan-proven in
+    tests/test_bronze_bucketing.py).
+
+    Scale shape: both banded sides are skinny (id, band, bucket, k-long
+    sig); bucket keys are md5 of signature slices (high cardinality — no
+    salting needed), so the join shuffles O(candidates).
     """
     if k // bands * bands != k:
         raise ValueError("k must divide into equal bands")
     sig_new = minhash_signatures(new_docs, id_col, text_col, k, n)
-    nb = _banded(sig_new, k, bands)
+    nb = banded_signatures(sig_new, k, bands, id_col).withColumnRenamed(
+        id_col, "doc_id"
+    )
 
     def est(sig_a: Column, sig_b: Column) -> Column:
         eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
@@ -771,15 +788,21 @@ def minhash_incremental_pairs(
     )
     out = verify(within, "batch")
     if store is not None:
-        sb = _banded(
-            store.select(F.col(id_col).alias("doc_id"), "sig"), k, bands
-        ).alias("s")
+        if "band" in store.columns and "bucket" in store.columns:
+            sb = store.select(
+                F.col(id_col).alias("doc_id"), "sig", "band", "bucket"
+            ).alias("s")
+        else:
+            sb = banded_signatures(
+                store.select(F.col(id_col).alias("doc_id"), "sig"), k, bands
+            ).alias("s")
         cross = (
             nb.alias("n")
             .join(
                 sb,
                 (F.col("n.band") == F.col("s.band"))
-                & (F.col("n.bucket") == F.col("s.bucket")),
+                & (F.col("n.bucket") == F.col("s.bucket"))
+                & (F.col("n.doc_id") != F.col("s.doc_id")),
             )
             .select(
                 F.col("n.doc_id").alias("id_a"),

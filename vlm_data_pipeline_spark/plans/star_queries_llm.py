@@ -1833,7 +1833,8 @@ WITH planted AS (
 ), split AS (
     SELECT doc_id,
            list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
-                                      l -> trim(l)), l -> l <> '') AS ls
+                                      l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
+                       l -> l <> '') AS ls
     FROM ok
 ), kept AS (
     SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
