@@ -222,3 +222,151 @@ def score_corpus(
         .groupBy(id_col)
         .agg((F.sum(nlp) / (F.max("n") - 1).cast("double")).alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+
+def _word_freqs(corpus: DataFrame, text_col: str, max_words: int) -> DataFrame:
+    """(word, freq) over the corpus, capped to the ``max_words`` most
+    frequent (deterministic tie-break by word) BEFORE any collect — the
+    same shippability cap train_bigram_lm applies. BPE statistics ride
+    on word frequencies, so the whole training loop only ever touches
+    this dimension-sized table, never the corpus again."""
+    return (
+        corpus.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(max_words)
+    )
+
+
+def symbol_pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, count) for adjacent SYMBOL pairs across the word table,
+    weighted by word frequency — one BPE statistics pass as a pure
+    DataFrame program: split each word into its current symbols
+    (``syms`` array column), slide a 2-window in-row, explode, and
+    aggregate with map-side partial combine. The shuffle carries
+    (pair, partial count) only."""
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i + 1).alias("a"),
+                        F.element_at(F.col("syms"), i + 2).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("freq").cast("long").alias("count")
+    )
+
+
+def _merge_syms(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE merge (a, b) → 'ab' to a symbol array, leftmost-greedy
+    (the BPE rule: after 'a a' merges in 'a a a', the remaining 'a'
+    cannot re-merge with the new 'aa' in the same step) — an in-row fold
+    that either appends the symbol or fuses it with the accumulator's
+    tail."""
+    merged = F.lit(a + b)
+
+    def step(acc: Column, s: Column) -> Column:
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b))
+            # element -1 must not itself be the RESULT of a merge this
+            # step when a == b == ab-prefix ambiguity cannot arise: the
+            # fused symbol 'ab' differs from 'a' unless b == '', which
+            # tokens() never emits
+        )
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.array_append(acc, s))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def train_bpe(
+    corpus: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    max_words: int = DEFAULT_MAX_VOCAB,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge table (Sennrich et al. 2016 §3.2) learned
+    over the corpus: start from characters, repeatedly count adjacent
+    symbol pairs (weighted by word frequency) and fuse the most frequent
+    pair. Deterministic: ties break (count desc, a asc, b asc).
+
+    Scale shape: ONE corpus aggregation builds the capped word-frequency
+    table (the only corpus-sized work); each merge iteration is a
+    pair-count aggregation + a 1-row argmax collect + an in-row merge
+    fold over the WORD table (vocab-sized, persisted once) — the
+    classic driver-coordinated iterative refinement, same pattern as
+    the KMeans/PQ trainers. num_merges bounds the loop.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    words = _word_freqs(corpus, text_col, max_words).select(
+        "freq", F.split(F.col("w"), "(?!^)(?=.)").alias("syms")
+    )
+    words = words.persist()
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(num_merges):
+            best = (
+                symbol_pair_counts(words)
+                .orderBy(
+                    F.col("count").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["count"] < 1:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            nxt = words.select(
+                "freq", _merge_syms(F.col("syms"), a, b).alias("syms")
+            ).persist()
+            nxt.count()  # materialize before unpersisting the parent
+            words.unpersist()
+            words = nxt
+        return merges
+    finally:
+        words.unpersist()
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode every document with a learned merge table: per word, start
+    from characters and apply each merge in LEARNED ORDER (the BPE
+    encoding rule) — an in-row fold chain, zero shuffle, the merge table
+    riding in the plan (merge tables are vocab-sized by construction).
+    Appends ``out_col`` (array of subword tokens, per-word boundaries
+    preserved by flattening word-wise encodes)."""
+
+    def encode_word(w: Column) -> Column:
+        syms = F.split(w, "(?!^)(?=.)")
+        for a, b in merges:
+            syms = _merge_syms(syms, a, b)
+        return syms
+
+    return docs.withColumn(
+        out_col,
+        F.flatten(F.transform(tokens(F.col(text_col)), encode_word)),
+    )

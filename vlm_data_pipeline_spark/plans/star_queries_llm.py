@@ -2006,3 +2006,102 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_incremental_pairs(
         batch, store, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training kernels
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_ORACLE = f"""
+WITH words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_D_TOKS}) AS w FROM documents)
+    GROUP BY w ORDER BY freq DESC, w ASC LIMIT 65536
+), pairs AS (
+    SELECT substring(w, CAST(i AS INT), 1) AS a,
+           substring(w, CAST(i AS INT) + 1, 1) AS b, freq
+    FROM words, LATERAL unnest(range(1, len(w))) AS t(i)
+)
+SELECT a, b, CAST(sum(freq) AS BIGINT) AS count
+FROM pairs GROUP BY a, b
+ORDER BY count DESC, a ASC, b ASC LIMIT 20
+"""
+
+
+@register(
+    "lm_bpe_top_pairs",
+    _BPE_PAIRS_ORACLE,
+    "BPE training's statistics kernel (extension; Sennrich et al. 2016 "
+    "3.2): the top-20 adjacent character pairs weighted by word "
+    "frequency - the argmax of this table IS the first merge. One "
+    "corpus pass builds the capped word-frequency table (the only "
+    "corpus-sized work in the whole trainer); pair generation slides an "
+    "in-row 2-window over the vocab-sized word table. Full (count, a, "
+    "b) tie-break makes the top-20 SET deterministic. The iterative "
+    "merge loop itself is driver-coordinated (KMeans/PQ pattern) and "
+    "pinned by tests/test_bpe.py's hand-computed merge sequences. "
+    "Library: operators.lm.train_bpe / symbol_pair_counts.",
+)
+def lm_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import _word_freqs, symbol_pair_counts
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    words = _word_freqs(docs, "text", 65536).select(
+        "freq", F.split(F.col("w"), "(?!^)(?=.)").alias("syms")
+    )
+    return (
+        symbol_pair_counts(words)
+        .orderBy(F.col("count").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+# Fixed demo merge table; the per-word encodings below are HAND-DERIVED
+# (test_bpe.py pins the same semantics analytically), so the oracle can
+# enumerate them per planted word without re-implementing BPE in SQL.
+_BPE_DEMO_MERGES = (("l", "o"), ("lo", "w"), ("e", "r"))
+
+_BPE_ENCODE_ORACLE = """
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'low lower lowest'
+                ELSE 'new newer wider' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 11 END AS n_bpe,
+       CASE WHEN doc_id % 2 = 0
+            THEN md5('low low er low e s t')
+            ELSE md5('n e w n e w er w i d er') END AS fp
+FROM planted
+"""
+
+
+@register(
+    "lm_bpe_encode",
+    _BPE_ENCODE_ORACLE,
+    "BPE ENCODING end-to-end (extension): apply a fixed learned merge "
+    "table to every document - per word, character split then each "
+    "merge in learned order as an in-row leftmost-greedy fold, zero "
+    "shuffle, merge table riding in the plan. Demo plants a two-"
+    "sentence vocabulary so the oracle enumerates the hand-derived "
+    "encodings per word (md5 of the joined subword stream + token "
+    "count) without re-implementing the fold in SQL. Library: "
+    "operators.lm.apply_bpe.",
+)
+def lm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import apply_bpe
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "low lower lowest")
+        .otherwise("new newer wider")
+        .alias("text"),
+    )
+    out = apply_bpe(planted, list(_BPE_DEMO_MERGES))
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.md5(F.array_join("bpe_tokens", " ")).alias("fp"),
+    )
