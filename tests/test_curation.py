@@ -651,3 +651,102 @@ def test_clean_lines_fuzz_invariants(spark):
                 assert "javascript" not in line.lower()
 
     run()
+
+
+def test_dsir_feature_buckets_count_occurrences(spark):
+    """DSIR features are NON-distinct hashed bigrams: 'x y x y' emits
+    three bigrams (x_y, y_x, x_y) so the x_y bucket appears twice; a
+    one-token doc emits none."""
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "solo")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r.fb
+        for r in docs.select(
+            "doc_id",
+            curation.dsir_feature_buckets(F.col("text"), 16).alias("fb"),
+        ).collect()
+    }
+    assert rows[2] == []
+    assert len(rows[1]) == 3
+    # x_y hashed twice -> identical bucket twice
+    assert len(set(rows[1])) == 2
+    assert all(0 <= b < 16 for b in rows[1])
+
+
+def test_dsir_ratios_and_scores_match_formula(spark):
+    """log_ratios reproduces the add-one-smoothed formula exactly (every
+    bucket present), and dsir_scores equals the pure-Python sum of
+    per-occurrence log ratios."""
+    import math
+
+    B = 8
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta gamma"),
+            (2, "delta epsilon delta"),
+            (3, "alpha beta"),
+            (4, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") <= 2)
+    raw = docs.filter(F.col("doc_id") > 2)
+    feats = {
+        r.doc_id: r.fb
+        for r in docs.select(
+            "doc_id", curation.dsir_feature_buckets(F.col("text"), B).alias("fb")
+        ).collect()
+    }
+    ct, cr = [0] * B, [0] * B
+    for d in (1, 2):
+        for b in feats[d]:
+            ct[b] += 1
+    for d in (3, 4):
+        for b in feats[d]:
+            cr[b] += 1
+    nt, nr = sum(ct), sum(cr)
+    expect_lr = [
+        math.log((ct[b] + 1) / (nt + B)) - math.log((cr[b] + 1) / (nr + B))
+        for b in range(B)
+    ]
+
+    ratios = curation.dsir_log_ratios(target, raw, n_buckets=B)
+    got = {r.bucket: r.log_ratio for r in ratios.collect()}
+    assert sorted(got) == list(range(B))
+    for b in range(B):
+        assert got[b] == pytest.approx(expect_lr[b], abs=1e-12)
+
+    scored = {
+        r.doc_id: r.score
+        for r in curation.dsir_scores(raw, ratios, n_buckets=B).collect()
+    }
+    for d in (3, 4):
+        assert scored[d] == pytest.approx(
+            sum(expect_lr[b] for b in feats[d]), abs=1e-9
+        )
+
+
+def test_dsir_scores_zero_shuffle(spark):
+    """The scoring pass is a pure in-row fold: the ratio table rides as a
+    map literal, so the scored plan has no Exchange and no Join."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ratios = curation.dsir_log_ratios(
+        docs.limit(5), docs, n_buckets=8
+    )
+    plan = (
+        curation.dsir_scores(docs, ratios, n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Join" not in plan, plan[:1200]
+
+
+def test_dsir_scores_rejects_wrong_bucket_count(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    ratios = curation.dsir_log_ratios(docs, docs, n_buckets=8)
+    with pytest.raises(ValueError, match="expected n_buckets"):
+        curation.dsir_scores(docs, ratios, n_buckets=16)

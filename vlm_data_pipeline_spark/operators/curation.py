@@ -632,3 +632,125 @@ def clean_lines(
         F.col("_c.n_kept").alias("n_kept"),
         F.col("_c.text").alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def dsir_feature_buckets(
+    text: Column, n_buckets: int, n: int = 2
+) -> Column:
+    """Hashed word n-gram features (DSIR's representation): NON-distinct
+    adjacent n-grams (counts matter — the importance weight is a product
+    over feature OCCURRENCES), each hashed into one of ``n_buckets``
+    buckets. In-row; empty for docs with < n tokens."""
+    from ..functions.text import hash60, let, tokens
+
+    if n != 2:
+        raise ValueError("hashed bigrams only (the DSIR paper default)")
+
+    def mk(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat(
+                F.element_at(w, i + 1), F.lit("_"), F.element_at(w, i + 2)
+            ),
+        )
+        return F.when(
+            F.size(w) >= 2,
+            F.transform(grams, lambda g: F.pmod(hash60(g), F.lit(n_buckets))),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return let(tokens(text), mk)
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, log_ratio) — DSIR's importance model (Xie et al. 2023,
+    Data Selection for Language Models via Importance Resampling):
+    add-one-smoothed hashed-bigram distributions over the TARGET corpus
+    (what we want more of) and the RAW corpus, log_ratio =
+    ln p̂_target(b) − ln p̂_raw(b). Every bucket appears exactly once
+    (missing counts smooth to the floor), so downstream lookups are
+    total. Two skinny aggregations (bucket, count) + a B-row build —
+    the model is ``n_buckets``-sized by construction, the shippable-
+    model contract the bigram LM documents."""
+    spark = target.sparkSession
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    dsir_feature_buckets(F.col(text_col), n_buckets)
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    ct, cr = counts(target, "ct"), counts(raw, "cr")
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        buckets.join(F.broadcast(ct), "bucket", "left")
+        .join(F.broadcast(cr), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+            F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    lr = F.log(
+        (F.col("ct") + 1).cast("double") / (F.col("nt") + n_buckets).cast("double")
+    ) - F.log(
+        (F.col("cr") + 1).cast("double") / (F.col("nr") + n_buckets).cast("double")
+    )
+    return j.select("bucket", lr.alias("log_ratio"))
+
+
+def dsir_scores(
+    docs: DataFrame,
+    ratios: DataFrame,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance: Σ over the doc's hashed-bigram
+    occurrences of log_ratio(bucket) — the log importance weight; sample
+    proportionally (Gumbel-top-k via functions.detrandom, or feed
+    stratified_sample on score buckets) to select raw data that looks
+    like the target. The fold runs over the SORTED bucket list so the
+    double summation order is a pure function of the data (oracle-
+    bit-stable), and the ratio table rides in the plan as a map literal
+    — n_buckets-sized by construction, zero shuffle, zero join."""
+    rows = sorted(ratios.collect(), key=lambda r: r[0])
+    if len(rows) != n_buckets:
+        raise ValueError(
+            f"ratio table has {len(rows)} rows, expected n_buckets={n_buckets}"
+        )
+    entries: list[Column] = []
+    for r in rows:
+        entries.append(F.lit(int(r[0])))
+        entries.append(F.lit(float(r[1])))
+    lookup = F.create_map(*entries)
+
+    def score(feats: Column) -> Column:
+        return F.aggregate(
+            F.array_sort(feats),
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(lookup, b),
+        )
+
+    return docs.select(
+        F.col(id_col),
+        score(dsir_feature_buckets(F.col(text_col), n_buckets)).alias("score"),
+    )

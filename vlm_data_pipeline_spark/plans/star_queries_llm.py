@@ -2105,3 +2105,74 @@ def lm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bpe_tokens").alias("n_bpe"),
         F.md5(F.array_join("bpe_tokens", " ")).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64
+
+_DSIR_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM documents
+), feats AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+               i -> {_d_hash60("concat(w[i], '_', w[i+1])")} % {_DSIR_B})
+           ELSE [] END AS fb
+    FROM t
+), tgt AS (
+    SELECT unnest(fb) AS b FROM feats WHERE doc_id % 10 = 0
+), rawf AS (
+    SELECT unnest(fb) AS b FROM feats WHERE doc_id % 10 <> 0
+), buckets AS (
+    SELECT unnest(range(0, {_DSIR_B})) AS bucket
+), ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tgt GROUP BY b
+), cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM rawf GROUP BY b
+), tot AS (
+    SELECT (SELECT count(*) FROM tgt) AS nt, (SELECT count(*) FROM rawf) AS nr
+), ratios AS (
+    SELECT bucket,
+           ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+              / CAST(nt + {_DSIR_B} AS DOUBLE))
+         - ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)
+              / CAST(nr + {_DSIR_B} AS DOUBLE)) AS lr
+    FROM buckets LEFT JOIN ct ON buckets.bucket = ct.b
+                 LEFT JOIN cr ON buckets.bucket = cr.b
+                 CROSS JOIN tot
+), m AS (
+    SELECT map_from_entries(list(struct_pack(k := bucket, v := lr))) AS mm
+    FROM ratios
+)
+SELECT doc_id,
+       round(coalesce(list_sum(list_transform(list_sort(fb),
+                                              b -> mm[b][1])), 0.0), 6)
+           AS score
+FROM feats, m WHERE doc_id % 10 <> 0
+"""
+
+
+@register(
+    "curation_dsir_scores",
+    _DSIR_ORACLE,
+    "DSIR data selection (extension; Xie et al. 2023, importance "
+    "resampling): hashed-bigram bucket distributions over a TARGET "
+    "split vs the RAW corpus -> add-one-smoothed log importance ratio "
+    "per bucket (the model is n_buckets-sized by construction) -> "
+    "per-document importance as an in-row fold over the doc's SORTED "
+    "feature buckets with the ratio table riding in the plan as a map "
+    "literal (zero shuffle, zero join; sorted fold makes the double "
+    "summation order a pure function of the data). Sample raw docs "
+    "proportionally to select data that looks like the target. Library: "
+    "operators.curation.dsir_log_ratios / dsir_scores.",
+)
+def curation_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    ratios = curation.dsir_log_ratios(target, raw, n_buckets=_DSIR_B)
+    scored = curation.dsir_scores(raw, ratios, n_buckets=_DSIR_B)
+    return scored.select("doc_id", F.round("score", 6).alias("score"))
