@@ -659,3 +659,114 @@ def test_minhash_incremental_banded_store_and_custom_id(spark):
         re_batch, raw_store, id_col="asset_id"
     ).collect()
     assert not any(r.id_a == r.id_b for r in again)
+
+
+def test_span_removal_owner_keeps_copy_loses(spark):
+    """The lexicographically-minimal (doc_id, pos) occurrence of each
+    duplicated k-gram survives; every other copy is excised. Doc 4 (a
+    verbatim copy of doc 1) empties out; doc 2's embedded copy is cut
+    while its unique prefix/suffix survive; doc 3 is untouched."""
+    from vlm_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y z a b c d e f g h i j q r"),
+            (3, "unique words only here nothing shared at all ok fine"),
+            (4, "a b c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert out[1].text == "a b c d e f g h i j" and out[1].n_removed == 0
+    assert out[2].text == "x y z q r" and out[2].n_removed == 10
+    assert out[3].n_removed == 0
+    assert out[4].text == "" and out[4].n_removed == 10
+    assert all(out[d].n_tokens in (10, 15) for d in out)
+
+
+def test_span_removal_within_doc_repetition(spark):
+    """A doc that repeats its own phrase keeps the FIRST occurrence:
+    self-repetition is deduplicated too (same fp, two positions)."""
+    from vlm_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s t MID p q r s t")], "doc_id long, text string"
+    )
+    r = remove_duplicate_spans(docs, k=5).collect()[0]
+    assert r.text == "p q r s t MID"
+    assert r.n_removed == 5
+
+
+def test_span_removal_interval_merge_overlaps(spark):
+    """A long verbatim repeat produces a RUN of overlapping duplicated
+    windows; the sorted interval fold merges them into one span, and the
+    removed-token count equals the run length (no double counting)."""
+    from vlm_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, f"one {shared} tail1"), (2, f"two other {shared} tail2")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=4).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 12
+    assert out[2].text == "two other tail2"
+
+
+def test_span_removal_min_count_threshold(spark):
+    """min_count=3: a span shared by only two docs survives everywhere."""
+    from vlm_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    pair = "c1 c2 c3 c4 c5"
+    trip = "t1 t2 t3 t4 t5"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{pair} {trip}"),
+            (2, f"alpha beta {pair} gamma"),
+            (3, f"delta {trip} epsilon"),
+            (4, f"zeta {trip} eta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, k=5, min_count=3).collect()
+    }
+    # the pair-shared span occurs twice -> below threshold -> kept
+    assert out[2].n_removed == 0
+    # the triple-shared span occurs 3x -> doc 1 owns it, docs 3/4 lose it
+    assert out[1].n_removed == 0
+    assert out[3].text == "delta epsilon"
+    assert out[4].text == "zeta eta"
+
+
+def test_span_removal_short_docs_pass_through(spark):
+    """Docs shorter than k emit no window and survive verbatim (with
+    whitespace-normalized text, the documented canonicalization)."""
+    from vlm_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "  just   three  tokens "), (2, "just three tokens")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=8).collect()}
+    assert out[1].text == "just three tokens" and out[1].n_removed == 0
+    assert out[2].n_removed == 0
+
+
+def test_span_removal_shuffle_budget(spark):
+    """The whole pass costs three exchanges (fp window, per-doc regroup,
+    corpus join) — the text column never appears in any exchange."""
+    from vlm_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        remove_duplicate_spans(docs, k=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]

@@ -814,3 +814,156 @@ def minhash_incremental_pairs(
         )
         out = out.unionByName(verify(cross, "store"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) dedup — Lee et al. 2021
+# ---------------------------------------------------------------------------
+
+_SPAN_SEP = "\x1f"  # token separator no whitespace token can contain
+
+
+def span_fingerprints(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, fp) — one row per k-token sliding window (1-based
+    token position). The ExactSubstr representation (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    paper's suffix array finds verbatim repeated spans; at cluster scale
+    the equivalent join-able form is a fingerprint per fixed-length
+    window. Generation is in-row (generate + explode, zero shuffle);
+    downstream shuffles carry (fp, doc_id, pos) triples only — O(corpus
+    tokens) skinny rows, never the text."""
+
+    def mk(t: Column) -> Column:
+        wins = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                hash60(
+                    F.concat_ws(
+                        _SPAN_SEP,
+                        *[F.element_at(t, (i + off).cast("int")) for off in range(k)],
+                    )
+                ).alias("fp"),
+            ),
+        )
+        return F.when(F.size(t) >= k, wins).otherwise(
+            F.array().cast("array<struct<pos:long,fp:long>>")
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(let(tokens(F.col(text_col)), mk)).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+
+
+def duplicated_span_positions(
+    fps: DataFrame, min_count: int = 2
+) -> DataFrame:
+    """(doc_id, pos) occurrences of duplicated window fingerprints, OWNER
+    EXCLUDED: for each fp seen >= min_count times corpus-wide (across or
+    within docs), the lexicographically-minimal (doc_id, pos) occurrence
+    is kept and every other occurrence is marked for removal. ONE
+    exchange: count + min-owner are computed with an unordered window
+    over the fp hash partition (vs groupBy + join back = two)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    marked = fps.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(w).alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).over(w).alias("owner"),
+    )
+    return marked.filter(
+        (F.col("n_occ") >= min_count)
+        & ~(
+            (F.col("doc_id") == F.col("owner.doc_id"))
+            & (F.col("pos") == F.col("owner.pos"))
+        )
+    ).select("doc_id", "pos")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021) as three skinny shuffles:
+    window fingerprints -> duplicated-occurrence marking (fp-partitioned
+    window) -> per-doc removal-position lists (groupBy doc_id, O(dup
+    spans) rows) -> join back to the corpus and rebuild in-row. A token
+    survives iff no removed window [pos, pos+k) covers it; overlapping
+    removals are interval-merged with a sorted fold first, so the
+    per-token test scans merged intervals, not raw positions (a 1000-
+    token verbatim repeat is ~993 positions but ONE interval). Output
+    text is whitespace-normalized (single-space joined) — the same
+    canonicalization the fingerprint tokenizer applies.
+
+    Returns (doc_id, n_tokens, n_removed, text); docs with no duplicated
+    span pass through with n_removed = 0."""
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    rm = (
+        duplicated_span_positions(
+            span_fingerprints(base, k=k), min_count=min_count
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("rm_pos"))
+    )
+    joined = base.join(rm, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce("rm_pos", F.array().cast("array<long>")).alias("rm_pos"),
+    )
+
+    empty_iv = F.array().cast("array<struct<s:long,e:long>>")
+
+    def merge_step(acc: Column, p: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last["s"].alias("s"),
+                        F.greatest(last["e"], p + k).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc, F.array(F.struct(p.alias("s"), (p + k).alias("e")))
+            )
+        )
+
+    ivs = F.aggregate(F.array_sort("rm_pos"), empty_iv, merge_step)
+
+    def rebuild(t: Column) -> Column:
+        kept = F.filter(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: ~F.exists(
+                F.col("_ivs"), lambda v: (i >= v["s"]) & (i < v["e"])
+            ),
+        )
+        return F.struct(
+            F.size(t).cast("long").alias("n_tokens"),
+            (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda i: F.element_at(t, i.cast("int")))
+            ).alias("text"),
+        )
+
+    return (
+        joined.withColumn("_ivs", ivs)
+        .withColumn("_r", let(tokens(F.col("text")), rebuild))
+        .select(
+            "doc_id",
+            F.col("_r.n_tokens").alias("n_tokens"),
+            F.col("_r.n_removed").alias("n_removed"),
+            F.col("_r.text").alias("text"),
+        )
+    )

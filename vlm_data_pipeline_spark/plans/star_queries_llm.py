@@ -2176,3 +2176,69 @@ def curation_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = curation.dsir_log_ratios(target, raw, n_buckets=_DSIR_B)
     scored = curation.dsir_scores(raw, ratios, n_buckets=_DSIR_B)
     return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) dedup — Lee et al. 2021
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM documents
+), exp AS (
+    SELECT doc_id, w, unnest(
+        CASE WHEN len(w) >= {_SPAN_K} THEN
+            list_transform(range(1, len(w) - {_SPAN_K} + 2),
+                i -> struct_pack(pos := i,
+                    fp := {_d_hash60(f"array_to_string(w[i:i+{_SPAN_K}-1], chr(31))")}))
+        ELSE [] END) AS s
+    FROM toks
+), marked AS (
+    SELECT doc_id, s.pos AS pos,
+           count(*) OVER (PARTITION BY s.fp) AS c,
+           row_number() OVER (PARTITION BY s.fp ORDER BY doc_id, s.pos) AS rn
+    FROM exp
+), rm AS (
+    SELECT doc_id, list(pos) AS rm_pos
+    FROM marked WHERE c >= 2 AND rn > 1 GROUP BY doc_id
+), rebuilt AS (
+    SELECT t.doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           list_filter(range(1, len(w) + 1),
+               i -> len(list_filter(coalesce(rm_pos, []),
+                        p -> p <= i AND i < p + {_SPAN_K})) = 0) AS kept,
+           w
+    FROM toks t LEFT JOIN rm ON t.doc_id = rm.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       md5(coalesce(array_to_string(list_transform(kept, i -> w[i]), ' '), ''))
+           AS text_fp
+FROM rebuilt
+"""
+
+
+@register(
+    "dedup_span_removal",
+    _SPAN_ORACLE,
+    "Exact-substring dedup (extension; Lee et al. 2021, Deduplicating "
+    "Training Data Makes Language Models Better): every k-token sliding "
+    "window fingerprinted in-row; duplicated-window occurrences (>= 2 "
+    "corpus-wide, within or across docs) marked with ONE fp-partitioned "
+    "window pass keeping the lexicographically-minimal owner; removal "
+    "positions regrouped per doc (O(dup spans) rows) and interval-merged "
+    "in-row before the per-token coverage test rebuilds the text. Three "
+    "skinny shuffles; the text itself never shuffles. Library: "
+    "operators.dedup.remove_duplicate_spans.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = dedup.remove_duplicate_spans(docs, k=_SPAN_K)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("text").alias("text_fp"),
+    )
