@@ -770,3 +770,116 @@ def test_span_removal_shuffle_budget(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Schleimer et al.'s two invariants on random docs: (a) any verbatim
+    match of >= w+k-1 tokens yields a shared fingerprint; (b) selection
+    density is well below 1 (≈ 2/(w+1) of k-gram hashes)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import tokens, winnow_fingerprints
+
+    rng = random.Random(7)
+    k, w = 4, 5
+    shared = " ".join(f"m{i}" for i in range(k + w - 1))  # exactly w+k-1 tokens
+    mk = lambda n, p: " ".join(f"{p}{rng.randrange(10**6)}" for _ in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{mk(40, 'a')} {shared} {mk(40, 'b')}"),
+            (2, f"{mk(25, 'c')} {shared} {mk(55, 'd')}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            winnow_fingerprints(tokens(F.col("text")), k=k, w=w).alias("sel"),
+            (F.size(tokens(F.col("text"))) - (k - 1)).alias("n_grams"),
+        ).collect()
+    }
+    fps1 = {s.fp for s in out[1].sel}
+    fps2 = {s.fp for s in out[2].sel}
+    assert fps1 & fps2, "guaranteed match of length w+k-1 not detected"
+    for d in (1, 2):
+        density = len(out[d].sel) / out[d].n_grams
+        assert density < 0.5  # 2/(w+1) = 1/3 expected; generous bound
+
+
+def test_winnow_rightmost_tie_break(spark):
+    """Identical k-grams inside one window tie on hash; the paper's rule
+    selects the RIGHTMOST minimum. 'z z z z z z' has one distinct 2-gram
+    hash, so every window resolves to its last position."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import tokens, winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "z z z z z z")], "doc_id long, text string")
+    sel = docs.select(
+        winnow_fingerprints(tokens(F.col("text")), k=2, w=3).alias("s")
+    ).collect()[0].s
+    # 5 hashes, windows [1..3],[2..4],[3..5] -> rightmost min = 3,4,5
+    assert [x.pos for x in sel] == [3, 4, 5]
+    assert len({x.fp for x in sel}) == 1
+
+
+def test_winnow_short_docs_still_select(spark):
+    """Docs with 1..w-1 k-gram hashes form a single short window and
+    still emit their minimum; docs below k tokens emit nothing."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import tokens, winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            winnow_fingerprints(tokens(F.col("text")), k=2, w=8).alias("s"),
+        ).collect()
+    }
+    assert len(out[1]) == 1  # two hashes, one short window, one min
+    assert len(out[2]) == 1  # single 2-gram
+    assert out[2][0].pos == 1
+
+
+def test_winnow_kernel_zero_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import tokens, winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "some words here ok")], "doc_id long, text string")
+    plan = (
+        docs.select(winnow_fingerprints(tokens(F.col("text"))).alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_winnow_pairs_overlap_and_boilerplate_cull(spark):
+    """Two docs sharing a long span pair up; a fingerprint present in
+    every doc (boilerplate) is culled by max_df and creates no pairs."""
+    from vlm_data_pipeline_spark.operators.dedup import winnow_pairs
+
+    boiler = "standard header line for every document in this corpus yes"
+    shared = " ".join(f"s{i}" for i in range(18))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta {shared}"),
+            (2, f"{boiler} gamma delta {shared} extra"),
+            (3, f"{boiler} totally different body content here now ok"),
+            (4, f"{boiler} yet another unrelated body of words here"),
+        ],
+        "doc_id long, text string",
+    )
+    # max_df=3: the boilerplate fps (df=4) are culled; shared-span fps (df=2) pair
+    rows = winnow_pairs(docs, k=4, w=3, max_df=3, min_shared=2).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert pairs == {(1, 2)}
+    r = rows[0]
+    assert r.n_shared >= 2 and r.n_a > r.n_shared and r.n_b > r.n_shared

@@ -357,3 +357,61 @@ def repetition_features(text: Column) -> dict[str, Column]:
         "top_2gram_char_fraction": ratio(c["top2_chars"], c["tok_chars"]),
         "dup_3gram_char_fraction": ratio(c["g3_dup_chars"], c["tok_chars"]),
     }
+
+
+def winnow_fingerprints(toks: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    k-gram, then in each window of ``w`` consecutive hashes select the
+    minimum (RIGHTMOST position on ties, the paper's rule), and distinct
+    the selections. Guarantees any verbatim match of length >= w + k - 1
+    tokens shares a fingerprint, while keeping only ~2/(w+1) of the
+    k-gram hashes — the density/recall dial for plagiarism-style overlap
+    detection at corpus scale.
+
+    Pure in-row array program (zero shuffle): returns
+    array<struct<pos:long, fp:long>> of selected (1-based k-gram
+    position, hash60). Docs with fewer than ``k`` tokens return an empty
+    array; docs with 1..w-1 k-grams are treated as a single short window
+    (their minimum is still selected, so short docs remain matchable).
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    sep = "\x1f"
+    empty = F.array().cast("array<struct<pos:long,fp:long>>")
+    # sentinel above any hash60 value (< 2^60)
+    init = F.struct(
+        F.lit(0).cast("long").alias("pos"), F.lit(1 << 62).cast("long").alias("fp")
+    )
+
+    def pick(h: Column) -> Column:
+        m = F.size(h)
+        starts = F.sequence(F.lit(1), F.greatest(F.lit(1), m - (w - 1)))
+        sel = F.transform(
+            starts,
+            lambda j: F.aggregate(
+                F.sequence(j, F.least(j + (w - 1), m.cast("long"))),
+                init,
+                lambda acc, i: F.when(
+                    F.element_at(h, i.cast("int")) <= acc["fp"],
+                    F.struct(
+                        i.cast("long").alias("pos"),
+                        F.element_at(h, i.cast("int")).alias("fp"),
+                    ),
+                ).otherwise(acc),
+            ),
+        )
+        return F.array_distinct(sel)
+
+    def grams(t: Column) -> Column:
+        hashes = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: hash60(
+                F.concat_ws(
+                    sep, *[F.element_at(t, (i + off).cast("int")) for off in range(k)]
+                )
+            ),
+        )
+        return F.when(F.size(t) >= k, let(hashes, pick)).otherwise(empty)
+
+    return let(toks, grams)

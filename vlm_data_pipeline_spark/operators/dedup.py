@@ -967,3 +967,82 @@ def remove_duplicate_spans(
             F.col("_r.text").alias("text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing overlap detection — Schleimer et al. 2003 (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 64,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-overlap candidates by shared winnowing fingerprints
+    (Schleimer et al. 2003): per-doc fingerprint sets selected in-row
+    (~2/(w+1) of k-gram hashes, any >= w+k-1-token verbatim match
+    guaranteed to collide), exploded to skinny (fp, doc_id) rows, then
+    paired within fp groups. Two guards keep the self-join O(overlaps)
+    at corpus scale: fingerprints appearing in > ``max_df`` docs are
+    dropped before pairing (boilerplate phrases pair quadratically and
+    carry no plagiarism signal — the paper's "too common" cull), and
+    pairs sharing < ``min_shared`` fingerprints are culled after
+    counting. Returns (id_a, id_b, n_shared, n_a, n_b) with per-doc
+    fingerprint totals attached for containment scoring.
+    """
+    from ..functions.text import winnow_fingerprints
+
+    fps = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            winnow_fingerprints(tokens(F.col(text_col)), k=k, w=w).alias("sel"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(F.col("sel"), lambda s: s["fp"])
+            ).alias("fp_set"),
+        )
+    )
+    totals = fps.select(
+        "doc_id", F.size("fp_set").cast("long").alias("n_fp")
+    )
+    flat = fps.select("doc_id", F.explode("fp_set").alias("fp"))
+
+    from pyspark.sql import Window
+
+    # one fp-partitioned exchange computes the document frequency; rare
+    # fingerprints then pair within the SAME partitioning (no re-shuffle)
+    win = Window.partitionBy("fp")
+    rare = flat.withColumn("df", F.count("*").over(win)).filter(
+        (F.col("df") <= max_df) & (F.col("df") >= 2)
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(totals.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_fp", "n_a")
+        .join(
+            totals.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n_fp", "n_b"
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b")
+    )

@@ -2242,3 +2242,71 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5("text").alias("text_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing overlap detection — Schleimer et al. 2003 (MOSS)
+# ---------------------------------------------------------------------------
+
+_WIN_K, _WIN_W, _WIN_MAXDF, _WIN_MINSHARED = 5, 4, 64, 2
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM documents
+), h AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= {_WIN_K} THEN
+               list_transform(range(1, len(w) - {_WIN_K} + 2),
+                   i -> {_d_hash60(f"array_to_string(w[i:i+{_WIN_K}-1], chr(31))")})
+           ELSE [] END AS h
+    FROM toks
+), sel AS (
+    SELECT doc_id,
+           CASE WHEN len(h) >= 1 THEN
+               list_distinct(list_transform(
+                   range(1, greatest(1, len(h) - {_WIN_W} + 1) + 1),
+                   j -> list_min(h[j:least(j + {_WIN_W} - 1, len(h))])))
+           ELSE [] END AS fp_set
+    FROM h
+), flat AS (
+    SELECT doc_id, unnest(fp_set) AS fp FROM sel
+), withdf AS (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM flat
+), rare AS (
+    SELECT doc_id, fp FROM withdf WHERE df BETWEEN 2 AND {_WIN_MAXDF}
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {_WIN_MINSHARED}
+), tot AS (
+    SELECT doc_id, CAST(len(fp_set) AS BIGINT) AS n_fp FROM sel
+)
+SELECT id_a, id_b, n_shared, ta.n_fp AS n_a, tb.n_fp AS n_b
+FROM pairs JOIN tot ta ON id_a = ta.doc_id JOIN tot tb ON id_b = tb.doc_id
+"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    _WINNOW_ORACLE,
+    "Winnowing overlap detection (extension; Schleimer, Wilkerson & Aiken, "
+    "SIGMOD 2003 — the MOSS fingerprinting algorithm): per-doc in-row "
+    "selection of the rightmost-minimum k-gram hash in each window of w "
+    "consecutive hashes (density ~2/(w+1), any verbatim match of >= "
+    "w+k-1 tokens guaranteed to collide), then skinny (fp, doc_id) "
+    "explosion, document-frequency cull of boilerplate fingerprints "
+    "(df > max_df pairs quadratically with no signal), and within-fp "
+    "pairing + shared-count scoring with per-doc totals for containment. "
+    "Library: functions.text.winnow_fingerprints, "
+    "operators.dedup.winnow_pairs.",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dedup.winnow_pairs(
+        docs,
+        k=_WIN_K,
+        w=_WIN_W,
+        max_df=_WIN_MAXDF,
+        min_shared=_WIN_MINSHARED,
+    )
