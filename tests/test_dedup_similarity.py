@@ -883,3 +883,64 @@ def test_winnow_pairs_overlap_and_boilerplate_cull(spark):
     assert pairs == {(1, 2)}
     r = rows[0]
     assert r.n_shared >= 2 and r.n_a > r.n_shared and r.n_b > r.n_shared
+
+
+def _unit2(x, y):
+    import math
+
+    n = math.hypot(x, y)
+    return [x / n, y / n]
+
+
+def test_density_filter_drops_most_prototypical(spark):
+    """Two planted clusters around the two centroid vectors: ranks order
+    by centroid cosine (ties impossible here), and drop 1/2 removes the
+    two centroid-nearest members of each cluster."""
+    from vlm_data_pipeline_spark.operators import similarity as sim
+
+    rows = [
+        (0, _unit2(1, 0.0)), (1, _unit2(0, 1.0)),  # lowest ids = centroids
+        (2, _unit2(1, 0.05)), (3, _unit2(1, 0.3)), (4, _unit2(1, 0.6)),
+        (5, _unit2(0.05, 1)), (6, _unit2(0.3, 1)), (7, _unit2(0.6, 1)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = {r.id: r for r in sim.prototypicality(emb, n_lists=2).collect()}
+    assert p[0].proto_rank == 1 and p[0].proto_cos == 1.0
+    assert p[1].proto_rank == 1 and p[1].list_id != p[0].list_id
+    assert [p[i].proto_rank for i in (2, 3, 4)] == [2, 3, 4]
+    survivors = {
+        r.id for r in sim.density_filter(emb, 1, 2, n_lists=2).collect()
+    }
+    assert survivors == {3, 4, 6, 7}
+
+
+def test_density_filter_integer_floor_edges(spark):
+    """floor(n·num/den) in pure integers: n=5, drop 1/4 -> floor(1.25)=1
+    dropped per cluster; n=5, drop 3/5 -> exactly 3 dropped (the exact-
+    boundary case a float threshold can flip)."""
+    from vlm_data_pipeline_spark.operators import similarity as sim
+
+    rows = [(i, _unit2(1, 0.1 * i)) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert sim.density_filter(emb, 1, 4, n_lists=1).count() == 4
+    assert sim.density_filter(emb, 3, 5, n_lists=1).count() == 2
+    assert sim.density_filter(emb, 0, 1, n_lists=1).count() == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sim.density_filter(emb, 1, 0)
+
+
+def test_prototypicality_single_exchange(spark):
+    """Assignment and the centroid dot are in-row; the only exchange is
+    the per-cluster rank window."""
+    from vlm_data_pipeline_spark.operators import similarity as sim
+
+    rows = [(i, _unit2(1, 0.1 * i)) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = (
+        sim.prototypicality(emb, n_lists=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]

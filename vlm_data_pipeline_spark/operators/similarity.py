@@ -39,6 +39,73 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _fixed_cent_arr(
+    corpus: DataFrame,
+    centroids: DataFrame | None,
+    n_lists: int,
+    id_col: str,
+    vec_col: str,
+) -> Column:
+    """Deterministic coarse-quantizer centroids as ONE array literal:
+    caller-supplied table, or the embeddings of the ``n_lists`` lowest-id
+    corpus vectors (re-derivable by any engine). Dimension-sized by
+    construction (n_lists × d) — the shippable-model contract."""
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_lists)
+            .select(F.col(id_col), F.col(vec_col))
+        )
+    cent_rows = sorted(centroids.collect(), key=lambda r: r[0])
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                _int_vec(F.array(*[F.lit(float(x)) for x in r[1]])).alias("civ"),
+            )
+            for i, r in enumerate(cent_rows)
+        ]
+    )
+
+
+def _cent_d2(iv: Column, civ: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(iv, civ, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cent_ranking(cent_arr: Column, iv: Column) -> Column:
+    """array<struct<d:long, list_id:int>> ascending by INTEGER-scaled
+    squared L2 (ties → lowest list_id): exact arithmetic in any engine,
+    no last-ulp float ties deciding list membership."""
+    return F.array_sort(
+        F.transform(
+            cent_arr,
+            lambda e: F.struct(
+                _cent_d2(iv, e["civ"]).alias("d"), e["list_id"].alias("list_id")
+            ),
+        )
+    )
+
+
+def _assign_fixed(
+    corpus: DataFrame, cent_arr: Column, id_col: str, vec_col: str, id_alias: str
+) -> DataFrame:
+    """(id_alias, iv, list_id): nearest-centroid assignment computed
+    IN-ROW against the centroid literal — zero shuffle, scales with
+    input splits."""
+    from ..functions.text import let
+
+    return corpus.select(
+        F.col(id_col).alias(id_alias), _int_vec(F.col(vec_col)).alias("iv")
+    ).withColumn(
+        "list_id",
+        let(F.col("iv"), lambda iv: _cent_ranking(cent_arr, iv)[0]["list_id"]),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -281,49 +348,10 @@ def ivf_ann_fixed_topk(
     """
     from ..functions.text import let
 
-    if centroids is None:
-        centroids = (
-            corpus.orderBy(F.col(id_col).asc())
-            .limit(n_lists)
-            .select(F.col(id_col), F.col(vec_col))
-        )
-    cent_rows = sorted(centroids.collect(), key=lambda r: r[0])
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("list_id"),
-                _int_vec(
-                    F.array(*[F.lit(float(x)) for x in r[1]])
-                ).alias("civ"),
-            )
-            for i, r in enumerate(cent_rows)
-        ]
-    )
-
-    def d2(iv: Column, civ: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(iv, civ, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def cent_ranking(iv: Column) -> Column:
-        """array<struct<d2, list_id>> sorted ascending — exact ints."""
-        return F.array_sort(
-            F.transform(
-                cent_arr,
-                lambda e: F.struct(
-                    d2(iv, e["civ"]).alias("d"), e["list_id"].alias("list_id")
-                ),
-            )
-        )
-
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _int_vec(F.col(vec_col)).alias("cv"),
-    ).withColumn(
-        "list_id", let(F.col("cv"), lambda iv: cent_ranking(iv)[0]["list_id"])
-    )
+    cent_arr = _fixed_cent_arr(corpus, centroids, n_lists, id_col, vec_col)
+    assigned = _assign_fixed(
+        corpus, cent_arr, id_col, vec_col, "neighbor_id"
+    ).withColumnRenamed("iv", "cv")
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"), _int_vec(F.col(vec_col)).alias("qv")
@@ -331,7 +359,10 @@ def ivf_ann_fixed_topk(
         .withColumn(
             "pl",
             F.explode(
-                let(F.col("qv"), lambda iv: F.slice(cent_ranking(iv), 1, nprobe))
+                let(
+                    F.col("qv"),
+                    lambda iv: F.slice(_cent_ranking(cent_arr, iv), 1, nprobe),
+                )
             ),
         )
         .select("query_id", "qv", F.col("pl.list_id").alias("list_id"))
@@ -569,45 +600,8 @@ def semantic_dedup_pairs(
     ``dedup.neardup_components`` + ``dedup.dedup_keep_filter`` for the
     retention pass.
     """
-    from ..functions.text import let
-
-    if centroids is None:
-        centroids = (
-            corpus.orderBy(F.col(id_col).asc())
-            .limit(n_lists)
-            .select(F.col(id_col), F.col(vec_col))
-        )
-    cent_rows = sorted(centroids.collect(), key=lambda r: r[0])
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("list_id"),
-                _int_vec(F.array(*[F.lit(float(x)) for x in r[1]])).alias("civ"),
-            )
-            for i, r in enumerate(cent_rows)
-        ]
-    )
-
-    def d2(iv: Column, civ: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(iv, civ, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def best_list(iv: Column) -> Column:
-        return F.array_sort(
-            F.transform(
-                cent_arr,
-                lambda e: F.struct(
-                    d2(iv, e["civ"]).alias("d"), e["list_id"].alias("list_id")
-                ),
-            )
-        )[0]["list_id"]
-
-    assigned = corpus.select(
-        F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("iv")
-    ).withColumn("list_id", let(F.col("iv"), best_list))
+    cent_arr = _fixed_cent_arr(corpus, centroids, n_lists, id_col, vec_col)
+    assigned = _assign_fixed(corpus, cent_arr, id_col, vec_col, "id")
 
     # Salted self-join, same pattern as dedup.ngram_jaccard_pairs /
     # embedding_neardup_pairs: joining on list_id alone puts each
@@ -642,4 +636,89 @@ def semantic_dedup_pairs(
             F.col("b.id").alias("id_b"),
             "cosine",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster prototypicality / density filtering — D4 (Tirumala et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def prototypicality(
+    corpus: DataFrame,
+    centroids: DataFrame | None = None,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector prototypicality within its coarse cluster — the ranking
+    D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+    De-Duplication and Diversification") uses after SemDeDup: cluster the
+    embeddings, then order each cluster by cosine to its centroid; the
+    MOST prototypical (centroid-nearest) examples are the redundancy the
+    diversification pass removes.
+
+    Deterministic end-to-end: the fixed-centroid quantizer from
+    :func:`ivf_ann_fixed_topk` assigns lists in-row (zero shuffle), the
+    centroid dot is exact integer-scaled arithmetic, and ranks tie-break
+    on id. The ONE exchange is the per-cluster window (count + rank over
+    the list_id hash partition). For unit-normalized embeddings and
+    corpus-vector centroids the dot IS the cosine.
+
+    Returns (id, list_id, proto_cos, n_cluster, proto_rank) with
+    proto_rank = 1 for the centroid-nearest member.
+    """
+    cent_arr = _fixed_cent_arr(corpus, centroids, n_lists, id_col, vec_col)
+    assigned = _assign_fixed(corpus, cent_arr, id_col, vec_col, "id")
+    own_civ = F.element_at(
+        F.filter(cent_arr, lambda e: e["list_id"] == F.col("list_id")), 1
+    )["civ"]
+    with_dot = assigned.withColumn("proto_dot", _dot(F.col("iv"), own_civ))
+    w = W.partitionBy("list_id")
+    ranked = (
+        with_dot.withColumn("n_cluster", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "proto_rank",
+            F.row_number()
+            .over(
+                W.partitionBy("list_id").orderBy(
+                    F.col("proto_dot").desc(), F.col("id").asc()
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.select(
+        F.col("id"),
+        "list_id",
+        (F.col("proto_dot").cast("double") / float(SCALE * SCALE)).alias(
+            "proto_cos"
+        ),
+        "n_cluster",
+        "proto_rank",
+    )
+
+
+def density_filter(
+    corpus: DataFrame,
+    drop_num: int = 1,
+    drop_den: int = 4,
+    centroids: DataFrame | None = None,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D4's diversification pass: drop the ``drop_num/drop_den`` most
+    prototypical members of every cluster (floor(n·num/den) per cluster,
+    INTEGER arithmetic — no float threshold can flip on a boundary), keep
+    the diverse tail. Compose after SemDeDup's near-dup retention for the
+    full D4 recipe. Returns survivors (id, list_id, proto_cos,
+    n_cluster, proto_rank)."""
+    if drop_num < 0 or drop_den <= 0:
+        raise ValueError("drop fraction must be a nonnegative rational")
+    ranked = prototypicality(corpus, centroids, n_lists, id_col, vec_col)
+    # floor(n·num/den) in pure integer arithmetic: rank·den > n·num  ⇔
+    # rank > floor(n·num/den)  for integer rank — no division at all
+    return ranked.filter(
+        F.col("proto_rank") * drop_den > F.col("n_cluster") * drop_num
     )

@@ -2310,3 +2310,70 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_WIN_MAXDF,
         min_shared=_WIN_MINSHARED,
     )
+
+
+# ---------------------------------------------------------------------------
+# D4 density filtering — Tirumala et al. 2023
+# ---------------------------------------------------------------------------
+
+_D4_DROP_NUM, _D4_DROP_DEN = 1, 4
+
+_D4_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, {_d_intvec("embedding")} AS iv FROM embeddings
+), cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, iv AS civ
+    FROM (SELECT vec_id, iv FROM v ORDER BY vec_id LIMIT 16)
+), adist AS (
+    SELECT v.vec_id, v.iv, c.list_id,
+           {_IVF_D2.format(a="v.iv", b="c.civ")} AS d2
+    FROM v, cent c
+), assigned AS (
+    SELECT vec_id, iv, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, list_id) AS rn
+        FROM adist
+    ) WHERE rn = 1
+), dots AS (
+    SELECT a.vec_id, a.list_id,
+           {_D_DOT.format(a="a.iv", b="c.civ")} AS pd
+    FROM assigned a JOIN cent c USING (list_id)
+), ranked AS (
+    SELECT vec_id, CAST(list_id AS BIGINT) AS list_id,
+           CAST(pd AS DOUBLE) / 100000000.0 AS proto_cos,
+           CAST(count(*) OVER (PARTITION BY list_id) AS BIGINT) AS n_cluster,
+           CAST(row_number() OVER (PARTITION BY list_id
+                ORDER BY pd DESC, vec_id ASC) AS BIGINT) AS proto_rank
+    FROM dots
+)
+SELECT vec_id AS id, list_id, proto_cos, n_cluster, proto_rank
+FROM ranked
+WHERE proto_rank * {_D4_DROP_DEN} > n_cluster * {_D4_DROP_NUM}
+"""
+
+
+@register(
+    "similarity_density_filter",
+    _D4_ORACLE,
+    "D4 density filtering (extension; Tirumala et al. 2023, D4: document "
+    "de-duplication and diversification): fixed-centroid coarse "
+    "clustering (in-row integer-L2 assignment, zero shuffle), cosine-to-"
+    "own-centroid prototypicality as an exact integer dot, per-cluster "
+    "rank with id tie-break, and a drop of the floor(n/4) MOST "
+    "prototypical members of each cluster in pure integer arithmetic "
+    "(rank*den > n*num — no float threshold). Compose after SemDeDup "
+    "retention for the full D4 recipe. Library: operators.similarity."
+    "prototypicality / density_filter.",
+)
+def similarity_density_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    out = similarity.density_filter(
+        emb, drop_num=_D4_DROP_NUM, drop_den=_D4_DROP_DEN, n_lists=16
+    )
+    return out.select(
+        "id",
+        F.col("list_id").cast("long").alias("list_id"),
+        "proto_cos",
+        "n_cluster",
+        "proto_rank",
+    )
