@@ -750,3 +750,86 @@ def test_dsir_scores_rejects_wrong_bucket_count(spark):
     ratios = curation.dsir_log_ratios(docs, docs, n_buckets=8)
     with pytest.raises(ValueError, match="expected n_buckets"):
         curation.dsir_scores(docs, ratios, n_buckets=16)
+
+
+def test_quality_classifier_separates_planted_corpus(spark):
+    """Linearly separable corpus: after a few iterations positives score
+    near 1 and negatives near 0, with a clean margin."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, 1, "good clean prose flows here nicely with structure today"))
+        else:
+            rows.append((i, 0, "spam junk buy now click here free offer winner prize"))
+    docs = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    w = curation.train_quality_classifier(docs, n_buckets=64, iters=8, lr=200.0)
+    scored = {
+        r.doc_id: r.score
+        for r in curation.quality_classifier_scores(docs, w).collect()
+    }
+    pos = [scored[i] for i in range(0, 40, 2)]
+    neg = [scored[i] for i in range(1, 40, 2)]
+    assert min(pos) > 0.9 and max(neg) < 0.1
+
+
+def test_quality_classifier_one_step_hand_computed(spark):
+    """One gradient step on a two-doc corpus, replicated exactly in pure
+    Python over the collected feature buckets (the fixed-point floor
+    quantization makes the update integer-reproducible)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    B, LR, S = 16, 10.0, 10**12
+    docs = spark.createDataFrame(
+        [(1, 1, "alpha beta gamma"), (2, 0, "delta epsilon zeta eta")],
+        "doc_id long, label int, text string",
+    )
+    feats = {
+        r.doc_id: r.fb
+        for r in docs.select(
+            "doc_id", curation.dsir_feature_buckets(F.col("text"), B).alias("fb")
+        ).collect()
+    }
+    expect = [0] * B
+    grads: dict[int, int] = {}
+    for d, y in ((1, 1.0), (2, 0.0)):
+        q = math.floor((0.5 - y) * S / len(feats[d]) + 0.5)
+        for b in feats[d]:
+            grads[b] = grads.get(b, 0) + q
+    for b, g in grads.items():
+        expect[b] -= math.floor(LR * g / 2 + 0.5)
+
+    got = curation.train_quality_classifier(docs, n_buckets=B, iters=1, lr=LR)
+    assert got == expect
+
+
+def test_quality_classifier_deterministic_across_partitionings(spark):
+    docs = spark.createDataFrame(
+        [(i, i % 3 == 0, f"w{i} w{i+1} w{i+2} w{i%5} common words here") for i in range(60)],
+        "doc_id long, label boolean, text string",
+    )
+    w1 = curation.train_quality_classifier(docs, n_buckets=32, iters=3, lr=25.0)
+    w2 = curation.train_quality_classifier(
+        docs.repartition(13), n_buckets=32, iters=3, lr=25.0
+    )
+    assert w1 == w2
+
+
+def test_quality_classifier_scoring_zero_shuffle_and_featureless(spark):
+    docs = spark.createDataFrame(
+        [(1, "two words here ok"), (2, "solo")], "doc_id long, text string"
+    )
+    w = [0] * 16
+    w[3] = 10**12
+    scored = curation.quality_classifier_scores(docs, w)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan[:1200]
+    out = {r.doc_id: r.score for r in scored.collect()}
+    assert out[2] == 0.5  # < 2 tokens -> no bigram features -> sigma(0)
+
+
+def test_quality_classifier_empty_training_raises(spark):
+    docs = spark.createDataFrame([(1, 1, "solo")], "doc_id long, label int, text string")
+    with pytest.raises(ValueError, match="no feature-bearing"):
+        curation.train_quality_classifier(docs, n_buckets=8)

@@ -754,3 +754,125 @@ def dsir_scores(
         F.col(id_col),
         score(dsir_feature_buckets(F.col(text_col), n_buckets)).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-ngram logistic quality classifier (fastText-style; GPT-3 §A /
+# C4-style "looks like high-quality reference text" filtering)
+# ---------------------------------------------------------------------------
+
+_CLF_SCALE = 10**12  # fixed-point weight scale (micro-units of 1e-12)
+
+
+def _clf_score_expr(fb: Column, lookup: Column) -> Column:
+    """σ(Σ_occurrences w[b] / (n·SCALE)) from integer-scaled weights.
+    The weight fold is exact long arithmetic (order-free, engine-
+    portable); only the final division and sigmoid are floating point,
+    computed identically from identical inputs in any engine. Docs with
+    no features score σ(0) = 0.5."""
+    from ..functions.text import let
+
+    def z(f: Column) -> Column:
+        s = F.aggregate(
+            f,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.coalesce(F.element_at(lookup, b), F.lit(0)),
+        )
+        return F.when(
+            F.size(f) > 0,
+            s.cast("double") / (F.size(f).cast("double") * float(_CLF_SCALE)),
+        ).otherwise(F.lit(0.0))
+
+    return let(fb, lambda f: F.lit(1.0) / (F.lit(1.0) + F.exp(-z(f))))
+
+
+def _clf_lookup(weights: list[int]) -> Column:
+    entries: list[Column] = []
+    for b, w in enumerate(weights):
+        if w != 0:
+            entries.append(F.lit(b).cast("long"))
+            entries.append(F.lit(int(w)).cast("long"))
+    if not entries:  # all-zero model: empty map still scores (coalesce 0)
+        return F.map_from_arrays(
+            F.array().cast("array<long>"), F.array().cast("array<long>")
+        )
+    return F.create_map(*entries)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    n_buckets: int = 256,
+    iters: int = 2,
+    lr: float = 50.0,
+    text_col: str = "text",
+) -> list[int]:
+    """Hashed-bigram logistic regression by full-batch gradient descent —
+    the fastText-shaped quality classifier GPT-3 (Brown et al. 2020,
+    Appendix A) and CCNet-style pipelines use to keep raw text that
+    "looks like" a high-quality target corpus. Features are DSIR's
+    hashed-bigram buckets (counts matter), x_d = counts/n_d.
+
+    Every accumulation that crosses rows is EXACT integer arithmetic in
+    fixed point (``_CLF_SCALE``): per-doc residuals quantize to longs
+    via floor(x+0.5) before the gradient sum, so the distributed Σ is
+    order-independent and the whole training run is reproducible — and,
+    for small ``iters``, re-derivable in plain SQL (the value-oracle
+    contract). Per iteration: one in-row scoring pass over the cached
+    feature table + one skinny (bucket, Σq) aggregation collected to the
+    driver — the model is ``n_buckets``-sized by construction (the
+    bigram-LM shippable-model pattern). Returns the scaled weight vector
+    (list of ints, index = bucket).
+    """
+    import math
+
+    feats = (
+        df.select(
+            F.col(label_col).cast("double").alias("y"),
+            dsir_feature_buckets(F.col(text_col), n_buckets).alias("fb"),
+        )
+        .filter(F.size("fb") > 0)
+        .persist()
+    )
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError("no feature-bearing docs to train on")
+    w = [0] * n_buckets
+    try:
+        for _ in range(iters):
+            lookup = _clf_lookup(w)
+            score = _clf_score_expr(F.col("fb"), lookup)
+            q = F.floor(
+                (score - F.col("y")) * float(_CLF_SCALE) / F.size("fb") + 0.5
+            ).cast("long")
+            grad = (
+                feats.withColumn("q", q)
+                .select(F.explode("fb").alias("b"), "q")
+                .groupBy("b")
+                .agg(F.sum("q").alias("g"))
+                .collect()
+            )
+            for r in grad:
+                w[r.b] -= math.floor(lr * r.g / n_docs + 0.5)
+    finally:
+        feats.unpersist()
+    return w
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    weights: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, score) — σ of the hashed-bigram linear model, computed
+    entirely in-row with the scaled weights riding in the plan as a map
+    literal (zero shuffle, zero join). Threshold or importance-sample on
+    the score downstream (GPT-3 kept docs by a Pareto draw against it)."""
+    lookup = _clf_lookup(weights)
+    return df.select(
+        F.col(id_col),
+        _clf_score_expr(
+            dsir_feature_buckets(F.col(text_col), len(weights)), lookup
+        ).alias("score"),
+    )

@@ -2377,3 +2377,97 @@ def similarity_density_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cluster",
         "proto_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-ngram logistic quality classifier (fastText-style)
+# ---------------------------------------------------------------------------
+
+_CLF_B, _CLF_LR = 64, 50.0
+_CLF_S = 10**12
+
+_CLF_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_D_TOKS} AS w,
+           CASE WHEN doc_id % 10 = 0 THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+), feats AS (
+    SELECT doc_id, y,
+           CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+               i -> {_d_hash60("concat(w[i], '_', w[i+1])")} % {_CLF_B})
+           ELSE [] END AS fb
+    FROM t
+), tr AS (
+    SELECT doc_id, y, fb FROM feats WHERE len(fb) > 0
+), nn AS (
+    SELECT count(*) AS n_docs FROM tr
+), occ AS (
+    SELECT doc_id, unnest(fb) AS b FROM tr
+), q1 AS (
+    -- iteration 1: w0 = 0 -> sigma(z) = 0.5 for every doc
+    SELECT doc_id,
+           CAST(floor((0.5 - y) * {_CLF_S}.0 / len(fb) + 0.5) AS BIGINT) AS q
+    FROM tr
+), w1 AS (
+    SELECT o.b,
+           CAST(-floor({_CLF_LR} * CAST(sum(q1.q) AS DOUBLE)
+                       / (SELECT n_docs FROM nn) + 0.5) AS BIGINT) AS w
+    FROM occ o JOIN q1 USING (doc_id) GROUP BY o.b
+), s2 AS (
+    SELECT o.doc_id, CAST(sum(coalesce(w1.w, 0)) AS BIGINT) AS s
+    FROM occ o LEFT JOIN w1 USING (b) GROUP BY o.doc_id
+), q2 AS (
+    SELECT tr.doc_id,
+           CAST(floor(
+               (1.0 / (1.0 + exp(-(coalesce(s2.s, 0) / (len(fb) * {_CLF_S}.0))))
+                - y) * {_CLF_S}.0 / len(fb) + 0.5) AS BIGINT) AS q
+    FROM tr LEFT JOIN s2 USING (doc_id)
+), w2 AS (
+    SELECT b, CAST(coalesce(any_value(w1w), 0)
+               - floor({_CLF_LR} * CAST(sum(q) AS DOUBLE)
+                       / (SELECT n_docs FROM nn) + 0.5) AS BIGINT) AS w
+    FROM (
+        SELECT o.b, q2.q, w1.w AS w1w
+        FROM occ o JOIN q2 USING (doc_id) LEFT JOIN w1 USING (b)
+    ) GROUP BY b
+), sf AS (
+    SELECT f.doc_id, CAST(sum(coalesce(w2.w, 0)) AS BIGINT) AS s, any_value(len(f.fb)) AS nf
+    FROM feats f, unnest(f.fb) AS u(b) LEFT JOIN w2 ON u.b = w2.b
+    WHERE len(f.fb) > 0
+    GROUP BY f.doc_id
+)
+SELECT f.doc_id,
+       round(CASE WHEN len(f.fb) > 0 THEN
+                 1.0 / (1.0 + exp(-(coalesce(sf.s, 0) / (sf.nf * {_CLF_S}.0))))
+             ELSE 0.5 END, 6) AS score
+FROM feats f LEFT JOIN sf ON f.doc_id = sf.doc_id
+"""
+
+
+@register(
+    "curation_quality_classifier",
+    _CLF_ORACLE,
+    "Hashed-ngram logistic quality classifier (extension; the fastText-"
+    "shaped filter of GPT-3 Appendix A / CCNet): DSIR's hashed-bigram "
+    "buckets as features, full-batch logistic gradient descent with "
+    "EXACT fixed-point residual quantization (floor(x+0.5) into 1e-12 "
+    "units) so every cross-row sum is order-independent long arithmetic "
+    "— the 2-iteration training run is re-derived bucket-for-bucket in "
+    "this SQL oracle. Per iteration: one in-row scoring pass + one "
+    "skinny (bucket, sum q) aggregation; the model is n_buckets-sized "
+    "(shippable-model contract); scoring is a zero-shuffle map-literal "
+    "fold. Library: operators.curation.train_quality_classifier / "
+    "quality_classifier_scores.",
+)
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    labeled = docs.withColumn(
+        "label", (F.col("doc_id") % 10 == 0).cast("int")
+    )
+    w = curation.train_quality_classifier(
+        labeled, n_buckets=_CLF_B, iters=2, lr=_CLF_LR
+    )
+    scored = curation.quality_classifier_scores(docs, w)
+    return scored.select("doc_id", F.round("score", 6).alias("score"))
