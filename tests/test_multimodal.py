@@ -194,3 +194,90 @@ def test_phash_near_pairs_pigeonhole_exact_recall(spark):
         if a < b and bin(ha ^ hb).count("1") <= 4
     }
     assert got == brute and {(0, 100), (1, 101)} <= got
+
+
+def test_resize_images_exact_box_average(spark):
+    """4x4 grayscale → 2x2: integer-divisible dims take the exact area
+    mean (floor division), matching hand-computed block means."""
+    from tests.test_png_codec import encode_png
+
+    rows = [[(y * 4 + x) * 16 for x in range(4)] for y in range(4)]
+    png = encode_png(rows, bit_depth=8, color_type=0)
+    df = spark.createDataFrame(
+        [("a", bytearray(png))], "asset_id string, payload binary"
+    )
+    r = M.resize_images(df, max_side=2).collect()[0]
+    assert (r.width, r.height, r.channels) == (2, 2, 1)
+    expect = [
+        sum((y * 4 + x) * 16 for y in range(by * 2, by * 2 + 2)
+            for x in range(bx * 2, bx * 2 + 2)) // 4
+        for by in range(2) for bx in range(2)
+    ]
+    assert list(r.pixels) == expect
+
+
+def test_resize_images_nearest_and_aspect(spark):
+    """5x3 RGB → max_side 2: aspect-preserving target (2x1, round-half-
+    up of 3·(2/5)=1.2), non-divisible → nearest-neighbor at pixel
+    centers; and images already within max_side pass through unscaled."""
+    from tests.test_png_codec import encode_png
+
+    rows = [
+        [v for x in range(5) for v in ((y * 5 + x), 100 + y, 200 - x)]
+        for y in range(3)
+    ]
+    png = encode_png(rows, bit_depth=8, color_type=2)
+    small = encode_png([[7, 8], [9, 10]], bit_depth=8, color_type=0)
+    df = spark.createDataFrame(
+        [("big", bytearray(png)), ("small", bytearray(small))],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in M.resize_images(df, max_side=2).collect()}
+    big = out["big"]
+    assert (big.width, big.height, big.channels) == (2, 1, 3)
+    # centers: y = floor(0.5*3/1)=1; x = floor(0.5*5/2)=1, floor(1.5*5/2)=3
+    exp = [(1 * 5 + 1), 101, 199, (1 * 5 + 3), 101, 197]
+    assert list(big.pixels) == exp
+    sm = out["small"]
+    assert (sm.width, sm.height) == (2, 2)
+    assert list(sm.pixels) == [7, 8, 9, 10]
+
+
+def test_resize_images_16bit_scales_to_8(spark):
+    from tests.test_png_codec import encode_png
+
+    rows = [[65535, 0], [257, 514]]
+    png = encode_png(rows, bit_depth=16, color_type=0)
+    df = spark.createDataFrame(
+        [("a", bytearray(png))], "asset_id string, payload binary"
+    )
+    r = M.resize_images(df, max_side=4).collect()[0]
+    assert list(r.pixels) == [255, 0, 1, 2]
+
+
+def test_resize_images_corrupt_skipped(spark):
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"not an image")), ("empty", bytearray(b""))],
+        "asset_id string, payload binary",
+    )
+    assert M.resize_images(df, max_side=8).count() == 0
+
+
+def test_resize_images_agrees_with_resize_plan(spark):
+    """The pixel stage's emitted dims equal the relational resize_plan's
+    computed targets for the same max_side (same rounding rule)."""
+    from tests.test_png_codec import encode_png
+
+    rows = [[x * 3 for x in range(7)] for _ in range(5)]  # 7x5
+    png = encode_png(rows, bit_depth=8, color_type=0)
+    assets = spark.createDataFrame(
+        [("a", bytearray(png))], "asset_id string, payload binary"
+    )
+    got = M.resize_images(assets, max_side=4).collect()[0]
+    planned = spark.createDataFrame(
+        [("a", "image", (7, 5, None, None))],
+        "asset_id string, modality string, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    p = M.resize_plan(planned, max_side=4).collect()[0]
+    assert (got.width, got.height) == (p.target_width, p.target_height)

@@ -29,6 +29,7 @@ vectors — kilobytes into any downstream shuffle, never raw pixels.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -326,6 +327,87 @@ def resize_plan(
         F.round(w * scale).cast("int").alias("target_width"),
         F.round(h * scale).cast("int").alias("target_height"),
         (scale < 1.0).alias("needs_resize"),
+    )
+
+
+RESIZED_IMAGE = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def _resample_rows(rows, w: int, h: int, c: int, tw: int, th: int):
+    """Numpy resample of the codecs' rows-of-channel-ints to (tw, th).
+
+    Exact BOX AVERAGE (area mean, floor division — integer-exact and
+    engine-free) when the source dims are integer multiples of the
+    target; otherwise NEAREST-NEIGHBOR at pixel centers
+    (src = floor((i + 0.5) · src_dim / dst_dim)) — both deterministic,
+    no interpolation library. Returns a (th, tw, c) uint8 array; 16-bit
+    samples scale down by 257 (65535 → 255) first."""
+    a = np.asarray(rows, dtype=np.uint32).reshape(h, w, c)
+    if a.max(initial=0) > 255:  # 16-bit PNG samples
+        a = a // 257
+    if tw <= 0 or th <= 0:
+        raise ValueError(f"bad target dims {tw}x{th}")
+    if h % th == 0 and w % tw == 0:
+        fy, fx = h // th, w // tw
+        out = (
+            a.reshape(th, fy, tw, fx, c).sum(axis=(1, 3)) // (fy * fx)
+        )
+    else:
+        ys = ((np.arange(th) + 0.5) * h / th).astype(np.int64).clip(0, h - 1)
+        xs = ((np.arange(tw) + 0.5) * w / tw).astype(np.int64).clip(0, w - 1)
+        out = a[ys][:, xs]
+    return out.astype(np.uint8)
+
+
+def resize_images(
+    assets: DataFrame, max_side: int = 512, decoder=None
+) -> DataFrame:
+    """Pixel half of resize: decode (stdlib PNG/BMP, or injected decoder
+    returning an object with .rows/.width/.height/.channels), resample to
+    aspect-preserving dims with the SAME target rule as
+    :func:`resize_plan` (longest side → max_side, round-half-up, never
+    upscale), emit row-major uint8 bytes + final dims. Arrow-batched
+    mapInPandas; pixels cross the stage boundary only at the reduced
+    size. Corrupt payloads follow the robust skip policy (dropped, never
+    a crash)."""
+
+    decode = decoder or _decode_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESIZED_IMAGE.fields]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    img = decode(bytes(payload or b""))
+                    w, h, c = img.width, img.height, img.channels
+                    scale = min(1.0, float(max_side) / max(w, h))
+                    tw = max(1, int(math.floor(w * scale + 0.5)))
+                    th = max(1, int(math.floor(h * scale + 0.5)))
+                    px = _resample_rows(img.rows, w, h, c, tw, th)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "width": tw,
+                            "height": th,
+                            "channels": c,
+                            "pixels": px.tobytes(),
+                        }
+                    )
+                except (ValueError, NotImplementedError):
+                    continue  # robust skip: corrupt/unsupported payload
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=RESIZED_IMAGE
     )
 
 
