@@ -40,7 +40,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # stronger qa_task_object_count above; qa_object_count stays
     # registered as the entry() flagship)
     "q1_pricing_summary",  # A2
-    "a3_array_row_stats",  # A3
     "a4_rollup_totals",  # A4
     "a5_mode_category",  # A5/J10
     "a6_distinct_stats",  # A6/A8
@@ -51,33 +50,39 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "j9_asof_prior_view",  # J9
     "w1_rank_topk",  # W1
     "w2_first_per_group",  # W2/A7/J7
-    "o2_topn_orders",  # O1/O2
     "o4_deterministic_sample",  # O4/F8
-    "f1_string_projection",  # F1/F2
     "f5_box_geometry",  # F3/F5/W3/W4
-    "f11_json_props",  # F11
-    "p3_parse_id_suffix",  # P3
+    "p3_parse_id_suffix",  # P3 (also F2 parsing)
     "p4_range_sanity_filter",  # P4/P5
-    "p9_project_box_2d",  # P9
-    "e3_segment_set_ops",  # E3
     "event_tumbling_window",  # §2.12 streaming
     # LLM-corpus operators, one per judge-table row
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "ann_brute_force_topk",
-    "ann_lsh_topk",
     "ann_ivf_fixed_topk",
     "text_quality_features",
     "text_lang_id",
-    "text_repetition_signals",
     "multimodal_binary_stats",
     "multimodal_frame_sample",
     "curation_quality_audit",
     "curation_stratified_sample",
     "curation_scrub_pii",
+    # round-5 flagship oracles (each a first-class corpus operator new
+    # this round; the demoted entries they displaced — f1/f11/o2/e3/a3/
+    # p9/ngram_jaccard/embedding_cosine/ann_lsh/repetition — are green
+    # in CORRECTNESS_r01..r04 driver rows and stay covered by the full
+    # local simulation every round)
+    "curation_clean_lines",  # C4 line-level cleaning (Raffel et al.)
+    "retrieval_bm25",  # BM25 Lucene-idf scoring
+    "lm_bpe_encode",  # BPE train+encode end-to-end (Sennrich et al.)
+    "dedup_incremental_minhash",  # cross-batch near-dup vs signature store
+    "dedup_span_removal",  # ExactSubstr span dedup (Lee et al. 2021)
+    "dedup_winnow_pairs",  # winnowing fingerprints (Schleimer et al. 2003)
+    "curation_dsir_scores",  # DSIR importance resampling (Xie et al. 2023)
+    "curation_quality_classifier",  # fastText-style logistic filter (GPT-3 App.A)
+    "similarity_density_filter",  # D4 prototypicality drop (Tirumala et al.)
+    "eval_detection_ap_exact_3d",  # exact oriented 3D IoU AP (Objectron protocol)
 )
 
 
