@@ -833,3 +833,64 @@ def test_quality_classifier_empty_training_raises(spark):
     docs = spark.createDataFrame([(1, 1, "solo")], "doc_id long, label int, text string")
     with pytest.raises(ValueError, match="no feature-bearing"):
         curation.train_quality_classifier(docs, n_buckets=8)
+
+
+def test_dsir_sample_extreme_scores_dominate(spark):
+    """With overwhelming score separation the Gumbel noise (typically in
+    [-2, 6]) cannot flip selection: the 5 high-score docs are always
+    picked."""
+    rows = [(i, 100.0 if i < 5 else -100.0) for i in range(50)]
+    scored = spark.createDataFrame(rows, "doc_id long, score double")
+    picked = {r.doc_id for r in curation.dsir_sample(scored, 5).collect()}
+    assert picked == {0, 1, 2, 3, 4}
+
+
+def test_dsir_sample_deterministic_and_seeded(spark):
+    scored = spark.createDataFrame(
+        [(i, 0.0) for i in range(200)], "doc_id long, score double"
+    )
+    a = sorted(r.doc_id for r in curation.dsir_sample(scored, 20).collect())
+    b = sorted(
+        r.doc_id
+        for r in curation.dsir_sample(scored.repartition(7), 20).collect()
+    )
+    assert a == b  # partitioning-independent
+    c = sorted(
+        r.doc_id
+        for r in curation.dsir_sample(scored, 20, seed="other").collect()
+    )
+    assert a != c  # seed actually enters the draw
+
+
+def test_dsir_sample_plan_is_take_ordered(spark):
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, score double"
+    )
+    df = curation.dsir_sample(scored, 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    with pytest.raises(ValueError):
+        curation.dsir_sample(scored, 0)
+
+
+def test_dsir_sample_proportionality(spark):
+    """Statistical sanity over 40 seeds: docs with score ln(4) are
+    selected ~4x as often as score-0 docs (importance resampling,
+    not top-k by score)."""
+    import math
+
+    rows = [(i, math.log(4.0) if i < 50 else 0.0) for i in range(500)]
+    scored = spark.createDataFrame(rows, "doc_id long, score double")
+    hi = lo = 0
+    for s in range(40):
+        picked = curation.dsir_sample(scored, 50, seed=f"s{s}").collect()
+        for r in picked:
+            if r.doc_id < 50:
+                hi += 1
+            else:
+                lo += 1
+    # E[hi per draw]: 50 docs at weight 4 vs 450 at weight 1 -> expected
+    # hi fraction ~ 4*50/(4*50+450) = 0.307 per pick without replacement
+    # effects; allow a generous band around 0.3
+    frac = hi / (hi + lo)
+    assert 0.2 < frac < 0.45, frac

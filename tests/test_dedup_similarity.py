@@ -944,3 +944,55 @@ def test_prototypicality_single_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_canonical_url_rules(spark):
+    """Every normalization rule pinned: fragment, case, www, default
+    ports, trailing slash, tracking params, param sort — and the things
+    that must NOT normalize (path case, non-default ports, params whose
+    name merely starts with a tracked prefix)."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.dedup import canonical_url
+
+    cases = [
+        ("https://www.Site.com/a/b/?utm_source=f&x=1&b=2", "https://site.com/a/b?b=2&x=1"),
+        ("HTTPS://SITE.com:443/a/b?b=2&x=1", "https://site.com/a/b?b=2&x=1"),
+        ("https://site.com/a/b?x=1&b=2&utm_campaign=z#frag", "https://site.com/a/b?b=2&x=1"),
+        ("http://example.com:80/path/", "http://example.com/path"),
+        ("http://example.com:8080/path", "http://example.com:8080/path"),
+        ("https://site.com/a/B", "https://site.com/a/B"),  # path case kept
+        ("https://site.com/?ref=abc", "https://site.com"),
+        ("https://site.com/?reference=abc", "https://site.com?reference=abc"),
+        ("https://site.com:80/x", "https://site.com:80/x"),  # 80 not default for https
+        ("no-scheme/path?ref=a&z=9#f", "no-scheme/path?z=9"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_url_dedup_groups_and_zero_shuffle_canon(spark):
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.dedup import (
+        canonical_url,
+        url_dedup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.page.com/x/?utm_source=a"),
+            (2, "https://page.com/x"),
+            (3, "HTTP://Other.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    groups = url_dedup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0].keep_id == 1 and groups[0].n_dups == 1
+    plan = (
+        df.select(canonical_url(F.col("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -876,3 +876,39 @@ def quality_classifier_scores(
             dsir_feature_buckets(F.col(text_col), len(weights)), lookup
         ).alias("score"),
     )
+
+
+def dsir_sample(
+    scored: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR's resampling half (Xie et al. 2023 §2): select ``n`` docs
+    WITHOUT replacement with probability ∝ exp(log-importance-weight),
+    via the Gumbel-top-k identity — key = score + Gumbel(0,1), take the
+    n largest keys. The Gumbel draw is a pure function of (seed, id)
+    (functions.detrandom rationale: partitioning/order independent,
+    engine-reproducible; the +0.5 offset keeps u in (0,1) so -ln(-ln u)
+    is always finite). Top-n compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort, driver holds n rows only."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / float(1 << 32)
+    gumbel = -F.log(-F.log(u))
+    return (
+        scored.withColumn("_k", F.col(score_col) + gumbel)
+        .orderBy(F.col("_k").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_k")
+    )

@@ -1046,3 +1046,67 @@ def winnow_pairs(
         )
         .select("id_a", "id_b", "n_shared", "n_a", "n_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (the CommonCrawl first pass)
+# ---------------------------------------------------------------------------
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for dedup keys — the normalization web-
+    crawl pipelines (CCNet/C4 lineage) apply BEFORE any content dedup,
+    since the same page is typically fetched under many spellings:
+
+    - fragment stripped;
+    - scheme+host lowercased (path/query case preserved), leading
+      ``www.`` dropped, default ports (:80 http, :443 https) dropped;
+    - trailing slashes on the path stripped;
+    - tracking parameters removed (utm_*, gclid, fbclid, ref), remaining
+      query params SORTED so param order never splits a group.
+
+    Pure column expression (zero shuffle, codegen); scheme-less strings
+    pass through with only fragment/query normalization. The regex set
+    is RE2-safe so the DuckDB oracle reproduces it verbatim."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    hostpart = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)", 1)
+    path = base.substr(F.length(hostpart) + 1, F.length(base))
+    hp = F.lower(hostpart)
+    hp = F.regexp_replace(hp, r"^(https?://)www\.", "$1")
+    hp = F.regexp_replace(hp, r"^(http://[^/]*):80$", "$1")
+    hp = F.regexp_replace(hp, r"^(https://[^/]*):443$", "$1")
+    path = F.regexp_replace(path, r"/+$", "")
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=.*)?$"),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(hp, path, qtail)
+
+
+def url_dedup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group by canonical URL; (canon_url, keep_id, n_dups) for groups of
+    size > 1 — the URL-level delete list. Same shuffle shape as
+    :func:`exact_dedup_groups`: the exchange carries (canonical key, id)
+    only, never the page content."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            canonical_url(F.col(url_col)).alias("canon_url"),
+        )
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+        .select(
+            "canon_url", "keep_id", (F.col("group_size") - 1).alias("n_dups")
+        )
+    )

@@ -2471,3 +2471,121 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = curation.quality_classifier_scores(docs, w)
     return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+_DSIR_N = 100
+
+_DSIR_SAMPLE_ORACLE = f"""
+WITH scored AS ({_DSIR_ORACLE.replace("round(", "(").replace(", 6)", ")")}
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+    SELECT doc_id, score,
+           score - ln(-ln((('0x' || substr(md5('dsir' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0)) AS k
+    FROM scored
+) ORDER BY k DESC, doc_id ASC LIMIT {_DSIR_N}
+"""
+
+
+@register(
+    "curation_dsir_sample",
+    _DSIR_SAMPLE_ORACLE,
+    "DSIR resampling (extension; Xie et al. 2023 §2): Gumbel-top-k "
+    "selection of n raw docs with probability proportional to "
+    "exp(log-importance-weight) WITHOUT replacement — key = score + "
+    "Gumbel(0,1) from a deterministic (seed, id) hash draw, top-n by "
+    "key. Compiles to TakeOrderedAndProject (per-partition heaps, no "
+    "global sort). Library: operators.curation.dsir_sample.",
+)
+def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    ratios = curation.dsir_log_ratios(target, raw, n_buckets=_DSIR_B)
+    scored = curation.dsir_scores(raw, ratios, n_buckets=_DSIR_B)
+    picked = curation.dsir_sample(scored, n=_DSIR_N)
+    return picked.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+
+# deterministic URL variants per doc: groups of doc_id//5 share a page
+# fetched under 4 spellings (www/case/port/tracking-params/slash/fragment);
+# variant 4 is a distinct page. Both engines synthesize the same strings.
+_URL_SPARK = """CASE CAST(doc_id % 5 AS INT)
+ WHEN 0 THEN concat('https://www.site', CAST(doc_id DIV 5 AS STRING), '.com/a/b/?utm_source=feed&x=1&b=2')
+ WHEN 1 THEN concat('HTTPS://SITE', CAST(doc_id DIV 5 AS STRING), '.COM:443/a/b?b=2&x=1')
+ WHEN 2 THEN concat('https://site', CAST(doc_id DIV 5 AS STRING), '.com/a/b?x=1&b=2&utm_campaign=z#frag')
+ WHEN 3 THEN concat('https://site', CAST(doc_id DIV 5 AS STRING), '.com/a/b/?fbclid=abc&b=2&x=1')
+ ELSE concat('http://site', CAST(doc_id DIV 5 AS STRING), '.com/other/', CAST(doc_id AS STRING))
+END"""
+
+_URL_ORACLE = """
+WITH urls AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN concat('https://www.site', CAST(doc_id // 5 AS VARCHAR), '.com/a/b/?utm_source=feed&x=1&b=2')
+             WHEN 1 THEN concat('HTTPS://SITE', CAST(doc_id // 5 AS VARCHAR), '.COM:443/a/b?b=2&x=1')
+             WHEN 2 THEN concat('https://site', CAST(doc_id // 5 AS VARCHAR), '.com/a/b?x=1&b=2&utm_campaign=z#frag')
+             WHEN 3 THEN concat('https://site', CAST(doc_id // 5 AS VARCHAR), '.com/a/b/?fbclid=abc&b=2&x=1')
+             ELSE concat('http://site', CAST(doc_id // 5 AS VARCHAR), '.com/other/', CAST(doc_id AS VARCHAR))
+           END AS url
+    FROM documents
+), parts AS (
+    SELECT doc_id,
+           regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS base,
+           regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1) AS query
+    FROM urls
+), split AS (
+    SELECT doc_id, base, query,
+           regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/]*)', 1) AS hostpart
+    FROM parts
+), norm AS (
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(lower(hostpart), '^(https?://)www\\.', '\\1'),
+                   '^(http://[^/]*):80$', '\\1'),
+               '^(https://[^/]*):443$', '\\1') AS hp,
+           regexp_replace(substr(base, length(hostpart) + 1), '/+$', '') AS path,
+           list_sort(list_filter(string_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=.*)?$'))) AS kept
+    FROM split
+), canon AS (
+    SELECT doc_id,
+           hp || path ||
+           CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                ELSE '' END AS canon_url
+    FROM norm
+)
+SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_dups
+FROM canon GROUP BY canon_url HAVING count(*) > 1
+"""
+
+
+@register(
+    "dedup_url_groups",
+    _URL_ORACLE,
+    "URL canonicalization + URL-level dedup (extension; the CommonCrawl/"
+    "CCNet first pass before any content dedup): fragment strip, "
+    "scheme+host lowercase, www/default-port drop, trailing-slash strip, "
+    "tracking-param removal (utm_*/gclid/fbclid/ref) and query-param "
+    "sort — all in-row RE2-safe regex/array ops — then a (canonical key, "
+    "id) groupBy carrying no page content. Demo synthesizes 4 spelling "
+    "variants per page + 1 distinct page from doc_id (deterministic in "
+    "both engines). Library: operators.dedup.canonical_url / "
+    "url_dedup_groups.",
+)
+def dedup_url_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    urls = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    return dedup.url_dedup_groups(urls).select(
+        "canon_url",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+    )
