@@ -264,3 +264,38 @@ def test_tfrecord_truncated_raises():
 
 def test_tf_example_no_features():
     assert parse_tf_example(b"") == {}
+
+
+def test_corpus_report_analytic(spark):
+    """Hand-computable corpus: counts a=4, b=2, c=1 -> vocab 3, tokens 7,
+    TTR 3/7; slope equals the numpy least-squares fit of ln(freq) on
+    ln(rank); modal word ties break lexicographically."""
+    import math
+
+    from vlm_data_pipeline_spark.functions.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b c")], "doc_id long, text string"
+    )
+    r = corpus_report(docs, zipf_top=3).collect()[0]
+    assert (r.n_docs, r.n_tokens, r.vocab_size) == (2, 7, 3)
+    assert r.type_token_ratio == round(3 / 7, 6)
+    assert (r.top_word, r.top_freq) == ("a", 4)
+    xs = [math.log(i) for i in (1, 2, 3)]
+    ys = [math.log(c) for c in (4, 2, 1)]
+    n = 3
+    mx, my = sum(xs) / n, sum(ys) / n
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert r.zipf_slope == round(slope, 4)
+
+
+def test_corpus_report_top_word_tie_break(spark):
+    from vlm_data_pipeline_spark.functions.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "zz aa zz aa")], "doc_id long, text string"
+    )
+    r = corpus_report(docs).collect()[0]
+    assert r.top_word == "aa" and r.top_freq == 2

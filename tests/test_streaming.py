@@ -253,3 +253,86 @@ def test_modality_stages_stream_unchanged(spark, tmp_path):
         batch = stage(spark.read.parquet(src))
         assert as_sorted_rows(out) == as_sorted_rows(batch)
         assert out.count() >= 1
+
+
+def test_round5_stateless_ops_stream_unchanged(spark, tmp_path):
+    """The round-5 scoring/normalization operators are pure in-row
+    programs (map-literal models, regex/array ops), so each runs
+    UNCHANGED on a readStream in append mode: classifier scoring, DSIR
+    scoring, URL canonicalization, winnowing fingerprint selection, and
+    the resize pixel stage all equal their batch runs row-for-row.
+    (Training/ratio fitting, span-removal's corpus-wide window, and
+    pair joins are deliberate batch-side steps — models train offline,
+    scoring streams.)"""
+    from pyspark.sql import functions as F
+
+    from tests.test_png_codec import encode_png
+    from vlm_data_pipeline_spark.functions.text import (
+        tokens,
+        winnow_fingerprints,
+    )
+    from vlm_data_pipeline_spark.operators import curation
+    from vlm_data_pipeline_spark.operators.dedup import canonical_url
+    from vlm_data_pipeline_spark.sources.multimodal import resize_images
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma delta words flow", "https://www.X.com/a/?utm_source=f&b=1"),
+            (2, "spam spam spam buy now", "HTTP://Y.com:80/p/"),
+            (3, "", "https://z.com/q?z=2&a=1#frag"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    src = str(tmp_path / "r5_src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    weights = [(7 * b) % 100 - 50 for b in range(32)]
+    ratios_rows = [(b, (b % 5 - 2) * 0.25) for b in range(16)]
+
+    def single(df, op):
+        return op(df)
+
+    ops = {
+        "clf": lambda df: curation.quality_classifier_scores(
+            df, [w * 10**10 for w in weights]
+        ),
+        "dsir": lambda df: curation.dsir_scores(
+            df,
+            spark.createDataFrame(ratios_rows, "bucket long, log_ratio double"),
+            n_buckets=16,
+        ),
+        "urlwin": lambda df: df.select(
+            "doc_id",
+            canonical_url(F.col("url")).alias("canon"),
+            F.size(winnow_fingerprints(tokens(F.col("text")))).alias("n_fp"),
+        ),
+    }
+    for name, op in ops.items():
+        out = run_stream(
+            single(spark.readStream.schema(schema).parquet(src), op),
+            tmp_path,
+            f"r5_{name}_stream",
+            output_mode="append",
+        )
+        batch = single(spark.read.parquet(src), op)
+        assert as_sorted_rows(out) == as_sorted_rows(batch), name
+
+    # resize: payload-bearing stateless mapInPandas stage
+    png = encode_png([[10, 20], [30, 40]], bit_depth=8, color_type=0)
+    assets = spark.createDataFrame(
+        [("a", bytearray(png))], "asset_id string, payload binary"
+    )
+    asrc = str(tmp_path / "r5_assets")
+    assets.write.mode("overwrite").parquet(asrc)
+    aschema = spark.read.parquet(asrc).schema
+    out = run_stream(
+        resize_images(
+            spark.readStream.schema(aschema).parquet(asrc), max_side=1
+        ),
+        tmp_path,
+        "r5_resize_stream",
+        output_mode="append",
+    )
+    batch = resize_images(spark.read.parquet(asrc), max_side=1)
+    assert as_sorted_rows(out) == as_sorted_rows(batch)

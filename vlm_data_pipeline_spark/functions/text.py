@@ -415,3 +415,71 @@ def winnow_fingerprints(toks: Column, k: int = 5, w: int = 4) -> Column:
         return F.when(F.size(t) >= k, let(hashes, pick)).otherwise(empty)
 
     return let(toks, grams)
+
+
+def corpus_report(df, text_col: str = "text", zipf_top: int = 100):
+    """One-row corpus health report — the aggregate audit a curation run
+    logs before/after each stage: doc count, token count, corpus vocab,
+    type-token ratio, the modal word, and the ZIPF SLOPE — the least-
+    squares slope of ln(freq) vs ln(rank) over the ``zipf_top`` most
+    frequent words. Natural language tracks slope ≈ −1 (Zipf's law);
+    boilerplate-heavy or synthetic corpora deviate sharply, which makes
+    the slope a one-number naturalness alarm.
+
+    Shape: ONE (word, count) aggregation provides tokens+vocab+top-K in
+    a single shuffle (map-side combined, skinny rows); the Zipf window
+    runs on zipf_top rows; doc stats are a second map-side aggregate.
+    Returns (n_docs, n_tokens, vocab_size, type_token_ratio, top_word,
+    top_freq, zipf_slope).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = counts.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    top = (
+        counts.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(zipf_top)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("w").asc())
+            ),
+        )
+    )
+    slope = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+        F.col("w"),
+        F.col("c"),
+        F.col("rank"),
+    ).agg(
+        (
+            (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y"))
+            / (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
+        ).alias("zipf_slope"),
+        F.min_by("w", "rank").alias("top_word"),
+        F.max("c").cast("long").alias("top_freq"),
+    )
+    docs = df.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        docs.crossJoin(totals)
+        .crossJoin(slope)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            F.round(
+                F.col("vocab_size").cast("double") / F.col("n_tokens"), 6
+            ).alias("type_token_ratio"),
+            "top_word",
+            "top_freq",
+            F.round("zipf_slope", 4).alias("zipf_slope"),
+        )
+    )

@@ -2589,3 +2589,59 @@ def dedup_url_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").cast("long").alias("keep_id"),
         F.col("n_dups").cast("long").alias("n_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus health report (Zipf naturalness / TTR / vocab)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+_CORPUS_REPORT_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM documents
+), words AS (
+    SELECT unnest(w) AS word FROM toks
+), counts AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY word
+), totals AS (
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(c) AS BIGINT) AS n_tokens
+    FROM counts
+), top AS (
+    SELECT word, c, row_number() OVER (ORDER BY c DESC, word ASC) AS rank
+    FROM counts QUALIFY rank <= {_ZIPF_TOP}
+), slope AS (
+    SELECT (avg(ln(rank) * ln(c)) - avg(ln(rank)) * avg(ln(c)))
+           / (avg(ln(rank) * ln(rank)) - avg(ln(rank)) * avg(ln(rank)))
+               AS zipf_slope,
+           min_by(word, rank) AS top_word,
+           CAST(max(c) AS BIGINT) AS top_freq
+    FROM (SELECT CAST(rank AS DOUBLE) AS rank, CAST(c AS DOUBLE) AS c,
+                 word FROM top)
+), d AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT n_docs, n_tokens, vocab_size,
+       round(CAST(vocab_size AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       top_word, top_freq,
+       round(zipf_slope, 4) AS zipf_slope
+FROM d, totals, slope
+"""
+
+
+@register(
+    "text_corpus_report",
+    _CORPUS_REPORT_ORACLE,
+    "Corpus health report (extension; the before/after audit a curation "
+    "run logs per stage): doc/token/vocab counts, type-token ratio, the "
+    "modal word, and the least-squares Zipf slope of ln(freq) vs "
+    "ln(rank) over the top-100 words — natural text tracks ≈ −1, so the "
+    "slope is a one-number naturalness alarm for boilerplate-heavy or "
+    "synthetic corpora. ONE (word, count) aggregation feeds vocab + "
+    "token totals + the top-K in a single map-side-combined shuffle. "
+    "Library: functions.text.corpus_report.",
+)
+def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return T.corpus_report(docs, zipf_top=_ZIPF_TOP)
