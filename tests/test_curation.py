@@ -748,7 +748,7 @@ def test_dsir_scores_zero_shuffle(spark):
 def test_dsir_scores_rejects_wrong_bucket_count(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     ratios = curation.dsir_log_ratios(docs, docs, n_buckets=8)
-    with pytest.raises(ValueError, match="expected n_buckets"):
+    with pytest.raises(ValueError, match="exactly once"):
         curation.dsir_scores(docs, ratios, n_buckets=16)
 
 
@@ -894,3 +894,16 @@ def test_dsir_sample_proportionality(spark):
     # effects; allow a generous band around 0.3
     frac = hi / (hi + lo)
     assert 0.2 < frac < 0.45, frac
+
+
+def test_dsir_scores_rejects_duplicate_or_gapped_buckets(spark):
+    """Review-pass regression: a ratio table with the right row COUNT but
+    a duplicated bucket (and so a missing one) must fail fast with a
+    clear error, not a runtime duplicate-map-key crash or silent nulls."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    bad = spark.createDataFrame(
+        [(0, 0.1), (1, 0.2), (1, 0.3), (3, 0.4)],
+        "bucket long, log_ratio double",
+    )
+    with pytest.raises(ValueError, match="exactly once"):
+        curation.dsir_scores(docs, bad, n_buckets=4)

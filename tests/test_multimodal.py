@@ -281,3 +281,54 @@ def test_resize_images_agrees_with_resize_plan(spark):
     )
     p = M.resize_plan(planned, max_side=4).collect()[0]
     assert (got.width, got.height) == (p.target_width, p.target_height)
+
+
+def test_resize_images_truncated_png_and_degenerate_skip(spark):
+    """Review-pass regressions: a payload with a VALID PNG signature but
+    truncated chunks (struct.error inside the codec) and a crafted 0-dim
+    image must follow the robust skip policy, not crash the task; and
+    on_error='fail' re-raises for CI."""
+    truncated = b"\x89PNG\r\n\x1a\n" + b"\x00\x00"
+    df = spark.createDataFrame(
+        [("t", bytearray(truncated))], "asset_id string, payload binary"
+    )
+    assert M.resize_images(df, max_side=8).count() == 0
+
+    class ZeroDim:
+        width, height, channels, bit_depth, rows = 0, 0, 1, 8, []
+
+    bad = spark.createDataFrame(
+        [("z", bytearray(b"x"))], "asset_id string, payload binary"
+    )
+    assert M.resize_images(bad, decoder=lambda p: ZeroDim()).count() == 0
+    with pytest.raises(Exception):
+        M.resize_images(df, max_side=8, on_error="fail").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        M.resize_images(df, on_error="explode")
+
+
+def test_resize_images_dark_16bit_still_scales(spark):
+    """Review-pass regression: 16-bit detection must come from the
+    decoder's bit_depth, not pixel content — a near-black 16-bit image
+    (all samples <= 255) still scales by 257."""
+    from tests.test_png_codec import encode_png
+
+    rows = [[200, 100], [50, 25]]
+    png = encode_png(rows, bit_depth=16, color_type=0)
+    df = spark.createDataFrame(
+        [("d", bytearray(png))], "asset_id string, payload binary"
+    )
+    r = M.resize_images(df, max_side=4).collect()[0]
+    assert list(r.pixels) == [0, 0, 0, 0]
+
+
+def test_resize_plan_clamps_extreme_aspect(spark):
+    """Review-pass regression: 2000x1 at max_side 512 must plan a 512x1
+    target, not 512x0 — and agree with the pixel stage's clamp."""
+    planned = spark.createDataFrame(
+        [("a", "image", (2000, 1, None, None))],
+        "asset_id string, modality string, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    p = M.resize_plan(planned, max_side=512).collect()[0]
+    assert (p.target_width, p.target_height) == (512, 1)

@@ -733,9 +733,11 @@ def dsir_scores(
     bit-stable), and the ratio table rides in the plan as a map literal
     — n_buckets-sized by construction, zero shuffle, zero join."""
     rows = sorted(ratios.collect(), key=lambda r: r[0])
-    if len(rows) != n_buckets:
+    if [int(r[0]) for r in rows] != list(range(n_buckets)):
         raise ValueError(
-            f"ratio table has {len(rows)} rows, expected n_buckets={n_buckets}"
+            f"ratio table must cover buckets 0..{n_buckets - 1} exactly once "
+            f"(got {len(rows)} rows); a duplicate bucket would fail the map "
+            "literal at runtime and a missing one would null out scores"
         )
     entries: list[Column] = []
     for r in rows:
@@ -891,8 +893,14 @@ def dsir_sample(
     n largest keys. The Gumbel draw is a pure function of (seed, id)
     (functions.detrandom rationale: partitioning/order independent,
     engine-reproducible; the +0.5 offset keeps u in (0,1) so -ln(-ln u)
-    is always finite). Top-n compiles to TakeOrderedAndProject —
-    per-partition heaps, no global sort, driver holds n rows only."""
+    is always finite). The selection key is ROUNDED to 6 decimals with
+    an id tie-break before the top-n: the raw key is a sum of ln()
+    calls, and a last-ulp ln() divergence between engines on the
+    rank-n/n+1 boundary would otherwise flip row MEMBERSHIP — the
+    float-threshold class the oracle protocol forbids; after rounding,
+    near-ties collapse and resolve by id identically everywhere. Top-n
+    compiles to TakeOrderedAndProject — per-partition heaps, no global
+    sort, driver holds n rows only."""
     if n <= 0:
         raise ValueError("n must be positive")
     h = F.conv(
@@ -907,7 +915,7 @@ def dsir_sample(
     u = (h + F.lit(0.5)) / float(1 << 32)
     gumbel = -F.log(-F.log(u))
     return (
-        scored.withColumn("_k", F.col(score_col) + gumbel)
+        scored.withColumn("_k", F.round(F.col(score_col) + gumbel, 6))
         .orderBy(F.col("_k").desc(), F.col(id_col).asc())
         .limit(n)
         .drop("_k")

@@ -1009,10 +1009,14 @@ def winnow_pairs(
             ).alias("fp_set"),
         )
     )
-    totals = fps.select(
-        "doc_id", F.size("fp_set").cast("long").alias("n_fp")
+    # the per-doc total rides the exploded rows (+8 bytes/row) so the
+    # expensive winnowing fold is computed ONCE: a separate totals table
+    # would re-run the whole fold subtree behind two more join exchanges
+    flat = fps.select(
+        "doc_id",
+        F.size("fp_set").cast("long").alias("n_fp"),
+        F.explode("fp_set").alias("fp"),
     )
-    flat = fps.select("doc_id", F.explode("fp_set").alias("fp"))
 
     from pyspark.sql import Window
 
@@ -1023,7 +1027,7 @@ def winnow_pairs(
         (F.col("df") <= max_df) & (F.col("df") >= 2)
     )
     a, b = rare.alias("a"), rare.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
@@ -1032,18 +1036,12 @@ def winnow_pairs(
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count("*").cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
-    return (
-        pairs.join(totals.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .withColumnRenamed("n_fp", "n_a")
-        .join(
-            totals.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
-                "n_fp", "n_b"
-            ),
-            "id_b",
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.first(F.col("a.n_fp")).alias("n_a"),
+            F.first(F.col("b.n_fp")).alias("n_b"),
         )
+        .filter(F.col("n_shared") >= min_shared)
         .select("id_a", "id_b", "n_shared", "n_a", "n_b")
     )
 

@@ -2146,10 +2146,18 @@ WITH t AS (
     FROM ratios
 )
 SELECT doc_id,
-       round(coalesce(list_sum(list_transform(list_sort(fb),
-                                              b -> mm[b][1])), 0.0), 6)
-           AS score
+       coalesce(list_sum(list_transform(list_sort(fb),
+                                        b -> mm[b][1])), 0.0) AS score
 FROM feats, m WHERE doc_id % 10 <> 0
+"""
+
+# the UNROUNDED per-doc scores, shared by the score oracle (which rounds
+# for output) and the sample oracle (which feeds the Gumbel key) — never
+# derive one from the other by string substitution
+_DSIR_SCORED_SQL = _DSIR_ORACLE
+
+_DSIR_ORACLE = f"""
+SELECT doc_id, round(score, 6) AS score FROM ({_DSIR_SCORED_SQL})
 """
 
 
@@ -2476,11 +2484,11 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_N = 100
 
 _DSIR_SAMPLE_ORACLE = f"""
-WITH scored AS ({_DSIR_ORACLE.replace("round(", "(").replace(", 6)", ")")}
+WITH scored AS ({_DSIR_SCORED_SQL}
 )
 SELECT doc_id, round(score, 6) AS score FROM (
     SELECT doc_id, score,
-           score - ln(-ln((('0x' || substr(md5('dsir' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0)) AS k
+           round(score - ln(-ln((('0x' || substr(md5('dsir' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0)), 6) AS k
     FROM scored
 ) ORDER BY k DESC, doc_id ASC LIMIT {_DSIR_N}
 """

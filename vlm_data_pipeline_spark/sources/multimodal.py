@@ -319,13 +319,16 @@ def resize_plan(
     w = F.col("meta.width").cast("double")
     h = F.col("meta.height").cast("double")
     scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    # clamp to >= 1: an extreme aspect ratio (2000x1 at max_side 512)
+    # otherwise rounds the short side to a degenerate 0 — keep the rule
+    # identical to the pixel stage's max(1, floor(dim*scale + 0.5))
     return assets.select(
         "asset_id",
         "modality",
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
-        F.round(w * scale).cast("int").alias("target_width"),
-        F.round(h * scale).cast("int").alias("target_height"),
+        F.greatest(F.lit(1), F.round(w * scale).cast("int")).alias("target_width"),
+        F.greatest(F.lit(1), F.round(h * scale).cast("int")).alias("target_height"),
         (scale < 1.0).alias("needs_resize"),
     )
 
@@ -341,17 +344,22 @@ RESIZED_IMAGE = T.StructType(
 )
 
 
-def _resample_rows(rows, w: int, h: int, c: int, tw: int, th: int):
+def _resample_rows(
+    rows, w: int, h: int, c: int, tw: int, th: int, sixteen_bit: bool = False
+):
     """Numpy resample of the codecs' rows-of-channel-ints to (tw, th).
 
     Exact BOX AVERAGE (area mean, floor division — integer-exact and
     engine-free) when the source dims are integer multiples of the
     target; otherwise NEAREST-NEIGHBOR at pixel centers
     (src = floor((i + 0.5) · src_dim / dst_dim)) — both deterministic,
-    no interpolation library. Returns a (th, tw, c) uint8 array; 16-bit
-    samples scale down by 257 (65535 → 255) first."""
+    no interpolation library. Returns a (th, tw, c) uint8 array;
+    ``sixteen_bit`` samples scale down by 257 (65535 → 255) first —
+    the flag comes from the DECODER's bit_depth field, never from pixel
+    content (a dark 16-bit image has no sample above 255 yet still
+    needs the scaling)."""
     a = np.asarray(rows, dtype=np.uint32).reshape(h, w, c)
-    if a.max(initial=0) > 255:  # 16-bit PNG samples
+    if sixteen_bit:
         a = a // 257
     if tw <= 0 or th <= 0:
         raise ValueError(f"bad target dims {tw}x{th}")
@@ -368,17 +376,25 @@ def _resample_rows(rows, w: int, h: int, c: int, tw: int, th: int):
 
 
 def resize_images(
-    assets: DataFrame, max_side: int = 512, decoder=None
+    assets: DataFrame,
+    max_side: int = 512,
+    decoder=None,
+    on_error: str = "skip",
 ) -> DataFrame:
     """Pixel half of resize: decode (stdlib PNG/BMP, or injected decoder
-    returning an object with .rows/.width/.height/.channels), resample to
-    aspect-preserving dims with the SAME target rule as
-    :func:`resize_plan` (longest side → max_side, round-half-up, never
-    upscale), emit row-major uint8 bytes + final dims. Arrow-batched
-    mapInPandas; pixels cross the stage boundary only at the reduced
-    size. Corrupt payloads follow the robust skip policy (dropped, never
-    a crash)."""
+    returning an object with .rows/.width/.height/.channels and a
+    bit_depth field), resample to aspect-preserving dims with the SAME
+    target rule as :func:`resize_plan` (longest side → max_side,
+    round-half-up, clamp to >= 1, never upscale), emit row-major uint8
+    bytes + final dims. Arrow-batched mapInPandas; pixels cross the
+    stage boundary only at the reduced size. ``on_error`` follows
+    sources.robust: "skip" (production — ANY decode/resample failure
+    drops the asset, one corrupt payload in a million must not kill a
+    1000-executor job) or "fail" (debugging/CI — raise)."""
+    from .robust import ON_ERROR_MODES
 
+    if on_error not in ON_ERROR_MODES:
+        raise ValueError(f"on_error must be one of {ON_ERROR_MODES}")
     decode = decoder or _decode_pixels
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -389,10 +405,15 @@ def resize_images(
                 try:
                     img = decode(bytes(payload or b""))
                     w, h, c = img.width, img.height, img.channels
+                    if w <= 0 or h <= 0 or c <= 0:
+                        raise ValueError(f"degenerate image dims {w}x{h}x{c}")
                     scale = min(1.0, float(max_side) / max(w, h))
                     tw = max(1, int(math.floor(w * scale + 0.5)))
                     th = max(1, int(math.floor(h * scale + 0.5)))
-                    px = _resample_rows(img.rows, w, h, c, tw, th)
+                    px = _resample_rows(
+                        img.rows, w, h, c, tw, th,
+                        sixteen_bit=getattr(img, "bit_depth", 8) == 16,
+                    )
                     rows.append(
                         {
                             "asset_id": aid,
@@ -402,7 +423,9 @@ def resize_images(
                             "pixels": px.tobytes(),
                         }
                     )
-                except (ValueError, NotImplementedError):
+                except Exception:
+                    if on_error == "fail":
+                        raise
                     continue  # robust skip: corrupt/unsupported payload
             yield pd.DataFrame(rows, columns=cols)
 
