@@ -98,3 +98,71 @@ def test_corpus_stats_tokenizes_once(spark):
     st = _corpus_stats(_docs(spark), ["spark", "join", "window"], "text")
     opt = st._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("split(") == 1, opt[:1500]
+
+
+def test_inverted_index_postings_shape(spark):
+    """One posting row per distinct term per doc; tf counts occurrences;
+    dl is the doc length; the build is zero-shuffle."""
+    from vlm_data_pipeline_spark.operators.retrieval import build_inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b")], "doc_id long, text string"
+    )
+    postings, stats = build_inverted_index(docs)
+    rows = {(r.term, r.doc_id): (r.tf, r.dl) for r in postings.collect()}
+    assert rows == {("a", 1): (2, 3), ("b", 1): (1, 3), ("b", 2): (1, 1)}
+    s = stats.collect()[0]
+    assert (s.n_docs, s.sum_dl) == (2, 4)
+    plan = postings._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_index_topk_equals_full_scan(spark, sf_dir):
+    """The index path returns exactly the full-scan bm25_topk result on
+    the real documents table (same ids, scores equal to 6dp)."""
+    from vlm_data_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        build_inverted_index,
+        index_bm25_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "window", "join"]
+    postings, stats = build_inverted_index(docs)
+    idx = [
+        (r.doc_id, r.score)
+        for r in index_bm25_topk(postings, stats, terms, k=10).collect()
+    ]
+    full = [
+        (r.doc_id, round(r.score, 6))
+        for r in bm25_topk(docs, terms, k=10).collect()
+    ]
+    assert idx == full
+    assert len(idx) == 10
+
+
+def test_index_topk_candidate_pruning_and_validation(spark):
+    """The query plan filters postings to the literal query terms before
+    any join/aggregate (the partition-pruning predicate at scale), and
+    the usual argument validation applies."""
+    import pytest as _pt
+
+    from vlm_data_pipeline_spark.operators.retrieval import (
+        build_inverted_index,
+        index_bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "z")], "doc_id long, text string"
+    )
+    postings, stats = build_inverted_index(docs)
+    df = index_bm25_topk(postings, stats, ["x"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "term" in plan and ("x" in plan), plan[:1500]
+    assert [r.doc_id for r in df.collect()] == [1]
+    with _pt.raises(ValueError):
+        index_bm25_topk(postings, stats, [], k=5)
+    with _pt.raises(ValueError):
+        index_bm25_topk(postings, stats, ["x", "x"], k=5)
+    with _pt.raises(ValueError):
+        index_bm25_topk(postings, stats, ["x"], k=0)

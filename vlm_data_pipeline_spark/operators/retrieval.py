@@ -146,3 +146,98 @@ def idf_of(n_docs: int, df: int) -> float:
     """Reference scalar for tests: the same Lucene idf the column
     expression computes."""
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# ---------------------------------------------------------------------------
+# Inverted index — the scale path beyond full-scan BM25
+# ---------------------------------------------------------------------------
+
+
+def build_inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(postings, stats) — the offline index build.
+
+    ``postings`` is the FLAT posting table (term, doc_id, tf, dl), one
+    row per DISTINCT term per document, generated ENTIRELY in-row
+    (distinct terms + per-term tf from one let-bound tokenization, then
+    explode — zero shuffle; no array-typed posting lists, whose hot-term
+    skew breaks at corpus scale). In production, write it partitioned/
+    bucketed by term so a query's candidate fetch prunes to the query
+    terms' buckets instead of scanning the corpus. ``stats`` is the
+    1-row (n_docs, sum_dl) table persisted beside the index.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+
+    def post(t):
+        return F.transform(
+            F.array_distinct(t),
+            lambda term: F.struct(
+                term.alias("term"),
+                F.size(F.filter(t, lambda x: x == term)).cast("long").alias("tf"),
+            ),
+        )
+
+    postings = toked.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(let(toks, post)).alias("p"),
+    ).select(F.col("p.term").alias("term"), "doc_id", F.col("p.tf").alias("tf"), "dl")
+    stats = toked.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("sum_dl"),
+    )
+    return postings, stats
+
+
+def index_bm25_topk(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against the inverted index: candidates = the query
+    terms' posting rows ONLY (partition-pruned when the index is written
+    partitioned by term — the corpus text is never touched), per-term df
+    counted from those same rows (query-sized aggregate, broadcast
+    back), per-(doc, term) partial scores summed per doc. Identical
+    results to the full-scan ``bm25_topk`` — OR-semantics candidates are
+    exactly the nonzero-score docs — at the cost of reading O(candidate
+    postings) instead of O(corpus).
+
+    The top-k orders by the score ROUNDED to 6 decimals with an id
+    tie-break: raw keys are float sums whose association order differs
+    between the index path, the full-scan fold, and any oracle engine —
+    rounding collapses ulp noise so row MEMBERSHIP is engine-stable.
+    Returns (doc_id, score), score rounded.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    cand = postings.filter(F.col("term").isin(list(query_terms)))
+    dfs = cand.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = cand.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+    df = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    partial = idf * tf * (k1 + 1.0) / (
+        tf + k1 * (1.0 - b + b * dl / avgdl)
+    )
+    return (
+        scored.select("doc_id", partial.alias("partial"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -2653,3 +2653,44 @@ FROM d, totals, slope
 def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return T.corpus_report(docs, zipf_top=_ZIPF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_IDX_K = 10
+
+_INDEX_TOPK_ORACLE = f"""
+WITH scored AS ({_bm25_oracle()}
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {_IDX_K}
+"""
+
+
+@register(
+    "retrieval_index_topk",
+    _INDEX_TOPK_ORACLE,
+    "Inverted-index BM25 top-k (extension; the Lucene-architecture scale "
+    "path beyond full-scan scoring): offline build emits a FLAT posting "
+    "table (term, doc_id, tf, dl) generated fully in-row — no array "
+    "posting lists, so hot-term skew cannot concentrate — to be written "
+    "partitioned by term; the query path touches ONLY the query terms' "
+    "posting rows (partition-pruned at scale), counts df from those same "
+    "rows, broadcasts the query-sized df table + 1-row corpus stats, and "
+    "sums per-(doc,term) partials per doc. Result provably equals the "
+    "full-scan bm25_topk (OR-candidates = nonzero-score docs; this "
+    "oracle IS the full-scan formula). Top-k orders by the 6-decimal-"
+    "rounded score with id tie-break so float association order cannot "
+    "flip membership across engines. Library: operators.retrieval."
+    "build_inverted_index / index_bm25_topk.",
+)
+def retrieval_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    postings, stats = retrieval.build_inverted_index(docs)
+    return retrieval.index_bm25_topk(
+        postings, stats, list(_BM25_TERMS), k=_IDX_K, k1=_BM25_K1, b=_BM25_B
+    )
