@@ -166,3 +166,91 @@ def test_index_topk_candidate_pruning_and_validation(spark):
         index_bm25_topk(postings, stats, ["x", "x"], k=5)
     with _pt.raises(ValueError):
         index_bm25_topk(postings, stats, ["x"], k=0)
+
+
+def test_index_bm25_batch_matches_single_query_path(spark):
+    """Each query's batch result equals the single-query index path (and
+    so the full scan) — same ids, same 6dp scores."""
+    from vlm_data_pipeline_spark.operators.retrieval import (
+        build_inverted_index,
+        index_bm25_batch,
+        index_bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window join spark"),
+            (2, "window only here"),
+            (3, "nothing relevant at all"),
+            (4, "join join join window spark extra words padding here"),
+            (5, "spark alone"),
+        ],
+        "doc_id long, text string",
+    )
+    postings, stats = build_inverted_index(docs)
+    q = spark.createDataFrame(
+        [("q1", ["spark", "join"]), ("q2", ["window"])],
+        "query_id string, terms array<string>",
+    )
+    batch = index_bm25_batch(postings, stats, q, k=3).collect()
+    for qid, terms in (("q1", ["spark", "join"]), ("q2", ["window"])):
+        got = sorted(
+            (r.doc_id, r.score, r.rank) for r in batch if r.query_id == qid
+        )
+        want = sorted(
+            (r.doc_id, r.score, i + 1)
+            for i, r in enumerate(
+                index_bm25_topk(postings, stats, terms, k=3).collect()
+            )
+        )
+        assert got == want, qid
+
+
+def test_mine_hard_negatives_excludes_positives(spark):
+    from vlm_data_pipeline_spark.operators.retrieval import mine_hard_negatives
+
+    ret = spark.createDataFrame(
+        [
+            ("q", 10, 3.0, 1),
+            ("q", 11, 2.5, 2),
+            ("q", 12, 2.0, 3),
+            ("q", 13, 1.0, 4),
+        ],
+        "query_id string, doc_id long, score double, rank int",
+    )
+    pos = spark.createDataFrame(
+        [("q", 10), ("q", 12)], "query_id string, doc_id long"
+    )
+    neg = mine_hard_negatives(ret, pos, n_neg=2).collect()
+    assert [(r.doc_id, r.rank) for r in sorted(neg, key=lambda r: r.rank)] == [
+        (11, 1),
+        (13, 2),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mine_hard_negatives(ret, pos, 0)
+
+
+def test_index_bm25_batch_duplicate_query_terms_collapse(spark):
+    """array_distinct on the query side: repeated terms in one query must
+    not double-count the partials."""
+    from vlm_data_pipeline_spark.operators.retrieval import (
+        build_inverted_index,
+        index_bm25_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark other"), (2, "other words")],
+        "doc_id long, text string",
+    )
+    postings, stats = build_inverted_index(docs)
+    q1 = spark.createDataFrame(
+        [("a", ["spark", "spark"])], "query_id string, terms array<string>"
+    )
+    q2 = spark.createDataFrame(
+        [("a", ["spark"])], "query_id string, terms array<string>"
+    )
+    r1 = index_bm25_batch(postings, stats, q1, k=5).collect()
+    r2 = index_bm25_batch(postings, stats, q2, k=5).collect()
+    assert [(r.doc_id, r.score) for r in r1] == [(r.doc_id, r.score) for r in r2]

@@ -241,3 +241,94 @@ def index_bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def index_bm25_batch(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k for a TABLE of queries at once — the distributed
+    retrieval pattern (one literal query per job does not scale to
+    mining millions of training examples): ``queries`` is (query_id,
+    terms array<string>); terms explode to skinny (query_id, term) rows
+    that join the posting table on term, so each query touches only its
+    terms' postings and the whole batch shares one pass. Per-term df
+    comes from a vocab-keyed aggregate over the SAME candidate postings
+    (term-co-partitioned — no extra corpus scan), partials sum per
+    (query, doc), and the per-query top-k windows on the 6-decimal-
+    rounded score with a doc_id tie-break (engine-stable membership, the
+    index_bm25_topk rationale). Returns (query_id, doc_id, score, rank).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    qt = queries.select(
+        F.col("query_id"), F.explode(F.array_distinct("terms")).alias("term")
+    )
+    # candidate postings: only terms any query mentions survive the join;
+    # postings are one row per (term, doc), so a plain count IS the
+    # document frequency
+    cand = postings.join(qt.select("term").distinct(), "term")
+    dfs = cand.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        qt.join(cand, "term")
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.col("n_docs").cast("double")
+    df = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    partial = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    per_doc = (
+        scored.select("query_id", "doc_id", partial.alias("partial"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def mine_hard_negatives(
+    retrieved: DataFrame,
+    positives: DataFrame,
+    n_neg: int = 5,
+) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al. 2020 §4.2): from
+    a per-query retrieval ranking, drop each query's known POSITIVE docs
+    (anti-join on (query_id, doc_id) — skinny, no broadcast hint: the
+    positives table is training-set-sized) and keep the ``n_neg``
+    highest-ranked survivors — lexically close but wrong, the negatives
+    that actually move a dual encoder. Input ``retrieved`` is
+    (query_id, doc_id, score, rank) from :func:`index_bm25_batch`;
+    returns the same columns with rank re-numbered 1..n_neg."""
+    if n_neg <= 0:
+        raise ValueError("n_neg must be positive")
+    from pyspark.sql import Window as W
+
+    surv = retrieved.join(
+        positives.select("query_id", "doc_id"),
+        ["query_id", "doc_id"],
+        "left_anti",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        surv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_neg)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -2694,3 +2694,110 @@ def retrieval_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.index_bm25_topk(
         postings, stats, list(_BM25_TERMS), k=_IDX_K, k1=_BM25_K1, b=_BM25_B
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch retrieval + DPR-style hard-negative mining
+# ---------------------------------------------------------------------------
+
+_HN_QUERIES = (
+    ("q1", ("spark", "join")),
+    ("q2", ("window", "data")),
+    ("q3", ("customer", "line")),
+)
+_HN_K, _HN_NEG = 5, 3
+
+
+def _hard_neg_oracle() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    vals = ", ".join(
+        f"('{qid}', [{', '.join(repr(t) for t in ts)}])" for qid, ts in _HN_QUERIES
+    )
+    # mirror index_bm25_batch's association order exactly (constants
+    # pre-folded the way Python folds them)
+    partial = (
+        f"(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        f" / (CAST(df AS DOUBLE) + 0.5)) * CAST(tf AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf AS DOUBLE) + {k1!r} * ({1.0 - b!r}"
+        f" + ({b!r} * CAST(dl AS DOUBLE))"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS sum_dl
+    FROM t
+), post AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks,
+           unnest(list_distinct(toks)) AS term
+    FROM t
+), p2 AS (
+    SELECT doc_id, dl, term,
+           CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+    FROM post
+), q AS (
+    SELECT * FROM (VALUES {vals}) AS v(query_id, terms)
+), qt AS (
+    SELECT query_id, unnest(terms) AS term FROM q
+), dfs AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM p2
+    WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+), scored AS (
+    SELECT qt.query_id, p2.doc_id,
+           round(sum({partial}), 6) AS score
+    FROM qt JOIN p2 USING (term) JOIN dfs USING (term) CROSS JOIN stats
+    GROUP BY qt.query_id, p2.doc_id
+), ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored QUALIFY rank <= {_HN_K}
+), pos AS (
+    SELECT query_id, doc_id FROM ranked WHERE rank = 1
+)
+SELECT query_id, doc_id, score, rank FROM (
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS BIGINT)
+               AS new_rank
+    FROM ranked r
+    WHERE NOT EXISTS (SELECT 1 FROM pos
+                      WHERE pos.query_id = r.query_id
+                        AND pos.doc_id = r.doc_id)
+) x(query_id, doc_id, score, rank)
+WHERE rank <= {_HN_NEG}
+"""
+
+
+@register(
+    "retrieval_hard_negatives",
+    _hard_neg_oracle(),
+    "Batch BM25 + DPR-style hard-negative mining (extension; Karpukhin "
+    "et al. 2020 §4.2): a TABLE of queries explodes to (query_id, term) "
+    "rows that join the inverted index once for the whole batch — each "
+    "query touches only its terms' postings; per-(query,doc) partials "
+    "sum and window per query on the rounded score. Known positives "
+    "(here: each query's top-1 hit) drop via a skinny anti-join and the "
+    "next n_neg survivors re-rank as the hard negatives that actually "
+    "train a dual encoder. Library: operators.retrieval."
+    "index_bm25_batch / mine_hard_negatives.",
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    postings, stats = retrieval.build_inverted_index(docs)
+    q = spark.createDataFrame(
+        [(qid, list(ts)) for qid, ts in _HN_QUERIES],
+        "query_id string, terms array<string>",
+    )
+    ret = retrieval.index_bm25_batch(
+        postings, stats, q, k=_HN_K, k1=_BM25_K1, b=_BM25_B
+    )
+    pos = ret.filter(F.col("rank") == 1).select("query_id", "doc_id")
+    neg = retrieval.mine_hard_negatives(ret, pos, n_neg=_HN_NEG)
+    return neg.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
