@@ -299,3 +299,147 @@ def test_corpus_report_top_word_tie_break(spark):
     )
     r = corpus_report(docs).collect()[0]
     assert r.top_word == "aa" and r.top_freq == 2
+
+
+def test_canonical_url_idempotent_and_total(spark):
+    """Property sweep in one pass: for 200 randomized URL-ish strings
+    (schemes, ports, params, fragments, unicode junk), canonicalization
+    never crashes and is IDEMPOTENT: canon(canon(u)) == canon(u)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.dedup import canonical_url
+
+    rng = random.Random(11)
+    schemes = ["http://", "https://", "HTTPS://", "", "ftp://"]
+    hosts = ["www.Ex.com", "ex.com:443", "EX.com:80", "ex.com:8080", "."]
+    paths = ["", "/", "/a/b/", "/a//", "/%20x", "/ünï/ç"]
+    queries = ["", "?a=1&utm_x=2", "?utm_a&b", "?z=9&a=1&a=0", "?ref"]
+    frags = ["", "#f", "#a#b"]
+    urls = [
+        rng.choice(schemes)
+        + rng.choice(hosts)
+        + rng.choice(paths)
+        + rng.choice(queries)
+        + rng.choice(frags)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r.c1 == r.c2, r
+
+
+def test_span_removal_invariants_random_corpus(spark):
+    """Randomized corpus with planted shared spans: (a) n_removed ==
+    n_tokens − tokens(out), (b) the output is a SUBSEQUENCE of the
+    original tokens, (c) a second pass over the survivors of a
+    duplicate-free corpus is the identity, (d) results are partition-
+    independent."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import tokens
+    from vlm_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    rng = random.Random(23)
+    shared = [" ".join(f"s{j}_{i}" for i in range(rng.randint(6, 14))) for j in range(4)]
+    docs = []
+    for d in range(40):
+        parts = [f"u{d}_{i}" for i in range(rng.randint(0, 20))]
+        if rng.random() < 0.5:
+            ins = rng.choice(shared)
+            pos = rng.randint(0, len(parts))
+            parts[pos:pos] = ins.split()
+        docs.append((d, " ".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = remove_duplicate_spans(df, k=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    orig = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+    for d, r in rows.items():
+        got = r.text.split() if r.text else []
+        assert r.n_tokens == len(orig[d])
+        assert r.n_removed == len(orig[d]) - len(got)
+        it = iter(orig[d])
+        assert all(tok in it for tok in got), f"not a subsequence: doc {d}"
+    rows2 = {
+        r.doc_id: r for r in remove_duplicate_spans(df.repartition(7), k=5).collect()
+    }
+    assert {d: (r.n_removed, r.text) for d, r in rows.items()} == {
+        d: (r.n_removed, r.text) for d, r in rows2.items()
+    }
+    # duplicate-free corpus: identity (up to whitespace normalization)
+    clean = spark.createDataFrame(
+        [(d, " ".join(f"only{d}_{i}" for i in range(12))) for d in range(10)],
+        "doc_id long, text string",
+    )
+    again = remove_duplicate_spans(clean, k=5).collect()
+    assert all(r.n_removed == 0 for r in again)
+
+
+def test_winnow_guarantee_fuzz(spark):
+    """20 randomized doc pairs, each sharing a planted span of exactly
+    w+k-1 tokens at random offsets: the winnowing guarantee holds in
+    every case (>= 1 shared fingerprint)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import tokens, winnow_fingerprints
+
+    rng = random.Random(5)
+    k, w = 4, 5
+    rows = []
+    for pair in range(20):
+        span = " ".join(f"p{pair}_{i}" for i in range(k + w - 1))
+        for side in (0, 1):
+            n1, n2 = rng.randint(0, 30), rng.randint(0, 30)
+            body = (
+                [f"x{pair}_{side}_{i}" for i in range(n1)]
+                + span.split()
+                + [f"y{pair}_{side}_{i}" for i in range(n2)]
+            )
+            rows.append((pair * 2 + side, pair, " ".join(body)))
+    df = spark.createDataFrame(rows, "doc_id long, pair long, text string")
+    got = df.select(
+        "doc_id",
+        "pair",
+        winnow_fingerprints(tokens(F.col("text")), k=k, w=w).alias("sel"),
+    ).collect()
+    by_pair: dict[int, list[set]] = {}
+    for r in got:
+        by_pair.setdefault(r.pair, []).append({s.fp for s in r.sel})
+    for pair, (a, b) in by_pair.items():
+        assert a & b, f"guarantee violated for pair {pair}"
+
+
+def test_quality_classifier_scores_bounded_random(spark):
+    """Scores are always in (0, 1) and finite for random weights/text."""
+    import random
+
+    from vlm_data_pipeline_spark.operators.curation import (
+        quality_classifier_scores,
+    )
+
+    rng = random.Random(3)
+    w = [rng.randint(-(10**13), 10**13) for _ in range(64)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randint(0, 30))))
+            for i in range(100)
+        ],
+        "doc_id long, text string",
+    )
+    rows = quality_classifier_scores(docs, w).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert 0.0 < r.score < 1.0
