@@ -2793,9 +2793,12 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, list(ts)) for qid, ts in _HN_QUERIES],
         "query_id string, terms array<string>",
     )
+    # ret is consumed twice (positives + the anti-join input); without
+    # the persist each consumer re-runs the whole index pass — k·|Q|
+    # rows of cache buys back a full corpus-postings recompute
     ret = retrieval.index_bm25_batch(
         postings, stats, q, k=_HN_K, k1=_BM25_K1, b=_BM25_B
-    )
+    ).persist()
     pos = ret.filter(F.col("rank") == 1).select("query_id", "doc_id")
     neg = retrieval.mine_hard_negatives(ret, pos, n_neg=_HN_NEG)
     return neg.select(
