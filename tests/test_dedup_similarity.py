@@ -996,3 +996,49 @@ def test_url_dedup_groups_and_zero_shuffle_canon(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_sentences_split_rules(spark):
+    """Terminal punctuation splits, runs stay attached, no-punctuation
+    text is one sentence, leading/trailing whitespace trims."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "One here. Two there! Three maybe? Four"),
+            (2, "Wow!!! Next one."),
+            (3, "no terminal punctuation at all"),
+            (4, "  Padded.   Sentence two.  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", sentences(F.col("text")).alias("s")).collect()
+    }
+    assert got[1] == ["One here.", "Two there!", "Three maybe?", "Four"]
+    assert got[2] == ["Wow!!!", "Next one."]
+    assert got[3] == ["no terminal punctuation at all"]
+    assert got[4] == ["Padded.", "Sentence two."]
+
+
+def test_dedup_sentence_spans_c4_rule(spark):
+    """The C4 rule end-to-end: a 3-sentence span shared by two docs
+    survives only in the min-id owner; spans of fewer shared sentences
+    are untouched."""
+    from vlm_data_pipeline_spark.operators.dedup import dedup_sentence_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Shared one. Shared two. Shared three. Mine stays."),
+            (2, "Other head! Shared one. Shared two. Shared three."),
+            (3, "Shared one. Shared two. Different third one here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_sentence_spans(docs, n_sent=3).collect()}
+    assert out[1].n_removed == 0 and out[1].n_sentences == 4
+    assert out[2].n_removed == 3 and out[2].text == "Other head!"
+    assert out[3].n_removed == 0  # only a 2-sentence overlap

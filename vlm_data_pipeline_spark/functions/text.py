@@ -483,3 +483,17 @@ def corpus_report(df, text_col: str = "text", zipf_top: int = 100):
             F.round("zipf_slope", 4).alias("zipf_slope"),
         )
     )
+
+
+def sentences(text: Column) -> Column:
+    """RE2-safe sentence split (works verbatim in the DuckDB oracle — no
+    lookbehind): a record separator is inserted after every terminal
+    punctuation mark ([.!?]) followed by whitespace, then the text
+    splits on it; sentences are trimmed and empties dropped. Terminal
+    runs ("wow!!!") stay inside their sentence (the marker lands after
+    the last mark). ArrayType(StringType)."""
+    marked = F.regexp_replace(text, r"([.!?])\s+", "$1\x1e")
+    return F.filter(
+        F.transform(F.split(marked, "\x1e"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )

@@ -824,16 +824,23 @@ _SPAN_SEP = "\x1f"  # token separator no whitespace token can contain
 
 
 def span_fingerprints(
-    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    units=None,
 ) -> DataFrame:
-    """(doc_id, pos, fp) — one row per k-token sliding window (1-based
-    token position). The ExactSubstr representation (Lee et al. 2021,
-    "Deduplicating Training Data Makes Language Models Better"): the
-    paper's suffix array finds verbatim repeated spans; at cluster scale
-    the equivalent join-able form is a fingerprint per fixed-length
-    window. Generation is in-row (generate + explode, zero shuffle);
-    downstream shuffles carry (fp, doc_id, pos) triples only — O(corpus
-    tokens) skinny rows, never the text."""
+    """(doc_id, pos, fp) — one row per k-UNIT sliding window (1-based
+    unit position; units default to whitespace tokens, pass
+    ``units=functions.text.sentences`` for sentence windows). The
+    ExactSubstr representation (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): the paper's suffix
+    array finds verbatim repeated spans; at cluster scale the
+    equivalent join-able form is a fingerprint per fixed-length window.
+    Generation is in-row (generate + explode, zero shuffle); downstream
+    shuffles carry (fp, doc_id, pos) triples only — O(corpus units)
+    skinny rows, never the text."""
+    units = units or tokens
 
     def mk(t: Column) -> Column:
         wins = F.transform(
@@ -854,7 +861,7 @@ def span_fingerprints(
 
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(let(tokens(F.col(text_col)), mk)).alias("s"),
+        F.explode(let(units(F.col(text_col)), mk)).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
 
 
@@ -891,6 +898,8 @@ def remove_duplicate_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    units=None,
+    joiner: str = " ",
 ) -> DataFrame:
     """ExactSubstr dedup (Lee et al. 2021) as three skinny shuffles:
     window fingerprints -> duplicated-occurrence marking (fp-partitioned
@@ -903,12 +912,15 @@ def remove_duplicate_spans(
     text is whitespace-normalized (single-space joined) — the same
     canonicalization the fingerprint tokenizer applies.
 
+    ``units``/``joiner`` generalize the pass to any unit array (see
+    :func:`dedup_sentence_spans` for C4's three-sentence variant).
     Returns (doc_id, n_tokens, n_removed, text); docs with no duplicated
     span pass through with n_removed = 0."""
+    units = units or tokens
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     rm = (
         duplicated_span_positions(
-            span_fingerprints(base, k=k), min_count=min_count
+            span_fingerprints(base, k=k, units=units), min_count=min_count
         )
         .groupBy("doc_id")
         .agg(F.collect_list("pos").alias("rm_pos"))
@@ -953,13 +965,13 @@ def remove_duplicate_spans(
             F.size(t).cast("long").alias("n_tokens"),
             (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
             F.concat_ws(
-                " ", F.transform(kept, lambda i: F.element_at(t, i.cast("int")))
+                joiner, F.transform(kept, lambda i: F.element_at(t, i.cast("int")))
             ).alias("text"),
         )
 
     return (
         joined.withColumn("_ivs", ivs)
-        .withColumn("_r", let(tokens(F.col("text")), rebuild))
+        .withColumn("_r", let(units(F.col("text")), rebuild))
         .select(
             "doc_id",
             F.col("_r.n_tokens").alias("n_tokens"),
@@ -1107,4 +1119,38 @@ def url_dedup_groups(
         .select(
             "canon_url", "keep_id", (F.col("group_size") - 1).alias("n_dups")
         )
+    )
+
+
+def dedup_sentence_spans(
+    df: DataFrame,
+    n_sent: int = 3,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's exact-dedup step (Raffel et al. 2020 §2.2: "we discard all
+    but one of any three-sentence span occurring more than once"): the
+    span machinery of :func:`remove_duplicate_spans` instantiated over
+    SENTENCE units — sentence windows fingerprint in-row, duplicated
+    occurrences resolve to their min-(doc, pos) owner in one
+    fp-partitioned pass, and non-owner docs lose the covered sentences
+    (interval-merged). Output text is single-space re-joined trimmed
+    sentences. Returns (doc_id, n_sentences, n_removed, text)."""
+    from ..functions.text import sentences
+
+    out = remove_duplicate_spans(
+        df,
+        k=n_sent,
+        min_count=min_count,
+        id_col=id_col,
+        text_col=text_col,
+        units=sentences,
+        joiner=" ",
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").alias("n_sentences"),
+        "n_removed",
+        "text",
     )

@@ -2804,3 +2804,102 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neg.select(
         "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 three-sentence span dedup — Raffel et al. 2020 §2.2
+# ---------------------------------------------------------------------------
+
+_SENT_N = 3
+
+# deterministic sentence-bearing text (the synthetic corpus has no
+# punctuation): docs sharing doc_id % 25 share a 3-sentence run, placed
+# before a unique sentence in even docs and after in odd docs
+_SENT_TEXT_SPARK = (
+    "CASE WHEN doc_id % 2 = 0 THEN concat("
+    "'Shared ', CAST(doc_id % 25 AS STRING), ' alpha. ',"
+    "'Shared ', CAST(doc_id % 25 AS STRING), ' beta. ',"
+    "'Shared ', CAST(doc_id % 25 AS STRING), ' gamma. ',"
+    "'Unique ', CAST(doc_id AS STRING), ' tail.')"
+    " ELSE concat("
+    "'Unique ', CAST(doc_id AS STRING), ' head! ',"
+    "'Shared ', CAST(doc_id % 25 AS STRING), ' alpha. ',"
+    "'Shared ', CAST(doc_id % 25 AS STRING), ' beta. ',"
+    "'Shared ', CAST(doc_id % 25 AS STRING), ' gamma.') END"
+)
+
+_SENT_ORACLE = f"""
+WITH docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN concat(
+               'Shared ', CAST(doc_id % 25 AS VARCHAR), ' alpha. ',
+               'Shared ', CAST(doc_id % 25 AS VARCHAR), ' beta. ',
+               'Shared ', CAST(doc_id % 25 AS VARCHAR), ' gamma. ',
+               'Unique ', CAST(doc_id AS VARCHAR), ' tail.')
+           ELSE concat(
+               'Unique ', CAST(doc_id AS VARCHAR), ' head! ',
+               'Shared ', CAST(doc_id % 25 AS VARCHAR), ' alpha. ',
+               'Shared ', CAST(doc_id % 25 AS VARCHAR), ' beta. ',
+               'Shared ', CAST(doc_id % 25 AS VARCHAR), ' gamma.') END AS text
+    FROM documents
+), sent AS (
+    SELECT doc_id,
+           list_filter(list_transform(
+               string_split(regexp_replace(text, '([.!?])\\s+',
+                                           '\\1' || chr(30), 'g'), chr(30)),
+               s -> trim(s)), s -> s <> '') AS w
+    FROM docs2
+), exp AS (
+    SELECT doc_id, w, unnest(
+        CASE WHEN len(w) >= {_SENT_N} THEN
+            list_transform(range(1, len(w) - {_SENT_N} + 2),
+                i -> struct_pack(pos := i,
+                    fp := {_d_hash60(f"array_to_string(w[i:i+{_SENT_N}-1], chr(31))")}))
+        ELSE [] END) AS s
+    FROM sent
+), marked AS (
+    SELECT doc_id, s.pos AS pos,
+           count(*) OVER (PARTITION BY s.fp) AS c,
+           row_number() OVER (PARTITION BY s.fp ORDER BY doc_id, s.pos) AS rn
+    FROM exp
+), rm AS (
+    SELECT doc_id, list(pos) AS rm_pos
+    FROM marked WHERE c >= 2 AND rn > 1 GROUP BY doc_id
+), rebuilt AS (
+    SELECT t.doc_id,
+           CAST(len(w) AS BIGINT) AS n_sentences,
+           list_filter(range(1, len(w) + 1),
+               i -> len(list_filter(coalesce(rm_pos, []),
+                        p -> p <= i AND i < p + {_SENT_N})) = 0) AS kept,
+           w
+    FROM sent t LEFT JOIN rm ON t.doc_id = rm.doc_id
+)
+SELECT doc_id, n_sentences,
+       CAST(n_sentences - len(kept) AS BIGINT) AS n_removed,
+       md5(coalesce(array_to_string(list_transform(kept, i -> w[i]), ' '), ''))
+           AS text_fp
+FROM rebuilt
+"""
+
+
+@register(
+    "dedup_sentence_spans",
+    _SENT_ORACLE,
+    "C4 three-sentence span dedup (extension; Raffel et al. 2020 §2.2 — "
+    "'we discard all but one of any three-sentence span occurring more "
+    "than once'): the ExactSubstr span machinery instantiated over "
+    "SENTENCE units (RE2-safe splitter, no lookbehind, reproduced "
+    "verbatim in this oracle) — in-row sentence-window fingerprints, "
+    "min-(doc,pos) owner per duplicated window in one fp-partitioned "
+    "pass, interval-merged sentence removal, md5-pinned rebuilt docs. "
+    "Demo plants a shared 3-sentence run per doc_id%25 group at "
+    "alternating offsets. Library: operators.dedup.dedup_sentence_spans "
+    "+ functions.text.sentences.",
+)
+def dedup_sentence_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    planted = docs.select("doc_id", F.expr(_SENT_TEXT_SPARK).alias("text"))
+    out = dedup.dedup_sentence_spans(planted, n_sent=_SENT_N)
+    return out.select(
+        "doc_id", "n_sentences", "n_removed", F.md5("text").alias("text_fp")
+    )
