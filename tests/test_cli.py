@@ -172,3 +172,93 @@ def test_cli_mix_orc_input(spark, tmp_path):
     assert main(["mix", "--docs", src, "--format", "orc", "--weights",
                  "en=1.0", "--budget", "16", "--out", out, "--cpus", "4"]) == 0
     assert spark.read.parquet(f"{out}/mixed").count() == 8  # 2 epochs x 4
+
+
+def test_cli_select(spark, tmp_path):
+    """DSIR selection end-to-end: raw docs resembling the target corpus
+    are preferentially selected."""
+    target = spark.createDataFrame(
+        [(100 + i, "clean prose flows nicely here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, "clean prose flows nicely here") for i in range(10)]
+        + [(10 + i, "junk spam words entirely different tokens") for i in range(10)],
+        "doc_id long, text string",
+    )
+    tdir, rdir = str(tmp_path / "target"), str(tmp_path / "raw")
+    target.write.mode("overwrite").parquet(tdir)
+    raw.write.mode("overwrite").parquet(rdir)
+    out = str(tmp_path / "sel_out")
+    assert main(["select", "--docs", rdir, "--target", tdir, "--n", "8",
+                 "--buckets", "64", "--out", out, "--cpus", "4"]) == 0
+    picked = spark.read.parquet(f"{out}/selected")
+    ids = sorted(r.doc_id for r in picked.collect())
+    assert len(ids) == 8
+    # target-like docs (ids 0-9) dominate the selection
+    assert sum(1 for i in ids if i < 10) >= 6
+    assert "text" in picked.columns  # selection joins the full docs back
+
+
+def test_cli_dedup_spans_token_and_sentence(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f. Second sentence here. Third one now."),
+            (2, "Extra lead! a b c d e f. Second sentence here. Third one now."),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs2")
+    docs.write.mode("overwrite").parquet(src)
+    out_t = str(tmp_path / "tok_out")
+    assert main(["dedup-spans", "--docs", src, "--unit", "token", "--k", "5",
+                 "--out", out_t, "--cpus", "4"]) == 0
+    tok = {r.doc_id: r for r in spark.read.parquet(f"{out_t}/deduped").collect()}
+    assert tok[1].n_removed == 0 and tok[2].n_removed > 0
+
+    out_s = str(tmp_path / "sent_out")
+    assert main(["dedup-spans", "--docs", src, "--unit", "sentence",
+                 "--out", out_s, "--cpus", "4"]) == 0
+    sent = {r.doc_id: r for r in spark.read.parquet(f"{out_s}/deduped").collect()}
+    assert sent[1].n_removed == 0 and sent[2].n_removed == 3
+    assert sent[2].text == "Extra lead!"
+
+
+def test_cli_retrieve_single_and_batch(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window join spark"),
+            (2, "window only here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs3")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "ret_out")
+    assert main(["retrieve", "--docs", src, "--terms", "spark,join",
+                 "--k", "2", "--out", out, "--cpus", "4"]) == 0
+    got = spark.read.parquet(f"{out}/retrieved")
+    assert [r.doc_id for r in got.collect()] == [1]  # only doc 1 matches both
+
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [("q1", ["spark"]), ("q2", ["window"])],
+        "query_id string, terms array<string>",
+    ).write.mode("overwrite").parquet(qdir)
+    pdir = str(tmp_path / "pos")
+    spark.createDataFrame(
+        [("q2", 2)], "query_id string, doc_id long"
+    ).write.mode("overwrite").parquet(pdir)
+    out2 = str(tmp_path / "neg_out")
+    assert main(["retrieve", "--docs", src, "--queries", qdir,
+                 "--positives", pdir, "--negatives", "2", "--k", "3",
+                 "--out", out2, "--cpus", "4"]) == 0
+    neg = spark.read.parquet(f"{out2}/retrieved").collect()
+    # q2's positive (doc 2) must be excluded from its negatives
+    assert not any(r.query_id == "q2" and r.doc_id == 2 for r in neg)
+
+    import pytest as _pt
+
+    with _pt.raises(SystemExit):
+        main(["retrieve", "--docs", src, "--cpus", "4"])

@@ -7,6 +7,9 @@ scripts (process_all.py / generate_qa.py / create_labeled_dataset.py):
     python -m vlm_data_pipeline_spark mix     --docs PATH --weights k=v,.. --budget N
     python -m vlm_data_pipeline_spark summary --frames DIR
     python -m vlm_data_pipeline_spark eval    --detections P --groundtruth P
+    python -m vlm_data_pipeline_spark select  --docs P --target P --n N --out DIR
+    python -m vlm_data_pipeline_spark dedup-spans --docs P --unit token|sentence --out DIR
+    python -m vlm_data_pipeline_spark retrieve --docs P --terms a,b,c [--out DIR]
 
 ``clean``/``mix`` read parquet, JSONL(.gz), or ORC corpora (--format).
 
@@ -143,6 +146,86 @@ def cmd_eval(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_select(args: argparse.Namespace) -> int:
+    """DSIR data selection: fit hashed-bigram importance ratios of a
+    TARGET corpus against the raw docs, score every raw doc, and
+    Gumbel-top-k sample ``--n`` docs proportionally to exp(score)."""
+    from pyspark.sql import functions as F
+
+    from .operators.curation import dsir_log_ratios, dsir_sample, dsir_scores
+
+    spark = _spark(args.cpus)
+    docs = _read_docs(spark, args.docs, args.format)
+    target = _read_docs(spark, args.target, args.format)
+    ratios = dsir_log_ratios(target, docs, n_buckets=args.buckets)
+    scored = dsir_scores(docs, ratios, n_buckets=args.buckets)
+    picked = dsir_sample(scored, n=args.n, seed=args.seed)
+    out = picked.join(docs, "doc_id")
+    out.write.mode("overwrite").parquet(f"{args.out}/selected")
+    stats = picked.agg(
+        F.count("*").alias("n"), F.min("score"), F.avg("score"), F.max("score")
+    )
+    stats.show(truncate=False)
+    return 0
+
+
+def cmd_dedup_spans(args: argparse.Namespace) -> int:
+    """Span-level exact dedup: ExactSubstr duplicated k-token windows
+    (--unit token) or C4's three-sentence rule (--unit sentence)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import dedup_sentence_spans, remove_duplicate_spans
+
+    spark = _spark(args.cpus)
+    docs = _read_docs(spark, args.docs, args.format)
+    # paper defaults: ExactSubstr uses 50-token windows, C4 three sentences
+    k = args.k if args.k is not None else (3 if args.unit == "sentence" else 50)
+    if args.unit == "sentence":
+        out = dedup_sentence_spans(docs, n_sent=k, min_count=args.min_count)
+    else:
+        out = remove_duplicate_spans(docs, k=k, min_count=args.min_count)
+    out.write.mode("overwrite").parquet(f"{args.out}/deduped")
+    written = spark.read.parquet(f"{args.out}/deduped")
+    written.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_removed").alias("units_removed"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_touched"),
+    ).show(truncate=False)
+    return 0
+
+
+def cmd_retrieve(args: argparse.Namespace) -> int:
+    """Inverted-index BM25 retrieval: one literal query (--terms) or a
+    batch query table (--queries, columns query_id + terms); optional
+    DPR-style hard negatives against a positives table."""
+    from .operators.retrieval import (
+        build_inverted_index,
+        index_bm25_batch,
+        index_bm25_topk,
+        mine_hard_negatives,
+    )
+
+    spark = _spark(args.cpus)
+    docs = _read_docs(spark, args.docs, args.format)
+    postings, stats = build_inverted_index(docs)
+    if args.queries:
+        q = spark.read.parquet(args.queries)
+        ret = index_bm25_batch(postings, stats, q, k=args.k).persist()
+        result = ret
+        if args.positives:
+            pos = spark.read.parquet(args.positives)
+            result = mine_hard_negatives(ret, pos, n_neg=args.negatives)
+    elif args.terms:
+        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        result = index_bm25_topk(postings, stats, terms, k=args.k)
+    else:
+        raise SystemExit("one of --terms or --queries is required")
+    result.show(args.k * 3, truncate=False)
+    if args.out:
+        result.write.mode("overwrite").parquet(f"{args.out}/retrieved")
+    return 0
+
+
 def cmd_summary(args: argparse.Namespace) -> int:
     from .sources.json_frames import dataset_summary, parameter_audit
 
@@ -205,6 +288,52 @@ def build_parser() -> argparse.ArgumentParser:
     mx.add_argument("--seed", default="mix")
     mx.add_argument("--out", default=None)
     mx.set_defaults(fn=cmd_mix)
+
+    se = sub.add_parser(
+        "select", help="DSIR importance selection against a target corpus",
+        parents=[common],
+    )
+    se.add_argument("--docs", required=True)
+    se.add_argument("--target", required=True)
+    se.add_argument("--format", choices=["parquet", "jsonl", "orc"],
+                    default="parquet")
+    se.add_argument("--n", type=int, required=True)
+    se.add_argument("--buckets", type=int, default=1024)
+    se.add_argument("--seed", default="dsir")
+    se.add_argument("--out", required=True)
+    se.set_defaults(fn=cmd_select)
+
+    ds = sub.add_parser(
+        "dedup-spans",
+        help="ExactSubstr token-window / C4 sentence-span dedup",
+        parents=[common],
+    )
+    ds.add_argument("--docs", required=True)
+    ds.add_argument("--format", choices=["parquet", "jsonl", "orc"],
+                    default="parquet")
+    ds.add_argument("--unit", choices=["token", "sentence"], default="token")
+    ds.add_argument("--k", type=int, default=None,
+                    help="window length (default: 50 tokens / 3 sentences)")
+    ds.add_argument("--min-count", type=int, default=2)
+    ds.add_argument("--out", required=True)
+    ds.set_defaults(fn=cmd_dedup_spans)
+
+    rt = sub.add_parser(
+        "retrieve", help="inverted-index BM25 (+ hard negatives)",
+        parents=[common],
+    )
+    rt.add_argument("--docs", required=True)
+    rt.add_argument("--format", choices=["parquet", "jsonl", "orc"],
+                    default="parquet")
+    rt.add_argument("--terms", default=None, help="comma list for one query")
+    rt.add_argument("--queries", default=None,
+                    help="parquet with (query_id, terms) for a batch")
+    rt.add_argument("--positives", default=None,
+                    help="parquet with (query_id, doc_id) known positives")
+    rt.add_argument("--negatives", type=int, default=5)
+    rt.add_argument("--k", type=int, default=10)
+    rt.add_argument("--out", default=None)
+    rt.set_defaults(fn=cmd_retrieve)
 
     ev = sub.add_parser(
         "eval", help="detection AP + accuracy metrics", parents=[common]
