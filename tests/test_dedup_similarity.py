@@ -1042,3 +1042,37 @@ def test_dedup_sentence_spans_c4_rule(spark):
     assert out[1].n_removed == 0 and out[1].n_sentences == 4
     assert out[2].n_removed == 3 and out[2].text == "Other head!"
     assert out[3].n_removed == 0  # only a 2-sentence overlap
+
+
+def test_span_removal_empty_docs_pass_through(spark):
+    """Review-pass regression: empty and whitespace-only docs must pass
+    through (token AND sentence variants) instead of crashing the task
+    with INVALID_ARRAY_INDEX_IN_ELEMENT_AT from sequence(1, 0)."""
+    from vlm_data_pipeline_spark.operators.dedup import (
+        dedup_sentence_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real words in here today fine ok now"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    tok = {r.doc_id: r for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert tok[2].n_tokens == 0 and tok[2].n_removed == 0 and tok[2].text == ""
+    assert tok[3].n_tokens == 0 and tok[3].text == ""
+    sent = {r.doc_id: r for r in dedup_sentence_spans(docs).collect()}
+    assert sent[2].n_sentences == 0 and sent[2].text == ""
+
+
+def test_span_serialization_is_injective(spark):
+    """Review-pass regression: units containing the separator must not
+    alias across window boundaries — ['a\\x1fb','c'] and ['a','b\\x1fc']
+    are DIFFERENT 2-windows (length-prefixed encoding), so neither doc
+    loses content."""
+    from vlm_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a\x1fb c"), (2, "a b\x1fc")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=2).collect()}
+    assert out[1].n_removed == 0 and out[2].n_removed == 0

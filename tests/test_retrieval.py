@@ -156,9 +156,12 @@ def test_index_topk_candidate_pruning_and_validation(spark):
         [(1, "x y"), (2, "z")], "doc_id long, text string"
     )
     postings, stats = build_inverted_index(docs)
-    df = index_bm25_topk(postings, stats, ["x"], k=5)
+    df = index_bm25_topk(postings, stats, ["x", "y"], k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "term" in plan and ("x" in plan), plan[:1500]
+    # the isin predicate must appear as an actual IN filter on term —
+    # asserting on bare substrings ("term", "x") is vacuous since both
+    # occur in every plan string
+    assert "IN (x,y)" in plan or "IN (x, y)" in plan, plan[:1500]
     assert [r.doc_id for r in df.collect()] == [1]
     with _pt.raises(ValueError):
         index_bm25_topk(postings, stats, [], k=5)
@@ -254,3 +257,45 @@ def test_index_bm25_batch_duplicate_query_terms_collapse(spark):
     r1 = index_bm25_batch(postings, stats, q1, k=5).collect()
     r2 = index_bm25_batch(postings, stats, q2, k=5).collect()
     assert [(r.doc_id, r.score) for r in r1] == [(r.doc_id, r.score) for r in r2]
+
+
+def test_index_bm25_batch_duplicate_query_rows_no_double_count(spark):
+    """Review-pass regression: duplicate (query_id, term) ROWS in the
+    queries table (not just within one terms array) must not double the
+    affected scores."""
+    from vlm_data_pipeline_spark.operators.retrieval import (
+        build_inverted_index,
+        index_bm25_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark other"), (2, "other words here")],
+        "doc_id long, text string",
+    )
+    postings, stats = build_inverted_index(docs)
+    dup = spark.createDataFrame(
+        [("a", ["spark"]), ("a", ["spark"])],
+        "query_id string, terms array<string>",
+    )
+    one = spark.createDataFrame(
+        [("a", ["spark"])], "query_id string, terms array<string>"
+    )
+    r_dup = [(r.doc_id, r.score) for r in index_bm25_batch(postings, stats, dup, k=5).collect()]
+    r_one = [(r.doc_id, r.score) for r in index_bm25_batch(postings, stats, one, k=5).collect()]
+    assert sorted(r_dup) == sorted(r_one)
+
+
+def test_build_inverted_index_empty_and_repeated_docs(spark):
+    """Empty/whitespace docs emit no postings (and never crash); heavy
+    within-doc repetition run-length encodes correctly."""
+    from vlm_data_pipeline_spark.operators.retrieval import build_inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "z z z z z a z")],
+        "doc_id long, text string",
+    )
+    postings, stats = build_inverted_index(docs)
+    rows = {(r.term, r.doc_id): r.tf for r in postings.collect()}
+    assert rows == {("z", 3): 6, ("a", 3): 1}
+    s = stats.collect()[0]
+    assert (s.n_docs, s.sum_dl) == (3, 7)

@@ -159,7 +159,10 @@ def cmd_select(args: argparse.Namespace) -> int:
     target = _read_docs(spark, args.target, args.format)
     ratios = dsir_log_ratios(target, docs, n_buckets=args.buckets)
     scored = dsir_scores(docs, ratios, n_buckets=args.buckets)
-    picked = dsir_sample(scored, n=args.n, seed=args.seed)
+    # picked is n-row-sized but derives from a full corpus scoring pass;
+    # it feeds both the join+write and the stats — persist so the second
+    # consumer doesn't re-run the scoring
+    picked = dsir_sample(scored, n=args.n, seed=args.seed).persist()
     out = picked.join(docs, "doc_id")
     out.write.mode("overwrite").parquet(f"{args.out}/selected")
     stats = picked.agg(
@@ -205,6 +208,10 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
         mine_hard_negatives,
     )
 
+    if args.terms and args.queries:
+        raise SystemExit("--terms and --queries are mutually exclusive")
+    if args.positives and not args.queries:
+        raise SystemExit("--positives requires --queries (batch mode)")
     spark = _spark(args.cpus)
     docs = _read_docs(spark, args.docs, args.format)
     postings, stats = build_inverted_index(docs)
@@ -216,7 +223,13 @@ def cmd_retrieve(args: argparse.Namespace) -> int:
             pos = spark.read.parquet(args.positives)
             result = mine_hard_negatives(ret, pos, n_neg=args.negatives)
     elif args.terms:
-        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        # dict.fromkeys: dedupe while keeping order — a repeated term on
+        # the command line is user convenience, not a double-count request
+        terms = list(
+            dict.fromkeys(t.strip() for t in args.terms.split(",") if t.strip())
+        )
+        if not terms:
+            raise SystemExit("--terms parsed to an empty list")
         result = index_bm25_topk(postings, stats, terms, k=args.k)
     else:
         raise SystemExit("one of --terms or --queries is required")

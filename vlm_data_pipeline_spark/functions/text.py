@@ -404,11 +404,17 @@ def winnow_fingerprints(toks: Column, k: int = 5, w: int = 4) -> Column:
         return F.array_distinct(sel)
 
     def grams(t: Column) -> Column:
+        # length-prefixed units: raw separator joins are not injective
+        # when a token can contain the separator (see dedup._unit_enc)
+        def enc(u: Column) -> Column:
+            return F.concat(F.length(u).cast("string"), F.lit(":"), u)
+
         hashes = F.transform(
             F.sequence(F.lit(1), F.size(t) - (k - 1)),
             lambda i: hash60(
                 F.concat_ws(
-                    sep, *[F.element_at(t, (i + off).cast("int")) for off in range(k)]
+                    sep,
+                    *[enc(F.element_at(t, (i + off).cast("int"))) for off in range(k)],
                 )
             ),
         )

@@ -820,7 +820,17 @@ def minhash_incremental_pairs(
 # Exact-substring (span-level) dedup — Lee et al. 2021
 # ---------------------------------------------------------------------------
 
-_SPAN_SEP = "\x1f"  # token separator no whitespace token can contain
+_SPAN_SEP = "\x1f"  # window-serialization separator (see _unit_enc)
+
+
+def _unit_enc(u: Column) -> Column:
+    """Length-prefixed unit encoding for window serialization: 'len:unit'.
+    Joining raw units with a separator is NOT injective (a unit may
+    itself contain the separator — \x1f is not whitespace, and sentence
+    units are arbitrary prose), so ['a\x1fb','c'] and ['a','b\x1fc']
+    would collide and dedup as false duplicates. The length prefix makes
+    the serialization decodable, hence collision-free up to md5."""
+    return F.concat(F.length(u).cast("string"), F.lit(":"), u)
 
 
 def span_fingerprints(
@@ -850,7 +860,10 @@ def span_fingerprints(
                 hash60(
                     F.concat_ws(
                         _SPAN_SEP,
-                        *[F.element_at(t, (i + off).cast("int")) for off in range(k)],
+                        *[
+                            _unit_enc(F.element_at(t, (i + off).cast("int")))
+                            for off in range(k)
+                        ],
                     )
                 ).alias("fp"),
             ),
@@ -955,12 +968,18 @@ def remove_duplicate_spans(
     ivs = F.aggregate(F.array_sort("rm_pos"), empty_iv, merge_step)
 
     def rebuild(t: Column) -> Column:
-        kept = F.filter(
-            F.sequence(F.lit(1), F.size(t)),
-            lambda i: ~F.exists(
-                F.col("_ivs"), lambda v: (i >= v["s"]) & (i < v["e"])
+        # guard the empty doc: sequence(1, 0) is the DESCENDING [1, 0]
+        # and element_at(t, 0) then aborts the task — zero-unit docs are
+        # routine in real corpora and must pass through untouched
+        kept = F.when(
+            F.size(t) > 0,
+            F.filter(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: ~F.exists(
+                    F.col("_ivs"), lambda v: (i >= v["s"]) & (i < v["e"])
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<int>"))
         return F.struct(
             F.size(t).cast("long").alias("n_tokens"),
             (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),

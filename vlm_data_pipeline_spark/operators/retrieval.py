@@ -131,14 +131,20 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-k by (score desc, id asc) — deterministic tie-break; the
-    LIMIT-under-sort plan is TakeOrderedAndProject (no global sort)."""
+    """Top-k by (score ROUNDED to 6 decimals desc, id asc) — the rounding
+    collapses float near-ties so membership at the k boundary cannot
+    depend on accumulation order, and the id tie-break makes the result
+    engine-stable (same rule as the index path, so the two paths return
+    identical rows). The LIMIT-under-sort plan is TakeOrderedAndProject
+    (no global sort)."""
     if k <= 0:
         raise ValueError("k must be positive")
     return (
         bm25_scores(docs, query_terms, k1=k1, b=b, id_col=id_col, text_col=text_col)
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .withColumn("_sk", F.round(F.col("score"), 6))
+        .orderBy(F.col("_sk").desc(), F.col(id_col).asc())
         .limit(k)
+        .drop("_sk")
     )
 
 
@@ -171,15 +177,35 @@ def build_inverted_index(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
     )
     toks = F.col("__toks")
+    empty = F.array().cast("array<struct<term:string,tf:long>>")
 
+    # run-length encode the SORTED token array: O(n log n) per doc.
+    # (filter-count per distinct term is O(n · n_distinct) — a 10k-token
+    # doc with 5k distinct terms would do ~50M interpreted comparisons.)
     def post(t):
-        return F.transform(
-            F.array_distinct(t),
-            lambda term: F.struct(
-                term.alias("term"),
-                F.size(F.filter(t, lambda x: x == term)).cast("long").alias("tf"),
-            ),
-        )
+        def runs(s):
+            n = F.size(s)
+            bounds = F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == 1)
+                | (
+                    F.element_at(s, i.cast("int"))
+                    != F.element_at(s, (i - 1).cast("int"))
+                ),
+            )
+            ends = F.concat(
+                F.slice(bounds, 2, F.size(bounds)), F.array(n + 1)
+            )
+            return F.zip_with(
+                bounds,
+                ends,
+                lambda st, en: F.struct(
+                    F.element_at(s, st.cast("int")).alias("term"),
+                    (en - st).cast("long").alias("tf"),
+                ),
+            )
+
+        return F.when(F.size(t) > 0, let(F.array_sort(t), runs)).otherwise(empty)
 
     postings = toked.select(
         "doc_id",
@@ -191,6 +217,28 @@ def build_inverted_index(
         F.sum(F.size(toks)).cast("long").alias("sum_dl"),
     )
     return postings, stats
+
+
+_PARTIAL_SCALE = 10**9
+
+
+def _bm25_partial_fp(k1: float, b: float):
+    """Per-(doc, term) BM25 partial, quantized to fixed-point LONGS
+    (floor(x·1e9 + 0.5)) before any cross-row sum: a distributed float
+    sum's accumulation order is nondeterministic, and an oracle-compared
+    score must not depend on it (the quality-classifier rationale — only
+    exact integer sums cross rows). Reads columns df/tf/dl and the
+    broadcast stats row (n_docs, sum_dl). One definition serves both
+    index query paths AND the SQL oracles mirror it constant-for-
+    constant — edit here and there together."""
+    n = F.col("n_docs").cast("double")
+    df = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    partial = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    return F.floor(partial * _PARTIAL_SCALE + 0.5).cast("long")
 
 
 def index_bm25_topk(
@@ -225,19 +273,14 @@ def index_bm25_topk(
     cand = postings.filter(F.col("term").isin(list(query_terms)))
     dfs = cand.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scored = cand.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
-    n = F.col("n_docs").cast("double")
-    df = F.col("df").cast("double")
-    idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    avgdl = F.col("sum_dl").cast("double") / n
-    partial = idf * tf * (k1 + 1.0) / (
-        tf + k1 * (1.0 - b + b * dl / avgdl)
-    )
     return (
-        scored.select("doc_id", partial.alias("partial"))
+        scored.select("doc_id", _bm25_partial_fp(k1, b).alias("pfp"))
         .groupBy("doc_id")
-        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .agg(
+            F.round(
+                F.sum("pfp").cast("double") / float(_PARTIAL_SCALE), 6
+            ).alias("score")
+        )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
@@ -265,9 +308,13 @@ def index_bm25_batch(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    # distinct BOTH within a query's term list (array_distinct) and
+    # across rows: a queries table with duplicate (query_id, term) rows
+    # would otherwise join each matching posting twice and double-count
+    # that term's contribution
     qt = queries.select(
         F.col("query_id"), F.explode(F.array_distinct("terms")).alias("term")
-    )
+    ).distinct()
     # candidate postings: only terms any query mentions survive the join;
     # postings are one row per (term, doc), so a plain count IS the
     # document frequency
@@ -278,17 +325,14 @@ def index_bm25_batch(
         .join(dfs, "term")
         .crossJoin(F.broadcast(stats))
     )
-    n = F.col("n_docs").cast("double")
-    df = F.col("df").cast("double")
-    idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    avgdl = F.col("sum_dl").cast("double") / n
-    partial = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
     per_doc = (
-        scored.select("query_id", "doc_id", partial.alias("partial"))
+        scored.select("query_id", "doc_id", _bm25_partial_fp(k1, b).alias("pfp"))
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .agg(
+            F.round(
+                F.sum("pfp").cast("double") / float(_PARTIAL_SCALE), 6
+            ).alias("score")
+        )
     )
     from pyspark.sql import Window as W
 

@@ -2200,7 +2200,7 @@ WITH toks AS (
         CASE WHEN len(w) >= {_SPAN_K} THEN
             list_transform(range(1, len(w) - {_SPAN_K} + 2),
                 i -> struct_pack(pos := i,
-                    fp := {_d_hash60(f"array_to_string(w[i:i+{_SPAN_K}-1], chr(31))")}))
+                    fp := {_d_hash60(f"array_to_string(list_transform(w[i:i+{_SPAN_K}-1], u -> concat(len(u), ':', u)), chr(31))")}))
         ELSE [] END) AS s
     FROM toks
 ), marked AS (
@@ -2265,7 +2265,7 @@ WITH toks AS (
     SELECT doc_id,
            CASE WHEN len(w) >= {_WIN_K} THEN
                list_transform(range(1, len(w) - {_WIN_K} + 2),
-                   i -> {_d_hash60(f"array_to_string(w[i:i+{_WIN_K}-1], chr(31))")})
+                   i -> {_d_hash60(f"array_to_string(list_transform(w[i:i+{_WIN_K}-1], u -> concat(len(u), ':', u)), chr(31))")})
            ELSE [] END AS h
     FROM toks
 ), sel AS (
@@ -2661,8 +2661,53 @@ def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IDX_K = 10
 
+def _d_bm25_partial_fp(k1: float, b: float) -> str:
+    """The SQL mirror of operators.retrieval._bm25_partial_fp — the
+    fixed-point-quantized per-(doc, term) partial; constants pre-folded
+    the way Python folds them. Edit together with the Column version."""
+    partial = (
+        f"(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        f" / (CAST(df AS DOUBLE) + 0.5)) * CAST(tf AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf AS DOUBLE) + {k1!r} * ({1.0 - b!r}"
+        f" + ({b!r} * CAST(dl AS DOUBLE))"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    )
+    return f"CAST(floor({partial} * 1000000000.0 + 0.5) AS BIGINT)"
+
+
+# posting-style CTEs shared by the index oracles: flat (doc, term, tf,
+# dl) rows + 1-row corpus stats, mirroring build_inverted_index
+_D_POSTINGS_CTE = f"""
+t AS (
+    SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS sum_dl
+    FROM t
+), post AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks,
+           unnest(list_distinct(toks)) AS term
+    FROM t
+), p2 AS (
+    SELECT doc_id, dl, term,
+           CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+    FROM post
+)"""
+
 _INDEX_TOPK_ORACLE = f"""
-WITH scored AS ({_bm25_oracle()}
+WITH {_D_POSTINGS_CTE},
+qterms AS (
+    SELECT unnest([{", ".join(repr(t) for t in _BM25_TERMS)}]) AS term
+), dfs AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM p2
+    WHERE term IN (SELECT term FROM qterms) GROUP BY term
+), scored AS (
+    SELECT p2.doc_id,
+           round(CAST(sum({_d_bm25_partial_fp(_BM25_K1, _BM25_B)}) AS DOUBLE)
+                 / 1000000000.0, 6) AS score
+    FROM p2 JOIN dfs USING (term) CROSS JOIN stats
+    WHERE p2.term IN (SELECT term FROM qterms)
+    GROUP BY p2.doc_id
 )
 SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {_IDX_K}
@@ -2709,44 +2754,22 @@ _HN_K, _HN_NEG = 5, 3
 
 
 def _hard_neg_oracle() -> str:
-    k1, b = _BM25_K1, _BM25_B
     vals = ", ".join(
         f"('{qid}', [{', '.join(repr(t) for t in ts)}])" for qid, ts in _HN_QUERIES
     )
-    # mirror index_bm25_batch's association order exactly (constants
-    # pre-folded the way Python folds them)
-    partial = (
-        f"(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
-        f" / (CAST(df AS DOUBLE) + 0.5)) * CAST(tf AS DOUBLE) * {k1 + 1.0!r})"
-        f" / (CAST(tf AS DOUBLE) + {k1!r} * ({1.0 - b!r}"
-        f" + ({b!r} * CAST(dl AS DOUBLE))"
-        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
-    )
     return f"""
-WITH t AS (
-    SELECT doc_id, {_D_TOKS} AS toks FROM documents
-), stats AS (
-    SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(len(toks)) AS BIGINT) AS sum_dl
-    FROM t
-), post AS (
-    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks,
-           unnest(list_distinct(toks)) AS term
-    FROM t
-), p2 AS (
-    SELECT doc_id, dl, term,
-           CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
-    FROM post
-), q AS (
+WITH {_D_POSTINGS_CTE},
+q AS (
     SELECT * FROM (VALUES {vals}) AS v(query_id, terms)
 ), qt AS (
-    SELECT query_id, unnest(terms) AS term FROM q
+    SELECT DISTINCT query_id, unnest(terms) AS term FROM q
 ), dfs AS (
     SELECT term, CAST(count(*) AS BIGINT) AS df FROM p2
     WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
 ), scored AS (
     SELECT qt.query_id, p2.doc_id,
-           round(sum({partial}), 6) AS score
+           round(CAST(sum({_d_bm25_partial_fp(_BM25_K1, _BM25_B)}) AS DOUBLE)
+                 / 1000000000.0, 6) AS score
     FROM qt JOIN p2 USING (term) JOIN dfs USING (term) CROSS JOIN stats
     GROUP BY qt.query_id, p2.doc_id
 ), ranked AS (
@@ -2854,7 +2877,7 @@ WITH docs2 AS (
         CASE WHEN len(w) >= {_SENT_N} THEN
             list_transform(range(1, len(w) - {_SENT_N} + 2),
                 i -> struct_pack(pos := i,
-                    fp := {_d_hash60(f"array_to_string(w[i:i+{_SENT_N}-1], chr(31))")}))
+                    fp := {_d_hash60(f"array_to_string(list_transform(w[i:i+{_SENT_N}-1], u -> concat(len(u), ':', u)), chr(31))")}))
         ELSE [] END) AS s
     FROM sent
 ), marked AS (
