@@ -76,3 +76,125 @@ def test_train_bpe_validation_and_early_stop(spark):
         train_bpe(docs, 0)
     # single-char words only → no pairs → training stops early, no crash
     assert train_bpe(docs, 5) == []
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_seed_vocab_hand_computed(spark):
+    """Corpus 'ab ab b': substr counts — 'a':2, 'b':3, 'ab':2; all chars
+    kept, multi-char pieces fill remaining slots by freq."""
+    from vlm_data_pipeline_spark.operators.lm import unigram_seed_vocab
+
+    docs = spark.createDataFrame([(1, "ab ab b")], "doc_id long, text string")
+    got = {
+        r.piece: r.freq
+        for r in unigram_seed_vocab(docs, vocab_size=3, max_piece_len=2).collect()
+    }
+    assert got == {"a": 2, "b": 3, "ab": 2}
+    # vocab_size below the char count is a coverage violation
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="coverage"):
+        unigram_seed_vocab(docs, vocab_size=1, max_piece_len=2).collect()
+
+
+def test_unigram_viterbi_hand_computed(spark):
+    """Model {'ab': -1, 'a': -2, 'b': -2, 'c': -2.5}: word 'abc' costs
+    3.5 via ab+c vs 6.5 via a+b+c -> Viterbi picks ['ab', 'c']."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.lm import (
+        _price_lookup,
+        _viterbi_pieces,
+    )
+
+    model = {"ab": -1.0, "a": -2.0, "b": -2.0, "c": -2.5}
+    df = spark.createDataFrame([("abc",), ("",)], "w string")
+    got = [
+        r.p
+        for r in df.select(
+            _viterbi_pieces(
+                F.col("w"), _price_lookup(model), 4, -20.0
+            ).alias("p")
+        ).collect()
+    ]
+    assert got[0] == ["ab", "c"]
+    assert got[1] == []
+
+
+def test_unigram_viterbi_tie_breaks_shorter_last_piece(spark):
+    """'aa' with p(aa) = p(a)·p(a): equal cost -> the documented
+    tie-break keeps the larger back pointer (shorter last piece)."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.lm import (
+        _price_lookup,
+        _viterbi_pieces,
+    )
+
+    model = {"aa": -4.0, "a": -2.0}
+    df = spark.createDataFrame([("aa",)], "w string")
+    got = df.select(
+        _viterbi_pieces(F.col("w"), _price_lookup(model), 4, -20.0).alias("p")
+    ).collect()[0].p
+    assert got == ["a", "a"]
+
+
+def test_unigram_em_learns_whole_words(spark):
+    """Hard EM on a repetitive corpus promotes whole-word pieces: the
+    trained model segments 'abab' as ONE piece."""
+    from vlm_data_pipeline_spark.operators.lm import (
+        train_unigram_lm,
+        unigram_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abc"), (2, "abab baba")], "doc_id long, text string"
+    )
+    m = train_unigram_lm(docs, vocab_size=20, iters=2, max_piece_len=4)
+    enc = {r.doc_id: r.pieces for r in unigram_encode(docs, m, 4).collect()}
+    assert enc[1] == ["abab", "abab", "abc"]
+    assert enc[2] == ["abab", "baba"]
+
+
+def test_unigram_encode_total_and_concatenation(spark):
+    """Encoding is TOTAL (unknown chars fall back to the UNK floor) and
+    pieces always concatenate back to the original words."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import tokens
+    from vlm_data_pipeline_spark.operators.lm import (
+        train_unigram_lm,
+        unigram_encode,
+    )
+
+    train = spark.createDataFrame([(1, "abc abc ab")], "doc_id long, text string")
+    m = train_unigram_lm(train, vocab_size=16, iters=1, max_piece_len=3)
+    test = spark.createDataFrame(
+        [(1, "abc zq xyzzy"), (2, "")], "doc_id long, text string"
+    )
+    enc = unigram_encode(test, m, 3)
+    joined = enc.join(
+        test.select(
+            "doc_id", F.concat_ws("", tokens(F.col("text"))).alias("glued")
+        ),
+        "doc_id",
+    ).collect()
+    for r in joined:
+        assert "".join(r.pieces) == r.glued
+    got = {r.doc_id: r.n_pieces for r in enc.collect()}
+    assert got[2] == 0
+
+
+def test_unigram_encode_zero_shuffle(spark):
+    from vlm_data_pipeline_spark.operators.lm import unigram_encode
+
+    docs = spark.createDataFrame([(1, "ab ba")], "doc_id long, text string")
+    plan = (
+        unigram_encode(docs, {"a": -1.0, "b": -1.0}, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan[:1200]

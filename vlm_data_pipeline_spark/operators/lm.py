@@ -370,3 +370,264 @@ def apply_bpe(
         out_col,
         F.flatten(F.transform(tokens(F.col(text_col)), encode_word)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece; Kudo 2018)
+# ---------------------------------------------------------------------------
+
+_UNI_INF = 1.0e18
+
+
+def unigram_seed_vocab(
+    corpus: DataFrame,
+    vocab_size: int = 256,
+    max_piece_len: int = 6,
+    text_col: str = "text",
+    max_words: int = DEFAULT_MAX_VOCAB,
+) -> DataFrame:
+    """Seed piece inventory for unigram-LM training (Kudo 2018 §3.2
+    trains by shrinking a large seed vocabulary): every substring of
+    every corpus word up to ``max_piece_len`` chars, weighted by word
+    frequency; ALL single characters are kept unconditionally (coverage
+    guarantee — any word stays segmentable), and multi-char pieces fill
+    the remaining ``vocab_size`` slots by (freq desc, piece asc).
+
+    Substring generation is in-row over the capped word-frequency table
+    (nested sequence + flatten, zero shuffle beyond the word groupBy);
+    the candidate count is O(words · max_piece_len · avg_len). Returns
+    (piece, freq).
+    """
+    if vocab_size < 1 or max_piece_len < 1:
+        raise ValueError("vocab_size and max_piece_len must be >= 1")
+    words = _word_freqs(corpus, text_col, max_words)
+    w = F.col("w")
+    n = F.length(w)
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.sequence(i, F.least(i + (max_piece_len - 1), n.cast("long"))),
+                lambda j: w.substr(i.cast("int"), (j - i + 1).cast("int")),
+            ),
+        )
+    )
+    counts = (
+        words.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )
+    chars = counts.filter(F.length("piece") == 1)
+    from pyspark.sql import Window
+
+    n_chars = chars.count()
+    budget = vocab_size - n_chars
+    if budget < 0:
+        raise ValueError(
+            f"vocab_size={vocab_size} below the {n_chars} single characters "
+            "the coverage guarantee must keep"
+        )
+    multi = (
+        counts.filter(F.length("piece") > 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("piece").asc())
+            ),
+        )
+        .filter(F.col("rk") <= budget)
+        .drop("rk")
+    )
+    return chars.unionByName(multi)
+
+
+def _piece_price(lookup: Column, sub: Column, unk: float) -> Column:
+    """−log p of a candidate piece: model lookup, else the UNK floor for
+    single chars (coverage), else effectively infinite."""
+    return F.coalesce(
+        F.element_at(lookup, sub),
+        F.when(F.length(sub) == 1, F.lit(unk)).otherwise(F.lit(_UNI_INF)),
+    )
+
+
+def _viterbi_pieces(
+    w: Column, lookup: Column, max_piece_len: int, unk: float
+) -> Column:
+    """Best (lowest total −log p) segmentation of one word, as an in-row
+    forward DP + backtrace — pure expressions, no UDF. Ties break toward
+    the SHORTER last piece (larger back pointer), deterministically.
+    O(len · max_piece_len) price lookups per word."""
+    from ..functions.text import let
+
+    def dp(word: Column) -> Column:
+        m = F.length(word)
+        init = F.array(
+            F.struct(F.lit(0.0).alias("cost"), F.lit(0).alias("back"))
+        )
+
+        def step(acc: Column, i: Column) -> Column:
+            cands = F.transform(
+                # j = split point: piece = word[j+1 .. i]
+                F.sequence(F.greatest(F.lit(0), i - max_piece_len), i - 1),
+                lambda j: F.struct(
+                    (
+                        F.element_at(acc, (j + 1).cast("int"))["cost"]
+                        + _piece_price(
+                            lookup,
+                            word.substr((j + 1).cast("int"), (i - j).cast("int")),
+                            unk,
+                        )
+                    ).alias("cost"),
+                    # negated back => array_min prefers the LARGEST back
+                    # (shortest last piece) on cost ties
+                    (-j).cast("int").alias("back"),
+                ),
+            )
+            best = F.array_min(cands)
+            return F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        best["cost"].alias("cost"),
+                        (-best["back"]).alias("back"),
+                    )
+                ),
+            )
+
+        fwd = F.aggregate(F.sequence(F.lit(1), m), init, step)
+
+        def backtrace(table: Column) -> Column:
+            init_st = F.struct(
+                m.cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("pieces"),
+            )
+
+            def hop(st: Column, _: Column) -> Column:
+                back = F.element_at(table, st["pos"] + 1)["back"]
+                return F.when(
+                    st["pos"] > 0,
+                    F.struct(
+                        back.alias("pos"),
+                        F.concat(
+                            F.array(
+                                word.substr(
+                                    (back + 1).cast("int"),
+                                    (st["pos"] - back).cast("int"),
+                                )
+                            ),
+                            st["pieces"],
+                        ).alias("pieces"),
+                    ),
+                ).otherwise(st)
+
+            return F.aggregate(F.sequence(F.lit(1), m), init_st, hop)["pieces"]
+
+        return F.when(m > 0, let(fwd, backtrace)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(w, dp)
+
+
+def _price_lookup(model: dict[str, float]) -> Column:
+    entries: list[Column] = []
+    for piece in sorted(model):
+        entries.append(F.lit(piece))
+        entries.append(F.lit(float(-model[piece])))
+    if not entries:
+        return F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<double>")
+        )
+    return F.create_map(*entries)
+
+
+def train_unigram_lm(
+    corpus: DataFrame,
+    vocab_size: int = 256,
+    iters: int = 2,
+    max_piece_len: int = 6,
+    text_col: str = "text",
+    max_words: int = DEFAULT_MAX_VOCAB,
+) -> dict[str, float]:
+    """Unigram-LM tokenizer training (SentencePiece; Kudo 2018), the
+    hard-EM variant: seed vocabulary from substring counts, then
+    iterate — E-step: Viterbi-segment every word of the capped
+    word-frequency table in-row under the current piece log-probs
+    (the price table rides as a map literal); M-step: piece counts
+    (weighted by word freq) re-normalize to new log-probs on the driver.
+    Pieces that win zero words are PRUNED each round (the paper's
+    shrinking step) except single chars, which keep a floor probability
+    so every word stays segmentable.
+
+    Scale shape: one corpus pass builds the word table; each EM round is
+    one vocab-sized in-row segmentation + one skinny (piece, count)
+    aggregation + a vocab-sized collect — the BPE/KMeans/PQ driver-loop
+    pattern. Returns {piece: log p}.
+    """
+    import math
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    seed = unigram_seed_vocab(
+        corpus, vocab_size, max_piece_len, text_col, max_words
+    ).collect()
+    total0 = sum(r.freq for r in seed)
+    model = {r.piece: math.log(r.freq / total0) for r in seed}
+    chars = {r.piece for r in seed if len(r.piece) == 1}
+    words = _word_freqs(corpus, text_col, max_words).persist()
+    try:
+        for _ in range(iters):
+            unk = min(model.values()) - 10.0
+            lookup = _price_lookup(model)
+            counts = (
+                words.select(
+                    "freq",
+                    F.explode(
+                        _viterbi_pieces(F.col("w"), lookup, max_piece_len, unk)
+                    ).alias("piece"),
+                )
+                .groupBy("piece")
+                .agg(F.sum("freq").cast("long").alias("c"))
+                .collect()
+            )
+            got = {r.piece: r.c for r in counts}
+            total = sum(got.values())
+            floor = math.log(0.5 / total)
+            model = {
+                p: math.log(c / total) for p, c in got.items() if p in model
+            }
+            for ch in chars:  # coverage floor for unused single chars
+                model.setdefault(ch, floor)
+    finally:
+        words.unpersist()
+    return model
+
+
+def unigram_encode(
+    corpus: DataFrame,
+    model: dict[str, float],
+    max_piece_len: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pieces, n_pieces): Viterbi-optimal unigram segmentation of
+    every whitespace word, concatenated in order — zero shuffle, the
+    model rides in the plan as a map literal (vocab-sized; use a
+    broadcast join above map-literal scale, the bigram-LM fallback
+    pattern). Unknown characters segment as single chars at the UNK
+    floor, so encoding is total."""
+    from ..functions.text import let, tokens
+
+    unk = (min(model.values()) - 10.0) if model else -10.0
+    lookup = _price_lookup(model)
+    pieces = let(
+        tokens(F.col(text_col)),
+        lambda toks: F.flatten(
+            F.transform(
+                toks, lambda t: _viterbi_pieces(t, lookup, max_piece_len, unk)
+            )
+        ),
+    )
+    return corpus.select(
+        F.col(id_col), pieces.alias("pieces")
+    ).withColumn("n_pieces", F.size("pieces"))

@@ -2926,3 +2926,88 @@ def dedup_sentence_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_sentences", "n_removed", F.md5("text").alias("text_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece; Kudo 2018)
+# ---------------------------------------------------------------------------
+
+_UNI_V, _UNI_L = 128, 5
+
+_UNI_SEED_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOKS} AS w FROM documents
+), wf AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(w) AS w FROM toks)
+    GROUP BY w ORDER BY freq DESC, w ASC LIMIT 65536
+), subs AS (
+    SELECT freq, unnest(flatten(list_transform(range(1, len(w) + 1),
+        i -> list_transform(range(i, least(i + {_UNI_L} - 1, len(w)) + 1),
+            j -> substr(w, CAST(i AS INT), CAST(j - i + 1 AS INT))))))
+        AS piece
+    FROM wf
+), counts AS (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS freq FROM subs GROUP BY piece
+), chars AS (
+    SELECT piece, freq FROM counts WHERE length(piece) = 1
+), nch AS (
+    SELECT count(*) AS n FROM chars
+), multi AS (
+    SELECT piece, freq FROM (
+        SELECT piece, freq,
+               row_number() OVER (ORDER BY freq DESC, piece ASC) AS rk
+        FROM counts WHERE length(piece) > 1
+    ), nch WHERE rk <= {_UNI_V} - nch.n
+)
+SELECT piece, freq FROM chars UNION ALL SELECT piece, freq FROM multi
+"""
+
+
+@register(
+    "lm_unigram_seed_vocab",
+    _UNI_SEED_ORACLE,
+    "Unigram-LM tokenizer seed vocabulary (extension; SentencePiece, "
+    "Kudo 2018 §3.2 — training shrinks a large substring seed): every "
+    "substring up to 5 chars of every corpus word, weighted by word "
+    "frequency, generated in-row over the capped word table (nested "
+    "sequence + flatten, zero shuffle past the word groupBy); ALL "
+    "single chars kept (coverage guarantee), multi-char pieces fill the "
+    "remaining vocab_size slots by (freq desc, piece asc). The EM/"
+    "Viterbi training atop this seed is lm_unigram_encode (rows-only: "
+    "iterative, the KMeans precedent). Library: operators.lm."
+    "unigram_seed_vocab.",
+)
+def lm_unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return lm_ops.unigram_seed_vocab(
+        docs, vocab_size=_UNI_V, max_piece_len=_UNI_L
+    )
+
+
+@register(
+    "lm_unigram_encode",
+    None,
+    "Unigram-LM tokenizer train + encode end-to-end (extension; "
+    "SentencePiece, Kudo 2018): hard-EM over the seed vocabulary — "
+    "E-step Viterbi-segments the capped word table IN-ROW (forward DP + "
+    "backtrace as pure array expressions, price table as a map "
+    "literal), M-step renormalizes piece counts on the driver, pruning "
+    "zero-count multi-char pieces. Encoding Viterbi-segments every doc "
+    "zero-shuffle. Rows-only driver check (iterative training, the "
+    "ann_ivf_topk/KMeans precedent); the Viterbi kernel and EM are "
+    "value-pinned by hand-computed pytest fixtures and the "
+    "concatenation/cost properties. Library: operators.lm."
+    "train_unigram_lm / unigram_encode.",
+)
+def lm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    model = lm_ops.train_unigram_lm(
+        docs, vocab_size=_UNI_V, iters=2, max_piece_len=_UNI_L
+    )
+    enc = lm_ops.unigram_encode(docs, model, max_piece_len=_UNI_L)
+    return enc.select(
+        "doc_id",
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.md5(F.array_join("pieces", " ")).alias("fp"),
+    )
