@@ -117,7 +117,7 @@ def test_unigram_viterbi_hand_computed(spark):
         r.p
         for r in df.select(
             _viterbi_pieces(
-                F.col("w"), _price_lookup(model), 4, -20.0
+                F.col("w"), _price_lookup(model), 4, 20.0
             ).alias("p")
         ).collect()
     ]
@@ -138,7 +138,7 @@ def test_unigram_viterbi_tie_breaks_shorter_last_piece(spark):
     model = {"aa": -4.0, "a": -2.0}
     df = spark.createDataFrame([("aa",)], "w string")
     got = df.select(
-        _viterbi_pieces(F.col("w"), _price_lookup(model), 4, -20.0).alias("p")
+        _viterbi_pieces(F.col("w"), _price_lookup(model), 4, 20.0).alias("p")
     ).collect()[0].p
     assert got == ["a", "a"]
 
@@ -198,3 +198,39 @@ def test_unigram_encode_zero_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan, plan[:1200]
+
+
+def test_unigram_unk_is_a_penalty_not_a_reward(spark):
+    """Review-pass regression: a model covering 'ab' but NOT its single
+    chars must still segment 'ab' as the in-vocab piece — the UNK floor
+    is a PENALTY (price above every in-vocab price), not a negative-
+    cost reward that beats real pieces."""
+    from vlm_data_pipeline_spark.operators.lm import unigram_encode
+
+    docs = spark.createDataFrame([(1, "ab zq")], "doc_id long, text string")
+    r = unigram_encode(docs, {"ab": -1.0}, 3).collect()[0]
+    assert r.pieces == ["ab", "z", "q"]
+
+
+def test_unigram_train_empty_corpus_clear_error(spark):
+    from vlm_data_pipeline_spark.operators.lm import (
+        train_unigram_lm,
+        unigram_encode,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_unigram_lm(docs, vocab_size=8, iters=1)
+    with pytest.raises(ValueError, match="empty model"):
+        unigram_encode(docs, {})
+
+
+def test_unigram_price_lookup_map_literal_guard():
+    from vlm_data_pipeline_spark.operators.lm import (
+        MAP_LITERAL_LIMIT,
+        _price_lookup,
+    )
+
+    big = {f"p{i}": -1.0 for i in range(MAP_LITERAL_LIMIT // 2 + 1)}
+    with pytest.raises(ValueError, match="broadcast join"):
+        _price_lookup(big)

@@ -385,6 +385,7 @@ def unigram_seed_vocab(
     max_piece_len: int = 6,
     text_col: str = "text",
     max_words: int = DEFAULT_MAX_VOCAB,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Seed piece inventory for unigram-LM training (Kudo 2018 §3.2
     trains by shrinking a large seed vocabulary): every substring of
@@ -400,7 +401,10 @@ def unigram_seed_vocab(
     """
     if vocab_size < 1 or max_piece_len < 1:
         raise ValueError("vocab_size and max_piece_len must be >= 1")
-    words = _word_freqs(corpus, text_col, max_words)
+    if words is None:
+        # pass a persisted word table (train_unigram_lm does) to avoid
+        # re-running the corpus pass for each consumer of the seed
+        words = _word_freqs(corpus, text_col, max_words)
     w = F.col("w")
     n = F.length(w)
     subs = F.flatten(
@@ -441,23 +445,27 @@ def unigram_seed_vocab(
     return chars.unionByName(multi)
 
 
-def _piece_price(lookup: Column, sub: Column, unk: float) -> Column:
-    """−log p of a candidate piece: model lookup, else the UNK floor for
-    single chars (coverage), else effectively infinite."""
+def _piece_price(lookup: Column, sub: Column, unk_price: float) -> Column:
+    """−log p of a candidate piece: model lookup, else the UNK PRICE for
+    single chars (coverage), else effectively infinite. ``unk_price`` is
+    a −log p, so it must be POSITIVE and LARGER than every in-vocab
+    price — a negative value would make unknown chars a reward and
+    Viterbi would prefer them over in-vocab pieces."""
+    if unk_price <= 0:
+        raise ValueError("unk_price is a -log p: must be positive")
     return F.coalesce(
         F.element_at(lookup, sub),
-        F.when(F.length(sub) == 1, F.lit(unk)).otherwise(F.lit(_UNI_INF)),
+        F.when(F.length(sub) == 1, F.lit(unk_price)).otherwise(F.lit(_UNI_INF)),
     )
 
 
 def _viterbi_pieces(
-    w: Column, lookup: Column, max_piece_len: int, unk: float
+    w: Column, lookup: Column, max_piece_len: int, unk_price: float
 ) -> Column:
     """Best (lowest total −log p) segmentation of one word, as an in-row
     forward DP + backtrace — pure expressions, no UDF. Ties break toward
     the SHORTER last piece (larger back pointer), deterministically.
     O(len · max_piece_len) price lookups per word."""
-    from ..functions.text import let
 
     def dp(word: Column) -> Column:
         m = F.length(word)
@@ -475,7 +483,7 @@ def _viterbi_pieces(
                         + _piece_price(
                             lookup,
                             word.substr((j + 1).cast("int"), (i - j).cast("int")),
-                            unk,
+                            unk_price,
                         )
                     ).alias("cost"),
                     # negated back => array_min prefers the LARGEST back
@@ -530,6 +538,13 @@ def _viterbi_pieces(
 
 
 def _price_lookup(model: dict[str, float]) -> Column:
+    if 2 * len(model) > MAP_LITERAL_LIMIT:
+        raise ValueError(
+            f"model has {len(model)} pieces (> {MAP_LITERAL_LIMIT // 2}): a "
+            "create_map literal this large blows up Catalyst — score via a "
+            "broadcast join against a (piece, price) table instead (the "
+            "score_corpus fallback pattern)"
+        )
     entries: list[Column] = []
     for piece in sorted(model):
         entries.append(F.lit(piece))
@@ -568,22 +583,30 @@ def train_unigram_lm(
 
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    seed = unigram_seed_vocab(
-        corpus, vocab_size, max_piece_len, text_col, max_words
-    ).collect()
-    total0 = sum(r.freq for r in seed)
-    model = {r.piece: math.log(r.freq / total0) for r in seed}
-    chars = {r.piece for r in seed if len(r.piece) == 1}
+    # ONE corpus pass builds the word table; the seed-vocab substring
+    # statistics AND every EM round reuse it from cache (vocab-capped,
+    # so the cache is dimension-sized)
     words = _word_freqs(corpus, text_col, max_words).persist()
     try:
+        seed = unigram_seed_vocab(
+            corpus, vocab_size, max_piece_len, text_col, max_words, words=words
+        ).collect()
+        if not seed:
+            raise ValueError("empty corpus: no words to train a tokenizer on")
+        total0 = sum(r.freq for r in seed)
+        model = {r.piece: math.log(r.freq / total0) for r in seed}
+        chars = {r.piece for r in seed if len(r.piece) == 1}
         for _ in range(iters):
-            unk = min(model.values()) - 10.0
+            # price space (−log p): 10 nats ABOVE the worst in-vocab price
+            unk_price = -min(model.values()) + 10.0
             lookup = _price_lookup(model)
             counts = (
                 words.select(
                     "freq",
                     F.explode(
-                        _viterbi_pieces(F.col("w"), lookup, max_piece_len, unk)
+                        _viterbi_pieces(
+                            F.col("w"), lookup, max_piece_len, unk_price
+                        )
                     ).alias("piece"),
                 )
                 .groupBy("piece")
@@ -616,15 +639,16 @@ def unigram_encode(
     broadcast join above map-literal scale, the bigram-LM fallback
     pattern). Unknown characters segment as single chars at the UNK
     floor, so encoding is total."""
-    from ..functions.text import let, tokens
-
-    unk = (min(model.values()) - 10.0) if model else -10.0
+    if not model:
+        raise ValueError("empty model: train_unigram_lm first")
+    unk_price = -min(model.values()) + 10.0
     lookup = _price_lookup(model)
     pieces = let(
         tokens(F.col(text_col)),
         lambda toks: F.flatten(
             F.transform(
-                toks, lambda t: _viterbi_pieces(t, lookup, max_piece_len, unk)
+                toks,
+                lambda t: _viterbi_pieces(t, lookup, max_piece_len, unk_price),
             )
         ),
     )

@@ -56,9 +56,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "p4_range_sanity_filter",  # P4/P5
     "event_tumbling_window",  # §2.12 streaming
     # LLM-corpus operators, one per judge-table row
-    "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "ann_brute_force_topk",
     "ann_ivf_fixed_topk",
     "text_quality_features",
@@ -70,8 +68,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "curation_scrub_pii",
     # round-5 flagship oracles (each a first-class corpus operator new
     # this round; the demoted entries they displaced — f1/f11/o2/e3/a3/
-    # p9/ngram_jaccard/embedding_cosine/ann_lsh/repetition — are green
-    # in CORRECTNESS_r01..r04 driver rows and stay covered by the full
+    # p9/ngram_jaccard/embedding_cosine/ann_lsh/repetition, and in the
+    # second wave exact_groups/simhash — are green in
+    # CORRECTNESS_r01..r04 driver rows and stay covered by the full
     # local simulation every round)
     "curation_clean_lines",  # C4 line-level cleaning (Raffel et al.)
     "retrieval_bm25",  # BM25 Lucene-idf scoring
@@ -83,6 +82,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "curation_quality_classifier",  # fastText-style logistic filter (GPT-3 App.A)
     "similarity_density_filter",  # D4 prototypicality drop (Tirumala et al.)
     "eval_detection_ap_exact_3d",  # exact oriented 3D IoU AP (Objectron protocol)
+    "dedup_sentence_spans",  # C4 three-sentence span dedup (Raffel et al.)
+    "lm_unigram_seed_vocab",  # unigram/SentencePiece seed stage (Kudo 2018)
 )
 
 
