@@ -332,3 +332,65 @@ def test_resize_plan_clamps_extreme_aspect(spark):
     )
     p = M.resize_plan(planned, max_side=512).collect()[0]
     assert (p.target_width, p.target_height) == (512, 1)
+
+
+def test_phash_incremental_store_and_batch_paths(spark):
+    """Both detection paths on planted hashes: within-batch pair at
+    hamming 0, cross pairs against raw AND pre-banded stores (identical
+    results), no self-pair for a re-ingested id, store=None = batch-only."""
+    store = spark.createDataFrame(
+        [("old1", 100), ("old2", 1 << 40)], "asset_id string, phash long"
+    )
+    batch = spark.createDataFrame(
+        [("n1", 101), ("n2", 101), ("old1", 100)],
+        "asset_id string, phash long",
+    )
+    raw = {
+        (r.id_a, r.id_b, r.source): r.hamming
+        for r in M.phash_incremental_pairs(batch, store, max_hamming=4).collect()
+    }
+    assert raw[("n1", "n2", "batch")] == 0
+    assert raw[("n1", "old1", "store")] == 1
+    assert ("old1", "old1", "store") not in raw  # re-ingest: no self-pair
+    banded = {
+        (r.id_a, r.id_b, r.source): r.hamming
+        for r in M.phash_incremental_pairs(
+            batch, M.banded_hashes(store), max_hamming=4
+        ).collect()
+    }
+    assert banded == raw
+    only_batch = M.phash_incremental_pairs(batch, None, max_hamming=4)
+    assert {r.source for r in only_batch.collect()} == {"batch"}
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    """Every doc lands in exactly one (shard, pos); positions are dense
+    1..|shard|; the assignment is partitioning-independent and changes
+    with the seed."""
+    from vlm_data_pipeline_spark.operators.curation import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = shuffle_shards(docs, n_shards=8).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    total = 0
+    for shard, poses in by_shard.items():
+        assert sorted(poses) == list(range(1, len(poses) + 1)), shard
+        total += len(poses)
+    assert total == 200
+    again = shuffle_shards(docs.repartition(13), n_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+    other = shuffle_shards(docs, n_shards=8, seed="other").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in other} != {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shuffle_shards(docs, 0)

@@ -920,3 +920,41 @@ def dsir_sample(
         .limit(n)
         .drop("_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + sharding (the pre-training final step)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` interleaved shards —
+    the last step before a training run (data loaders stream shards in
+    order, so corpus order must be a reproducible pseudo-random
+    permutation, never ingestion order). Each row draws a hash key from
+    (seed, id) — partitioning/order independent, re-derivable by any
+    engine (functions.detrandom rationale) — lands in shard
+    hash mod n_shards, and receives its position by key order WITHIN the
+    shard. ONE exchange (the per-shard window); no global sort. Write
+    with ``.write.partitionBy("shard")`` and readers stream
+    (shard, pos) order. Returns the input columns + (shard, pos)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from ..functions.text import seeded_hash60
+    from pyspark.sql import Window
+
+    key = seeded_hash60(F.lit(seed), F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_key", key)
+        .withColumn("shard", F.pmod(F.col("_key"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_key")
+    )

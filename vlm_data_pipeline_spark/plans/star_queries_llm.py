@@ -3011,3 +3011,114 @@ def lm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pieces").cast("long").alias("n_pieces"),
         F.md5(F.array_join("pieces", " ")).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + sharding
+# ---------------------------------------------------------------------------
+
+_SHUF_N = 8
+
+_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           {_d_hash60("concat('shuffle', ':', CAST(doc_id AS VARCHAR))")} AS k
+    FROM documents
+)
+SELECT doc_id,
+       CAST(k % {_SHUF_N} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY k % {_SHUF_N}
+                               ORDER BY k ASC, doc_id ASC) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@register(
+    "curation_shuffle_shards",
+    _SHUFFLE_ORACLE,
+    "Deterministic global shuffle into interleaved shards (extension; "
+    "the final pre-training step — loaders stream shards, so corpus "
+    "order must be a reproducible pseudo-random permutation): per-row "
+    "hash key from (seed, id), shard = key mod n, position by key order "
+    "within the shard. ONE exchange (per-shard window), no global sort; "
+    "write partitioned by shard. Library: operators.curation."
+    "shuffle_shards.",
+)
+def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = curation.shuffle_shards(docs, n_shards=_SHUF_N)
+    return out.select("doc_id", "shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-batch image near-dup (pHash store)
+# ---------------------------------------------------------------------------
+
+_PHASH_INC_ORACLE = f"""
+WITH {_PHASH_HASHES},
+banded AS (
+    SELECT asset_id, phash, b.b AS band,
+           (phash >> (b.b * 12)) & 4095 AS val
+    FROM h, (SELECT unnest(range(0, 5)) AS b) b
+), store AS (
+    SELECT * FROM banded WHERE asset_id % 4 = 0
+), batch AS (
+    SELECT * FROM banded WHERE asset_id % 4 <> 0
+), within AS (
+    SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+           a.phash AS ha, b.phash AS hb
+    FROM batch a JOIN batch b
+      ON a.band = b.band AND a.val = b.val AND a.asset_id < b.asset_id
+), crossp AS (
+    SELECT DISTINCT n.asset_id AS id_a, s.asset_id AS id_b,
+           n.phash AS ha, s.phash AS hb
+    FROM batch n JOIN store s
+      ON n.band = s.band AND n.val = s.val AND n.asset_id <> s.asset_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+       'batch' AS source
+FROM within WHERE bit_count(xor(ha, hb)) <= 4
+UNION ALL
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+       'store' AS source
+FROM crossp WHERE bit_count(xor(ha, hb)) <= 4
+"""
+
+
+@register(
+    "multimodal_phash_incremental",
+    _PHASH_INC_ORACLE,
+    "Incremental cross-batch image near-dup (extension; the pHash "
+    "sibling of the MinHash signature store, for batch-append image "
+    "ingestion): the new batch's banded hashes self-join for "
+    "within-batch pairs AND band-join the persistent (id, hash) store — "
+    "bucketable on (band, val) for a pruned probe at scale — for cross "
+    "pairs; exact XOR-popcount verify on both; re-ingested ids never "
+    "self-pair. Planted group hashes fire both accept and reject paths "
+    "on both sources. Library: sources.multimodal."
+    "phash_incremental_pairs / banded_hashes.",
+)
+def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash60
+    from ..sources import multimodal
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    base = hash60(
+        F.concat(F.lit("grp"), F.expr("c_custkey div 4").cast("string"))
+    )
+    mask = (
+        F.when(F.col("c_custkey") % 4 == 0, 0)
+        .when(F.col("c_custkey") % 4 == 1, _PHASH_FLIPS[1])
+        .when(F.col("c_custkey") % 4 == 2, _PHASH_FLIPS[2])
+        .otherwise(_PHASH_FLIPS[3])
+        .cast("long")
+    )
+    hashes = cust.select(
+        F.col("c_custkey").alias("asset_id"),
+        base.bitwiseXOR(mask).alias("phash"),
+    )
+    store = hashes.filter(F.col("asset_id") % 4 == 0)
+    batch = hashes.filter(F.col("asset_id") % 4 != 0)
+    return multimodal.phash_incremental_pairs(batch, store, max_hamming=4)

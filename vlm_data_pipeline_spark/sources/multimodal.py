@@ -639,27 +639,23 @@ def perceptual_hashes(
     )
 
 
-def phash_near_pairs(
+def banded_hashes(
     hashes: DataFrame,
-    max_hamming: int = 4,
     bands: int = 5,
     bits: int = 60,
     id_col: str = "asset_id",
     hash_col: str = "phash",
 ) -> DataFrame:
-    """Near-duplicate pairs by hamming distance on perceptual hashes,
-    purely relationally: split each hash into ``bands`` equal bit bands
-    (pigeonhole: two hashes within ``bands − 1`` hamming bits MUST agree
-    on ≥ 1 band — set ``bands > max_hamming`` for exact recall), join on
-    (band index, band value) — candidates ≈ O(near-dups), never |corpus|²
-    — then verify bit_count(xor) ≤ ``max_hamming`` exactly. The image
-    sibling of MinHash banding, with XOR popcount instead of Jaccard.
-    """
+    """(id, h, band, val): each perceptual hash split into ``bands``
+    equal bit bands (in-row explode, zero shuffle). This IS the
+    persistable store format for the incremental pass — write it
+    partitioned/bucketed on (band, val) and a new batch's probe prunes
+    to its own band buckets instead of scanning the store."""
     if bits % bands != 0:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")
     width = bits // bands
     mask = (1 << width) - 1
-    banded = hashes.select(
+    return hashes.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("h"),
         F.explode(
@@ -676,6 +672,25 @@ def phash_near_pairs(
             )
         ).alias("bv"),
     ).select("id", "h", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 5,
+    bits: int = 60,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate pairs by hamming distance on perceptual hashes,
+    purely relationally: split each hash into ``bands`` equal bit bands
+    (pigeonhole: two hashes within ``bands − 1`` hamming bits MUST agree
+    on ≥ 1 band — set ``bands > max_hamming`` for exact recall), join on
+    (band index, band value) — candidates ≈ O(near-dups), never |corpus|²
+    — then verify bit_count(xor) ≤ ``max_hamming`` exactly. The image
+    sibling of MinHash banding, with XOR popcount instead of Jaccard.
+    """
+    banded = banded_hashes(hashes, bands, bits, id_col, hash_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -692,3 +707,61 @@ def phash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def phash_incremental_pairs(
+    new_hashes: DataFrame,
+    store: DataFrame | None,
+    max_hamming: int = 4,
+    bands: int = 5,
+    bits: int = 60,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Cross-batch image near-dup detection — the pHash sibling of
+    ``operators.dedup.minhash_incremental_pairs`` for batch-append image
+    ingestion: the new batch's banded hashes self-join for WITHIN-batch
+    pairs and band-join the persistent STORE (one long per asset — raw
+    (id, phash) rows, or the pre-banded :func:`banded_hashes` layout,
+    detected by its columns, which at scale is bucketed on (band, val)
+    so the probe prunes instead of scanning) for CROSS pairs; both
+    verify exactly with bit_count(xor) <= max_hamming. Re-ingested ids
+    (same id in batch and store) are not paired with themselves. After
+    the pass, append the batch's banded rows to the store — the same
+    loop invariant the MinHash store documents.
+
+    Returns (id_a, id_b, hamming, source: batch|store).
+    """
+    nb = banded_hashes(new_hashes, bands, bits, id_col, hash_col)
+    within = (
+        phash_near_pairs(
+            new_hashes, max_hamming, bands, bits, id_col, hash_col
+        )
+        .withColumn("source", F.lit("batch"))
+    )
+    if store is None:
+        return within
+    if "band" in store.columns and "val" in store.columns:
+        sb = store.select("id", "h", "band", "val")
+    else:
+        sb = banded_hashes(store, bands, bits, id_col, hash_col)
+    cross = (
+        nb.alias("n")
+        .join(
+            sb.alias("s"),
+            (F.col("n.band") == F.col("s.band"))
+            & (F.col("n.val") == F.col("s.val"))
+            & (F.col("n.id") != F.col("s.id")),
+        )
+        .select(
+            F.col("n.id").alias("id_a"),
+            F.col("s.id").alias("id_b"),
+            F.bit_count(
+                F.col("n.h").bitwiseXOR(F.col("s.h"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("source", F.lit("store"))
+    )
+    return within.unionByName(cross)
