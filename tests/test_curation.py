@@ -907,3 +907,33 @@ def test_dsir_scores_rejects_duplicate_or_gapped_buckets(spark):
     )
     with pytest.raises(ValueError, match="exactly once"):
         curation.dsir_scores(docs, bad, n_buckets=4)
+
+
+def test_pareto_select_monotone_and_deterministic(spark):
+    """Survival is monotone in score (same draws, higher score keeps a
+    superset), near-1 scores almost always survive, near-0 scores almost
+    never, and the kept set is partitioning-independent."""
+    ids = list(range(500))
+    hi = spark.createDataFrame([(i, 0.999) for i in ids], "doc_id long, score double")
+    lo = spark.createDataFrame([(i, 0.01) for i in ids], "doc_id long, score double")
+    mid = spark.createDataFrame([(i, 0.5) for i in ids], "doc_id long, score double")
+    n_hi = curation.pareto_select(hi).count()
+    n_lo = curation.pareto_select(lo).count()
+    n_mid = curation.pareto_select(mid).count()
+    assert n_hi > 480  # pareto draw > 0.001 almost surely
+    assert n_lo < 20
+    assert n_lo <= n_mid <= n_hi
+    kept1 = {r.doc_id for r in curation.pareto_select(mid).collect()}
+    kept2 = {r.doc_id for r in curation.pareto_select(mid.repartition(7)).collect()}
+    assert kept1 == kept2
+    with pytest.raises(ValueError):
+        curation.pareto_select(mid, alpha=0)
+
+
+def test_pareto_select_zero_shuffle(spark):
+    docs = spark.createDataFrame([(1, 0.9)], "doc_id long, score double")
+    plan = (
+        curation.pareto_select(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:800]

@@ -443,3 +443,30 @@ def test_quality_classifier_scores_bounded_random(spark):
     assert len(rows) == 100
     for r in rows:
         assert 0.0 < r.score < 1.0
+
+
+def test_sentences_fuzz_never_crashes_and_invariants(spark):
+    """Randomized punctuation/unicode text: the splitter never crashes,
+    every sentence is non-empty and trimmed, and stripping whitespace
+    from the concatenation of sentences loses no non-space characters."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import sentences
+
+    rng = random.Random(41)
+    alphabet = "ab .!?\t\n…汉字é;"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    rows = df.select("i", sentences(F.col("text")).alias("s")).collect()
+    assert len(rows) == 200
+    for r in rows:
+        for sent in r.s:
+            assert sent == sent.strip() and sent != ""
+        glued = "".join("".join(r.s).split())
+        orig = "".join(texts[r.i].split())
+        assert glued == orig, r.i

@@ -495,11 +495,16 @@ def sentences(text: Column) -> Column:
     """RE2-safe sentence split (works verbatim in the DuckDB oracle — no
     lookbehind): a record separator is inserted after every terminal
     punctuation mark ([.!?]) followed by whitespace, then the text
-    splits on it; sentences are trimmed and empties dropped. Terminal
-    runs ("wow!!!") stay inside their sentence (the marker lands after
-    the last mark). ArrayType(StringType)."""
+    splits on it; sentences are stripped of ALL leading/trailing
+    whitespace (regexp — F.trim removes spaces only, tabs/newlines
+    would leak through) and empties dropped. Terminal runs ("wow!!!")
+    stay inside their sentence (the marker lands after the last mark).
+    ArrayType(StringType)."""
     marked = F.regexp_replace(text, r"([.!?])\s+", "$1\x1e")
     return F.filter(
-        F.transform(F.split(marked, "\x1e"), lambda s: F.trim(s)),
+        F.transform(
+            F.split(marked, "\x1e"),
+            lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+        ),
         lambda s: s != "",
     )

@@ -958,3 +958,35 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_key")
     )
+
+
+def pareto_select(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    seed: str = "pareto",
+) -> DataFrame:
+    """GPT-3's quality-score document selection (Brown et al. 2020,
+    Appendix A): keep a document iff ``pareto_draw(alpha) > 1 − score``
+    — high-scoring docs almost always survive, low-scoring docs survive
+    occasionally (a smooth lottery instead of a hard threshold, which
+    preserves tail diversity). The Pareto draw is inverse-transform
+    sampled from a DETERMINISTIC (seed, id) uniform —
+    x = (1 − u)^(−1/α) − 1, the functions.detrandom rationale — so the
+    kept set is a pure function of the data, independent of
+    partitioning and engine. Pure in-row filter, zero shuffle."""
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / float(1 << 32)
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scored.filter(draw > (F.lit(1.0) - F.col(score_col)))

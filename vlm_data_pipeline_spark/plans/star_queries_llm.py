@@ -2870,7 +2870,8 @@ WITH docs2 AS (
            list_filter(list_transform(
                string_split(regexp_replace(text, '([.!?])\\s+',
                                            '\\1' || chr(30), 'g'), chr(30)),
-               s -> trim(s)), s -> s <> '') AS w
+               s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')),
+               s -> s <> '') AS w
     FROM docs2
 ), exp AS (
     SELECT doc_id, w, unnest(
@@ -3122,3 +3123,40 @@ def multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = hashes.filter(F.col("asset_id") % 4 == 0)
     batch = hashes.filter(F.col("asset_id") % 4 != 0)
     return multimodal.phash_incremental_pairs(batch, store, max_hamming=4)
+
+
+_PARETO_ORACLE = f"""
+WITH scored AS ({_CLF_ORACLE.strip()}
+)
+SELECT doc_id, score FROM scored
+WHERE pow(1.0 - ((('0x' || substr(md5('pareto' || chr(31)
+            || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        / 4294967296.0), -1.0 / 9.0) - 1.0 > 1.0 - score
+"""
+
+
+@register(
+    "curation_pareto_select",
+    _PARETO_ORACLE,
+    "GPT-3 quality-score document selection (extension; Brown et al. "
+    "2020 App. A): keep a doc iff a Pareto(9) draw beats 1 - classifier "
+    "score — a smooth lottery that keeps tail diversity instead of a "
+    "hard threshold. The draw is inverse-transform sampled from a "
+    "deterministic (seed, id) uniform, so the kept set is partitioning- "
+    "and engine-independent; composed here over the 2-step-trained "
+    "hashed-ngram classifier (itself re-derived in this oracle). Pure "
+    "in-row filter, zero shuffle past scoring. Library: "
+    "operators.curation.pareto_select.",
+)
+def curation_pareto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    labeled = docs.withColumn("label", (F.col("doc_id") % 10 == 0).cast("int"))
+    w = curation.train_quality_classifier(
+        labeled, n_buckets=_CLF_B, iters=2, lr=_CLF_LR
+    )
+    scored = curation.quality_classifier_scores(docs, w).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    return curation.pareto_select(scored)
