@@ -470,3 +470,29 @@ def test_sentences_fuzz_never_crashes_and_invariants(spark):
         glued = "".join("".join(r.s).split())
         orig = "".join(texts[r.i].split())
         assert glued == orig, r.i
+
+
+def test_vertical_tab_tokenization_matches_duckdb(spark):
+    """Review-pass regression: Java \\s includes \\x0B but RE2's does
+    not, so every oracle-paired whitespace regex spells the class out.
+    A \\x0B-bearing doc must tokenize and sentence-split identically in
+    Spark and DuckDB."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import sentences, tokens
+    from vlm_data_pipeline_spark.plans.star_queries_llm import _D_TOKS
+
+    text = "a\x0bb c. Second\x0b sentence here. \x0btail"
+    df = spark.createDataFrame([(text,)], "text string")
+    srow = df.select(
+        tokens(F.col("text")).alias("t"), sentences(F.col("text")).alias("s")
+    ).collect()[0]
+    drow = duckdb.sql(
+        f"SELECT {_D_TOKS} AS t FROM (SELECT ? AS text)", params=[text]
+    ).fetchone()
+    assert list(srow.t) == list(drow[0])
+    # \x0B is treated as whitespace in BOTH engines (the Java behavior)
+    assert "a" in srow.t and "b" in srow.t
+    for sent in srow.s:
+        assert not sent.startswith("\x0b") and not sent.endswith("\x0b")

@@ -100,3 +100,21 @@ def multiple_choice(options: Column, *seed_cols: Column) -> Column:
         letter.alias("answer"),
         correct.alias("answer_value"),
     )
+
+
+def seeded_unit_uniform(seed: str, key: Column) -> Column:
+    """U in the OPEN interval (0, 1) from (seed, key): md5-derived like
+    :func:`unit_uniform`, plus a +0.5/2^32 offset so downstream
+    transforms with singularities at 0 or 1 (−ln(−ln u), Pareto
+    inverse-CDF) are always finite. ONE definition shared by every
+    selection operator (DSIR Gumbel keys, Pareto draws) — the SQL
+    oracles mirror this construction verbatim, so all copies must stay
+    bit-identical; edit here only."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(seed), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (h + F.lit(0.5)) / _SCALE

@@ -58,9 +58,15 @@ def seeded_hash60(seed: Column, col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# Java \s == [ \t\n\x0B\f\r] but RE2 (DuckDB) \s LACKS \x0B — every
+# whitespace regex that an oracle mirrors spells the class out explicitly
+# in BOTH engines so a vertical tab cannot split tokens in one engine only
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens, empties dropped. ArrayType(StringType)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(text, WS_CLASS + "+"), lambda t: t != "")
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
@@ -95,7 +101,9 @@ def distinct_token_count(text: Column) -> Column:
 # GPT-2-style pretokenizer shape: contractions, space-prefixed letter runs,
 # digit runs, punctuation runs. Both Java regex (Spark) and RE2 (DuckDB)
 # support \p{L}/\p{N}, so the same pattern serves the oracle.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
+)
 
 
 def subword_count(text: Column) -> Column:
@@ -500,11 +508,13 @@ def sentences(text: Column) -> Column:
     would leak through) and empties dropped. Terminal runs ("wow!!!")
     stay inside their sentence (the marker lands after the last mark).
     ArrayType(StringType)."""
-    marked = F.regexp_replace(text, r"([.!?])\s+", "$1\x1e")
+    marked = F.regexp_replace(text, r"([.!?])" + WS_CLASS + "+", "$1\x1e")
     return F.filter(
         F.transform(
             F.split(marked, "\x1e"),
-            lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+            lambda s: F.regexp_replace(
+                s, "^" + WS_CLASS + "+|" + WS_CLASS + "+$", ""
+            ),
         ),
         lambda s: s != "",
     )

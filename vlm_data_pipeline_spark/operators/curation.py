@@ -220,7 +220,7 @@ def stratified_sample(
 # no lookaround, no backrefs. Order matters: emails before URLs would leave
 # 'mailto:' hosts half-scrubbed, so URLs go first, then emails, IPs, phones.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
-    (r"https?://[^\s]+", "<URL>"),
+    (r"https?://[^ \t\n\x0B\f\r]+", "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
@@ -500,7 +500,9 @@ def chunk_documents(
 
 def extract_domain(url: Column) -> Column:
     """Lower-cased host of an http(s) URL ('' when not a URL) — in-row."""
-    return F.lower(F.regexp_extract(url, r"^https?://([^/:?#\s]+)", 1))
+    return F.lower(
+        F.regexp_extract(url, r"^https?://([^/:?# \t\n\x0B\f\r]+)", 1)
+    )
 
 
 def domain_suffixes(domain: Column) -> Column:
@@ -583,7 +585,11 @@ def clean_lines(
     from ..functions.text import let
 
     def word_count(line):
-        return F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+        from ..functions.text import WS_CLASS
+
+        return F.size(
+            F.filter(F.split(line, WS_CLASS + "+"), lambda w: w != "")
+        )
 
     def keep_line(line):
         punct = (
@@ -603,7 +609,9 @@ def clean_lines(
     # would fail every terminal-punctuation check and silently wipe
     # valid lines
     def strip_ws(l: Column) -> Column:
-        return F.regexp_replace(l, r"^\s+|\s+$", "")
+        from ..functions.text import WS_CLASS
+
+        return F.regexp_replace(l, "^" + WS_CLASS + "+|" + WS_CLASS + "+$", "")
 
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\r?\n"), strip_ws),
@@ -901,18 +909,11 @@ def dsir_sample(
     near-ties collapse and resolve by id identically everywhere. Top-n
     compiles to TakeOrderedAndProject — per-partition heaps, no global
     sort, driver holds n rows only."""
+    from ..functions.detrandom import seeded_unit_uniform
+
     if n <= 0:
         raise ValueError("n must be positive")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (h + F.lit(0.5)) / float(1 << 32)
+    u = seeded_unit_uniform(seed, F.col(id_col))
     gumbel = -F.log(-F.log(u))
     return (
         scored.withColumn("_k", F.round(F.col(score_col) + gumbel, 6))
@@ -975,18 +976,17 @@ def pareto_select(
     sampled from a DETERMINISTIC (seed, id) uniform —
     x = (1 − u)^(−1/α) − 1, the functions.detrandom rationale — so the
     kept set is a pure function of the data, independent of
-    partitioning and engine. Pure in-row filter, zero shuffle."""
+    partitioning and engine. The survival MARGIN (draw − (1 − score))
+    is rounded to 6 decimals before the comparison: pow() is a
+    transcendental whose last ulp may differ between engines, and an
+    oracle-compared membership test must not sit on that edge (the
+    dsir_sample Gumbel-key rule; an exactly-zero rounded margin drops).
+    Pure in-row filter, zero shuffle."""
+    from ..functions.detrandom import seeded_unit_uniform
+
     if alpha <= 0:
         raise ValueError("alpha must be positive")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (h + F.lit(0.5)) / float(1 << 32)
+    u = seeded_unit_uniform(seed, F.col(id_col))
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
-    return scored.filter(draw > (F.lit(1.0) - F.col(score_col)))
+    margin = F.round(draw - (F.lit(1.0) - F.col(score_col)), 6)
+    return scored.filter(margin > 0.0)

@@ -23,7 +23,9 @@ from .registry import load_tables, register
 # ---------------------------------------------------------------------------
 
 # tokens: whitespace split, empties dropped (mirror of functions.text.tokens)
-_D_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+# explicit class == Java \\s (RE2's \\s lacks \\x0B — see functions.text.WS_CLASS)
+_D_WS = "[ \\t\\n\\x0B\\f\\r]"
+_D_TOKS = f"list_filter(string_split_regex(text, '{_D_WS}+'), t -> t <> '')"
 # distinct word 3-grams (mirror of functions.text.word_shingles, n=3)
 _D_SHINGLES = (
     "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),"
@@ -554,7 +556,7 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len({_D_TOKS}) AS n_ws_chunks,
            len(regexp_extract_all(text,
-               '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
+               '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^ \\t\\n\\x0B\\f\\r\\p{{L}}\\p{{N}}]+'))
                AS n_subwords
     FROM documents
     """,
@@ -1077,7 +1079,7 @@ SELECT doc_id,
       regexp_replace(
         regexp_replace(
           regexp_replace({_PLANT_PII},
-            'https?://[^\\s]+', '<URL>', 'g'),
+            'https?://[^ \\t\\n\\x0B\\f\\r]+', '<URL>', 'g'),
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
       '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g') AS clean
@@ -1532,7 +1534,7 @@ WITH u AS (
     SELECT doc_id, lang, {_PLANT_URL} AS url FROM documents
 ), host AS (
     SELECT doc_id, lang,
-           lower(regexp_extract(url, '^https?://([^/:?#\\s]+)', 1)) AS dom
+           lower(regexp_extract(url, '^https?://([^/:?# \\t\\n\\x0B\\f\\r]+)', 1)) AS dom
     FROM u
 ), sufs AS (
     SELECT doc_id, lang,
@@ -1816,7 +1818,7 @@ _C4_PLANT = """concat(text, '.',
     CASE WHEN doc_id % 19 = 3 THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
         ELSE '' END)"""
 
-_C4_WORDS = "len(list_filter(string_split_regex(l, '\\s+'), w -> w <> ''))"
+_C4_WORDS = f"len(list_filter(string_split_regex(l, '{_D_WS}+'), w -> w <> ''))"
 _C4_KEEP = (
     "(ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')"
     " OR ends_with(l, '\"'))"
@@ -1833,7 +1835,7 @@ WITH planted AS (
 ), split AS (
     SELECT doc_id,
            list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
-                                      l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
+                                      l -> regexp_replace(l, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')),
                        l -> l <> '') AS ls
     FROM ok
 ), kept AS (
@@ -2868,9 +2870,9 @@ WITH docs2 AS (
 ), sent AS (
     SELECT doc_id,
            list_filter(list_transform(
-               string_split(regexp_replace(text, '([.!?])\\s+',
+               string_split(regexp_replace(text, '([.!?])[ \\t\\n\\x0B\\f\\r]+',
                                            '\\1' || chr(30), 'g'), chr(30)),
-               s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')),
+               s -> regexp_replace(s, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')),
                s -> s <> '') AS w
     FROM docs2
 ), exp AS (
@@ -3129,9 +3131,9 @@ _PARETO_ORACLE = f"""
 WITH scored AS ({_CLF_ORACLE.strip()}
 )
 SELECT doc_id, score FROM scored
-WHERE pow(1.0 - ((('0x' || substr(md5('pareto' || chr(31)
+WHERE round(pow(1.0 - ((('0x' || substr(md5('pareto' || chr(31)
             || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
-        / 4294967296.0), -1.0 / 9.0) - 1.0 > 1.0 - score
+        / 4294967296.0), -1.0 / 9.0) - 1.0 - (1.0 - score), 6) > 0.0
 """
 
 

@@ -741,10 +741,30 @@ def phash_incremental_pairs(
     )
     if store is None:
         return within
+    width = bits // bands
+    mask = (1 << width) - 1
     if "band" in store.columns and "val" in store.columns:
-        sb = store.select("id", "h", "band", "val")
+        # a store banded under DIFFERENT (bands, bits) silently loses
+        # recall (its band indices / val widths never match the probe's)
+        # — fail loudly on the detectable directions instead
+        guard = F.assert_true(
+            (F.col("band") < F.lit(bands)) & (F.col("val") <= F.lit(mask)),
+            F.lit(
+                f"banded store is inconsistent with bands={bands}, "
+                f"bits={bits} — re-band the store or pass raw (id, hash)"
+            ),
+        )
+        sb = (
+            store.select("id", "h", "band", "val")
+            .withColumn("_g", guard)
+            .drop("_g")
+        )
     else:
         sb = banded_hashes(store, bands, bits, id_col, hash_col)
+    # filter BEFORE deduplicating: the store may legitimately hold
+    # several hashes for one id (re-ingested changed content), and a
+    # dropDuplicates over mixed-hamming rows would keep an arbitrary one
+    # — min(hamming) per pair is the deterministic answer
     cross = (
         nb.alias("n")
         .join(
@@ -760,8 +780,9 @@ def phash_incremental_pairs(
                 F.col("n.h").bitwiseXOR(F.col("s.h"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
         .withColumn("source", F.lit("store"))
     )
     return within.unionByName(cross)
