@@ -234,3 +234,43 @@ def test_unigram_price_lookup_map_literal_guard():
     big = {f"p{i}": -1.0 for i in range(MAP_LITERAL_LIMIT // 2 + 1)}
     with pytest.raises(ValueError, match="broadcast join"):
         _price_lookup(big)
+
+
+def test_tokenizer_artifact_round_trips(spark, tmp_path):
+    """BPE merge tables and unigram models survive the JSON artifact
+    round-trip exactly — order, strings, and double log-probs — so a
+    reloaded model encodes identically."""
+    from vlm_data_pipeline_spark.operators.lm import (
+        apply_bpe,
+        load_bpe_merges,
+        load_unigram_model,
+        save_bpe_merges,
+        save_unigram_model,
+        train_bpe,
+        train_unigram_lm,
+        unigram_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abc"), (2, "abab baba")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, num_merges=4)
+    p1 = str(tmp_path / "merges")
+    save_bpe_merges(spark, merges, p1)
+    assert load_bpe_merges(spark, p1) == merges
+    enc_a = apply_bpe(docs, merges).select("doc_id", "bpe_tokens").collect()
+    enc_b = apply_bpe(docs, load_bpe_merges(spark, p1)).select(
+        "doc_id", "bpe_tokens"
+    ).collect()
+    assert sorted(map(tuple, enc_a)) == sorted(map(tuple, enc_b))
+
+    model = train_unigram_lm(docs, vocab_size=20, iters=2, max_piece_len=4)
+    p2 = str(tmp_path / "unigram")
+    save_unigram_model(spark, model, p2)
+    loaded = load_unigram_model(spark, p2)
+    assert loaded == model  # bit-exact doubles
+    e1 = unigram_encode(docs, model, 4).collect()
+    e2 = unigram_encode(docs, loaded, 4).collect()
+    assert sorted((r.doc_id, tuple(r.pieces)) for r in e1) == sorted(
+        (r.doc_id, tuple(r.pieces)) for r in e2
+    )

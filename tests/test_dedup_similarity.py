@@ -1076,3 +1076,28 @@ def test_span_serialization_is_injective(spark):
     )
     out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=2).collect()}
     assert out[1].n_removed == 0 and out[2].n_removed == 0
+
+
+def test_corpus_overlap_hand_computed(spark):
+    """A: docs {x, y, y}, B: docs {y, z}: distinct_a=2, distinct_b=2,
+    intersection {y} -> jaccard 1/3; B docs already in A = 1."""
+    from vlm_data_pipeline_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(1, "x words here"), (2, "y other words"), (3, "y other words")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(10, "y other words"), (11, "z unseen content")],
+        "doc_id long, text string",
+    )
+    r = corpus_overlap(a, b).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert (r.distinct_a, r.distinct_b, r.inter_distinct) == (2, 2, 1)
+    assert r.jaccard == round(1 / 3, 6)
+    assert r.b_docs_in_a == 1
+    # disjoint corpora: zero everywhere, no divide-by-zero
+    empty = corpus_overlap(
+        a, spark.createDataFrame([], "doc_id long, text string")
+    ).collect()[0]
+    assert empty.inter_distinct == 0 and empty.b_docs_in_a == 0

@@ -1173,3 +1173,51 @@ def dedup_sentence_spans(
         "n_removed",
         "text",
     )
+
+
+def corpus_overlap(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row overlap report between two corpora — the planning number
+    a merge/dedup decision needs BEFORE running the expensive pass: how
+    much of B is already in A? Documents are compared by the canonical
+    bag-of-words fingerprint (exact_dedup_groups' key), counted at two
+    granularities: DISTINCT fingerprints (content-level: |A∩B|, Jaccard)
+    and raw docs of B whose fingerprint occurs in A (volume-level: how
+    many B rows a dedup against A would drop). Shuffles carry
+    (fingerprint) / (fingerprint, count) rows only — the text never
+    moves. Returns (n_a, n_b, distinct_a, distinct_b, inter_distinct,
+    jaccard, b_docs_in_a)."""
+    fa = corpus_a.select(doc_fingerprint(F.col(text_col)).alias("fp"))
+    fb = corpus_b.select(doc_fingerprint(F.col(text_col)).alias("fp"))
+    da, db = fa.distinct(), fb.distinct()
+    inter = da.join(db, "fp")
+    b_in_a = fb.join(da, "fp", "left_semi")
+    counts = (
+        fa.agg(F.count("*").cast("long").alias("n_a"))
+        .crossJoin(fb.agg(F.count("*").cast("long").alias("n_b")))
+        .crossJoin(da.agg(F.count("*").cast("long").alias("distinct_a")))
+        .crossJoin(db.agg(F.count("*").cast("long").alias("distinct_b")))
+        .crossJoin(inter.agg(F.count("*").cast("long").alias("inter_distinct")))
+        .crossJoin(b_in_a.agg(F.count("*").cast("long").alias("b_docs_in_a")))
+    )
+    union_sz = (
+        F.col("distinct_a") + F.col("distinct_b") - F.col("inter_distinct")
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        "distinct_a",
+        "distinct_b",
+        "inter_distinct",
+        F.when(
+            union_sz > 0,
+            F.round(F.col("inter_distinct").cast("double") / union_sz, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+        "b_docs_in_a",
+    )

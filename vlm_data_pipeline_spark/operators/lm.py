@@ -655,3 +655,45 @@ def unigram_encode(
     return corpus.select(
         F.col(id_col), pieces.alias("pieces")
     ).withColumn("n_pieces", F.size("pieces"))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-artifact round-trips (the K4 codebook pattern for LM models)
+# ---------------------------------------------------------------------------
+
+
+def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a BPE merge table as a single JSON artifact: one row per
+    merge with its RANK (application order is the model — Sennrich's
+    merges.txt line order). Dimension-sized by construction."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank int, a string, b string").coalesce(
+        1
+    ).write.mode("overwrite").json(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Rank-ordered merge table back from JSON (explicit schema, never
+    inferSchema in production paths)."""
+    rows = (
+        spark.read.schema("rank int, a string, b string")
+        .json(path)
+        .orderBy("rank")
+        .collect()
+    )
+    return [(r.a, r.b) for r in rows]
+
+
+def save_unigram_model(spark, model: dict[str, float], path: str) -> None:
+    """Persist a unigram-LM piece table (piece -> log p) as one JSON
+    artifact. Doubles survive the JSON round-trip bit-exactly (Jackson
+    writes shortest-round-trip representations), so a reloaded model
+    segments identically — pinned by test."""
+    spark.createDataFrame(
+        sorted(model.items()), "piece string, logp double"
+    ).coalesce(1).write.mode("overwrite").json(path)
+
+
+def load_unigram_model(spark, path: str) -> dict[str, float]:
+    rows = spark.read.schema("piece string, logp double").json(path).collect()
+    return {r.piece: r.logp for r in rows}

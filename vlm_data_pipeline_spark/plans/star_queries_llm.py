@@ -3162,3 +3162,50 @@ def curation_pareto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round("score", 6).alias("score")
     )
     return curation.pareto_select(scored)
+
+
+_OVERLAP_ORACLE = f"""
+WITH fa AS (
+    SELECT md5(array_to_string(list_sort(list_distinct({_D_TOKS})), ' ')) AS fp
+    FROM documents WHERE doc_id % 3 <> 0
+), fb AS (
+    SELECT md5(array_to_string(list_sort(list_distinct({_D_TOKS})), ' ')) AS fp
+    FROM documents WHERE doc_id % 2 = 0
+), da AS (SELECT DISTINCT fp FROM fa
+), db AS (SELECT DISTINCT fp FROM fb
+), s AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM fa) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM fb) AS n_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM da) AS distinct_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM db) AS distinct_b,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM da JOIN db USING (fp)) AS inter_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM fb
+            WHERE fp IN (SELECT fp FROM da)) AS b_docs_in_a
+)
+SELECT n_a, n_b, distinct_a, distinct_b, inter_distinct,
+       CASE WHEN distinct_a + distinct_b - inter_distinct > 0
+            THEN round(CAST(inter_distinct AS DOUBLE)
+                 / (distinct_a + distinct_b - inter_distinct), 6)
+            ELSE 0.0 END AS jaccard,
+       b_docs_in_a
+FROM s
+"""
+
+
+@register(
+    "dedup_corpus_overlap",
+    _OVERLAP_ORACLE,
+    "Corpus-overlap report (extension; the planning pass before merging "
+    "two corpora): canonical-fingerprint comparison at content level "
+    "(distinct-fp intersection + Jaccard) and volume level (docs of B a "
+    "dedup-against-A would drop). Demo splits documents into two "
+    "overlapping views (doc_id%3<>0 vs doc_id%2=0 — the shared evens "
+    "guarantee real overlap). Only fingerprints shuffle. Library: "
+    "operators.dedup.corpus_overlap.",
+)
+def dedup_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.corpus_overlap(a, b)
