@@ -968,3 +968,43 @@ def test_shuffle_shards_is_a_permutation(spark):
     }
     with pytest.raises(ValueError):
         shuffle_shards(docs, 0)
+
+
+def test_gopher_extended_rules_hand_computed(spark):
+    """Each of the four remaining Gopher rules fires on its planted doc
+    and passes on clean prose; empty denominators pass vacuously."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean prose with words\nanother normal line here"),
+            (2, "- one\n- two\n- three\n* four\n• five"),  # 5/5 bullets
+            (3, "ends here...\nalso dots...\nand…\nplain"),   # 3/4 ellipsis
+            (4, "12 34 56 78 90 xx"),                          # 1/6 alpha
+            (5, "few words # ### ..."),                        # 5 symbols / 6 words
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            *[
+                v.alias(k)
+                for k, v in curation.gopher_extended_predicates(
+                    F.col("text")
+                ).items()
+            ],
+        ).collect()
+    }
+    assert all(
+        rows[1][k] for k in ("bullet_ok", "ellipsis_ok", "alpha_ok", "symbol_ok")
+    )
+    assert not rows[2].bullet_ok          # 5/5 = 1.0 > 0.9
+    assert not rows[3].ellipsis_ok        # 3/4 > 0.3
+    assert not rows[4].alpha_ok           # 1/6 < 0.8
+    assert not rows[5].symbol_ok          # 5/6 > 0.1
+    assert all(
+        rows[6][k] for k in ("bullet_ok", "ellipsis_ok", "alpha_ok", "symbol_ok")
+    )

@@ -518,3 +518,54 @@ def sentences(text: Column) -> Column:
         ),
         lambda s: s != "",
     )
+
+
+def gopher_line_counts(text: Column) -> dict[str, Column]:
+    """INTEGER numerators/denominators behind the four Gopher §A1.1
+    rules not covered by :func:`quality_counts` (Rae et al. 2021):
+    bullet-line fraction, ellipsis-line fraction, alphabetic-word
+    fraction, symbol-to-word ratio. Conventions (integer-exact,
+    oracle-reproducible):
+
+    - lines = newline split, empties dropped, leading/trailing
+      whitespace stripped (explicit class — the WS_CLASS parity rule)
+      before the bullet/ellipsis test;
+    - bullet line: starts with '-', '*' or '•';
+    - ellipsis line: ends with '...' or '…';
+    - alphabetic word: contains >= 1 Unicode letter (\\p{L} — Java and
+      RE2 agree);
+    - symbols: '#' characters plus non-overlapping '...' matches plus
+      '…' characters (the Gopher hash/ellipsis set).
+
+    Pure in-row array programs, zero shuffle."""
+    strip = lambda l: F.regexp_replace(  # noqa: E731
+        l, "^" + WS_CLASS + "+|" + WS_CLASS + "+$", ""
+    )
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), strip), lambda l: l != ""
+    )
+    toks = tokens(text)
+    count_char = lambda c: (  # noqa: E731
+        F.length(text) - F.length(F.replace(text, F.lit(c), F.lit("")))
+    ).cast("long")
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_bullet_lines": F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        ).cast("long"),
+        "n_ellipsis_lines": F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("long"),
+        "n_words": F.size(toks).cast("long"),
+        "n_alpha_words": F.size(
+            F.filter(toks, lambda t: t.rlike(r"\p{L}"))
+        ).cast("long"),
+        "n_symbols": (
+            count_char("#")
+            + F.regexp_count(text, F.lit(r"\.\.\."))
+            + count_char("…")
+        ).cast("long"),
+    }

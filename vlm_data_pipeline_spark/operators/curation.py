@@ -990,3 +990,55 @@ def pareto_select(
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     margin = F.round(draw - (F.lit(1.0) - F.col(score_col)), 6)
     return scored.filter(margin > 0.0)
+
+
+# Remaining Gopher §A1.1 rules (Rae et al. 2021) beyond DEFAULT_RULES —
+# kept as a SEPARATE predicate set so the long-green quality_audit
+# oracle stays byte-identical.
+GOPHER_EXTENDED_RULES: dict[str, float] = {
+    "max_bullet_line_fraction": 0.9,
+    "max_ellipsis_line_fraction": 0.3,
+    "min_alpha_word_fraction": 0.8,
+    "max_symbol_word_ratio": 0.1,
+}
+
+
+def gopher_extended_predicates(
+    text: Column, rules: dict[str, float] | None = None
+) -> dict[str, Column]:
+    """One boolean per remaining Gopher rule (True = passes), compared by
+    integer cross-multiplication against the rule's exact rational (the
+    quality_predicates hazard note) — no double division anywhere.
+    Empty denominators pass (a doc with no lines/words fails the core
+    rules already)."""
+    from ..functions.text import gopher_line_counts
+
+    r = {**GOPHER_EXTENDED_RULES, **(rules or {})}
+    c = gopher_line_counts(text)
+
+    def le(num: Column, den: Column, thr: float) -> Column:
+        f = rule_fraction(thr)
+        return F.when(
+            den > 0, num * f.denominator <= den * f.numerator
+        ).otherwise(F.lit(True))
+
+    def ge(num: Column, den: Column, thr: float) -> Column:
+        f = rule_fraction(thr)
+        return F.when(
+            den > 0, num * f.denominator >= den * f.numerator
+        ).otherwise(F.lit(True))
+
+    return {
+        "bullet_ok": le(
+            c["n_bullet_lines"], c["n_lines"], r["max_bullet_line_fraction"]
+        ),
+        "ellipsis_ok": le(
+            c["n_ellipsis_lines"], c["n_lines"], r["max_ellipsis_line_fraction"]
+        ),
+        "alpha_ok": ge(
+            c["n_alpha_words"], c["n_words"], r["min_alpha_word_fraction"]
+        ),
+        "symbol_ok": le(
+            c["n_symbols"], c["n_words"], r["max_symbol_word_ratio"]
+        ),
+    }

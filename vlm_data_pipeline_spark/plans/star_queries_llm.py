@@ -3209,3 +3209,104 @@ def dedup_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.filter(F.col("doc_id") % 3 != 0)
     b = docs.filter(F.col("doc_id") % 2 == 0)
     return dedup.corpus_overlap(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Remaining Gopher §A1.1 rules (bullet/ellipsis/alpha/symbol)
+# ---------------------------------------------------------------------------
+
+# planted rule-firing content per doc_id % 4: bullet-heavy lines,
+# ellipsis-heavy lines, symbol spam, or plain (all paths exercised)
+_GOPHER_SUFFIX_SPARK = """CASE CAST(doc_id % 4 AS INT)
+ WHEN 0 THEN concat(chr(10), '- bullet one', chr(10), '- bullet two', chr(10), '* third')
+ WHEN 1 THEN concat(chr(10), 'ends with dots...', chr(10), 'unicode one…')
+ WHEN 2 THEN ' ### ## # ...'
+ ELSE ''
+END"""
+
+_GOPHER_SUFFIX_SQL = """CASE CAST(doc_id % 4 AS INT)
+ WHEN 0 THEN concat(chr(10), '- bullet one', chr(10), '- bullet two', chr(10), '* third')
+ WHEN 1 THEN concat(chr(10), 'ends with dots...', chr(10), 'unicode one…')
+ WHEN 2 THEN ' ### ## # ...'
+ ELSE ''
+END"""
+
+_GOPHER_EXT_ORACLE = """
+WITH docs2 AS (
+    SELECT doc_id, concat(text, {suffix}) AS text FROM documents
+), ln AS (
+    SELECT doc_id, text,
+           list_filter(list_transform(string_split(text, chr(10)),
+               l -> regexp_replace(l, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')),
+               l -> l <> '') AS lines,
+           list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks
+    FROM docs2
+), c AS (
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           len(list_filter(lines,
+               l -> starts_with(l, '-') OR starts_with(l, '*')
+                    OR starts_with(l, '•'))) AS n_bullet_lines,
+           len(list_filter(lines,
+               l -> ends_with(l, '...') OR ends_with(l, '…')))
+               AS n_ellipsis_lines,
+           len(toks) AS n_words,
+           len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}')))
+               AS n_alpha_words,
+           (length(text) - length(replace(text, '#', ''))
+            + len(regexp_extract_all(text, '\\.\\.\\.'))
+            + length(text) - length(replace(text, '…', ''))) AS n_symbols
+    FROM ln
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
+       CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+       CAST(n_symbols AS BIGINT) AS n_symbols,
+       (n_lines = 0 OR n_bullet_lines * 10 <= n_lines * 9) AS bullet_ok,
+       (n_lines = 0 OR n_ellipsis_lines * 10 <= n_lines * 3) AS ellipsis_ok,
+       (n_words = 0 OR n_alpha_words * 10 >= n_words * 8) AS alpha_ok,
+       (n_words = 0 OR n_symbols * 10 <= n_words * 1) AS symbol_ok
+FROM c
+""".format(suffix=_GOPHER_SUFFIX_SQL)
+
+
+@register(
+    "curation_gopher_extended",
+    _GOPHER_EXT_ORACLE,
+    "The four remaining Gopher §A1.1 rules (extension; Rae et al. 2021) "
+    "beyond the core quality filter: bullet-line fraction <= 0.9, "
+    "ellipsis-line fraction <= 0.3, alphabetic-word fraction >= 0.8, "
+    "symbol(#/ellipsis)-to-word ratio <= 0.1 — all integer-cross-"
+    "multiplied (no double division), all in-row, planted suffixes "
+    "firing every rule path. Kept separate from curation_quality_audit "
+    "so that long-green oracle stays byte-identical. Library: "
+    "operators.curation.gopher_extended_predicates + "
+    "functions.text.gopher_line_counts.",
+)
+def curation_gopher_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import gopher_line_counts
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.expr(_GOPHER_SUFFIX_SPARK)).alias("text"),
+    )
+    c = gopher_line_counts(F.col("text"))
+    p = curation.gopher_extended_predicates(F.col("text"))
+    return planted.select(
+        "doc_id",
+        c["n_lines"].alias("n_lines"),
+        c["n_bullet_lines"].alias("n_bullet_lines"),
+        c["n_ellipsis_lines"].alias("n_ellipsis_lines"),
+        c["n_words"].alias("n_words"),
+        c["n_alpha_words"].alias("n_alpha_words"),
+        c["n_symbols"].alias("n_symbols"),
+        p["bullet_ok"].alias("bullet_ok"),
+        p["ellipsis_ok"].alias("ellipsis_ok"),
+        p["alpha_ok"].alias("alpha_ok"),
+        p["symbol_ok"].alias("symbol_ok"),
+    )
