@@ -981,7 +981,7 @@ def test_gopher_extended_rules_hand_computed(spark):
             (2, "- one\n- two\n- three\n* four\n• five"),  # 5/5 bullets
             (3, "ends here...\nalso dots...\nand…\nplain"),   # 3/4 ellipsis
             (4, "12 34 56 78 90 xx"),                          # 1/6 alpha
-            (5, "few words # ### ..."),                        # 5 symbols / 6 words
+            (5, "few words # ### ..."),                        # 5 symbols / 5 words
             (6, ""),
         ],
         "doc_id long, text string",

@@ -1016,16 +1016,23 @@ def gopher_extended_predicates(
     r = {**GOPHER_EXTENDED_RULES, **(rules or {})}
     c = gopher_line_counts(text)
 
+    # decimal(38,0) cross-multiplication — same guard as
+    # quality_predicates: a custom threshold like 1/3 has a 10^16
+    # rational denominator, and count·denominator overflows BIGINT
+    # (ANSI mode kills the job; non-ANSI silently wraps)
+    def _d(x: Column | int) -> Column:
+        return (F.lit(x) if isinstance(x, int) else x).cast("decimal(38,0)")
+
     def le(num: Column, den: Column, thr: float) -> Column:
         f = rule_fraction(thr)
         return F.when(
-            den > 0, num * f.denominator <= den * f.numerator
+            den > 0, _d(num) * _d(f.denominator) <= _d(den) * _d(f.numerator)
         ).otherwise(F.lit(True))
 
     def ge(num: Column, den: Column, thr: float) -> Column:
         f = rule_fraction(thr)
         return F.when(
-            den > 0, num * f.denominator >= den * f.numerator
+            den > 0, _d(num) * _d(f.denominator) >= _d(den) * _d(f.numerator)
         ).otherwise(F.lit(True))
 
     return {

@@ -1178,7 +1178,6 @@ def dedup_sentence_spans(
 def corpus_overlap(
     corpus_a: DataFrame,
     corpus_b: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """One-row overlap report between two corpora — the planning number
@@ -1187,22 +1186,40 @@ def corpus_overlap(
     bag-of-words fingerprint (exact_dedup_groups' key), counted at two
     granularities: DISTINCT fingerprints (content-level: |A∩B|, Jaccard)
     and raw docs of B whose fingerprint occurs in A (volume-level: how
-    many B rows a dedup against A would drop). Shuffles carry
-    (fingerprint) / (fingerprint, count) rows only — the text never
-    moves. Returns (n_a, n_b, distinct_a, distinct_b, inter_distinct,
-    jaccard, b_docs_in_a)."""
-    fa = corpus_a.select(doc_fingerprint(F.col(text_col)).alias("fp"))
-    fb = corpus_b.select(doc_fingerprint(F.col(text_col)).alias("fp"))
-    da, db = fa.distinct(), fb.distinct()
-    inter = da.join(db, "fp")
-    b_in_a = fb.join(da, "fp", "left_semi")
-    counts = (
-        fa.agg(F.count("*").cast("long").alias("n_a"))
-        .crossJoin(fb.agg(F.count("*").cast("long").alias("n_b")))
-        .crossJoin(da.agg(F.count("*").cast("long").alias("distinct_a")))
-        .crossJoin(db.agg(F.count("*").cast("long").alias("distinct_b")))
-        .crossJoin(inter.agg(F.count("*").cast("long").alias("inter_distinct")))
-        .crossJoin(b_in_a.agg(F.count("*").cast("long").alias("b_docs_in_a")))
+    many B rows a dedup against A would drop).
+
+    ONE scan + one (fp, count) groupBy per corpus, one full-outer join
+    of the two skinny count tables, one final aggregate — a naive
+    crossJoin of independent per-metric aggregates would rescan and
+    re-fingerprint each corpus per metric (Catalyst does not dedupe the
+    shared subtrees across aggregate branches). The text never
+    shuffles. Returns (n_a, n_b, distinct_a, distinct_b,
+    inter_distinct, jaccard, b_docs_in_a)."""
+    ca = (
+        corpus_a.select(doc_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").cast("long").alias("ca"))
+    )
+    cb = (
+        corpus_b.select(doc_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    j = ca.join(cb, "fp", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    counts = j.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum((F.col("ca") > 0).cast("long")).cast("long").alias("distinct_a"),
+        F.sum((F.col("cb") > 0).cast("long")).cast("long").alias("distinct_b"),
+        F.sum(((F.col("ca") > 0) & (F.col("cb") > 0)).cast("long"))
+        .cast("long")
+        .alias("inter_distinct"),
+        F.sum(F.when(F.col("ca") > 0, F.col("cb")).otherwise(0))
+        .cast("long")
+        .alias("b_docs_in_a"),
     )
     union_sz = (
         F.col("distinct_a") + F.col("distinct_b") - F.col("inter_distinct")

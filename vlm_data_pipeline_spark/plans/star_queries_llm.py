@@ -3216,15 +3216,10 @@ def dedup_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # planted rule-firing content per doc_id % 4: bullet-heavy lines,
-# ellipsis-heavy lines, symbol spam, or plain (all paths exercised)
-_GOPHER_SUFFIX_SPARK = """CASE CAST(doc_id % 4 AS INT)
- WHEN 0 THEN concat(chr(10), '- bullet one', chr(10), '- bullet two', chr(10), '* third')
- WHEN 1 THEN concat(chr(10), 'ends with dots...', chr(10), 'unicode one…')
- WHEN 2 THEN ' ### ## # ...'
- ELSE ''
-END"""
-
-_GOPHER_SUFFIX_SQL = """CASE CAST(doc_id % 4 AS INT)
+# ellipsis-heavy lines, symbol spam, or plain (all paths exercised).
+# ONE constant — the expression is valid Spark SQL AND DuckDB SQL, so
+# both engines synthesize the same bytes from the same source.
+_GOPHER_SUFFIX = """CASE CAST(doc_id % 4 AS INT)
  WHEN 0 THEN concat(chr(10), '- bullet one', chr(10), '- bullet two', chr(10), '* third')
  WHEN 1 THEN concat(chr(10), 'ends with dots...', chr(10), 'unicode one…')
  WHEN 2 THEN ' ### ## # ...'
@@ -3233,7 +3228,8 @@ END"""
 
 _GOPHER_EXT_ORACLE = """
 WITH docs2 AS (
-    SELECT doc_id, concat(text, {suffix}) AS text FROM documents
+    SELECT doc_id, concat(coalesce(text, ''), {suffix}) AS text
+    FROM documents
 ), ln AS (
     SELECT doc_id, text,
            list_filter(list_transform(string_split(text, chr(10)),
@@ -3270,7 +3266,7 @@ SELECT doc_id,
        (n_words = 0 OR n_alpha_words * 10 >= n_words * 8) AS alpha_ok,
        (n_words = 0 OR n_symbols * 10 <= n_words * 1) AS symbol_ok
 FROM c
-""".format(suffix=_GOPHER_SUFFIX_SQL)
+""".format(suffix=_GOPHER_SUFFIX)
 
 
 @register(
@@ -3293,7 +3289,9 @@ def curation_gopher_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     planted = docs.select(
         "doc_id",
-        F.concat(F.col("text"), F.expr(_GOPHER_SUFFIX_SPARK)).alias("text"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.expr(_GOPHER_SUFFIX)
+        ).alias("text"),
     )
     c = gopher_line_counts(F.col("text"))
     p = curation.gopher_extended_predicates(F.col("text"))
