@@ -496,3 +496,31 @@ def test_vertical_tab_tokenization_matches_duckdb(spark):
     assert "a" in srow.t and "b" in srow.t
     for sent in srow.s:
         assert not sent.startswith("\x0b") and not sent.endswith("\x0b")
+
+
+def test_span_removal_fuzz_never_crashes(spark):
+    """Random unicode corpora (including empty, whitespace-only, and
+    separator-bearing docs) never crash either span variant, and the
+    structural invariants hold on every row."""
+    import random
+
+    from vlm_data_pipeline_spark.operators.dedup import (
+        dedup_sentence_spans,
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(97)
+    alphabet = "ab \t\n.!?\x1f\x1e…汉 é\x0b"
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tok = remove_duplicate_spans(df, k=3).collect()
+    assert len(tok) == 120
+    for r in tok:
+        assert 0 <= r.n_removed <= r.n_tokens
+    sent = dedup_sentence_spans(df, n_sent=2).collect()
+    assert len(sent) == 120
+    for r in sent:
+        assert 0 <= r.n_removed <= r.n_sentences
