@@ -1101,3 +1101,22 @@ def test_corpus_overlap_hand_computed(spark):
         a, spark.createDataFrame([], "doc_id long, text string")
     ).collect()[0]
     assert empty.inter_distinct == 0 and empty.b_docs_in_a == 0
+
+
+def test_winnow_pairs_two_exchanges_single_fold(spark):
+    """Plan pin: pair generation is in-row per fp group, so the whole
+    operator costs TWO hash exchanges (fp groupBy + pair groupBy) and
+    the winnowing fold subtree appears in ONE chain — no self-join that
+    would re-derive it on both sides."""
+    from vlm_data_pipeline_spark.operators.dedup import winnow_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} shared span words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        winnow_pairs(docs, k=3, w=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -1041,36 +1041,51 @@ def winnow_pairs(
         )
     )
     # the per-doc total rides the exploded rows (+8 bytes/row) so the
-    # expensive winnowing fold is computed ONCE: a separate totals table
-    # would re-run the whole fold subtree behind two more join exchanges
+    # expensive winnowing fold is computed ONCE — and stays once: pair
+    # generation is a collect_list + IN-ROW i<j expansion per fp group
+    # (bounded by max_df <= group size, so <= max_df^2/2 pairs in-row),
+    # NOT a self-join whose two sides would each re-derive the fold
+    # (static plans show no ReusedExchange under AQE). TWO exchanges
+    # total: the (fp) groupBy and the final (pair) groupBy.
     flat = fps.select(
         "doc_id",
         F.size("fp_set").cast("long").alias("n_fp"),
         F.explode("fp_set").alias("fp"),
     )
-
-    from pyspark.sql import Window
-
-    # one fp-partitioned exchange computes the document frequency; rare
-    # fingerprints then pair within the SAME partitioning (no re-shuffle)
-    win = Window.partitionBy("fp")
-    rare = flat.withColumn("df", F.count("*").over(win)).filter(
-        (F.col("df") <= max_df) & (F.col("df") >= 2)
-    )
-    a, b = rare.alias("a"), rare.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    grouped = (
+        flat.groupBy("fp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_fp"))
+            ).alias("members")
         )
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_df))
+    )
+
+    def pair_gen(m: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(m) - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size(m).cast("long")),
+                    lambda j: F.struct(
+                        F.element_at(m, i.cast("int")).alias("a"),
+                        F.element_at(m, j.cast("int")).alias("b"),
+                    ),
+                ),
+            )
+        )
+
+    return (
+        grouped.select(F.explode(let(F.col("members"), pair_gen)).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("p.a.doc_id").alias("id_a"),
+            F.col("p.b.doc_id").alias("id_b"),
         )
         .agg(
             F.count("*").cast("long").alias("n_shared"),
-            F.first(F.col("a.n_fp")).alias("n_a"),
-            F.first(F.col("b.n_fp")).alias("n_b"),
+            F.first(F.col("p.a.n_fp")).alias("n_a"),
+            F.first(F.col("p.b.n_fp")).alias("n_b"),
         )
         .filter(F.col("n_shared") >= min_shared)
         .select("id_a", "id_b", "n_shared", "n_a", "n_b")
