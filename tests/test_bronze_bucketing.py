@@ -114,3 +114,47 @@ def test_bucketed_signature_store_probe_avoids_store_shuffle(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_sig_store")
+
+
+def test_bucketed_store_window_cap_costs_no_store_exchange(spark, sf_dir):
+    """minhash_incremental_pairs' hot-bucket guard counts store members
+    per (band, bucket) with a window — on a store bucketed on those keys
+    the scan already satisfies the window's required distribution, so
+    the guard adds one LOCAL sort and the probe join still plans with a
+    single exchange (the incoming batch side only)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures,
+    )
+    from vlm_data_pipeline_spark.sources import bronze
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_banded = banded_signatures(
+        minhash_signatures(docs.filter(F.col("doc_id") % 4 == 0)), 12, 4
+    ).select("doc_id", "band", "bucket")
+    bronze.write_bucketed(
+        store_banded, "b_sig_store_w", ["band", "bucket"], n_buckets=8
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store = bronze.read_table(spark, "b_sig_store_w")
+        w = Window.partitionBy("band", "bucket")
+        capped = (
+            store.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= 256)
+            .drop("_bn")
+        )
+        probe = banded_signatures(
+            minhash_signatures(docs.filter(F.col("doc_id") % 4 != 0)), 12, 4
+        ).select(F.col("doc_id").alias("q_id"), "band", "bucket")
+        joined = probe.join(capped, ["band", "bucket"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan[:2500]
+        assert "Window" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_sig_store_w")

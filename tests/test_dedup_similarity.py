@@ -1103,6 +1103,70 @@ def test_corpus_overlap_hand_computed(spark):
     assert empty.inter_distinct == 0 and empty.b_docs_in_a == 0
 
 
+def test_minhash_hot_bucket_cap_culls_mass_duplicates(spark):
+    """Mass-duplicated content (m identical docs → one bucket per band)
+    must NOT pair quadratically: groups above max_bucket are culled
+    (the exact dedup pass owns exact-dup-level similarity), while
+    genuine near-dups in normal-size buckets still pair."""
+    same = [(i, "the exact same viral boilerplate page body") for i in range(50)]
+    near = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(same + near, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=8).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(1000, 1001)}
+    # raise the cap above the hot group: the identical docs pair again
+    uncapped = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=64)
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+
+def test_minhash_lsh_no_bucket_self_join(spark):
+    """Plan pin for the in-row pair expansion: candidate generation is a
+    collect_list per (band, bucket) group, NOT a self-join on the bucket
+    key — no join operator in the plan may condition on band/bucket."""
+    docs = spark.createDataFrame(
+        [(i, f"word{i} text body shared tokens here now") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.minhash_lsh_pairs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" in plan
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "bucket" not in line and "band" not in line, line
+
+
+def test_minhash_incremental_hot_bucket_cap(spark):
+    """Both sides of the incremental probe cull over-full (band, bucket)
+    groups: a store of 40 identical docs produces no cross pairs at
+    max_bucket=8, while a genuine cross-batch near-dup still fires."""
+    store_docs = spark.createDataFrame(
+        [(i, "the exact same viral boilerplate page body") for i in range(40)]
+        + [(900, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (2000, "the exact same viral boilerplate page body"),
+            (2001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        ],
+        "doc_id long, text string",
+    )
+    store = dedup.minhash_signatures(store_docs)
+    out = dedup.minhash_incremental_pairs(
+        batch, store, threshold=0.5, max_bucket=8
+    ).collect()
+    assert {(r.id_a, r.id_b, r.source) for r in out} == {(2001, 900, "store")}
+    # cap above the hot group: the boilerplate batch doc matches all 40
+    wide = dedup.minhash_incremental_pairs(
+        batch, store, threshold=0.5, max_bucket=64
+    )
+    assert wide.filter(F.col("id_a") == 2000).count() == 40
+
+
 def test_winnow_pairs_two_exchanges_single_fold(spark):
     """Plan pin: pair generation is in-row per fp group, so the whole
     operator costs TWO hash exchanges (fp groupBy + pair groupBy) and

@@ -98,6 +98,25 @@ def minhash_signature_from_hashes(shingle_hashes: Column, k: int = 12) -> Column
     )
 
 
+def _inrow_id_pairs(members: Column) -> Column:
+    """All i<j pairs of a SORTED member-id array as struct(a, b) — the
+    winnow_pairs in-row expansion specialized to plain ids: bounded by
+    the caller's group-size cap, so at most cap²/2 structs materialize
+    per row, and (a < b) holds because the input is ascending."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(members) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(members).cast("long")),
+                lambda j: F.struct(
+                    F.element_at(members, i.cast("int")).alias("a"),
+                    F.element_at(members, j.cast("int")).alias("b"),
+                ),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -106,19 +125,34 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
     Pipeline: shingle → k-minhash → split signature into ``bands`` bands of
-    r = k/bands rows → md5(band) bucket key → self-join on (band, bucket)
-    → distinct candidate pairs → verify with exact Jaccard ≥ threshold.
+    r = k/bands rows → md5(band) bucket key → per-(band, bucket) member
+    list → in-row i<j pair expansion → distinct candidate pairs → verify
+    with exact Jaccard ≥ threshold.
 
     With k=12, b=4, r=3 the S-curve midpoint is (1/4)^(1/3) ≈ 0.63, so
     0.8-similar pairs collide with ~97% probability while <0.3 pairs
-    almost never do: candidate volume stays O(near-dups) at corpus scale.
+    almost never do: candidate volume stays O(near-dups) at corpus scale
+    — EXCEPT for mass-duplicated content: m byte-identical copies of one
+    viral page share one signature, so they land in ONE bucket in EVERY
+    band and would emit O(m²·bands) candidates. ``max_bucket`` is the
+    winnow_pairs max_df guard ported to LSH: (band, bucket) groups larger
+    than it are dropped before pairing. Near-dup semantics tolerate the
+    cull — r of 12 minhashes colliding across >max_bucket docs means
+    exact-dup-level similarity, which the cheaper exact fingerprint pass
+    (:func:`exact_dedup_groups`, the documented pipeline stage BEFORE
+    MinHash) owns. Pair generation is collect_list + in-row expansion
+    (the winnow_pairs shape), bounding in-flight pairs at max_bucket²/2
+    per group and saving the self-join's second exchange.
     """
     r = k // bands
     assert bands * r == k, "k must divide into equal bands"
+    if max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2")
 
     # Stage the column pipeline through real projections: a higher-order
     # lambda re-evaluates its input subexpression per element, so tokens
@@ -138,22 +172,20 @@ def minhash_lsh_pairs(
     # ONE shared banding expression (banded_signatures — incremental LSH
     # and the DuckDB oracles must stay bucket-compatible with this path).
     # The banded table is SKINNY (doc_id, band, bucket) — the O(candidates)
-    # self-join never shuffles shingle arrays; those re-attach afterwards
-    # to only the surviving candidate pairs (two narrow hash joins). At
-    # corpus scale this is the difference between shuffling ids and
-    # shuffling the corpus.
+    # pair expansion never touches shingle arrays; those re-attach
+    # afterwards to only the surviving candidate pairs (two narrow hash
+    # joins). At corpus scale this is the difference between shuffling
+    # ids and shuffling the corpus.
     banded = banded_signatures(sig.select("doc_id", "sig"), k, bands).drop("sig")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
     cand_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        grouped.select(F.explode(_inrow_id_pairs(F.col("members"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     cands = cand_ids.join(
@@ -720,6 +752,7 @@ def minhash_incremental_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs for BATCH-APPEND ingestion — the MinHash
     sibling of :func:`dedup_incremental`: the new batch's signatures are
@@ -746,14 +779,40 @@ def minhash_incremental_pairs(
     tests/test_bronze_bucketing.py).
 
     Scale shape: both banded sides are skinny (id, band, bucket, k-long
-    sig); bucket keys are md5 of signature slices (high cardinality — no
-    salting needed), so the join shuffles O(candidates).
+    sig); bucket keys are md5 of signature slices, so ORGANIC bucket
+    cardinality is high — but mass-duplicated content defeats it:
+    m byte-identical copies share one signature and land in ONE bucket
+    in EVERY band, turning the join into O(m²·bands) (within-batch) or
+    O(m_new·m_store·bands) (cross). ``max_bucket`` is the winnow_pairs
+    max_df guard: each SIDE drops its (band, bucket) groups holding more
+    than ``max_bucket`` members before any join — over-full buckets mean
+    exact-dup-level similarity, which the exact fingerprint pass
+    (:func:`dedup_incremental`, the documented stage before MinHash in
+    the ingestion loop) owns. The store-side count is a window over
+    (band, bucket): on a store PERSISTED BUCKETED on those keys the scan
+    satisfies the window's required distribution, so the guard costs one
+    local sort and still zero store-side exchange (plan-proven in
+    tests/test_bronze_bucketing.py).
     """
     if k // bands * bands != k:
         raise ValueError("k must divide into equal bands")
+    if max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2")
+    from pyspark.sql import Window
+
+    def cap(banded: DataFrame) -> DataFrame:
+        w = Window.partitionBy("band", "bucket")
+        return (
+            banded.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+
     sig_new = minhash_signatures(new_docs, id_col, text_col, k, n)
-    nb = banded_signatures(sig_new, k, bands, id_col).withColumnRenamed(
-        id_col, "doc_id"
+    nb = cap(
+        banded_signatures(sig_new, k, bands, id_col).withColumnRenamed(
+            id_col, "doc_id"
+        )
     )
 
     def est(sig_a: Column, sig_b: Column) -> Column:
@@ -789,12 +848,14 @@ def minhash_incremental_pairs(
     out = verify(within, "batch")
     if store is not None:
         if "band" in store.columns and "bucket" in store.columns:
-            sb = store.select(
-                F.col(id_col).alias("doc_id"), "sig", "band", "bucket"
+            sb = cap(
+                store.select(F.col(id_col).alias("doc_id"), "sig", "band", "bucket")
             ).alias("s")
         else:
-            sb = banded_signatures(
-                store.select(F.col(id_col).alias("doc_id"), "sig"), k, bands
+            sb = cap(
+                banded_signatures(
+                    store.select(F.col(id_col).alias("doc_id"), "sig"), k, bands
+                )
             ).alias("s")
         cross = (
             nb.alias("n")

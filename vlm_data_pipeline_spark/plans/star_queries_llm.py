@@ -80,6 +80,11 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_K, _MINHASH_BANDS, _MINHASH_R = 12, 4, 3
+# Hot-bucket guard: (band, bucket) groups larger than this are culled
+# before pairing in BOTH engines (mass-duplicated content shares one
+# signature → one bucket per band → quadratic pair blowup; the exact
+# dedup pass owns those). Mirrors operators.dedup's max_bucket default.
+_MINHASH_MAX_BUCKET = 256
 # One hash32 per shingle + affine permutations (a_j·h + b_j) mod 2^61−1,
 # mirroring operators.dedup.minhash_signature / _perm_coeffs exactly.
 _D_SIG = (
@@ -102,9 +107,12 @@ _D_SIG = (
         SELECT doc_id, sh, b.b AS band,
                md5(array_to_string(sig[b.b * {_MINHASH_R} + 1 : b.b * {_MINHASH_R} + {_MINHASH_R}], ',')) AS bucket
         FROM sig, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) b
+    ), capped AS (
+        SELECT * FROM banded
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {_MINHASH_MAX_BUCKET}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-        FROM banded a JOIN banded b
+        FROM capped a JOIN capped b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
@@ -116,15 +124,21 @@ _D_SIG = (
     """,
     "MinHash+LSH near-duplicate detection (extension; Broder resemblance, "
     "MMDS ch.3): shingle → 12-perm MinHash (pure column math, no shuffle) → "
-    "4 bands of 3 → bucket self-join → exact-Jaccard verify ≥ 0.8. "
-    "Candidate volume is O(colliding pairs), not O(n²) — the standard "
-    "web-scale dedup pipeline as DataFrame ops. Library: "
+    "4 bands of 3 → per-bucket in-row pair expansion (buckets > "
+    f"{_MINHASH_MAX_BUCKET} members culled — mass-dup boilerplate pairs "
+    "quadratically and belongs to the exact pass) → exact-Jaccard verify "
+    "≥ 0.8. Candidate volume is O(colliding pairs), not O(n²) — the "
+    "standard web-scale dedup pipeline as DataFrame ops. Library: "
     "operators.dedup.minhash_lsh_pairs.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return dedup.minhash_lsh_pairs(
-        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
+        docs,
+        k=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        threshold=0.8,
+        max_bucket=_MINHASH_MAX_BUCKET,
     )
 
 
@@ -1964,8 +1978,12 @@ WITH toks AS (
            md5(array_to_string(sig[b.b * {_MINHASH_R} + 1 :
                b.b * {_MINHASH_R} + {_MINHASH_R}], ',')) AS bucket
     FROM sig, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) b
-), nb AS (SELECT * FROM banded WHERE doc_id % 4 <> 0
-), sb AS (SELECT * FROM banded WHERE doc_id % 4 = 0
+), nb AS (
+    SELECT * FROM banded WHERE doc_id % 4 <> 0
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {_MINHASH_MAX_BUCKET}
+), sb AS (
+    SELECT * FROM banded WHERE doc_id % 4 = 0
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {_MINHASH_MAX_BUCKET}
 ), within AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            a.sig AS sig_a, b.sig AS sig_b
@@ -2006,7 +2024,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = docs.filter(F.col("doc_id") % 4 != 0)
     return dedup.minhash_incremental_pairs(
-        batch, store, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
+        batch,
+        store,
+        k=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        threshold=0.8,
+        max_bucket=_MINHASH_MAX_BUCKET,
     )
 
 
