@@ -745,6 +745,38 @@ def test_dsir_scores_zero_shuffle(spark):
     assert "Join" not in plan, plan[:1200]
 
 
+def test_dsir_scores_paths_agree_at_paper_scale(spark):
+    """DSIR's published configuration is 10k hashed buckets — exactly the
+    MAP_LITERAL_LIMIT boundary (20k map entries). Above it the scorer
+    must switch to the broadcast-join fold; both paths fold in ascending
+    bucket order, so the scores must agree to the LAST BIT (the
+    lm.score_corpus dual-path contract)."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    B = 10_000
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 5} w{i % 3} w{(i * 3) % 11}") for i in range(60)]
+        + [(999, "solo")],  # < 2 tokens → featureless, must score 0.0
+        "doc_id long, text string",
+    )
+    ratios = curation.dsir_log_ratios(docs.limit(9), docs, n_buckets=B)
+    lit = {
+        r.doc_id: r.score
+        for r in curation.dsir_scores(docs, ratios, n_buckets=B).collect()
+    }
+    orig = lm.MAP_LITERAL_LIMIT
+    lm.MAP_LITERAL_LIMIT = 0
+    try:
+        join_df = curation.dsir_scores(docs, ratios, n_buckets=B)
+        plan = join_df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan, plan[:1200]  # really took the join path
+        joined = {r.doc_id: r.score for r in join_df.collect()}
+    finally:
+        lm.MAP_LITERAL_LIMIT = orig
+    assert lit == joined  # exact float equality, no tolerance
+    assert lit[999] == 0.0
+
+
 def test_dsir_scores_rejects_wrong_bucket_count(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     ratios = curation.dsir_log_ratios(docs, docs, n_buckets=8)

@@ -736,34 +736,72 @@ def dsir_scores(
     occurrences of log_ratio(bucket) — the log importance weight; sample
     proportionally (Gumbel-top-k via functions.detrandom, or feed
     stratified_sample on score buckets) to select raw data that looks
-    like the target. The fold runs over the SORTED bucket list so the
-    double summation order is a pure function of the data (oracle-
-    bit-stable), and the ratio table rides in the plan as a map literal
-    — n_buckets-sized by construction, zero shuffle, zero join."""
-    rows = sorted(ratios.collect(), key=lambda r: r[0])
-    if [int(r[0]) for r in rows] != list(range(n_buckets)):
-        raise ValueError(
-            f"ratio table must cover buckets 0..{n_buckets - 1} exactly once "
-            f"(got {len(rows)} rows); a duplicate bucket would fail the map "
-            "literal at runtime and a missing one would null out scores"
-        )
-    entries: list[Column] = []
-    for r in rows:
-        entries.append(F.lit(int(r[0])))
-        entries.append(F.lit(float(r[1])))
-    lookup = F.create_map(*entries)
+    like the target.
 
-    def score(feats: Column) -> Column:
-        return F.aggregate(
-            F.array_sort(feats),
-            F.lit(0.0),
-            lambda acc, b: acc + F.element_at(lookup, b),
-        )
+    Two execution paths, identical to the last bit (the lm.score_corpus
+    dual-path contract, path-equality pinned in tests/test_curation.py):
 
-    return docs.select(
-        F.col(id_col),
-        score(dsir_feature_buckets(F.col(text_col), n_buckets)).alias("score"),
+    - small model (2·n_buckets ≤ MAP_LITERAL_LIMIT, true at the 1024
+      default): the ratio table rides in the plan as a map literal and
+      scoring is an in-row fold — zero shuffle, zero join;
+    - paper-scale model (DSIR uses 10k buckets): explode the doc's
+      bucket list, equi-join the BROADCAST (bucket, log_ratio) table,
+      re-assemble per doc and fold over the sorted (bucket, ratio)
+      structs. The shuffle carries (id, bucket, ratio) — bounded by
+      corpus token count, never by the model.
+
+    Both paths fold in ascending-bucket order, so the double summation
+    order is a pure function of the data (oracle-bit-stable and
+    path-independent). Docs with < 2 tokens score 0.0 on both paths.
+    """
+    from ..operators.lm import MAP_LITERAL_LIMIT
+
+    feats = dsir_feature_buckets(F.col(text_col), n_buckets)
+    if 2 * n_buckets <= MAP_LITERAL_LIMIT:
+        rows = sorted(ratios.collect(), key=lambda r: r[0])
+        if [int(r[0]) for r in rows] != list(range(n_buckets)):
+            raise ValueError(
+                f"ratio table must cover buckets 0..{n_buckets - 1} exactly "
+                f"once (got {len(rows)} rows); a duplicate bucket would fail "
+                "the map literal at runtime and a missing one would null out "
+                "scores"
+            )
+        entries: list[Column] = []
+        for r in rows:
+            entries.append(F.lit(int(r[0])))
+            entries.append(F.lit(float(r[1])))
+        lookup = F.create_map(*entries)
+
+        def score(fb: Column) -> Column:
+            return F.aggregate(
+                F.array_sort(fb),
+                F.lit(0.0),
+                lambda acc, b: acc + F.element_at(lookup, b),
+            )
+
+        return docs.select(F.col(id_col), score(feats).alias("score"))
+
+    # broadcast-join path: explode_outer keeps featureless docs (their
+    # null bucket matches nothing in the inner-complete ratio table and
+    # is filtered out of the fold, leaving score 0.0 — same as the
+    # literal path's empty-array fold).
+    exploded = docs.select(F.col(id_col), F.explode_outer(feats).alias("bucket"))
+    joined = exploded.join(F.broadcast(ratios), "bucket", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bucket"), F.col("log_ratio")))
+        ).alias("arr")
     )
+    # collect_list drops nothing here (structs are non-null even when
+    # their fields are), so filter null buckets before folding; sorted by
+    # (bucket, ratio) the addition sequence matches the literal path's
+    # array_sort(bucket) fold exactly — equal buckets carry equal ratios.
+    folded = F.aggregate(
+        F.filter(F.col("arr"), lambda x: x["bucket"].isNotNull()),
+        F.lit(0.0),
+        lambda acc, x: acc + x["log_ratio"],
+    )
+    return per_doc.select(F.col(id_col), folded.alias("score"))
 
 
 # ---------------------------------------------------------------------------
