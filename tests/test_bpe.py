@@ -232,8 +232,100 @@ def test_unigram_price_lookup_map_literal_guard():
     )
 
     big = {f"p{i}": -1.0 for i in range(MAP_LITERAL_LIMIT // 2 + 1)}
-    with pytest.raises(ValueError, match="broadcast join"):
+    with pytest.raises(ValueError, match="auto-selects"):
         _price_lookup(big)
+
+
+def test_apply_bpe_paths_agree(spark):
+    """The fold-chain path (small tables) and the Arrow pandas path
+    (production tables) must encode identically — same sequential-rank
+    semantics, pinned byte-for-byte on a TRAINED table whose merges
+    include composite-on-composite ranks."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    corpus = spark.createDataFrame(
+        [(1, "abab abab ababab abc"), (2, "abab baba cab abcab"), (3, "ab ba")],
+        "doc_id long, text string",
+    )
+    merges = lm.train_bpe(corpus, num_merges=6)
+    assert len(merges) >= 3
+    fold = {
+        r.doc_id: r.bpe_tokens for r in lm.apply_bpe(corpus, merges).collect()
+    }
+    orig = lm.BPE_FOLD_MERGE_LIMIT
+    lm.BPE_FOLD_MERGE_LIMIT = 0
+    try:
+        arrow_df = lm.apply_bpe(corpus, merges)
+        plan = arrow_df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" in plan, plan[:1200]  # really took the UDF path
+        arrow = {r.doc_id: r.bpe_tokens for r in arrow_df.collect()}
+    finally:
+        lm.BPE_FOLD_MERGE_LIMIT = orig
+    assert fold == arrow
+
+
+def test_apply_bpe_32k_merge_table(spark):
+    """A production-size (32k-merge) table must encode — the fold path
+    would build a 32k-deep expression tree; the pandas path's per-word
+    cost is substring-indexed and vocab-size-independent. Planted
+    applicable merges still fire in rank order."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    # 32k junk merges that can never apply, with real ones interleaved
+    merges = [(f"q{i}x", f"z{i}w") for i in range(32_000)]
+    merges[17] = ("a", "b")      # rank 17: ab
+    merges[40] = ("ab", "ab")    # rank 40: abab (composite-on-composite)
+    merges[99] = ("c", "d")      # rank 99: cd
+    docs = spark.createDataFrame(
+        [(1, "ababab cdcd plain")], "doc_id long, text string"
+    )
+    out = lm.apply_bpe(docs, merges).collect()[0]
+    assert out.bpe_tokens == ["abab", "ab", "cd", "cd", "p", "l", "a", "i", "n"]
+
+
+def test_unigram_encode_paths_agree(spark):
+    """Map-literal Viterbi vs broadcast pandas Viterbi: identical DP,
+    identical tie-break, identical pieces on a trained model."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    corpus = spark.createDataFrame(
+        [(i, "banana bandana ban and anna nab") for i in range(3)],
+        "doc_id long, text string",
+    )
+    model = lm.train_unigram_lm(corpus, vocab_size=24, iters=2)
+    lit = {
+        r.doc_id: r.pieces for r in lm.unigram_encode(corpus, model).collect()
+    }
+    orig = lm.MAP_LITERAL_LIMIT
+    lm.MAP_LITERAL_LIMIT = 0
+    try:
+        pd_df = lm.unigram_encode(corpus, model)
+        plan = pd_df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" in plan, plan[:1200]
+        pds = {r.doc_id: r.pieces for r in pd_df.collect()}
+    finally:
+        lm.MAP_LITERAL_LIMIT = orig
+    assert lit == pds
+
+
+def test_unigram_encode_32k_piece_model(spark):
+    """SentencePiece production vocabs are 32k–100k pieces: encoding must
+    work (the map-literal path hard-caps at 10k), stay total (concat of
+    pieces rebuilds each word), and prefer planted high-prob pieces."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    model = {f"xx{i:05d}": -20.0 for i in range(32_000)}
+    model.update({c: -3.0 for c in "abcdehlnopr"})
+    model["hello"] = -1.0
+    model["ban"] = -1.5
+    model["ana"] = -1.5
+    docs = spark.createDataFrame(
+        [(1, "hello banana"), (2, "unseen chars 123")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.pieces for r in lm.unigram_encode(docs, model).collect()}
+    assert rows[1] == ["hello", "ban", "ana"]
+    assert "".join(rows[2]) == "unseenchars123"  # total via UNK floor
 
 
 def test_tokenizer_artifact_round_trips(spark, tmp_path):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -347,6 +348,65 @@ def train_bpe(
         words.unpersist()
 
 
+# Above this many merges the column path's chained per-merge folds make
+# the expression tree DEPTH itself the problem (one _merge_syms fold per
+# merge: a 32k-merge production table would build a 32k-deep plan that
+# Catalyst cannot analyze) — the Arrow-batched pandas path takes over.
+BPE_FOLD_MERGE_LIMIT = 128
+
+
+def _py_tokens(text: str) -> list[str]:
+    """functions.text.tokens() replicated for the Python encode paths:
+    split on the EXPLICIT whitespace class (the WS_CLASS parity rule —
+    Java \\s includes \\x0B) and drop empties."""
+    import re
+
+    return [t for t in re.split(r"[ \t\n\x0B\f\r]+", text) if t != ""]
+
+
+def _py_merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    """One merge applied leftmost-greedy — the exact Python transcription
+    of :func:`_merge_syms`' fold."""
+    out: list[str] = []
+    ab = a + b
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = ab
+        else:
+            out.append(s)
+    return out
+
+
+def _py_encode_word_bpe(
+    word: str, by_concat: dict[str, list[tuple[int, str, str]]]
+) -> list[str]:
+    """Sequential-rank BPE encode of one word with vocab-size-independent
+    cost: a merge (a, b) can only ever fire if its fused string 'ab' is
+    a contiguous substring of the ORIGINAL word (every intermediate
+    symbol is one), so the applicable merges are found by enumerating
+    the word's O(len²) substrings against the concat index instead of
+    scanning the 32k-row table — then applied in learned order with the
+    same leftmost-greedy pass as the column fold. Bit-identical to the
+    fold path by construction (no topological assumption on the table)."""
+    cands: list[tuple[int, str, str]] = []
+    n = len(word)
+    seen: set[str] = set()
+    for i in range(n):
+        for j in range(i + 2, n + 1):  # merged strings are >= 2 chars
+            sub = word[i:j]
+            if sub in seen:
+                continue
+            seen.add(sub)
+            hits = by_concat.get(sub)
+            if hits:
+                cands.extend(hits)
+    cands.sort()
+    syms = list(word)
+    for _, a, b in cands:
+        syms = _py_merge_pass(syms, a, b)
+    return syms
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -355,21 +415,60 @@ def apply_bpe(
 ) -> DataFrame:
     """Encode every document with a learned merge table: per word, start
     from characters and apply each merge in LEARNED ORDER (the BPE
-    encoding rule) — an in-row fold chain, zero shuffle, the merge table
-    riding in the plan (merge tables are vocab-sized by construction).
-    Appends ``out_col`` (array of subword tokens, per-word boundaries
-    preserved by flattening word-wise encodes)."""
+    encoding rule). Appends ``out_col`` (array of subword tokens,
+    per-word boundaries preserved by flattening word-wise encodes).
 
-    def encode_word(w: Column) -> Column:
-        syms = F.split(w, "(?!^)(?=.)")
-        for a, b in merges:
-            syms = _merge_syms(syms, a, b)
-        return syms
+    Two executions, identical to the last byte (path-equality pinned in
+    tests/test_bpe.py):
 
-    return docs.withColumn(
-        out_col,
-        F.flatten(F.transform(tokens(F.col(text_col)), encode_word)),
-    )
+    - small table (≤ BPE_FOLD_MERGE_LIMIT merges): an in-row fold chain,
+      zero shuffle, the merge table riding in the plan;
+    - production table (SentencePiece/GPT-2 scale, 32k+ merges): an
+      Arrow-batched pandas UDF — the table ships ONCE per executor as a
+      SparkContext broadcast (never in the plan: one fold per merge
+      would build a 32k-deep expression tree Catalyst cannot analyze),
+      each word encodes via its substring-indexed applicable-merge set
+      (cost O(len²) per DISTINCT word, independent of vocab size), and a
+      per-batch distinct-word cache exploits Zipfian repetition. Still
+      zero shuffle — a narrow per-row transform either way.
+    """
+    if len(merges) <= BPE_FOLD_MERGE_LIMIT:
+
+        def encode_word(w: Column) -> Column:
+            syms = F.split(w, "(?!^)(?=.)")
+            for a, b in merges:
+                syms = _merge_syms(syms, a, b)
+            return syms
+
+        return docs.withColumn(
+            out_col,
+            F.flatten(F.transform(tokens(F.col(text_col)), encode_word)),
+        )
+
+    by_concat: dict[str, list[tuple[int, str, str]]] = {}
+    for rank, (a, b) in enumerate(merges):
+        by_concat.setdefault(a + b, []).append((rank, a, b))
+    bc = docs.sparkSession.sparkContext.broadcast(by_concat)
+
+    @F.pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        table = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def enc_doc(text: str | None) -> list[str] | None:
+            if text is None:  # null in → null out, as the column path
+                return None
+            out: list[str] = []
+            for w in _py_tokens(text):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = _py_encode_word_bpe(w, table)
+                out.extend(hit)
+            return out
+
+        return texts.map(enc_doc)
+
+    return docs.withColumn(out_col, encode(F.col(text_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -541,9 +640,9 @@ def _price_lookup(model: dict[str, float]) -> Column:
     if 2 * len(model) > MAP_LITERAL_LIMIT:
         raise ValueError(
             f"model has {len(model)} pieces (> {MAP_LITERAL_LIMIT // 2}): a "
-            "create_map literal this large blows up Catalyst — score via a "
-            "broadcast join against a (piece, price) table instead (the "
-            "score_corpus fallback pattern)"
+            "create_map literal this large blows up Catalyst — "
+            "unigram_encode auto-selects the broadcast pandas-UDF Viterbi "
+            "path above this size; use that entry point"
         )
     entries: list[Column] = []
     for piece in sorted(model):
@@ -626,6 +725,42 @@ def train_unigram_lm(
     return model
 
 
+def _py_viterbi_word(
+    word: str, prices: dict[str, float], max_piece_len: int, unk_price: float
+) -> list[str]:
+    """:func:`_viterbi_pieces` transcribed: identical DP recurrence,
+    identical addition order (cost[j] + price, j ascending), identical
+    tie-break (equal cost → larger back pointer → shorter last piece),
+    so segmentations agree with the column path to the last bit."""
+    m = len(word)
+    if m == 0:
+        return []
+    cost = [0.0] * (m + 1)
+    back = [0] * (m + 1)
+    for i in range(1, m + 1):
+        best_cost = None
+        best_back = 0
+        for j in range(max(0, i - max_piece_len), i):
+            sub = word[j:i]
+            p = prices.get(sub)
+            if p is None:
+                p = unk_price if i - j == 1 else _UNI_INF
+            c = cost[j] + p
+            # j ascends, so <= keeps the LARGEST back on cost ties —
+            # the column path's array_min over (cost, -back)
+            if best_cost is None or c <= best_cost:
+                best_cost, best_back = c, j
+        cost[i], back[i] = best_cost, best_back
+    pieces: list[str] = []
+    pos = m
+    while pos > 0:
+        b = back[pos]
+        pieces.append(word[b:pos])
+        pos = b
+    pieces.reverse()
+    return pieces
+
+
 def unigram_encode(
     corpus: DataFrame,
     model: dict[str, float],
@@ -634,26 +769,66 @@ def unigram_encode(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, pieces, n_pieces): Viterbi-optimal unigram segmentation of
-    every whitespace word, concatenated in order — zero shuffle, the
-    model rides in the plan as a map literal (vocab-sized; use a
-    broadcast join above map-literal scale, the bigram-LM fallback
-    pattern). Unknown characters segment as single chars at the UNK
-    floor, so encoding is total."""
+    every whitespace word, concatenated in order. Unknown characters
+    segment as single chars at the UNK floor, so encoding is total.
+
+    Path selection by model size (the score_corpus dual-path contract,
+    equality pinned in tests/test_bpe.py):
+
+    - vocab ≤ MAP_LITERAL_LIMIT/2 map entries: the price table rides in
+      the plan as a map literal and the DP is an in-row fold — zero
+      shuffle, zero Python;
+    - production vocab (SentencePiece ships 32k–100k pieces): an
+      Arrow-batched pandas UDF running the SAME DP — the piece table
+      ships once per executor as a SparkContext broadcast, per-batch
+      distinct-word caching exploits Zipfian repetition. Still a narrow
+      per-row transform: zero shuffle at any corpus size.
+    """
     if not model:
         raise ValueError("empty model: train_unigram_lm first")
     unk_price = -min(model.values()) + 10.0
-    lookup = _price_lookup(model)
-    pieces = let(
-        tokens(F.col(text_col)),
-        lambda toks: F.flatten(
-            F.transform(
-                toks,
-                lambda t: _viterbi_pieces(t, lookup, max_piece_len, unk_price),
-            )
-        ),
+    if 2 * len(model) <= MAP_LITERAL_LIMIT:
+        lookup = _price_lookup(model)
+        pieces = let(
+            tokens(F.col(text_col)),
+            lambda toks: F.flatten(
+                F.transform(
+                    toks,
+                    lambda t: _viterbi_pieces(t, lookup, max_piece_len, unk_price),
+                )
+            ),
+        )
+        return corpus.select(
+            F.col(id_col), pieces.alias("pieces")
+        ).withColumn("n_pieces", F.size("pieces"))
+
+    # prices as the column path stores them: −log p per piece
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        {p: float(-lp) for p, lp in model.items()}
     )
+
+    @F.pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        prices = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def enc_doc(text: str | None) -> list[str] | None:
+            if text is None:  # null in → null out, as the column path
+                return None
+            out: list[str] = []
+            for w in _py_tokens(text):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = _py_viterbi_word(
+                        w, prices, max_piece_len, unk_price
+                    )
+                out.extend(hit)
+            return out
+
+        return texts.map(enc_doc)
+
     return corpus.select(
-        F.col(id_col), pieces.alias("pieces")
+        F.col(id_col), encode(F.col(text_col)).alias("pieces")
     ).withColumn("n_pieces", F.size("pieces"))
 
 
