@@ -116,3 +116,160 @@ def test_apply_codebook_zero_shuffle(spark):
     assert "Exchange" not in plan, plan[:1500]
     # and row-for-row: every input frame survives (no groupBy merge)
     assert out.count() == frames.count()
+
+
+# ---------------------------------------------------------------------------
+# M2/M3 with a REAL numeric model: the tiny-MLP proves the inference seam
+# (executor-singleton load, Arrow-batch featurize, vectorized forward,
+# artifact round-trip) with actual weights — not the deterministic stub.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_frames(spark, n=40):
+    from tests.fixtures import FRAME, box3, frame
+
+    boxes = [
+        box3(float(i % 7), float(i % 5), 2.0, cat=f"object_{i}") for i in range(n)
+    ]
+    rows = [
+        frame(f"m{j}", b3=boxes[j * 10 : (j + 1) * 10]) for j in range(n // 10)
+    ]
+    return spark.createDataFrame(rows, schema=FRAME)
+
+
+def _expected_mlp(reps_rows, weights, vocab):
+    """Driver-side reference forward pass over the representative rows —
+    the same numpy ops the workers run; outputs must agree to the bit."""
+    import pandas as pd
+
+    from vlm_data_pipeline_spark.enrich import tinymlp
+
+    pdf = pd.DataFrame(
+        {
+            "instance_id": [r.instance_id for r in reps_rows],
+            "rgb_path": [r.rgb_path for r in reps_rows],
+            "pos": [r.pos for r in reps_rows],
+        }
+    )
+    probs = tinymlp._forward(
+        tinymlp._featurize(pdf, weights["W1"].shape[0]), weights
+    )
+    top = probs.argmax(axis=1)
+    import numpy as np
+
+    return {
+        int(i): (vocab[t], float(p))
+        for i, t, p in zip(
+            pdf["instance_id"], top, probs[np.arange(len(pdf)), top]
+        )
+    }
+
+
+def test_mlp_classifier_through_build_codebook(spark):
+    from vlm_data_pipeline_spark.enrich import tinymlp
+    from vlm_data_pipeline_spark.enrich.codebook import LABEL_VOCAB
+
+    frames = _mlp_frames(spark)
+    w = tinymlp.make_fixture_weights()
+    cb = enrich.build_codebook(
+        frames, classifier=tinymlp.mlp_classifier(weights=w), min_confidence=0.0
+    )
+    got = {r.instance_id: (r.label, r.confidence) for r in cb.collect()}
+    reps = enrich.representative_per_instance(
+        enrich.extract_unlabeled_instances(frames)
+    ).collect()
+    assert len(got) == 40
+    expected = _expected_mlp(reps, w, LABEL_VOCAB)
+    assert got == expected  # labels AND float confidences, exact
+
+
+def test_mlp_two_stage_cascade_real_weights(spark):
+    """Stage A (seed-0 MLP) accepts above tau_high; only its failures hit
+    Stage B (seed-1 MLP, a genuinely different model). Accept sets must
+    match the driver-side reference decision for every instance."""
+    from vlm_data_pipeline_spark.enrich import tinymlp
+    from vlm_data_pipeline_spark.enrich.codebook import LABEL_VOCAB
+
+    frames = _mlp_frames(spark)
+    wa = tinymlp.make_fixture_weights(seed=0)
+    wb = tinymlp.make_fixture_weights(seed=1)
+    tau_high = 0.20
+    out = enrich.two_stage_cascade(
+        frames,
+        stage_a=tinymlp.mlp_classifier(weights=wa, stage="A"),
+        stage_b=tinymlp.mlp_classifier(weights=wb, stage="B"),
+        tau_high=tau_high,
+        tau_mid=0.0,
+    )
+    got = {r.instance_id: (r.label, r.confidence, r.stage) for r in out.collect()}
+    reps = enrich.representative_per_instance(
+        enrich.extract_unlabeled_instances(frames)
+    ).collect()
+    ea = _expected_mlp(reps, wa, LABEL_VOCAB)
+    eb = _expected_mlp(reps, wb, LABEL_VOCAB)
+    expected = {}
+    for iid in ea:
+        la, ca = ea[iid]
+        if ca >= tau_high:
+            expected[iid] = (la, ca, "A")
+        else:
+            lb, cb_ = eb[iid]
+            expected[iid] = (lb, cb_, "B")
+    assert got == expected
+    stages = {s for (_, _, s) in got.values()}
+    assert stages == {"A", "B"}, "both cascade tiers must fire"
+    spark.catalog.clearCache()  # cascade persists stage-A output
+
+
+def test_mlp_weights_artifact_round_trip(spark, tmp_path):
+    """save → load → identical arrays, and the weights_path production
+    shape (lazy per-worker load) classifies identically to in-memory."""
+    import numpy as np
+
+    from vlm_data_pipeline_spark.enrich import tinymlp
+
+    w = tinymlp.make_fixture_weights(seed=3)
+    p = str(tmp_path / "probe.npz")
+    tinymlp.save_weights(w, p)
+    back = tinymlp.load_weights(p)
+    assert set(back) == set(w)
+    assert all(np.array_equal(back[k], w[k]) for k in w)
+
+    frames = _mlp_frames(spark, n=20)
+    mem = enrich.build_codebook(
+        frames, classifier=tinymlp.mlp_classifier(weights=w), min_confidence=0.0
+    )
+    disk = enrich.build_codebook(
+        frames,
+        classifier=tinymlp.mlp_classifier(weights_path=p),
+        min_confidence=0.0,
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(mem) == as_set(disk)
+
+
+def test_mlp_worker_singleton_loads_once():
+    from vlm_data_pipeline_spark.enrich import tinymlp
+
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return tinymlp.make_fixture_weights(seed=9)
+
+    a = tinymlp._cached_weights("test:once", loader)
+    b = tinymlp._cached_weights("test:once", loader)
+    assert a is b and calls == [1]
+
+
+def test_mlp_classifier_arg_validation():
+    import pytest as _pytest
+
+    from vlm_data_pipeline_spark.enrich import tinymlp
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        tinymlp.mlp_classifier()
+    with _pytest.raises(ValueError, match="exactly one"):
+        tinymlp.mlp_classifier(
+            weights=tinymlp.make_fixture_weights(), weights_path="x.npz"
+        )
