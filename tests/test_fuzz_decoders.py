@@ -185,3 +185,21 @@ def test_fuzz_y4m(n, w, h, c):
     except Exception as exc:  # decode failure must be a normalized one
         assert isinstance(exc, (ValueError, struct.error)), exc
     _skip_never_raises(decode_y4m, blob)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=60),
+    gray=st.booleans(),
+    c=corruption,
+)
+def test_fuzz_jpeg(seed, gray, c):
+    from vlm_data_pipeline_spark.sources.jpeg_codec import decode_jpeg
+
+    from .test_jpeg_codec import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (16, 16) if gray else (16, 16, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    blob = _corrupt(encode_jpeg(img), *c)
+    _skip_never_raises(lambda b: [decode_jpeg(b)], blob)

@@ -1,0 +1,326 @@
+"""Baseline JPEG decoder: round-trips against a minimal test-side
+encoder (T.81 forward path with unit quantization tables and custom
+canonical Huffman tables), subsampling/restart/grayscale coverage,
+malformed-input policy, and the codec-agnostic same-pixels-same-hash
+contract vs PNG."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vlm_data_pipeline_spark.sources.jpeg_codec import _A, decode_jpeg
+
+# ---------------------------------------------------------------------------
+# Minimal baseline encoder (test oracle). Unit quant tables keep coeff
+# error ≤ 0.5, so decoded pixels sit within a couple of counts of the
+# source — and EXACTLY on it for flat blocks (DC-only, integer DC).
+# ---------------------------------------------------------------------------
+
+ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# DC symbols 0..11 all at length 4; AC: EOB, ZRL and every (run, size)
+# for size 1..11 at length 9 (178 symbols ≤ 2^9) — a valid (incomplete)
+# canonical code the decoder must rebuild from DHT alone.
+DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+DC_SYMS = bytes(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 12)
+]
+AC_COUNTS = [0] * 8 + [len(_AC_SYMS)] + [0] * 7
+AC_SYMS = bytes(_AC_SYMS)
+
+
+def _canonical_encode_map(counts, symbols):
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+DC_ENC = _canonical_encode_map(DC_COUNTS, DC_SYMS)
+AC_ENC = _canonical_encode_map(AC_COUNTS, AC_SYMS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.put(1, 1)  # pad with 1s per T.81
+        return bytes(self.out)
+
+
+def _cat(v):
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _encode_block(bw, spatial, pred):
+    coeffs = _A @ (spatial.astype(np.float64) - 128.0) @ _A.T
+    q = np.round(coeffs).astype(np.int64)
+    zz = [int(q.flat[ZZ[i]]) for i in range(64)]
+    diff = zz[0] - pred
+    t = _cat(diff)
+    ln, code = DC_ENC[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = AC_ENC[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = _cat(zz[k])
+        ln, code = AC_ENC[(run << 4) | s]
+        bw.put(code, ln)
+        v = zz[k]
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = AC_ENC[0x00]
+        bw.put(code, ln)
+    return zz[0]
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _pad_to_blocks(plane, bh, bw_):
+    h, w = plane.shape
+    return np.pad(plane, ((0, bh - h), (0, bw_ - w)), mode="edge")
+
+
+def encode_jpeg(pixels, sampling=(1, 1), restart_interval=0):
+    """pixels: (h, w) grayscale or (h, w, 3) RGB uint8; sampling applies
+    to chroma (1,1)=4:4:4, (2,2)=4:2:0 via box-average downsample."""
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px]
+        factors = [(1, 1)]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        sh, sv = sampling
+        if (sh, sv) != (1, 1):
+            hh = -(-h // sv) * sv
+            ww = -(-w // sh) * sh
+            cb = _pad_to_blocks(cb, hh, ww).reshape(
+                hh // sv, sv, ww // sh, sh
+            ).mean(axis=(1, 3))
+            cr = _pad_to_blocks(cr, hh, ww).reshape(
+                hh // sv, sv, ww // sh, sh
+            ).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        factors = [(sampling[0], sampling[1]), (1, 1), (1, 1)]
+    max_h = max(f[0] for f in factors)
+    max_v = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    padded = []
+    for p, (fh, fv) in zip(planes, factors):
+        padded.append(_pad_to_blocks(p, mcus_y * fv * 8, mcus_x * fh * 8))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # unit table, id 0
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMS)
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    entropy = bytearray()
+    rst = 0
+    for m_i in range(mcus_x * mcus_y):
+        if restart_interval and m_i > 0 and m_i % restart_interval == 0:
+            entropy += bw.flush()
+            entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(m_i, mcus_x)
+        for ci in range(ncomp):
+            fh, fv = factors[ci]
+            for by in range(fv):
+                for bx in range(fh):
+                    y0 = (my * fv + by) * 8
+                    x0 = (mx * fh + bx) * 8
+                    preds[ci] = _encode_block(
+                        bw, padded[ci][y0 : y0 + 8, x0 : x0 + 8], preds[ci]
+                    )
+    entropy += bw.flush()
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def test_flat_gray_block_is_exact():
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    assert (d.width, d.height, d.channels, d.bit_depth) == (8, 8, 1, 8)
+    assert all(v == 77 for row in d.rows for v in row)
+
+
+def test_gray_gradient_round_trip_within_unit_quant_error():
+    img = np.add.outer(np.arange(16) * 3, np.arange(24) * 2).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    got = np.array(d.rows)
+    assert got.shape == (16, 24)
+    assert np.abs(got - img).max() <= 2
+
+
+def test_rgb_444_round_trip():
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 8, (16, 16, 3)) * 32 + 16).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    assert (d.width, d.height, d.channels) == (16, 16, 3)
+    got = np.array(d.rows).reshape(16, 16, 3)
+    # quant error + two color-space trips: small but nonzero
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_rgb_420_flat_color_exact_mcu_geometry():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[...] = (200, 80, 40)
+    d = decode_jpeg(encode_jpeg(img, sampling=(2, 2)))
+    got = np.array(d.rows).reshape(16, 16, 3)
+    # flat blocks are DC-only; subsampled chroma of a flat image is exact,
+    # so every pixel decodes to the same value within color-trip rounding
+    assert len({tuple(p) for p in got.reshape(-1, 3)}) == 1
+    assert np.abs(got[0, 0].astype(int) - np.array([200, 80, 40])).max() <= 2
+
+
+def test_non_multiple_of_mcu_dimensions_crop():
+    img = np.add.outer(np.arange(13) * 5, np.arange(11) * 7).astype(np.uint8) % 200
+    d = decode_jpeg(encode_jpeg(img))
+    assert (d.height, d.width) == (13, 11)
+    assert np.abs(np.array(d.rows) - img).max() <= 2
+
+
+def test_restart_markers_reset_predictors():
+    img = np.add.outer(np.arange(8) * 2, np.arange(40)).astype(np.uint8)
+    blob = encode_jpeg(img, restart_interval=2)
+    assert any(
+        blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+        for i in range(len(blob) - 1)
+    )
+    d = decode_jpeg(blob)
+    assert np.abs(np.array(d.rows) - img).max() <= 2
+
+
+def test_same_pixels_same_ahash_as_png():
+    """The codec-agnostic contract: a high-contrast pattern encoded as
+    PNG and as JPEG must produce the SAME 64-bit aHash (JPEG's ≤2-count
+    rounding cannot flip cells of a 0/255 pattern)."""
+    from tests.test_png_codec import encode_png
+
+    from vlm_data_pipeline_spark.sources.multimodal import image_ahash_64
+
+    img = np.zeros((64, 64), dtype=np.uint8)
+    img[:, 32:] = 255
+    img[:16, :16] = 255
+    png = encode_png([list(r) for r in img], bit_depth=8, color_type=0)
+    jpg = encode_jpeg(img)
+    assert image_ahash_64(png) == image_ahash_64(jpg)
+
+
+def test_decode_images_stage_handles_planted_jpeg(spark):
+    """End-to-end through the mapInPandas decode stage: a JPEG payload
+    rides the same binary-asset path as PNG/BMP and yields real scalar
+    features."""
+    from vlm_data_pipeline_spark.sources.multimodal import decode_images
+
+    img = np.full((10, 12), 100, dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [("jpg1", bytearray(encode_jpeg(img)))],
+        "asset_id string, payload binary",
+    )
+    row = decode_images(assets).collect()[0]
+    assert (row.width, row.height, row.channels) == (12, 10, 1)
+    assert row.mean_luma == pytest.approx(100 / 255.0, abs=0.02)
+
+
+def test_progressive_is_a_capability_gap():
+    # minimal stream up to an SOF2 marker
+    blob = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(blob)
+
+
+def test_malformed_inputs_are_value_errors():
+    for blob in [
+        b"",
+        b"\x00\x01",
+        b"\xff\xd8",  # SOI only
+        b"\xff\xd8\xff\xd9",  # SOI+EOI, no scan
+        b"\xff\xd8" + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),  # SOS w/o SOF
+    ]:
+        with pytest.raises(ValueError):
+            decode_jpeg(blob)
+
+
+def test_truncated_entropy_stream_is_value_error():
+    img = np.add.outer(np.arange(16), np.arange(16)).astype(np.uint8) * 4
+    blob = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) - 40])

@@ -1,0 +1,363 @@
+"""Minimal pure-Python baseline JPEG decoder (S8 decode path).
+
+JPEG is a public spec (ITU-T T.81 / ISO 10918-1): marker segments, DQT
+quantization tables, DHT canonical Huffman tables, SOF0 geometry, one
+interleaved entropy-coded scan of 8×8 DCT blocks. The subset here —
+baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit samples,
+grayscale and 3-component YCbCr with any integer sampling factors
+(4:4:4, 4:2:2, 4:2:0), restart markers — is the dominant VLM-corpus
+format (the reference reads .jpg throughout, e.g.
+sunrgbd_processor.py:195-215), using only stdlib ``struct`` + numpy.
+Progressive (SOF2) and arithmetic coding are capability gaps →
+NotImplementedError (inject Pillow/cv2); corrupt data → ValueError (the
+robust skip policy), same contract as png_codec/bmp_codec.
+
+Output matches the shared rows-of-channel-ints codec contract
+(``multimodal._decode_pixels``): top-down rows, 8-bit samples, RGB for
+color / single channel for grayscale — so every pixel consumer (luma
+stats, aHash/pHash) is codec-agnostic, pinned by the
+same-pixels-same-hash tests in tests/test_jpeg_codec.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "JpegImage"]
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# IDCT basis: spatial = A.T @ coeffs @ A, A[u, x] = c_u/2 · cos((2x+1)uπ/16)
+_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class JpegImage:
+    __slots__ = ("width", "height", "bit_depth", "channels", "rows")
+
+    def __init__(self, width, height, bit_depth, channels, rows):
+        self.width = width
+        self.height = height
+        self.bit_depth = bit_depth
+        self.channels = channels
+        # rows: list[list[int]] — each row is width*channels channel values
+        self.rows = rows
+
+    def pixel(self, x: int, y: int) -> tuple[int, ...]:
+        c = self.channels
+        row = self.rows[y]
+        return tuple(row[x * c : (x + 1) * c])
+
+
+class _Huff:
+    """Canonical Huffman table: (code_length, code) → symbol."""
+
+    __slots__ = ("lut", "max_len")
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        self.max_len = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                if k >= len(symbols):
+                    raise ValueError("DHT symbol count mismatch")
+                self.lut[(length, code)] = symbols[k]
+                self.max_len = length
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over an UNSTUFFED entropy segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy data exhausted mid-block")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _Huff) -> int:
+        length = 0
+        code = 0
+        while length < table.max_len:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t received bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _split_entropy(buf: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``start``: unstuff 0xFF00, split on RSTn,
+    stop at any other marker. Returns (segments, next_marker_offset)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(buf)
+    while i < n:
+        b = buf[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = buf[i + 1]
+        if m == 0x00:  # stuffed literal FF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def _decode_block(
+    r: _BitReader,
+    dc_tab: _Huff,
+    ac_tab: _Huff,
+    qt: np.ndarray,
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """One 8×8 block: DC diff + RLE AC coefficients → dequantized,
+    de-zigzagged spatial samples (pre-level-shift)."""
+    t = r.decode(dc_tab)
+    diff = _extend(r.receive(t), t)
+    dc = pred + diff
+    coeffs = np.zeros(64, dtype=np.float64)
+    coeffs[0] = dc * qt[0]
+    k = 1
+    while k < 64:
+        rs = r.decode(ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        coeffs[k] = _extend(r.receive(size), size) * qt[k]
+        k += 1
+    block = np.zeros((8, 8), dtype=np.float64)
+    block.flat[ZIGZAG] = coeffs  # de-zigzag
+    return _A.T @ block @ _A, dc
+
+
+def decode_jpeg(content: bytes) -> JpegImage:
+    """Decode a baseline JFIF/EXIF JPEG to 8-bit channel rows (RGB or
+    grayscale)."""
+    if len(content) < 4 or content[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _Huff] = {}  # (class, id)
+    restart_interval = 0
+    frame = None  # (height, width, comps) comps: (id, h, v, tq)
+    i = 2
+    n = len(content)
+    while i < n:
+        if content[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        marker = content[i + 1] if i + 1 < n else None
+        if marker is None:
+            raise ValueError("truncated marker")
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("EOI before SOS: no image data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            raise ValueError("truncated segment header")
+        seglen = struct.unpack(">H", content[i + 2 : i + 4])[0]
+        if seglen < 2 or i + 2 + seglen > n:
+            raise ValueError("bad segment length")
+        body = content[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    vals = list(body[p : p + 64])
+                    p += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", body[p + 2 * j : p + 2 * j + 2])[0]
+                        for j in range(64)
+                    ]
+                    p += 128
+                if len(vals) != 64:
+                    raise ValueError("truncated DQT")
+                qtables[tq] = np.array(vals, dtype=np.float64)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                counts = list(body[p + 1 : p + 17])
+                if len(counts) != 16:
+                    raise ValueError("truncated DHT")
+                total = sum(counts)
+                syms = body[p + 17 : p + 17 + total]
+                if len(syms) != total:
+                    raise ValueError("truncated DHT symbols")
+                htables[(tc, th)] = _Huff(counts, syms)
+                p += 17 + total
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: Huffman sequential
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG samples supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            if h == 0 or w == 0:
+                raise ValueError("zero image dimension")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    "only grayscale/YCbCr JPEG supported (CMYK needs an "
+                    "injected decoder)"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                if (hv >> 4) == 0 or (hv & 0x0F) == 0:
+                    raise ValueError("zero sampling factor")
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic/hierarchical JPEG needs an injected "
+                "decoder (Pillow/cv2); baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[0:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, td_ta = body[1 + 2 * c : 3 + 2 * c]
+                scan.append((cs, td_ta >> 4, td_ta & 0x0F))
+            segs, _ = _split_entropy(content, i + 2 + seglen)
+            return _decode_scan(frame, scan, qtables, htables, restart_interval, segs)
+        i += 2 + seglen
+    raise ValueError("no SOS marker: truncated JPEG")
+
+
+def _decode_scan(frame, scan, qtables, htables, restart_interval, segs) -> JpegImage:
+    height, width, comps = frame
+    by_id = {c[0]: c for c in comps}
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG not supported"
+        )
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * max_h))
+    mcus_y = -(-height // (8 * max_v))
+    planes: dict[int, np.ndarray] = {}
+    meta = []  # (cid, h, v, qt, dc_tab, ac_tab)
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("scan references unknown component")
+        cid, ch, cv, tq = by_id[cs]
+        if tq not in qtables:
+            raise ValueError("missing quantization table")
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("missing Huffman table")
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+        meta.append((cid, ch, cv, qtables[tq], htables[(0, td)], htables[(1, ta)]))
+
+    preds = {m[0]: 0 for m in meta}
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    n_mcus = mcus_x * mcus_y
+    for m_i in range(n_mcus):
+        if restart_interval and m_i > 0 and m_i % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            preds = {m[0]: 0 for m in meta}
+        my, mx = divmod(m_i, mcus_x)
+        for cid, ch, cv, qt, dct, act in meta:
+            plane = planes[cid]
+            for by in range(cv):
+                for bx in range(ch):
+                    block, preds[cid] = _decode_block(
+                        reader, dct, act, qt, preds[cid]
+                    )
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = block
+
+    # level shift, upsample to full geometry, crop
+    full = []
+    for cid, ch, cv, _, _, _ in meta:
+        p = planes[cid] + 128.0
+        p = np.repeat(np.repeat(p, max_v // cv, axis=0), max_h // ch, axis=1)
+        full.append(p[:height, :width])
+
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.int64)
+        return JpegImage(width, height, 8, 1, out.tolist())
+
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch_), 0, 255) for ch_ in (r, g, b)], axis=2
+    ).astype(np.int64)
+    rows = [rgb[j].reshape(-1).tolist() for j in range(height)]
+    return JpegImage(width, height, 8, 3, rows)

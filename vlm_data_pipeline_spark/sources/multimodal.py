@@ -137,11 +137,12 @@ def _scalar_feature_stage(assets: DataFrame, schema: T.StructType, decode):
 
 def _decode_pixels(payload: bytes):
     """Format dispatch over the two REAL stdlib codecs: PNG
-    (``sources.png_codec``) and uncompressed BMP (``sources.bmp_codec``),
-    both returning the same rows-of-channel-ints contract (RGB/RGBA,
-    top-down), so every pixel consumer (luma stats, aHash) is
-    codec-agnostic. Other formats (JPEG etc.) need an injected decoder
-    — Pillow/cv2 in production. Empty payloads are corrupt DATA
+    (``sources.png_codec``), uncompressed BMP (``sources.bmp_codec``) and
+    baseline JPEG (``sources.jpeg_codec``) — all returning the same
+    rows-of-channel-ints contract (RGB/RGBA/gray, top-down), so every
+    pixel consumer (luma stats, aHash) is codec-agnostic. Remaining
+    formats (progressive JPEG, webp, …) need an injected decoder —
+    Pillow/cv2 in production. Empty payloads are corrupt DATA
     (ValueError → the robust skip policy), not a missing capability."""
     if not payload:
         raise ValueError("empty image payload")
@@ -154,10 +155,15 @@ def _decode_pixels(payload: bytes):
         from .bmp_codec import decode_bmp
 
         return decode_bmp(payload)
+    if head[:3] == b"\xff\xd8\xff":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "image decoding beyond PNG/BMP needs Pillow/cv2 (not installed in "
-        "this container). Inject decode_images(..., decoder=...) — the "
-        "mapInPandas batching, schema, and partitioning are fully wired."
+        "image decoding beyond PNG/BMP/baseline-JPEG needs Pillow/cv2 (not "
+        "installed in this container). Inject decode_images(..., "
+        "decoder=...) — the mapInPandas batching, schema, and partitioning "
+        "are fully wired."
     )
 
 
