@@ -1167,6 +1167,44 @@ def test_minhash_incremental_hot_bucket_cap(spark):
     assert wide.filter(F.col("id_a") == 2000).count() == 40
 
 
+def test_dedup_incremental_store_antijoin_aqe_skew_split(spark):
+    """Skew story for the store anti-join: mass-duplicated content makes
+    one fp a hot key on the BATCH side. With skew-join thresholds scaled
+    to test data, AQE must re-plan the sort-merge LEFT ANTI with the hot
+    partition split (skew=true in the final plan) — the documented
+    no-salting-needed claim, proven rather than asserted."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        batch = spark.createDataFrame(
+            [(i, "the same viral page body " * 20) for i in range(4000)]
+            + [(10_000 + i, f"unique doc {i} body") for i in range(200)],
+            "doc_id long, text string",
+        )
+        seen = spark.createDataFrame(
+            [(f"fp{i:08d}",) for i in range(500)], "fp string"
+        )
+        out = dedup.dedup_incremental(batch, seen)
+        # execute THIS dataframe so its AdaptiveSparkPlan finalizes
+        assert len(out.collect()) == 1 + 200  # one viral winner + uniques
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_winnow_pairs_two_exchanges_single_fold(spark):
     """Plan pin: pair generation is in-row per fp group, so the whole
     operator costs TWO hash exchanges (fp groupBy + pair groupBy) and

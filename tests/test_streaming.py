@@ -336,3 +336,73 @@ def test_round5_stateless_ops_stream_unchanged(spark, tmp_path):
     )
     batch = resize_images(spark.read.parquet(asrc), max_side=1)
     assert as_sorted_rows(out) == as_sorted_rows(batch)
+
+
+def test_incremental_minhash_streaming_ingestion(spark, tmp_path):
+    """The batch-append near-dup loop end-to-end under Structured
+    Streaming: each micro-batch probes the persistent signature store
+    via minhash_incremental_pairs inside foreachBatch, then appends its
+    own signatures (store := store ∪ batch sigs — the documented loop
+    invariant). Whatever the micro-batch split, the UNORDERED pair set
+    and estimates must equal the single-shot batch run: same-micro-batch
+    pairs surface as 'batch', cross-micro-batch ones as 'store', never
+    lost, never duplicated."""
+    from vlm_data_pipeline_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = []
+    for i in range(12):
+        # three near-dup clusters of 4 (ids 0-3, 4-7, 8-11), distinct
+        # across clusters
+        cluster = i // 4
+        word = f"tail{i % 4}"
+        rows.append((i, f"{base} c{cluster} c{cluster} {word}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store0_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    stream_docs = docs.filter(F.col("doc_id") % 4 != 0)
+
+    store_path = str(tmp_path / "sig_store")
+    dedup.minhash_signatures(store0_docs).write.mode("overwrite").parquet(
+        store_path
+    )
+    src = str(tmp_path / "incoming")
+    stream_docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    got = []
+
+    def process(bdf, _bid):
+        store = bdf.sparkSession.read.parquet(store_path)
+        got.extend(
+            dedup.minhash_incremental_pairs(
+                bdf, store, threshold=0.5
+            ).collect()
+        )
+        dedup.minhash_signatures(bdf).write.mode("append").parquet(store_path)
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc_minhash"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    single = dedup.minhash_incremental_pairs(
+        stream_docs, dedup.minhash_signatures(store0_docs), threshold=0.5
+    ).collect()
+
+    def pairs(rs):
+        return {
+            frozenset((r.id_a, r.id_b)): round(r.est_jaccard, 9) for r in rs
+        }
+
+    assert len(pairs(got)) == len(got), "no pair reported twice"
+    assert pairs(got) == pairs(single)
+    # non-vacuous: clusters straddle the store/stream and micro-batch
+    # splits, so both sources must have fired
+    assert {r.source for r in got} == {"batch", "store"}
+    assert len(got) >= 12

@@ -645,13 +645,36 @@ def dedup_incremental(
     100 TB both sides hash-partition on fp, and a production deployment
     would bucket the store by fp to make the anti-join zero-shuffle on
     the store side).
+
+    Skew story: fingerprints of mass-duplicated content are themselves
+    hot keys — m copies of one viral page put m batch rows under ONE fp
+    in the anti-join shuffle (the store side stays unskewed: it is
+    ``.distinct()``-ed, one row per fp). That is exactly the shape AQE's
+    skew-join handling splits — the batch side of a sort-merge LEFT ANTI
+    is splittable (the store side duplicates into each split), so AQE's
+    skew handling (default on) re-plans the hot partition into parallel
+    splits at runtime; no salting needed on top. Plan-proven in
+    tests/test_dedup_similarity.py::
+    test_dedup_incremental_store_antijoin_aqe_skew_split — which is why
+    the store side must stay a bare projection (see the in-code note:
+    an aggregate between shuffle stage and join defeats the skew rule).
+    The winner semi-join needs no story at all: it keys on (fp, id), and
+    the id component spreads a hot fingerprint uniformly.
     """
     from ..functions.text import doc_fingerprint
 
     fp = doc_fingerprint(F.col(text_col)).alias(fp_col)
     withfp = new_docs.withColumn(fp_col, fp)
     if seen is not None:
-        store = seen.select(F.col(fp_col).alias("__seen_fp")).distinct()
+        # NO .distinct() on the store side: the loop invariant already
+        # makes store fps unique (only survivor fingerprints append), an
+        # anti-join never multiplies rows off duplicates anyway, and —
+        # decisive at scale — a final-aggregate node between the shuffle
+        # stage and the join breaks AQE's skew-join pattern match
+        # (OptimizeSkewedJoin rewrites SMJ(Sort(stage), Sort(stage))
+        # only), which would leave the hot-fingerprint partition
+        # unsplittable. Plan-proven by the skew test below.
+        store = seen.select(F.col(fp_col).alias("__seen_fp"))
         withfp = withfp.join(
             store, F.col(fp_col) == F.col("__seen_fp"), "left_anti"
         )
