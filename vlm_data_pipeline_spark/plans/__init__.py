@@ -39,19 +39,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # one representative per core §2 family (A1's window row is the
     # stronger qa_task_object_count above; qa_object_count stays
     # registered as the entry() flagship)
-    "q1_pricing_summary",  # A2
     "a4_rollup_totals",  # A4
     "a5_mode_category",  # A5/J10
     "a6_distinct_stats",  # A6/A8
     "a10_quality_audit",  # A10
     "j_star_revenue",  # J3 broadcast star
-    "j2_semi_anti_split",  # J2/E2
     "j8_pairwise_selfjoin",  # J8
     "j9_asof_prior_view",  # J9
-    "w1_rank_topk",  # W1
-    "w2_first_per_group",  # W2/A7/J7
-    "o4_deterministic_sample",  # O4/F8
-    "f5_box_geometry",  # F3/F5/W3/W4
     "p3_parse_id_suffix",  # P3 (also F2 parsing)
     "p4_range_sanity_filter",  # P4/P5
     "event_tumbling_window",  # §2.12 streaming
@@ -84,6 +78,20 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "eval_detection_ap_exact_3d",  # exact oriented 3D IoU AP (Objectron protocol)
     "dedup_sentence_spans",  # C4 three-sentence span dedup (Raffel et al.)
     "lm_unigram_seed_vocab",  # unigram/SentencePiece seed stage (Kudo 2018)
+    # round-6 rotation (VERDICT r5 #6): first-time driver grading for
+    # flagships that only had local-sim evidence. Displaced to make room:
+    # q1_pricing_summary (green r01-r05), w1_rank_topk (W1 re-proven by
+    # qa_task_cam_obj_rel_dist), w2_first_per_group (by
+    # qa_task_object_3d_size), o4_deterministic_sample (by the MC qa
+    # tasks), f5_box_geometry (geometry re-proven across qa tasks),
+    # j2_semi_anti_split (semi/anti re-proven by curation_clean_pipeline's
+    # decontamination) — all keep full-simulation + pytest coverage.
+    "semantic_dedup_survivors",  # SemDeDup cluster-bounded semantic dedup
+    "retrieval_index_topk",  # inverted-index BM25 top-k
+    "multimodal_phash_incremental",  # banded pHash near-dup vs store
+    "dedup_paragraphs",  # paragraph-level exact dedup (CCNet shape)
+    "eval_detection_ap",  # Monte-Carlo 3D IoU AP (Objectron protocol)
+    "dedup_url_groups",  # URL canonicalization dedup (CommonCrawl pass 1)
 )
 
 
