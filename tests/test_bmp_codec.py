@@ -118,5 +118,11 @@ def test_default_decoder_handles_bmp():
 def test_non_png_bmp_still_raises():
     from vlm_data_pipeline_spark.sources.multimodal import image_ahash_64
 
-    with pytest.raises(NotImplementedError, match="PNG/BMP"):
+    # JPEG magic now routes to the real baseline decoder, so garbage
+    # after the SOI marker is corrupt DATA (ValueError → robust skip),
+    # not a missing capability
+    with pytest.raises(ValueError):
         image_ahash_64(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # genuinely unsupported formats still raise the capability error
+    with pytest.raises(NotImplementedError, match="PNG/BMP"):
+        image_ahash_64(b"GIF89a not a supported codec")

@@ -1170,15 +1170,24 @@ def test_minhash_incremental_hot_bucket_cap(spark):
 def test_dedup_incremental_store_antijoin_aqe_skew_split(spark):
     """Skew story for the store anti-join: mass-duplicated content makes
     one fp a hot key on the BATCH side. With skew-join thresholds scaled
-    to test data, AQE must re-plan the sort-merge LEFT ANTI with the hot
+    to test data, AQE re-plans the sort-merge LEFT ANTI with the hot
     partition split (skew=true in the final plan) — the documented
-    no-salting-needed claim, proven rather than asserted."""
+    no-salting-needed claim, proven rather than asserted.
+
+    forceOptimizeSkewedJoin pins the decision: at KB-scale test sizes
+    the rule's extra-shuffle cost validation is marginal and flips run
+    to run (measured ~50% without the flag — stage-materialization
+    order dependent), while at production sizes (hot partitions vs the
+    256MB default threshold) detection is unambiguous. The flag only
+    bypasses that cost check; the skew DETECTION and the split both
+    still have to happen for skew=true to appear."""
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     }
     saved = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
