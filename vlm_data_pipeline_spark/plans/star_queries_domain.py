@@ -1741,3 +1741,31 @@ def eval_detection_ap_exact_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return detection_ap(dets, gts, mode="3d", matcher="exact", iou_thresh=0.5)
+
+
+@register(
+    "debug_render_boxes",
+    None,  # rows-only: PNG bytes are not SQL-re-derivable in DuckDB
+    "Visualization/debug sink (reference objectron/dataset/graphics.py, "
+    "visualize_enhanced_results.py): render a bounded, deterministic "
+    "sample of frames' 3D boxes as wireframe PNGs — geometry projected "
+    "JVM-side (functions.graphics.project_vertices_px over "
+    "geometry.box_vertices), rasterization + PNG encode in one "
+    "Arrow-batched mapInPandas stage. limit() runs before any pixel "
+    "work, so cost is O(max_frames) at any corpus size. Values pinned "
+    "by tests/test_graphics.py (encoder round-trip, pixel-level "
+    "kernels, projection parity vs numpy).",
+)
+def debug_render_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graphics import render_annotations
+
+    frames = synthetic_frames(spark, sf_dir).orderBy("image_id")
+    out = render_annotations(frames, max_frames=16, thickness=2)
+    return out.select(
+        "image_id",
+        "width",
+        "height",
+        "n_boxes_3d",
+        "n_boxes_2d",
+        F.length("png").alias("png_bytes"),
+    )
