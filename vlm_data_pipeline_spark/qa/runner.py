@@ -138,3 +138,65 @@ def qa_summary(all_qa: DataFrame) -> DataFrame:
         ),
         F.sum(F.when(F.col("answer_type") == "text", 1).otherwise(0)).alias("n_text"),
     )
+
+
+def task_yield_report(
+    frames: DataFrame, tasks: list[str] | None = None
+) -> DataFrame:
+    """Per-task yield diagnostic — the engine's debug_empty_tasks.py
+    analogue (QA_generation/debug_empty_tasks.py:15-84 hand-loads five
+    sample files and prints why a task produced zero questions; here
+    the same three numbers come from one aggregate over the whole
+    corpus): how many frames exist, how many survive the task's
+    modality routing (P1), and how many actually yield questions. A
+    zero-question task reads directly off the report: routing starves
+    it (n_route_eligible = 0 — e.g. a 2D task on a 3D-only corpus) or
+    its own predicates do (n_route_eligible > 0, n_questions = 0).
+
+    Scale shape: ONE map-side-combined aggregate over the frames scan
+    (three counts), the per-task counts off the shared generate_all
+    lineage, and a tasks dimension built from the TASK REGISTRY (not
+    the data — a task that yields nothing must still get a row, which
+    a groupBy over the output alone can never produce). Both joins are
+    single-row/dimension-sized → broadcast. All columns BIGINT.
+    """
+    names = tasks or list(TASKS)
+    stats = frames.agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum(
+            F.when(F.size("bounding_boxes_3d") > 0, 1).otherwise(0)
+        ).cast("long").alias("_n_3d"),
+        F.sum(
+            F.when(F.size("bounding_boxes_2d") > 0, 1).otherwise(0)
+        ).cast("long").alias("_n_2d"),
+    )
+    per_task = (
+        generate_all(frames, names)
+        .groupBy("task")
+        .agg(
+            F.count("*").cast("long").alias("_nq"),
+            F.countDistinct(F.col("metadata")["image_id"])
+            .cast("long")
+            .alias("_ni"),
+        )
+    )
+    dim = frames.sparkSession.createDataFrame(
+        [(n, n in TASKS_3D) for n in names], "task string, _is_3d boolean"
+    )
+    eligible = F.when(F.col("_is_3d"), F.col("_n_3d")).otherwise(F.col("_n_2d"))
+    return (
+        dim.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(per_task), "task", "left")
+        .select(
+            "task",
+            "n_frames",
+            eligible.alias("n_route_eligible"),
+            F.coalesce(F.col("_nq"), F.lit(0)).cast("long").alias("n_questions"),
+            F.coalesce(F.col("_ni"), F.lit(0))
+            .cast("long")
+            .alias("n_images_with_questions"),
+            (eligible - F.coalesce(F.col("_ni"), F.lit(0)))
+            .cast("long")
+            .alias("n_eligible_no_questions"),
+        )
+    )
