@@ -262,3 +262,23 @@ def test_cli_retrieve_single_and_batch(spark, tmp_path):
 
     with _pt.raises(SystemExit):
         main(["retrieve", "--docs", src, "--cpus", "4"])
+
+
+def test_cli_render(spark, tmp_path):
+    """The render subcommand writes one decodable PNG per sampled frame
+    (visualize_enhanced_results.py analogue)."""
+    import os
+
+    from vlm_data_pipeline_spark.sources.png_codec import decode_png
+
+    src = str(tmp_path / "frames")
+    fixture_frames(spark).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "render_out")
+    assert main(["render", "--frames", src, "--out", out, "--cpus", "4",
+                 "--max-frames", "3", "--sort"]) == 0
+    files = sorted(os.listdir(out))
+    assert files == ["f1.png", "f2.png", "f3.png"]  # --sort: by image_id
+    for f in files:
+        with open(os.path.join(out, f), "rb") as fh:
+            img = decode_png(fh.read())
+        assert img.width == 640 and img.height == 480

@@ -249,6 +249,30 @@ def cmd_summary(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_render(args: argparse.Namespace) -> int:
+    """Annotation-rendering debug sink (the visualize_enhanced_results.py
+    analogue): project + rasterize up to --max-frames frames' boxes and
+    write one PNG per frame into --out. The collect is bounded by
+    --max-frames by construction (limit runs before any pixel work)."""
+    import os
+
+    from .functions.graphics import render_annotations
+
+    spark = _spark(args.cpus)
+    frames = spark.read.parquet(args.frames)
+    if args.sort:
+        frames = frames.orderBy("image_id")
+    rows = render_annotations(
+        frames, max_frames=args.max_frames, thickness=args.thickness
+    ).collect()
+    os.makedirs(args.out, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(args.out, f"{r.image_id}.png"), "wb") as fh:
+            fh.write(bytes(r.png))
+    print(f"wrote {len(rows)} PNGs to {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vlm_data_pipeline_spark")
     common = argparse.ArgumentParser(add_help=False)
@@ -365,6 +389,22 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--error-col", default=None)
     ev.add_argument("--error-thresh", type=float, default=0.1)
     ev.set_defaults(fn=cmd_eval)
+
+    rd = sub.add_parser(
+        "render",
+        help="render annotated frames to PNGs (debug sink)",
+        parents=[common],
+    )
+    rd.add_argument("--frames", required=True)
+    rd.add_argument("--out", required=True)
+    rd.add_argument("--max-frames", type=int, default=16)
+    rd.add_argument("--thickness", type=int, default=2)
+    rd.add_argument(
+        "--sort",
+        action="store_true",
+        help="deterministic sample: order by image_id before the limit",
+    )
+    rd.set_defaults(fn=cmd_render)
     return p
 
 
