@@ -42,7 +42,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "a4_rollup_totals",  # A4
     "a5_mode_category",  # A5/J10
     "a6_distinct_stats",  # A6/A8
-    "a10_quality_audit",  # A10
+    # A10's window slot now carries the composed audit: the per-task
+    # yield report (debug_empty_tasks analogue, round 6) value-oracles
+    # routing eligibility + yields for all ten tasks in one query;
+    # a10_quality_audit (green r05) keeps full-simulation + pytest
+    # coverage and frames_parameter_audit covers the schema-audit shape
+    "qa_task_yield_report",  # A10-family composed diagnostic
     "j_star_revenue",  # J3 broadcast star
     "j8_pairwise_selfjoin",  # J8
     "j9_asof_prior_view",  # J9
