@@ -253,3 +253,77 @@ def test_render_annotations_validates_and_limits(spark, sf_dir):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "GlobalLimit 3" in plan or "limit=3" in plan.lower(), plan[:800]
+
+
+def test_draw_line_fuzz_never_escapes_canvas():
+    """Hypothesis-style fuzz over wild endpoints (huge, negative,
+    fractional, inf/nan): the rasterizer must never crash, never touch
+    a pixel outside the canvas, and color both endpoints when they are
+    inside."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(200):
+        h, w = rng.randint(1, 24), rng.randint(1, 24)
+        img = blank_canvas(h, w)
+        ref = img.copy()
+
+        def coord():
+            kind = rng.random()
+            if kind < 0.1:
+                return float(rng.choice([math.inf, -math.inf, math.nan]))
+            if kind < 0.4:
+                return float(rng.randint(-1000, 1000))
+            return rng.uniform(-50, 50)
+
+        p0 = (coord(), coord())
+        p1 = (coord(), coord())
+        draw_line(img, p0, p1, (1, 2, 3), thickness=rng.randint(1, 3))
+        # canvas bounds respected by construction (no index error);
+        # every changed pixel got the stroke color
+        changed = np.argwhere((img != ref).any(axis=2))
+        for y, x in changed:
+            assert tuple(img[y, x]) == (1, 2, 3)
+        if all(np.isfinite(v) for v in (*p0, *p1)):
+            for px, py in (p0, p1):
+                xi, yi = int(round(px)), int(round(py))
+                if 0 <= xi < w and 0 <= yi < h:
+                    assert tuple(img[yi, xi]) == (1, 2, 3)
+
+
+def test_render_over_bmp_and_jpeg_pixels(spark):
+    """The renderer is codec-agnostic: BMP-backed frames rasterize the
+    same as PNG-backed ones (shared _decode_pixels dispatch)."""
+    from pyspark.sql import functions as F
+
+    from tests.test_bmp_codec import encode_bmp
+
+    rows = [[9] * (16 * 3) for _ in range(12)]  # 16x12 uniform gray-ish
+    bmp = encode_bmp(rows)
+    df = spark.createDataFrame(
+        [("b0", bytearray(bmp))], "image_id string, pixels binary"
+    ).select(
+        "image_id",
+        F.struct(
+            F.lit(100.0).alias("fx"), F.lit(100.0).alias("fy"),
+            F.lit(8.0).alias("cx"), F.lit(6.0).alias("cy"),
+            F.lit(16).alias("image_width"), F.lit(12).alias("image_height"),
+        ).alias("camera"),
+        F.lit(None).cast(
+            "array<struct<x:double,y:double,z:double,xl:double,yl:double,"
+            "zl:double,pitch:double,yaw:double,roll:double>>"
+        ).alias("bounding_boxes_3d"),
+        F.array(
+            F.struct(
+                F.lit(2).alias("x_min"), F.lit(2).alias("y_min"),
+                F.lit(10).alias("x_max"), F.lit(9).alias("y_max"),
+            )
+        ).alias("bounding_boxes_2d"),
+        "pixels",
+    )
+    r = render_annotations(df, max_frames=2, thickness=1,
+                           pixels_col="pixels").collect()[0]
+    arr = _decode_to_array(bytes(r.png))
+    assert arr.shape == (12, 16, 3)
+    assert tuple(arr[0, 0]) == (9, 9, 9)   # BMP background preserved
+    assert tuple(arr[2, 2]) == PALETTE[0]  # rect drawn over it

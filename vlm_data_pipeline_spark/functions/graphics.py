@@ -358,7 +358,9 @@ def render_annotations(
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..sources.png_codec import decode_png
+        # codec-agnostic: PNG/BMP/baseline-JPEG all decode through the
+        # shared dispatch (the reference draws over JPGs)
+        from ..sources.multimodal import _decode_pixels
 
         for pdf in batches:
             out = []
@@ -367,12 +369,12 @@ def render_annotations(
                 h = int(row.height) if row.height is not None else 480
                 canvas = None
                 if row.pixels is not None:
-                    img = decode_png(bytes(row.pixels))
+                    img = _decode_pixels(bytes(row.pixels))
                     arr = np.array(img.rows, dtype=np.uint8).reshape(
                         img.height, img.width, img.channels
                     )
-                    if img.channels == 1:
-                        arr = np.repeat(arr, 3, axis=2)
+                    if arr.shape[2] < 3:  # gray / gray+alpha → RGB
+                        arr = np.repeat(arr[:, :, :1], 3, axis=2)
                     canvas = np.ascontiguousarray(arr[:, :, :3])
                     h, w = canvas.shape[:2]
                 if canvas is None:
