@@ -140,3 +140,121 @@ def test_point_in_interval_hand_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 5.0), (3, 20, 50.0), (4, 30, 7.0)],
+        "pid long, uid long, pts double",
+    )
+    right = spark.createDataFrame(
+        [(101, 10, 100.0), (102, 10, 40.0), (103, 20, 60.0)],
+        "sid long, uid long, sts double",
+    )
+    return left, right
+
+
+def test_asof_backward_hand_case(spark):
+    from vlm_data_pipeline_spark.operators.intervals import asof_join
+
+    left, right = _sides(spark)
+    got = {
+        r.pid: r.sid
+        for r in asof_join(left, right, "uid", "pts", "sts").collect()
+    }
+    # pid 1: exact ts 100 matches sid 101; pid 2: nothing <= 5 -> null;
+    # pid 3: sid 103 is at 60 > 50 -> nothing backward -> null;
+    # pid 4: user 30 has no right rows -> null
+    assert got == {1: 101, 2: None, 3: None, 4: None}
+    # exact matches excluded: pid 1 falls back to sid 102 (ts 40)
+    got2 = {
+        r.pid: r.sid
+        for r in asof_join(
+            left, right, "uid", "pts", "sts", allow_exact=False
+        ).collect()
+    }
+    assert got2[1] == 102
+
+
+def test_asof_forward_and_tolerance(spark):
+    from vlm_data_pipeline_spark.operators.intervals import asof_join
+
+    left, right = _sides(spark)
+    fwd = {
+        r.pid: r.sid
+        for r in asof_join(
+            left, right, "uid", "pts", "sts", direction="forward"
+        ).collect()
+    }
+    # pid 2 (ts 5): next signup at 40 -> sid 102; pid 3 (50): 60 -> 103
+    assert fwd == {1: 101, 2: 102, 3: 103, 4: None}
+    tol = {
+        r.pid: r.sid
+        for r in asof_join(
+            left, right, "uid", "pts", "sts",
+            direction="forward", tolerance=10.0,
+        ).collect()
+    }
+    # pid 2's nearest-forward match is 35 away -> nulled by tolerance
+    assert tol == {1: 101, 2: None, 3: 103, 4: None}
+
+
+def test_asof_tie_breaks_to_largest_payload(spark):
+    from vlm_data_pipeline_spark.operators.intervals import asof_join
+
+    left = spark.createDataFrame([(1, 1, 10.0)], "pid long, uid long, pts double")
+    right = spark.createDataFrame(
+        [(7, 1, 10.0), (9, 1, 10.0), (8, 1, 10.0)],
+        "sid long, uid long, sts double",
+    )
+    rows = asof_join(left, right, "uid", "pts", "sts").collect()
+    assert len(rows) == 1 and rows[0].sid == 9
+
+
+def test_asof_plan_single_exchange_no_join(spark):
+    """The union-window form: ONE hash exchange (the window partition),
+    zero join operators — the scalable shape when both sides are huge."""
+    from vlm_data_pipeline_spark.operators.intervals import asof_join
+
+    left = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(500)],
+        "pid long, uid long, pts double",
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, i % 7, float(i) - 0.5) for i in range(500)],
+        "sid long, uid long, sts double",
+    )
+    out = asof_join(left, right, "uid", "pts", "sts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_asof_fuzz_matches_brute_force(spark):
+    from vlm_data_pipeline_spark.operators.intervals import asof_join
+
+    rng = random.Random(11)
+    lrows = [
+        (i, rng.randint(0, 5), round(rng.uniform(0, 100), 2))
+        for i in range(150)
+    ]
+    rrows = [
+        (1000 + i, rng.randint(0, 5), round(rng.uniform(0, 100), 2))
+        for i in range(150)
+    ]
+    expected = {}
+    for pid, uid, pts in lrows:
+        best = None
+        for sid, ruid, sts in rrows:
+            if ruid == uid and sts <= pts:
+                # engine tie-break: largest (sid, sts) payload tuple
+                if best is None or (sts, sid) > (best[1], best[0]):
+                    best = (sid, sts)
+        expected[pid] = best[0] if best else None
+    left = spark.createDataFrame(lrows, "pid long, uid long, pts double")
+    right = spark.createDataFrame(rrows, "sid long, uid long, sts double")
+    got = {
+        r.pid: r.sid
+        for r in asof_join(left, right, "uid", "pts", "sts").collect()
+    }
+    assert got == expected

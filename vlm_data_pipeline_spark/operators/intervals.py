@@ -141,3 +141,103 @@ def point_in_interval_join(
         .filter((F.col(start_col) <= p) & (p <= F.col(end_col)))
         .drop(_BIN)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    allow_exact: bool = True,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """merge_asof semantics as ONE shuffle: for every left row, the
+    single right row (same ``on`` keys) with the largest right_ts <=
+    left_ts (``backward``; ``forward`` mirrors). Left rows with no match
+    keep NULL right columns — a left join, like pandas.
+
+    Spark has no native as-of join, and the join-then-rank expression
+    (sources/hypersim.nearest_keyframe_pose, J9 — correct when the
+    right side is per-key tiny) EXPLODES the pre-rank join when both
+    sides are large: every left row pairs with every same-key right row
+    before row_number culls. The scalable form is the sort-merge union:
+    tag both sides, union, ONE window over (keys, ts, side) carrying
+    last(right_payload, ignorenulls) — each row is touched once, the
+    only exchange is the window's hash partition on the keys, and state
+    per partition is one payload struct. This is the classic
+    distributed ASOF re-expression (the same shape engines with native
+    ASOF JOIN lower to).
+
+    Ties: right rows sharing the match timestamp resolve to the LARGEST
+    right payload tuple (struct comparison over the right columns in
+    order) — deterministic, pinned in tests. ``allow_exact=False``
+    excludes right_ts == left_ts. ``tolerance`` (seconds for timestamp
+    columns, native units for numerics) nulls out matches farther than
+    the bound — the match is still the nearest one, as pandas defines
+    it.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = [on] if isinstance(on, str) else list(on)
+    dup = (set(left.columns) & set(right.columns)) - set(keys)
+    if dup:
+        raise ValueError(
+            f"non-key column names must be disjoint, both sides have: {sorted(dup)}"
+        )
+    r_payload = [c for c in right.columns if c not in keys]
+    l_struct = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in left.schema.fields]
+    )
+    r_struct = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True)
+            for f in right.schema.fields
+            if f.name in r_payload
+        ]
+    )
+    # side ordering at EQUAL ts decides exact-match semantics: the
+    # window scans in (ts, side) order, so a right row sorted before
+    # the left row is visible to it
+    r_side = 0 if allow_exact else 2
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r_struct).alias("__r"),
+    )
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        F.lit(None).cast(l_struct).alias("__l"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+    )
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("__side").asc(), F.col("__r").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__r", ignorenulls=True).over(w)
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError("tolerance must be >= 0")
+        delta = F.col("__ts").cast("double") - matched[right_ts].cast("double")
+        if direction == "forward":
+            delta = -delta
+        matched = F.when(delta <= F.lit(float(tolerance)), matched)
+    out = (
+        l2.unionByName(r2)
+        .withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+    )
+    return out.select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        *[F.col("__m")[c].alias(c) for c in r_payload],
+    )

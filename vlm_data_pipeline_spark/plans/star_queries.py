@@ -825,3 +825,52 @@ def events_interval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         exact_sum(F.col("value")).alias("total_value"),
     )
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT event_id AS signup_id, user_id, ts AS sts
+        FROM events WHERE event_type = 'signup'
+    ), m AS (
+        SELECT p.purchase_id, s.signup_id,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY s.sts DESC, s.signup_id DESC) AS rn
+        FROM p JOIN s ON p.user_id = s.user_id AND s.sts <= p.pts
+    )
+    SELECT p.purchase_id, m.signup_id
+    FROM p LEFT JOIN (SELECT purchase_id, signup_id FROM m WHERE rn = 1) m
+           USING (purchase_id)
+    """,
+    "Generic ASOF join (operators.intervals.asof_join, the merge_asof "
+    "semantics Spark lacks natively): for every purchase event, the "
+    "latest prior-or-equal signup by the same user, left-join "
+    "semantics. The union-window form touches each row once with ONE "
+    "hash exchange and NO join operator (plan-pinned in "
+    "tests/test_intervals.py) — unlike join-then-rank (J9's shape, "
+    "right for per-key-tiny keyframe sets), which explodes the pre-rank "
+    "join when both sides are corpus-sized. Oracle re-derives the match "
+    "as a windowed argmax with the engine's exact tie-break (latest ts, "
+    "then largest id).",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import asof_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("sts"),
+    )
+    return asof_join(
+        purchases, signups, "user_id", "pts", "sts"
+    ).select("purchase_id", "signup_id")
