@@ -116,3 +116,16 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "partial_sum" in plan
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "l_orderkey" not in scan and "l_comment" not in scan
+
+
+def test_pivot_explicit_values_two_aggregate_lowering(spark, sf_dir):
+    """Pivot with an explicit value list lowers to Spark's standard
+    two-aggregate chain — partial+final on (user, type), then
+    pivot_first on user — with NO eager distinct pre-pass over the
+    pivot column (which an implicit pivot runs as a separate job at
+    PLAN time, before this plan even exists). Two exchanges, both
+    map-side combined; no join, no Expand."""
+    plan = _plan(spark, sf_dir, "events_pivot_activity")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert "pivotfirst" in plan.lower(), plan[:2000]
+    assert "SortMergeJoin" not in plan and "Expand" not in plan

@@ -874,3 +874,48 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, signups, "user_id", "pts", "sts"
     ).select("purchase_id", "signup_id")
+
+
+@register(
+    "events_pivot_activity",
+    f"""
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+           coalesce(
+               {duck_exact_sum("CASE WHEN event_type = 'purchase' THEN value END")},
+               0.0) AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+    "Pivot (long-to-wide) coverage: per-user activity matrix — one "
+    "count column per event type plus exact-cents purchase revenue — "
+    "via DataFrame.pivot with an EXPLICIT value list. The explicit list "
+    "matters at scale: pivot without values runs a separate eager "
+    "distinct-collect job over the pivot column at PLAN time; with the "
+    "list it lowers straight to the two-aggregate pivot_first chain, "
+    "both halves map-side combined, no extra pass (plan-pinned in "
+    "test_star_queries). Oracle: per-type FILTER aggregates.",
+)
+def events_pivot_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is illegal in pivot
+            exact_sum(F.col("value")).alias("v"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+        F.coalesce(F.col("purchase_v"), F.lit(0.0)).alias("purchase_value"),
+    )
