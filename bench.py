@@ -34,6 +34,8 @@ HEADLINE = [
     "o4_deterministic_sample",
     "event_tumbling_window",
     "a10_quality_audit",
+    "events_interval_join",  # binned range join (100K events x 1.5K windows)
+    "events_asof_join",  # union-window merge_asof over events
     # scale flagships: the full 10-task QA pipeline over ~150K synthesized
     # frames (reference single-node analogue: 8-12 frames/s) and the
     # MinHash+LSH near-dup pass over the documents corpus

@@ -406,3 +406,39 @@ def test_incremental_minhash_streaming_ingestion(spark, tmp_path):
     # splits, so both sources must have fired
     assert {r.source for r in got} == {"batch", "store"}
     assert len(got) >= 12
+
+
+def test_point_in_interval_join_stream_static(spark, tmp_path):
+    """The binned point-in-interval join runs UNCHANGED as a
+    stream-static join: the streaming point side lands in exactly one
+    bin (a narrow withColumn, no stateful op), the static interval side
+    replicates as in batch, and the equi-join on the bin id is a
+    supported stream-static inner join in append mode. Stream output ==
+    batch output row-for-row."""
+    from vlm_data_pipeline_spark.operators.intervals import (
+        point_in_interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, float(i % 40)) for i in range(200)], "pid long, p double"
+    )
+    ivals = spark.createDataFrame(
+        [(j, float(j * 3), float(j * 3 + 5)) for j in range(12)],
+        "iid long, s double, e double",
+    )
+    src = str(tmp_path / "points_src")
+    points.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream_points = spark.readStream.schema(schema).parquet(src)
+    got = run_stream(
+        point_in_interval_join(stream_points, ivals, "p", "s", "e", 4.0),
+        tmp_path,
+        "interval_stream",
+        output_mode="append",
+    )
+    want = point_in_interval_join(
+        spark.read.parquet(src), ivals, "p", "s", "e", 4.0
+    )
+    assert as_sorted_rows(got) == as_sorted_rows(want)
+    assert got.count() > 0

@@ -1,1 +1,1 @@
-from . import curation, dedup, similarity  # noqa: F401
+from . import curation, dedup, intervals, similarity  # noqa: F401
