@@ -427,3 +427,99 @@ def test_tokenizer_artifact_round_trips(spark, tmp_path):
     assert sorted((r.doc_id, tuple(r.pieces)) for r in e1) == sorted(
         (r.doc_id, tuple(r.pieces)) for r in e2
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (BERT tokenizer family)
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_likelihood_beats_raw_count(spark):
+    """The trainer's defining difference from BPE: with pair counts
+    count(t,h)=12 and count(q,z)=3 but q/z occurring ONLY together,
+    the likelihood score 3/(3*3) beats 12/(100*40) — WordPiece fuses
+    'qz' first where BPE would fuse 'th'."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    # 'th' appears in many contexts (t and h also frequent alone);
+    # 'qz' appears rarely but exclusively together
+    rows = [(1, " ".join(["th"] * 12 + ["ta"] * 44 + ["ha"] * 28 + ["qz"] * 3))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = lm.train_wordpiece(docs, num_merges=1)
+    assert "qz" in vocab          # likelihood argmax
+    assert "th" not in vocab      # the raw-count argmax lost
+    merges = lm.train_bpe(docs, num_merges=1)
+    assert merges[0] != ("q", "##z")  # and BPE indeed picks differently
+
+
+def test_wordpiece_continuation_convention(spark):
+    """Fused pieces drop the right part's ## marker; word-internal
+    pieces keep theirs — 'hello'-family words must yield 'he' (initial)
+    and '##ll'-style internals."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "hell hell hello hello hella")], "doc_id long, text string"
+    )
+    vocab = lm.train_wordpiece(docs, num_merges=6)
+    assert all(not p.startswith("##") or len(p) > 2 for p in vocab if p != "##")
+    # initial chars bare, internals marked
+    assert "h" in vocab and "##e" in vocab
+
+
+def test_wordpiece_encode_longest_match_and_unk():
+    from vlm_data_pipeline_spark.operators.lm import _py_encode_word_wp
+
+    vocab = {"un", "##able", "##avail", "able", "unavail", "a", "##b"}
+    # longest FIRST piece wins: 'unavail' beats 'un'
+    assert _py_encode_word_wp("unavailable", vocab, 7) == ["unavail", "##able"]
+    assert _py_encode_word_wp("unable", vocab, 7) == ["un", "##able"]
+    assert _py_encode_word_wp("able", vocab, 7) == ["able"]
+    # uncoverable position -> whole word is [UNK] (BERT semantics)
+    assert _py_encode_word_wp("abxyz", vocab, 7) == ["[UNK]"]
+
+
+def test_apply_wordpiece_end_to_end(spark):
+    from vlm_data_pipeline_spark.operators import lm
+
+    vocab = ["un", "##able", "##avail", "able", "w", "##ow"]
+    docs = spark.createDataFrame(
+        [(1, "unable unavailable wow"), (2, "able mystery"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.wp_tokens for r in lm.apply_wordpiece(docs, vocab).collect()}
+    assert got[1] == ["un", "##able", "un", "##avail", "##able", "w", "##ow"]
+    assert got[2] == ["able", "[UNK]"]
+    assert got[3] is None
+    # zero shuffle: narrow per-row transform
+    plan = (
+        lm.apply_wordpiece(docs, vocab)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_apply_wordpiece_production_vocab_size(spark):
+    """A 30k-piece vocabulary must encode without riding the plan —
+    per-word cost is O(len * max_piece_len) probes, vocab-independent."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    vocab = [f"junk{i}x" for i in range(30_000)] + ["he", "##llo", "h"]
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    out = lm.apply_wordpiece(docs, vocab).collect()
+    assert out[0].wp_tokens == ["he", "##llo"]
+
+
+def test_wordpiece_vocab_round_trip(spark, tmp_path):
+    from vlm_data_pipeline_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana ban and anna nab")], "doc_id long, text string"
+    )
+    vocab = lm.train_wordpiece(docs, num_merges=8)
+    p = str(tmp_path / "wp_vocab")
+    lm.save_wordpiece_vocab(spark, vocab, p)
+    assert lm.load_wordpiece_vocab(spark, p) == sorted(vocab)
+    e1 = lm.apply_wordpiece(docs, vocab).collect()
+    e2 = lm.apply_wordpiece(docs, lm.load_wordpiece_vocab(spark, p)).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e2))

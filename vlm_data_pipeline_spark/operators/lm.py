@@ -957,3 +957,195 @@ def save_unigram_model(spark, model: dict[str, float], path: str) -> None:
 def load_unigram_model(spark, path: str) -> dict[str, float]:
     rows = spark.read.schema("piece string, logp double").json(path).collect()
     return {r.piece: r.logp for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer)
+# ---------------------------------------------------------------------------
+
+WP_CONT = "##"
+WP_UNK = "[UNK]"
+
+
+def _wp_syms(word: str) -> list[str]:
+    """Initial WordPiece symbols: first character bare, every later one
+    carrying the ``##`` continuation prefix (the BERT convention that
+    lets the encoder distinguish word-initial from word-internal
+    pieces)."""
+    return [word[0]] + [WP_CONT + c for c in word[1:]]
+
+
+def _wp_fuse(a: str, b: str) -> str:
+    """Fusing drops the continuation marker of the right part:
+    'h'+'##e' -> 'he', '##l'+'##o' -> '##lo'."""
+    return a + b[len(WP_CONT):] if b.startswith(WP_CONT) else a + b
+
+
+def train_wordpiece(
+    corpus: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    max_words: int = DEFAULT_MAX_VOCAB,
+) -> list[str]:
+    """WordPiece vocabulary (Schuster & Nakajima 2012, the BERT
+    tokenizer): same scale shape as :func:`train_bpe` — ONE corpus
+    aggregation builds the capped word-frequency table, merge learning
+    is driver-local incremental pair maintenance — but the winning pair
+    maximizes the LIKELIHOOD score count(ab) / (count(a) * count(b))
+    instead of the raw count, so high-frequency-but-independent symbol
+    pairs lose to genuinely associated ones (the trainer's defining
+    difference from BPE). Scores compare as exact Fractions (integer
+    cross-multiplication under the hood) — no float ties; remaining
+    ties break (a, b) ascending. Returns the VOCABULARY (initial characters
+    + every fused piece, sorted), which is what the greedy
+    longest-match encoder consumes — merge order is training-internal
+    for WordPiece, unlike BPE.
+    """
+    from fractions import Fraction
+
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    freqs = [
+        (r["w"], r["freq"])
+        for r in _word_freqs(corpus, text_col, max_words).collect()
+    ]
+    words: list[tuple[list[str], int]] = [(_wp_syms(w), f) for w, f in freqs]
+    stats: dict[tuple[str, str], int] = {}
+    sym_counts: dict[str, int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, f) in enumerate(words):
+        for s in syms:
+            sym_counts[s] = sym_counts.get(s, 0) + f
+        for p in zip(syms, syms[1:]):
+            stats[p] = stats.get(p, 0) + f
+            where.setdefault(p, set()).add(wi)
+    vocab = set(sym_counts)
+    for _ in range(num_merges):
+        if not stats:
+            break
+        best = min(
+            stats.items(),
+            key=lambda kv: (
+                -Fraction(kv[1], sym_counts[kv[0][0]] * sym_counts[kv[0][1]]),
+                kv[0],
+            ),
+        )
+        (a, b), _cnt = best
+        fused = _wp_fuse(a, b)
+        vocab.add(fused)
+        for wi in sorted(where.get((a, b), ())):
+            syms, f = words[wi]
+            new: list[str] = []
+            for s in syms:
+                if new and new[-1] == a and s == b:
+                    new[-1] = fused
+                else:
+                    new.append(s)
+            if new == syms:
+                continue
+            for s in syms:
+                left = sym_counts.get(s, 0) - f
+                if left > 0:
+                    sym_counts[s] = left
+                else:
+                    sym_counts.pop(s, None)
+            for p in zip(syms, syms[1:]):
+                left = stats.get(p, 0) - f
+                if left > 0:
+                    stats[p] = left
+                else:
+                    stats.pop(p, None)
+            for s in new:
+                sym_counts[s] = sym_counts.get(s, 0) + f
+            for p in zip(new, new[1:]):
+                stats[p] = stats.get(p, 0) + f
+                where.setdefault(p, set()).add(wi)
+            words[wi] = (new, f)
+        stats.pop((a, b), None)
+        where.pop((a, b), None)
+    return sorted(vocab)
+
+
+def _py_encode_word_wp(
+    word: str, vocab: set[str], max_piece_len: int
+) -> list[str]:
+    """Greedy longest-match-first WordPiece encode of one word (the
+    BERT WordpieceTokenizer algorithm): repeatedly take the LONGEST
+    vocab piece matching at the cursor (continuation pieces carry ##);
+    any position with no match makes the whole word [UNK]."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        end = min(n, i + max_piece_len)
+        piece = None
+        while end > i:
+            cand = word[i:end] if i == 0 else WP_CONT + word[i:end]
+            if cand in vocab:
+                piece = cand
+                break
+            end -= 1
+        if piece is None:
+            return [WP_UNK]
+        out.append(piece)
+        i = end if i == 0 else i + len(piece) - len(WP_CONT)
+    return out
+
+
+def apply_wordpiece(
+    docs: DataFrame,
+    vocab: list[str] | set[str],
+    text_col: str = "text",
+    out_col: str = "wp_tokens",
+) -> DataFrame:
+    """Encode every document with a WordPiece vocabulary: per word,
+    greedy longest-match-first with ## continuations, [UNK] for any
+    word with an uncoverable position (BERT semantics).
+
+    Execution: one Arrow-batched pandas UDF — the vocabulary ships ONCE
+    per executor as a SparkContext broadcast (a 30k-piece production
+    vocab must never ride the plan), each word costs O(len ·
+    max_piece_len) set probes independent of vocab size, and a
+    per-batch distinct-word cache exploits Zipfian repetition. A narrow
+    per-row transform: zero shuffle at any corpus size (same production
+    arm as apply_bpe's large-table path)."""
+    vset = set(vocab)
+    if not vset:
+        raise ValueError("empty vocabulary")
+    max_len = max(len(p) for p in vset)
+    bc = docs.sparkSession.sparkContext.broadcast((vset, max_len))
+
+    @F.pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        vs, ml = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def enc_doc(text: str | None) -> list[str] | None:
+            if text is None:
+                return None
+            out: list[str] = []
+            for w in _py_tokens(text):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = _py_encode_word_wp(w, vs, ml)
+                out.extend(hit)
+            return out
+
+        return texts.map(enc_doc)
+
+    return docs.withColumn(out_col, encode(F.col(text_col)))
+
+
+def save_wordpiece_vocab(spark, vocab: list[str], path: str) -> None:
+    """Persist a WordPiece vocabulary as one JSON artifact (piece set —
+    order is not part of the model; sorted for determinism)."""
+    rows = [(i, p) for i, p in enumerate(sorted(vocab))]
+    spark.createDataFrame(rows, "idx int, piece string").coalesce(1).write.mode(
+        "overwrite"
+    ).json(path)
+
+
+def load_wordpiece_vocab(spark, path: str) -> list[str]:
+    rows = (
+        spark.read.schema("idx int, piece string").json(path).orderBy("idx").collect()
+    )
+    return [r.piece for r in rows]

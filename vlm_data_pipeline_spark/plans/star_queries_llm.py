@@ -3331,3 +3331,56 @@ def curation_gopher_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         p["alpha_ok"].alias("alpha_ok"),
         p["symbol_ok"].alias("symbol_ok"),
     )
+
+
+# Fixed demo WordPiece vocabulary; per-word encodings HAND-DERIVED
+# (test_bpe.py pins the greedy longest-match semantics analytically), so
+# the oracle enumerates them per planted sentence without re-implementing
+# the matcher in SQL — the same pattern as _BPE_ENCODE_ORACLE.
+_WP_DEMO_VOCAB = ("un", "##able", "##avail", "able", "w", "##ow")
+
+_WP_ENCODE_ORACLE = """
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'unable unavailable wow'
+                ELSE 'able mystery' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 2 END AS n_wp,
+       CASE WHEN doc_id % 2 = 0
+            THEN md5('un ##able un ##avail ##able w ##ow')
+            ELSE md5('able [UNK]') END AS fp
+FROM planted
+"""
+
+
+@register(
+    "lm_wordpiece_encode",
+    _WP_ENCODE_ORACLE,
+    "WordPiece ENCODING end-to-end (extension; the BERT tokenizer "
+    "family, completing the BPE/unigram/WordPiece trio): greedy "
+    "longest-match-first with ## continuations, whole-word [UNK] on "
+    "any uncoverable position. One Arrow-batched stage, vocabulary "
+    "broadcast once per executor (never in the plan), per-word cost "
+    "vocab-size-independent. Demo plants two sentences so the oracle "
+    "enumerates the hand-derived encodings (md5 of the joined piece "
+    "stream + piece count). Library: operators.lm.apply_wordpiece / "
+    "train_wordpiece.",
+)
+def lm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import apply_wordpiece
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "unable unavailable wow")
+        .otherwise("able mystery")
+        .alias("text"),
+    )
+    out = apply_wordpiece(planted, list(_WP_DEMO_VOCAB))
+    return out.select(
+        "doc_id",
+        F.size("wp_tokens").alias("n_wp"),
+        F.md5(F.array_join("wp_tokens", " ")).alias("fp"),
+    )
