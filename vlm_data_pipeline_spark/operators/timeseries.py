@@ -1,0 +1,119 @@
+"""Time-series resampling: time_bucket rollup with gap-filling and
+last-observation-carried-forward — the TimescaleDB
+``time_bucket_gapfill`` + ``locf()`` semantics (named in the build
+brief's custom-operator examples alongside as-of and range joins),
+composed from DataFrame primitives.
+
+Scale shape, stage by stage:
+
+1. bucket assignment — in-row epoch arithmetic, no shuffle;
+2. per-(key, bucket) aggregation — ONE hash exchange with map-side
+   partial combine (the only corpus-sized shuffle);
+3. grid synthesis — per key, ``sequence(min_bucket, max_bucket)``
+   exploded from a per-key 2-value aggregate: the dense grid is
+   derived data, never scanned storage, and its size is bounded by a
+   ``max_buckets`` guard (a key spanning years at 1-second buckets is
+   a configuration bug, refused loudly like intervals.py's bin guard);
+4. gap join — grid LEFT JOIN aggregates on (key, bucket): both sides
+   are already bucket-grained (dimension-sized per key), and AQE
+   broadcasts the smaller;
+5. LOCF — ``last(value, ignorenulls)`` over (key, bucket-order)
+   running frame: one window exchange on the key, state = one value.
+
+Gap rows carry NULL for every aggregate; ``locf_cols`` then fill with
+the last SEEN value (the measurement persists until re-measured),
+while count-like columns are typically projected with
+``coalesce(n, 0)`` by the caller (a gap has zero events — that's a
+fact, not a missing observation) — the Timescale distinction between
+``coalesce(count, 0)`` and ``locf(last(...))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column, bucket_seconds: int) -> Column:
+    """Bucket start (timestamp) for an event time — floor of the epoch
+    second to the bucket width, the time_bucket() primitive."""
+    epoch = F.unix_timestamp(ts)
+    return F.timestamp_seconds(
+        (F.floor(epoch / F.lit(bucket_seconds)) * bucket_seconds).cast("long")
+    )
+
+
+def time_bucket_gapfill(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    bucket_seconds: int,
+    aggs: dict[str, Column],
+    locf_cols: list[str] | None = None,
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Dense per-key time grid with aggregates, zeros-for-counts gaps
+    filled by NULL→LOCF for ``locf_cols``. ``aggs`` maps output column
+    name → aggregate expression (over the raw events of one bucket).
+    Grid spans each key's own [min bucket, max bucket] — the Timescale
+    gapfill contract. Output: key_cols + bucket_start + one column per
+    agg (locf_cols carried forward, others NULL in gap rows)."""
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    if not aggs:
+        raise ValueError("aggs must not be empty")
+    locf_cols = locf_cols or []
+    unknown = set(locf_cols) - set(aggs)
+    if unknown:
+        raise ValueError(f"locf_cols not in aggs: {sorted(unknown)}")
+
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)
+    ).cast("long")
+    per_bucket = (
+        events.withColumn("__bucket", bucket)
+        .groupBy(*key_cols, "__bucket")
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+
+    span = events.withColumn("__bucket", bucket).groupBy(*key_cols).agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    n_buckets = F.col("__hi") - F.col("__lo") + 1
+    guard = F.assert_true(
+        n_buckets <= F.lit(max_buckets),
+        F.concat(
+            F.lit(
+                f"time_bucket_gapfill: a key spans more than {max_buckets} "
+                f"buckets at bucket_seconds={bucket_seconds} — widen the "
+                f"bucket or raise max_buckets ("
+            ),
+            n_buckets.cast("string"),
+            F.lit(" buckets)"),
+        ),
+    )
+    grid = (
+        span.filter(guard.isNull())
+        .withColumn(
+            "__bucket", F.explode(F.sequence(F.col("__lo"), F.col("__hi")))
+        )
+        .drop("__lo", "__hi")
+    )
+
+    joined = grid.join(per_bucket, [*key_cols, "__bucket"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols: list[Column] = [
+        F.timestamp_seconds(
+            (F.col("__bucket") * bucket_seconds).cast("long")
+        ).alias("bucket_start")
+    ]
+    for name in aggs:
+        if name in locf_cols:
+            out_cols.append(F.last(name, ignorenulls=True).over(w).alias(name))
+        else:
+            out_cols.append(F.col(name))
+    return joined.select(*key_cols, *out_cols)

@@ -919,3 +919,66 @@ def events_pivot_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.coalesce(F.col("purchase_v"), F.lit(0.0)).alias("purchase_value"),
     )
+
+
+@register(
+    "events_gapfill_hourly",
+    f"""
+    WITH e AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, value
+        FROM events
+    ), agg AS (
+        SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+               {duck_exact_sum("value")} AS v
+        FROM e GROUP BY event_type, b
+    ), span AS (
+        SELECT event_type, min(b) AS lo, max(b) AS hi FROM e GROUP BY 1
+    ), grid AS (
+        SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM span
+    ), j AS (
+        SELECT g.event_type, g.b, a.n, a.v
+        FROM grid g LEFT JOIN agg a USING (event_type, b)
+    )
+    SELECT event_type,
+           strftime(make_timestamp(b * 3600 * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           coalesce(n, CAST(0 AS BIGINT)) AS n_events,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS hourly_value
+    FROM j
+    """,
+    "Hypertable-style continuous aggregate (the brief's named "
+    "custom-operator example; TimescaleDB time_bucket_gapfill + locf "
+    "semantics): dense per-type hourly grid over each type's own time "
+    "span, zero-filled event counts, exact-cents hourly revenue carried "
+    "forward through empty buckets. One corpus-sized shuffle (the "
+    "bucket aggregate); the grid is synthesized per key from a 2-value "
+    "span aggregate, never scanned, with a max_buckets guard against "
+    "degenerate bucket widths. Library: operators.timeseries."
+    "time_bucket_gapfill.",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import time_bucket_gapfill
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    out = time_bucket_gapfill(
+        ev,
+        "ts",
+        ["event_type"],
+        bucket_seconds=3600,
+        aggs={
+            "n": F.count("*").cast("long"),
+            "v": exact_sum(F.col("value")),
+        },
+        locf_cols=["v"],
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("v").alias("hourly_value"),
+    )
