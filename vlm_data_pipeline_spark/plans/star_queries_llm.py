@@ -3384,3 +3384,97 @@ def lm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("wp_tokens").alias("n_wp"),
         F.md5(F.array_join("wp_tokens", " ")).alias("fp"),
     )
+
+
+# Triangle index (row-major upper triangle) for the 64-dim embeddings:
+# idx(i, j) = i*d - i*(i-1)/2 + (j - i) — matches the engine's
+# flatten(transform(i, transform(j>=i))) + posexplode positions.
+_PCA_SCATTER_ORACLE = """
+WITH e AS (
+    SELECT embedding FROM embeddings WHERE embedding IS NOT NULL
+), idx AS (
+    SELECT i, j,
+           CAST(i * 64 - (i * (i - 1)) / 2 + (j - i) AS BIGINT) AS t
+    FROM (SELECT unnest(generate_series(0, 63)) AS i),
+         (SELECT unnest(generate_series(0, 63)) AS j)
+    WHERE j >= i
+)
+SELECT idx.t AS idx,
+       CAST(sum(CAST(round(CAST(e.embedding[idx.i + 1] AS DOUBLE)
+                           * CAST(e.embedding[idx.j + 1] AS DOUBLE)
+                           * 1000000) AS BIGINT)) AS BIGINT) AS sq
+FROM e, idx
+GROUP BY idx.t
+"""
+
+
+@register(
+    "embeddings_pca_scatter",
+    _PCA_SCATTER_ORACLE,
+    "The distributed core of PCA fitting (operators.decomposition): "
+    "every row expands its 64-vector to the 2,080 upper-triangle outer "
+    "products IN-ROW, posexplodes, and partial-aggregates — the "
+    "exchange carries at most d(d+1)/2 keys per partition regardless "
+    "of corpus size, which is what makes a covariance fit one cheap "
+    "pass at 100 TB. Products are quantized to 1e-6 longs BEFORE "
+    "summing so Spark and DuckDB sum identical integers (the cross-row "
+    "float-sum rule); pca_fit itself keeps full double precision and "
+    "is numpy-parity-pinned in tests/test_decomposition.py.",
+)
+def embeddings_pca_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    v = F.col("embedding")
+    d = F.size(v)
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.round(
+                    F.element_at(v, i + 1).cast("double")
+                    * F.element_at(v, j + 1).cast("double")
+                    * 1e6
+                ).cast("long"),
+            ),
+        )
+    )
+    return (
+        emb.filter(v.isNotNull())
+        .select(F.posexplode(tri).alias("idx", "q"))
+        .groupBy("idx")
+        .agg(F.sum("q").cast("long").alias("sq"))
+        .select(F.col("idx").cast("long").alias("idx"), "sq")
+    )
+
+
+@register(
+    "embeddings_pca_project",
+    None,  # rows-only: eigendecomposition is not SQL-re-derivable
+    "End-to-end PCA (extension): fit on the embeddings table (one "
+    "O(d²)-key scatter aggregation + driver numpy eigh of the 64x64 "
+    "covariance — the KMeans/PQ driver-coordinated pattern) and "
+    "project every vector to the top-4 components as a zero-shuffle "
+    "in-row fold with the 4x64 matrix riding the plan. The fit's "
+    "distributed aggregate is value-oracled by embeddings_pca_scatter; "
+    "fit+project numerics are numpy-parity-pinned in "
+    "tests/test_decomposition.py. Library: operators.decomposition.",
+)
+def embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decomposition import pca_fit, pca_project
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    model = pca_fit(emb, k=4)
+    out = pca_project(emb, model)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca", 2), 6).alias("pc2"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("pca"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+            6,
+        ).alias("pca_norm"),
+    )
