@@ -282,3 +282,32 @@ def test_cli_render(spark, tmp_path):
         with open(os.path.join(out, f), "rb") as fh:
             img = decode_png(fh.read())
         assert img.width == 640 and img.height == 480
+
+
+def test_cli_tokenize_all_algos(spark, tmp_path):
+    """tokenize trains+saves, reloads, and encodes with each of the
+    three subword families; outputs append a tokens column (bpe/
+    wordpiece) or project (id, tokens, n_pieces) for unigram."""
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "banana bandana nab")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "tok_docs")
+    docs.write.mode("overwrite").parquet(src)
+    for algo in ("bpe", "unigram", "wordpiece"):
+        out = str(tmp_path / f"tok_out_{algo}")
+        model = str(tmp_path / f"tok_model_{algo}")
+        assert main(["tokenize", "--docs", src, "--out", out,
+                     "--algo", algo, "--vocab-size", "24",
+                     "--save-model", model, "--cpus", "4"]) == 0
+        enc = spark.read.parquet(out)
+        assert enc.count() == 2
+        assert "tokens" in enc.columns
+        # reload path: same artifact re-encodes without retraining
+        out2 = str(tmp_path / f"tok_out2_{algo}")
+        assert main(["tokenize", "--docs", src, "--out", out2,
+                     "--algo", algo, "--model", model, "--cpus", "4"]) == 0
+        a = sorted(map(tuple, enc.select("tokens").collect()))
+        b = sorted(map(tuple,
+                       spark.read.parquet(out2).select("tokens").collect()))
+        assert a == b

@@ -249,6 +249,45 @@ def cmd_summary(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tokenize(args: argparse.Namespace) -> int:
+    """Train-or-load a subword model and encode a docs parquet: one
+    narrow per-row transform (the model broadcasts; nothing shuffles),
+    written back as parquet with the token array appended."""
+    from .operators import lm
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.docs)
+    if args.algo == "bpe":
+        if args.model:
+            merges = lm.load_bpe_merges(spark, args.model)
+        else:
+            merges = lm.train_bpe(docs, num_merges=args.vocab_size)
+            if args.save_model:
+                lm.save_bpe_merges(spark, merges, args.save_model)
+        out = lm.apply_bpe(docs, merges, out_col="tokens")
+    elif args.algo == "unigram":
+        if args.model:
+            model = lm.load_unigram_model(spark, args.model)
+        else:
+            model = lm.train_unigram_lm(docs, vocab_size=args.vocab_size)
+            if args.save_model:
+                lm.save_unigram_model(spark, model, args.save_model)
+        out = lm.unigram_encode(docs, model).withColumnRenamed(
+            "pieces", "tokens"
+        )
+    else:  # wordpiece
+        if args.model:
+            vocab = lm.load_wordpiece_vocab(spark, args.model)
+        else:
+            vocab = lm.train_wordpiece(docs, num_merges=args.vocab_size)
+            if args.save_model:
+                lm.save_wordpiece_vocab(spark, vocab, args.save_model)
+        out = lm.apply_wordpiece(docs, vocab, out_col="tokens")
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"tokenized -> {args.out} ({args.algo})")
+    return 0
+
+
 def cmd_render(args: argparse.Namespace) -> int:
     """Annotation-rendering debug sink (the visualize_enhanced_results.py
     analogue): project + rasterize up to --max-frames frames' boxes and
@@ -405,6 +444,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="deterministic sample: order by image_id before the limit",
     )
     rd.set_defaults(fn=cmd_render)
+
+    tk = sub.add_parser(
+        "tokenize",
+        help="train/load a subword model and encode a docs parquet",
+        parents=[common],
+    )
+    tk.add_argument("--docs", required=True)
+    tk.add_argument("--out", required=True)
+    tk.add_argument(
+        "--algo", choices=["bpe", "unigram", "wordpiece"], default="bpe"
+    )
+    tk.add_argument("--model", default=None, help="load a saved artifact")
+    tk.add_argument(
+        "--save-model", default=None, help="persist the trained artifact"
+    )
+    tk.add_argument(
+        "--vocab-size", type=int, default=512,
+        help="merges (bpe/wordpiece) or pieces (unigram) when training",
+    )
+    tk.set_defaults(fn=cmd_tokenize)
     return p
 
 

@@ -1,1 +1,8 @@
-from . import curation, dedup, intervals, similarity  # noqa: F401
+from . import (  # noqa: F401
+    curation,
+    decomposition,
+    dedup,
+    intervals,
+    similarity,
+    timeseries,
+)
