@@ -258,3 +258,32 @@ def test_asof_fuzz_matches_brute_force(spark):
         for r in asof_join(left, right, "uid", "pts", "sts").collect()
     }
     assert got == expected
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """Null right_ts rows are dropped (they'd sort first and become
+    every left row's fallback); null left_ts rows match nothing in
+    EITHER direction (under desc ordering they'd otherwise sort last
+    and see every right row)."""
+    from vlm_data_pipeline_spark.operators.intervals import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, None)], "pid long, uid long, pts double"
+    )
+    right = spark.createDataFrame(
+        [(7, 1, 5.0), (8, 1, None)], "sid long, uid long, sts double"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r.pid: r.sid
+            for r in asof_join(
+                left, right, "uid", "pts", "sts", direction=direction
+            ).collect()
+        }
+        assert got[2] is None, direction  # null left ts: no match
+        assert got[1] != 8, direction     # null right ts never matches
+    back = {
+        r.pid: r.sid
+        for r in asof_join(left, right, "uid", "pts", "sts").collect()
+    }
+    assert back[1] == 7

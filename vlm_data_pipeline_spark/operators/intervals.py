@@ -211,7 +211,11 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         F.lit(None).cast(r_struct).alias("__r"),
     )
-    r2 = right.select(
+    # a NULL right_ts would sort FIRST under asc ordering and become
+    # every left row's fallback match — drop it (pandas merge_asof
+    # rejects NaT keys for the same reason); null LEFT ts rows need no
+    # handling: they sort before every right row and match nothing
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
@@ -237,7 +241,10 @@ def asof_join(
         .withColumn("__m", matched)
         .filter(F.col("__side") == 1)
     )
+    # a null LEFT ts can never match (under desc/forward ordering such
+    # rows sort last and would otherwise see every right row)
+    m = F.when(F.col("__ts").isNotNull(), F.col("__m"))
     return out.select(
         *[F.col("__l")[c].alias(c) for c in left.columns],
-        *[F.col("__m")[c].alias(c) for c in r_payload],
+        *[m[c].alias(c) for c in r_payload],
     )
