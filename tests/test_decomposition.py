@@ -100,3 +100,14 @@ def test_pca_fit_validation(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no embeddings"):
         pca_fit(empty)
+
+
+def test_pca_fit_rejects_mixed_dimensions(spark):
+    """Per-row size() drives the triangle indexing, so mixed vector
+    lengths would silently collide scatter slots — refuse loudly."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, [4.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        pca_fit(df)

@@ -92,6 +92,14 @@ def pca_fit(
     if not mean_rows:
         raise ValueError("no embeddings to fit")
     d = len(mean_rows)
+    # the triangle indexing derives d per ROW (F.size) — mixed vector
+    # lengths would silently collide scatter slots, so refuse them:
+    # with consistent dims every coordinate index has count n exactly
+    if len({int(r["n"]) for r in mean_rows}) != 1:
+        raise ValueError(
+            "inconsistent embedding dimensions across rows — per-index "
+            "counts differ; normalize the vector column first"
+        )
     n = int(mean_rows[0]["n"])
     if n < 2:
         raise ValueError("need at least 2 vectors to fit a covariance")
