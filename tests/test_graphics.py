@@ -292,16 +292,22 @@ def test_draw_line_fuzz_never_escapes_canvas():
 
 
 def test_render_over_bmp_and_jpeg_pixels(spark):
-    """The renderer is codec-agnostic: BMP-backed frames rasterize the
-    same as PNG-backed ones (shared _decode_pixels dispatch)."""
+    """The renderer is codec-agnostic: BMP- and baseline-JPEG-backed
+    frames rasterize the same as PNG-backed ones (shared _decode_pixels
+    dispatch). JPEG is lossy, so its background asserts a tolerance
+    band instead of exact bytes."""
+    import numpy as np
     from pyspark.sql import functions as F
 
     from tests.test_bmp_codec import encode_bmp
+    from tests.test_jpeg_codec import encode_jpeg
 
     rows = [[9] * (16 * 3) for _ in range(12)]  # 16x12 uniform gray-ish
     bmp = encode_bmp(rows)
+    jpg = encode_jpeg(np.full((12, 16, 3), 9, dtype=np.uint8))
     df = spark.createDataFrame(
-        [("b0", bytearray(bmp))], "image_id string, pixels binary"
+        [("b0", bytearray(bmp)), ("j0", bytearray(jpg))],
+        "image_id string, pixels binary",
     ).select(
         "image_id",
         F.struct(
@@ -327,3 +333,46 @@ def test_render_over_bmp_and_jpeg_pixels(spark):
     assert arr.shape == (12, 16, 3)
     assert tuple(arr[0, 0]) == (9, 9, 9)   # BMP background preserved
     assert tuple(arr[2, 2]) == PALETTE[0]  # rect drawn over it
+
+
+def test_draw_line_huge_offscreen_coords_bounded():
+    """A near-plane vertex can project to |u| ~ 1e9; the segment must
+    clip to the canvas BEFORE sampling (an unclipped DDA would allocate
+    gigabytes). Completes instantly and colors only canvas pixels."""
+    import time
+
+    img = blank_canvas(20, 20)
+    t0 = time.time()
+    draw_line(img, (-1e9, 10.0), (1e9, 10.0), (1, 2, 3))
+    draw_line(img, (5.0, -1e9), (5.0, 1e9), (1, 2, 3))
+    draw_line(img, (-1e9, -1e9), (1e9, 1e9), (1, 2, 3))
+    draw_line(img, (-1e9, -5e8), (1e9, 5e8), (1, 2, 3))  # off-canvas
+    assert time.time() - t0 < 1.0
+    assert all(tuple(img[10, x]) == (1, 2, 3) for x in range(20))
+    assert all(tuple(img[y, 5]) == (1, 2, 3) for y in range(20))
+
+
+def test_render_null_camera_dims_fall_back(spark):
+    """Arrow surfaces null ints as NaN — the renderer must fall back to
+    640x480, not crash on int(NaN)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit("n0").alias("image_id"),
+        F.struct(
+            F.lit(100.0).alias("fx"), F.lit(100.0).alias("fy"),
+            F.lit(50.0).alias("cx"), F.lit(50.0).alias("cy"),
+            F.lit(None).cast("int").alias("image_width"),
+            F.lit(None).cast("int").alias("image_height"),
+        ).alias("camera"),
+        F.lit(None).cast(
+            "array<struct<x:double,y:double,z:double,xl:double,yl:double,"
+            "zl:double,pitch:double,yaw:double,roll:double>>"
+        ).alias("bounding_boxes_3d"),
+        F.lit(None).cast(
+            "array<struct<x_min:int,y_min:int,x_max:int,y_max:int>>"
+        ).alias("bounding_boxes_2d"),
+    )
+    r = render_annotations(df, max_frames=1).collect()[0]
+    assert (r.width, r.height) == (640, 480)
+    assert _decode_to_array(bytes(r.png)).shape == (480, 640, 3)

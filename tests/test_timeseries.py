@@ -93,3 +93,22 @@ def test_gapfill_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Window") == 1
+
+
+def test_gapfill_null_timestamps_excluded(spark):
+    """Null timestamps have no bucket: rows are excluded up front, and
+    a key with ONLY null timestamps vanishes instead of tripping the
+    span guard with a null bucket count."""
+    rows = [
+        ("a", "2024-01-01 00:00:10", 1.0),
+        ("a", None, 99.0),
+        ("z", None, 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "k string, ts_s string, v double").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    )
+    out = time_bucket_gapfill(
+        ev, "ts", ["k"], 60, {"n": F.count("*").cast("long")}
+    ).collect()
+    assert [r.k for r in out] == ["a"]
+    assert out[0].n == 1

@@ -151,10 +151,39 @@ def draw_line(
     x1, y1 = float(p1[0]), float(p1[1])
     if not all(np.isfinite(v) for v in (x0, y0, x1, y1)):
         return
-    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    # Liang-Barsky clip to the canvas (pad 1px for thickness) BEFORE
+    # sampling: a near-plane vertex can project to |u| ~ 1e9, and an
+    # unclipped DDA would allocate gigabytes of sample points only for
+    # _stamp to discard them — the sample count must be bounded by the
+    # image diagonal, not by where the segment wanders off-screen
+    h, w = img.shape[:2]
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0 - (-1.0)),
+        (dx, float(w) - x0),
+        (-dy, y0 - (-1.0)),
+        (dy, float(h) - y0),
+    ):
+        if p == 0.0:
+            if q < 0.0:
+                return  # parallel and fully outside
+            continue
+        r = q / p
+        if p < 0.0:
+            if r > t1:
+                return
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return
+            t1 = min(t1, r)
+    cx0, cy0 = x0 + t0 * dx, y0 + t0 * dy
+    cx1, cy1 = x0 + t1 * dx, y0 + t1 * dy
+    n = int(max(abs(cx1 - cx0), abs(cy1 - cy0))) + 1
     ts = np.linspace(0.0, 1.0, n)
-    xs = np.rint(x0 + (x1 - x0) * ts).astype(np.int64)
-    ys = np.rint(y0 + (y1 - y0) * ts).astype(np.int64)
+    xs = np.rint(cx0 + (cx1 - cx0) * ts).astype(np.int64)
+    ys = np.rint(cy0 + (cy1 - cy0) * ts).astype(np.int64)
     _stamp(img, xs, ys, color, thickness)
 
 
@@ -365,8 +394,10 @@ def render_annotations(
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                w = int(row.width) if row.width is not None else 640
-                h = int(row.height) if row.height is not None else 480
+                # Arrow surfaces null ints as NaN floats, so `is not
+                # None` alone misses them — pd.isna covers both
+                w = 640 if pd.isna(row.width) else int(row.width)
+                h = 480 if pd.isna(row.height) else int(row.height)
                 canvas = None
                 if row.pixels is not None:
                     img = _decode_pixels(bytes(row.pixels))

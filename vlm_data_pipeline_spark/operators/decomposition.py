@@ -77,38 +77,61 @@ def scatter_upper_triangle(
 def pca_fit(
     embeddings: DataFrame, vec_col: str = "embedding", k: int = 8
 ) -> PCAModel:
-    """Fit PCA: one scatter aggregation (see module docstring), driver
-    numpy eigh of the d×d covariance. ``k`` caps at d."""
+    """Fit PCA: ONE combined aggregation — each row expands to its
+    d·(d+1)/2 upper-triangle products FOLLOWED by its d raw
+    coordinates, so the scatter matrix and the mean sums ride the same
+    posexplode/groupBy pass (one corpus scan, and the moments provably
+    describe the same row set even over non-deterministic inputs like
+    upstream samples) — then driver numpy eigh of the d×d covariance.
+    ``k`` caps at d."""
     if k < 1:
         raise ValueError("k must be >= 1")
     v = F.col(vec_col)
     base = embeddings.filter(v.isNotNull())
-    stats = base.select(
-        F.posexplode(F.transform(v, lambda x: x.cast("double"))).alias(
-            "idx", "x"
-        )
-    ).groupBy("idx").agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-    mean_rows = stats.orderBy("idx").collect()
-    if not mean_rows:
+    d_col = F.size(v)
+    combined = F.concat(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), d_col - 1),
+                lambda i: F.transform(
+                    F.sequence(i, d_col - 1),
+                    lambda j: (
+                        F.element_at(v, i + 1).cast("double")
+                        * F.element_at(v, j + 1).cast("double")
+                    ),
+                ),
+            )
+        ),
+        F.transform(v, lambda x: x.cast("double")),
+    )
+    stats = (
+        base.select(F.posexplode(combined).alias("idx", "x"))
+        .groupBy("idx")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .orderBy("idx")
+        .collect()
+    )
+    if not stats:
         raise ValueError("no embeddings to fit")
-    d = len(mean_rows)
-    # the triangle indexing derives d per ROW (F.size) — mixed vector
-    # lengths would silently collide scatter slots, so refuse them:
-    # with consistent dims every coordinate index has count n exactly
-    if len({int(r["n"]) for r in mean_rows}) != 1:
+    # total entries = d(d+1)/2 + d = d(d+3)/2  ->  solve for d
+    m = len(stats)
+    d = int(round((-3 + (9 + 8 * m) ** 0.5) / 2))
+    # the expansion derives d per ROW (F.size) — mixed vector lengths
+    # would silently collide slots; with consistent dims the entry
+    # count matches the closed form and every index has count n exactly
+    if d * (d + 3) // 2 != m or len({int(r["n"]) for r in stats}) != 1:
         raise ValueError(
-            "inconsistent embedding dimensions across rows — per-index "
-            "counts differ; normalize the vector column first"
+            "inconsistent embedding dimensions across rows — "
+            "normalize the vector column first"
         )
-    n = int(mean_rows[0]["n"])
+    n = int(stats[0]["n"])
     if n < 2:
         raise ValueError("need at least 2 vectors to fit a covariance")
-    mean = np.array([r["s"] for r in mean_rows]) / n
-
-    tri_rows = scatter_upper_triangle(base, vec_col).collect()
+    n_tri = d * (d + 1) // 2
+    mean = np.array([r["s"] for r in stats[n_tri:]]) / n
     scatter = np.zeros((d, d))
     pairs = _tri_index_pairs(d)
-    for r in tri_rows:
+    for r in stats[:n_tri]:
         i, j = pairs[r["idx"]]
         scatter[i, j] = r["s"]
         scatter[j, i] = r["s"]

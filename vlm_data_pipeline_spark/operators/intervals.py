@@ -46,7 +46,9 @@ def _bins(start: Column, end: Column, width: float) -> Column:
     )
 
 
-def _guarded(df: DataFrame, start: str, end: str, width: float, max_bins: int) -> DataFrame:
+def _guarded(
+    df: DataFrame, start: str, end: str, width: float, max_bins: int, op: str
+) -> DataFrame:
     s, e = F.col(start), F.col(end)
     n_bins = F.floor(e / F.lit(width)) - F.floor(s / F.lit(width)) + 1
     ok = (
@@ -63,7 +65,7 @@ def _guarded(df: DataFrame, start: str, end: str, width: float, max_bins: int) -
         ok,
         F.concat(
             F.lit(
-                f"interval_overlap_join: null/inverted interval or span over "
+                f"{op}: null/inverted interval or span over "
                 f"{max_bins} bins at bin_width={width} — [{start}, {end}] = ["
             ),
             s.cast("string"),
@@ -99,8 +101,10 @@ def interval_overlap_join(
         raise ValueError(
             f"column names must be disjoint, both sides have: {sorted(overlap_names)}"
         )
-    lb = _guarded(left, left_start, left_end, bin_width, max_bins)
-    rb = _guarded(right, right_start, right_end, bin_width, max_bins)
+    lb = _guarded(left, left_start, left_end, bin_width, max_bins,
+                  "interval_overlap_join")
+    rb = _guarded(right, right_start, right_end, bin_width, max_bins,
+                  "interval_overlap_join")
     ls, le = F.col(left_start), F.col(left_end)
     rs, re_ = F.col(right_start), F.col(right_end)
     first_bin = F.floor(F.greatest(ls, rs) / F.lit(bin_width)).cast("long")
@@ -135,7 +139,8 @@ def point_in_interval_join(
     pb = points.filter(p.isNotNull()).withColumn(
         _BIN, F.floor(p / F.lit(bin_width)).cast("long")
     )
-    ib = _guarded(intervals, start_col, end_col, bin_width, max_bins)
+    ib = _guarded(intervals, start_col, end_col, bin_width, max_bins,
+                  "point_in_interval_join")
     return (
         pb.join(ib, _BIN)
         .filter((F.col(start_col) <= p) & (p <= F.col(end_col)))
@@ -152,6 +157,7 @@ def asof_join(
     direction: str = "backward",
     allow_exact: bool = True,
     tolerance: float | None = None,
+    tie_break_cols: list[str] | None = None,
 ) -> DataFrame:
     """merge_asof semantics as ONE shuffle: for every left row, the
     single right row (same ``on`` keys) with the largest right_ts <=
@@ -171,12 +177,15 @@ def asof_join(
     ASOF JOIN lower to).
 
     Ties: right rows sharing the match timestamp resolve to the LARGEST
-    right payload tuple (struct comparison over the right columns in
-    order) — deterministic, pinned in tests. ``allow_exact=False``
-    excludes right_ts == left_ts. ``tolerance`` (seconds for timestamp
-    columns, native units for numerics) nulls out matches farther than
-    the bound — the match is still the nearest one, as pandas defines
-    it.
+    tuple over ``tie_break_cols`` (default: every right payload column,
+    compared as a struct in order) — deterministic, pinned in tests.
+    Pass an explicit subset when the right side carries non-ORDERABLE
+    column types (maps etc. cannot appear in a window ordering), or to
+    pick the semantic tie-break key (e.g. an event id).
+    ``allow_exact=False`` excludes right_ts == left_ts. ``tolerance``
+    (seconds for timestamp columns, native units for numerics) nulls
+    out matches farther than the bound — the match is still the
+    nearest one, as pandas defines it.
     """
     from pyspark.sql import Window
     from pyspark.sql import types as T
@@ -222,10 +231,19 @@ def asof_join(
         F.lit(None).cast(l_struct).alias("__l"),
         F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
     )
+    if tie_break_cols is not None:
+        bad = set(tie_break_cols) - set(r_payload)
+        if bad:
+            raise ValueError(
+                f"tie_break_cols not in the right payload: {sorted(bad)}"
+            )
+        tie = F.struct(*[F.col("__r")[c] for c in tie_break_cols])
+    else:
+        tie = F.col("__r")
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col("__side").asc(), F.col("__r").asc_nulls_first())
+        .orderBy(ts_order, F.col("__side").asc(), tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("__r", ignorenulls=True).over(w)

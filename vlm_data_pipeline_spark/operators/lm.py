@@ -299,52 +299,81 @@ def _merge_syms(syms: Column, a: str, b: str) -> Column:
 
 
 def _train_merges_from_freqs(
-    freqs: list[tuple[str, int]], num_merges: int
+    freqs: list[tuple[str, int]],
+    num_merges: int,
+    symize=None,
+    fuse=None,
+    score=None,
 ) -> list[tuple[str, str]]:
     """Driver-side merge learning over an already-bounded (word, freq)
     table — the Sennrich et al. 2016 incremental-statistics trainer
     (reference implementation: subword-nmt's learn_bpe): maintain pair
-    counts and a pair→containing-words index; each merge touches ONLY
-    the words that contain the winning pair, subtracting their old
-    adjacent-pair counts and adding the new ones. Cost per merge is
-    O(Σ len(affected words)), independent of both corpus size and the
-    number of merges already learned — 32k merges over a 65k-word table
-    is seconds, not 32k cluster jobs.
+    counts, symbol counts, and a pair→containing-words index; each
+    merge touches ONLY the words that contain the winning pair,
+    subtracting their old adjacent-pair/symbol counts and adding the
+    new ones. Cost per merge is O(Σ len(affected words)), independent
+    of both corpus size and the number of merges already learned — 32k
+    merges over a 65k-word table is seconds, not 32k cluster jobs.
+
+    The machinery is shared by BOTH subword trainers via three hooks:
+    ``symize`` (word → initial symbols; default chars), ``fuse``
+    ((a, b) → fused string; default concatenation), and ``score``
+    ((pair, count, sym_counts) → orderable; default the raw count —
+    WordPiece passes the likelihood Fraction). Higher score wins;
+    remaining ties break (a, b) ascending.
 
     Tie-break parity with :func:`symbol_pair_counts` + orderBy (count
     desc, a asc, b asc): Python str comparison is code-point order and
     UTF-8 byte order (Spark's string ordering) is code-point-preserving,
     so min((-count, a, b)) selects the identical pair.
     """
-    words: list[tuple[list[str], int]] = [(list(w), f) for w, f in freqs]
+    symize = symize if symize is not None else list
+    fuse = fuse if fuse is not None else (lambda a, b: a + b)
+    words: list[tuple[list[str], int]] = [(symize(w), f) for w, f in freqs]
     stats: dict[tuple[str, str], int] = {}
+    sym_counts: dict[str, int] = {}
     where: dict[tuple[str, str], set[int]] = {}
     for wi, (syms, f) in enumerate(words):
+        for s in syms:
+            sym_counts[s] = sym_counts.get(s, 0) + f
         for p in zip(syms, syms[1:]):
             stats[p] = stats.get(p, 0) + f
             where.setdefault(p, set()).add(wi)
+    if score is None:
+        key = lambda kv: (-kv[1], kv[0])  # noqa: E731
+    else:
+        key = lambda kv: (-score(kv[0], kv[1], sym_counts), kv[0])  # noqa: E731
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         if not stats:
             break
-        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        best = min(stats.items(), key=key)
         (a, b), cnt = best
         if cnt < 1:  # parity with the Spark loop's early-stop guard
             break
         merges.append((a, b))
+        fused = fuse(a, b)
         # stale index members (pair merged away earlier) are harmless:
         # subtract-then-add over an unchanged word cancels exactly
         for wi in sorted(where.get((a, b), ())):
             syms, f = words[wi]
-            new = _py_merge_pass(syms, a, b)
+            new = _py_merge_pass(syms, a, b, fused)
             if new == syms:
                 continue
+            for s in syms:
+                left = sym_counts.get(s, 0) - f
+                if left > 0:
+                    sym_counts[s] = left
+                else:
+                    sym_counts.pop(s, None)
             for p in zip(syms, syms[1:]):
                 left = stats.get(p, 0) - f
                 if left > 0:
                     stats[p] = left
                 else:
                     stats.pop(p, None)
+            for s in new:
+                sym_counts[s] = sym_counts.get(s, 0) + f
             for p in zip(new, new[1:]):
                 stats[p] = stats.get(p, 0) + f
                 where.setdefault(p, set()).add(wi)
@@ -449,11 +478,14 @@ def _py_tokens(text: str) -> list[str]:
     return [t for t in re.split(r"[ \t\n\x0B\f\r]+", text) if t != ""]
 
 
-def _py_merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+def _py_merge_pass(
+    syms: list[str], a: str, b: str, fused: str | None = None
+) -> list[str]:
     """One merge applied leftmost-greedy — the exact Python transcription
-    of :func:`_merge_syms`' fold."""
+    of :func:`_merge_syms`' fold. ``fused`` overrides the replacement
+    string (WordPiece drops the right part's ## marker)."""
     out: list[str] = []
-    ab = a + b
+    ab = a + b if fused is None else fused
     for s in syms:
         if out and out[-1] == a and s == b:
             out[-1] = ab
@@ -1009,60 +1041,15 @@ def train_wordpiece(
         (r["w"], r["freq"])
         for r in _word_freqs(corpus, text_col, max_words).collect()
     ]
-    words: list[tuple[list[str], int]] = [(_wp_syms(w), f) for w, f in freqs]
-    stats: dict[tuple[str, str], int] = {}
-    sym_counts: dict[str, int] = {}
-    where: dict[tuple[str, str], set[int]] = {}
-    for wi, (syms, f) in enumerate(words):
-        for s in syms:
-            sym_counts[s] = sym_counts.get(s, 0) + f
-        for p in zip(syms, syms[1:]):
-            stats[p] = stats.get(p, 0) + f
-            where.setdefault(p, set()).add(wi)
-    vocab = set(sym_counts)
-    for _ in range(num_merges):
-        if not stats:
-            break
-        best = min(
-            stats.items(),
-            key=lambda kv: (
-                -Fraction(kv[1], sym_counts[kv[0][0]] * sym_counts[kv[0][1]]),
-                kv[0],
-            ),
-        )
-        (a, b), _cnt = best
-        fused = _wp_fuse(a, b)
-        vocab.add(fused)
-        for wi in sorted(where.get((a, b), ())):
-            syms, f = words[wi]
-            new: list[str] = []
-            for s in syms:
-                if new and new[-1] == a and s == b:
-                    new[-1] = fused
-                else:
-                    new.append(s)
-            if new == syms:
-                continue
-            for s in syms:
-                left = sym_counts.get(s, 0) - f
-                if left > 0:
-                    sym_counts[s] = left
-                else:
-                    sym_counts.pop(s, None)
-            for p in zip(syms, syms[1:]):
-                left = stats.get(p, 0) - f
-                if left > 0:
-                    stats[p] = left
-                else:
-                    stats.pop(p, None)
-            for s in new:
-                sym_counts[s] = sym_counts.get(s, 0) + f
-            for p in zip(new, new[1:]):
-                stats[p] = stats.get(p, 0) + f
-                where.setdefault(p, set()).add(wi)
-            words[wi] = (new, f)
-        stats.pop((a, b), None)
-        where.pop((a, b), None)
+    merges = _train_merges_from_freqs(
+        freqs,
+        num_merges,
+        symize=_wp_syms,
+        fuse=_wp_fuse,
+        score=lambda pair, cnt, sc: Fraction(cnt, sc[pair[0]] * sc[pair[1]]),
+    )
+    vocab = {s for w, _f in freqs for s in _wp_syms(w)}
+    vocab.update(_wp_fuse(a, b) for a, b in merges)
     return sorted(vocab)
 
 

@@ -70,6 +70,10 @@ def time_bucket_gapfill(
     bucket = F.floor(
         F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)
     ).cast("long")
+    # a NULL timestamp has no bucket: excluded up front, else a key
+    # with only-null timestamps reaches the span guard as a NULL bucket
+    # count and assert_true misreports it as a span violation
+    events = events.filter(F.col(ts_col).isNotNull())
     per_bucket = (
         events.withColumn("__bucket", bucket)
         .groupBy(*key_cols, "__bucket")
