@@ -982,3 +982,52 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         F.col("v").alias("hourly_value"),
     )
+
+
+@register(
+    "events_window_overlap",
+    """
+    WITH w1 AS (
+        SELECT o_orderkey AS maint_id,
+               CAST((o_orderkey % 1440) * 60 AS BIGINT) AS ms,
+               CAST((o_orderkey % 1440) * 60 + 600 + (o_custkey % 5) * 60
+                    AS BIGINT) AS me
+        FROM orders WHERE o_orderkey % 100 = 0
+    ), w2 AS (
+        SELECT o_orderkey AS deploy_id,
+               CAST((o_custkey % 1440) * 60 AS BIGINT) AS ds,
+               CAST((o_custkey % 1440) * 60 + 300 + (o_orderkey % 7) * 120
+                    AS BIGINT) AS de
+        FROM orders WHERE o_orderkey % 151 = 3
+    )
+    SELECT w1.maint_id, w2.deploy_id
+    FROM w1 JOIN w2 ON w1.ms <= w2.de AND w2.ds <= w1.me
+    """,
+    "The INTERVAL-INTERVAL overlap variant (its point-in-interval "
+    "sibling is events_interval_join): which synthesized maintenance "
+    "windows collide with which deploy windows on the second-of-day "
+    "axis. Binned equi-join, each colliding pair emitted exactly once "
+    "from the bin of max(start, start) — no dedup pass (the "
+    "first-overlap-bin rule, fuzz-pinned vs the quadratic reference in "
+    "tests/test_intervals.py). Library: operators.intervals."
+    "interval_overlap_join.",
+)
+def events_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import interval_overlap_join
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    ms = ((F.col("o_orderkey") % 1440) * 60).cast("long")
+    w1 = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("maint_id"),
+        ms.alias("ms"),
+        (ms + 600 + (F.col("o_custkey") % 5) * 60).cast("long").alias("me"),
+    )
+    ds = ((F.col("o_custkey") % 1440) * 60).cast("long")
+    w2 = orders.filter(F.col("o_orderkey") % 151 == 3).select(
+        F.col("o_orderkey").alias("deploy_id"),
+        ds.alias("ds"),
+        (ds + 300 + (F.col("o_orderkey") % 7) * 120).cast("long").alias("de"),
+    )
+    return interval_overlap_join(
+        w1, w2, "ms", "me", "ds", "de", bin_width=900.0
+    ).select("maint_id", "deploy_id")
