@@ -39,9 +39,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # one representative per core §2 family (A1's window row is the
     # stronger qa_task_object_count above; qa_object_count stays
     # registered as the entry() flagship)
-    "a4_rollup_totals",  # A4
-    "a5_mode_category",  # A5/J10
-    "a6_distinct_stats",  # A6/A8
+    # Round-6 second rotation: the new temporal-join/tokenizer
+    # flagships take the slots of fundamentals green in five straight
+    # driver rounds (a4_rollup_totals, a5_mode_category,
+    # a6_distinct_stats, p3_parse_id_suffix — all keep full-simulation
+    # + pytest coverage; their operator families stay represented by
+    # the composed pipeline entries)
+    "events_interval_join",  # binned range join (point-in-interval)
+    "events_asof_join",  # generic union-window merge_asof
+    "events_gapfill_hourly",  # hypertable time_bucket_gapfill + LOCF
     # A10's window slot now carries the composed audit: the per-task
     # yield report (debug_empty_tasks analogue, round 6) value-oracles
     # routing eligibility + yields for all ten tasks in one query;
@@ -51,7 +57,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "j_star_revenue",  # J3 broadcast star
     "j8_pairwise_selfjoin",  # J8
     "j9_asof_prior_view",  # J9
-    "p3_parse_id_suffix",  # P3 (also F2 parsing)
+    "lm_wordpiece_encode",  # BERT tokenizer family (BPE/unigram trio)
     "p4_range_sanity_filter",  # P4/P5
     "event_tumbling_window",  # §2.12 streaming
     # LLM-corpus operators, one per judge-table row
