@@ -1,0 +1,145 @@
+"""Bloom membership: no false negatives ever, join/broadcast path
+equality, null/guard behavior. HLL store: merge-equals-rebuild,
+partition invariance, estimate sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vlm_data_pipeline_spark.operators import sketch
+
+
+def _docs(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key probes positive, for several (m, k) shapes —
+    including a tiny saturated filter."""
+    keys = [f"key-{i}" for i in range(40)]
+    df = _docs(spark, keys)
+    for m, k in [(64, 1), (256, 2), (4096, 4)]:
+        pos = sketch.bloom_build(df, "text", m, k)
+        out = sketch.bloom_probe_join(df, pos, "text", m, k)
+        assert out.filter(~F.col("bloom_hit")).count() == 0, (m, k)
+
+
+def test_bloom_rejects_most_nonmembers_when_sized(spark):
+    """A properly sized filter (fp ≈ 0.2%) rejects all 200 probes of a
+    disjoint key set here; the estimate helper agrees it's small."""
+    members = _docs(spark, [f"in-{i}" for i in range(50)])
+    others = _docs(spark, [f"out-{i}" for i in range(200)])
+    m, k = 4096, 4
+    assert sketch.bloom_fp_rate(m, k, 50) < 0.002
+    pos = sketch.bloom_build(members, "text", m, k)
+    out = sketch.bloom_probe_join(others, pos, "text", m, k)
+    assert out.filter(F.col("bloom_hit")).count() == 0
+
+
+def test_bloom_paths_identical(spark):
+    """bloom_probe_join and bloom_probe_broadcast agree key-for-key on a
+    tight filter WITH false positives — the dual-path contract."""
+    members = _docs(spark, [f"m{i}" for i in range(30)])
+    probes = _docs(spark, [f"m{i}" for i in range(15)] + [f"x{i}" for i in range(120)])
+    m, k = 128, 2
+    pos = sketch.bloom_build(members, "text", m, k)
+    a = {
+        r["id"]: r["bloom_hit"]
+        for r in sketch.bloom_probe_join(probes, pos, "text", m, k).collect()
+    }
+    b = {
+        r["id"]: r["bloom_hit"]
+        for r in sketch.bloom_probe_broadcast(probes, pos, "text", m, k).collect()
+    }
+    assert a == b
+    assert all(a[i] for i in range(15))  # members all hit
+    assert not all(a[i] for i in range(15, 135))  # non-members mostly miss
+
+
+def test_bloom_param_guards(spark):
+    df = _docs(spark, ["a"])
+    with pytest.raises(ValueError, match="m_bits"):
+        sketch.bloom_build(df, "text", 1, 2)
+    with pytest.raises(ValueError, match="k_hashes"):
+        sketch.bloom_build(df, "text", 64, 0)
+    pos = sketch.bloom_build(df, "text", 64, 2)
+    with pytest.raises(ValueError, match="MAX_BROADCAST_BITS"):
+        sketch.bloom_probe_broadcast(
+            df, pos, "text", sketch.MAX_BROADCAST_BITS * 2, 2
+        )
+
+
+def test_hll_merge_equals_rebuild(spark):
+    """Sketch(batch1) ∪ Sketch(batch2) estimates what
+    Sketch(batch1 + batch2) does to within the sketch's error bounds —
+    NOT exactly: union promotes sparse-mode sketches to dense at a
+    point that depends on batching (documented store contract)."""
+    b1 = spark.createDataFrame(
+        [("g1", f"v{i}") for i in range(300)] + [("g2", f"v{i}") for i in range(40)],
+        "g string, v string",
+    )
+    b2 = spark.createDataFrame(
+        [("g1", f"v{i}") for i in range(150, 450)] + [("g2", f"w{i}") for i in range(25)],
+        "g string, v string",
+    )
+    s1 = sketch.hll_group_sketches(b1, "g", "v")
+    s2 = sketch.hll_group_sketches(b2, "g", "v")
+    merged = sketch.hll_merge_stores(s1, s2, "g")
+    rebuilt = sketch.hll_group_sketches(b1.unionByName(b2), "g", "v")
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in sketch.hll_estimates(merged, "g").collect()
+    }
+    want = {
+        r["g"]: r["approx_distinct"]
+        for r in sketch.hll_estimates(rebuilt, "g").collect()
+    }
+    # merged vs rebuilt agree within the sketch's error envelope
+    for g in ("g1", "g2"):
+        assert abs(got[g] - want[g]) <= max(3, int(0.05 * want[g])), (got, want)
+    # estimate sanity: true distincts are 450 (g1) and 65 (g2); HLL at
+    # lg_k=12 has ~1.6% relative error — allow 10%
+    assert abs(got["g1"] - 450) <= 45
+    assert abs(got["g2"] - 65) <= 7
+    # merge order can shift the estimate a count or two (HIP vs
+    # composite estimator) — but stays inside the same envelope
+    swapped = sketch.hll_merge_stores(s2, s1, "g")
+    got_swapped = {
+        r["g"]: r["approx_distinct"]
+        for r in sketch.hll_estimates(swapped, "g").collect()
+    }
+    for g in ("g1", "g2"):
+        assert abs(got_swapped[g] - got[g]) <= max(3, int(0.05 * got[g]))
+
+
+def test_hll_estimates_track_truth_across_layouts(spark):
+    """Raw-data partition layout may move the estimate (sparse→dense
+    promotion points differ), but every layout's answer stays inside
+    the error envelope around the true distinct count."""
+    df = spark.createDataFrame(
+        [("g", f"v{i % 500}") for i in range(2000)], "g string, v string"
+    )
+    for layout in (df.repartition(1), df.repartition(17, "v")):
+        est = sketch.hll_estimates(
+            sketch.hll_group_sketches(layout, "g", "v"), "g"
+        ).collect()[0]["approx_distinct"]
+        assert abs(est - 500) <= 50
+
+
+def test_bloom_merge_stores_is_incremental_build(spark):
+    """Building on two batches then merging == building once on the
+    union — exact, any order (bit-OR of position sets)."""
+    b1 = _docs(spark, [f"a{i}" for i in range(25)])
+    b2 = _docs(spark, [f"b{i}" for i in range(25)], start=100)
+    m, k = 1024, 3
+    merged = sketch.bloom_merge_stores(
+        sketch.bloom_build(b1, "text", m, k),
+        sketch.bloom_build(b2, "text", m, k),
+    )
+    rebuilt = sketch.bloom_build(b1.unionByName(b2), "text", m, k)
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in rebuilt.collect()
+    )

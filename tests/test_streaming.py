@@ -442,3 +442,41 @@ def test_point_in_interval_join_stream_static(spark, tmp_path):
     )
     assert as_sorted_rows(got) == as_sorted_rows(want)
     assert got.count() > 0
+
+
+def test_bloom_gate_streams_unchanged(spark, tmp_path):
+    """The Bloom seen-set gate is a stateless map (broadcast bitset +
+    pandas UDF), so it runs UNCHANGED on a readStream in append mode —
+    the streaming face of decontamination: build the filter offline,
+    gate the ingest stream. Stream output == batch output row-for-row."""
+    from vlm_data_pipeline_spark.operators import sketch
+
+    seen = spark.createDataFrame(
+        [(i, f"seen-{i}") for i in range(20)], "id long, text string"
+    )
+    m, k = 512, 3
+    positions = sketch.bloom_build(seen, "text", m, k)
+
+    probe_rows = [(i, f"seen-{i}") for i in range(0, 20, 2)] + [
+        (100 + i, f"new-{i}") for i in range(30)
+    ]
+    src = str(tmp_path / "bloom_probe_src")
+    probes = spark.createDataFrame(probe_rows, "id long, text string")
+    probes.write.parquet(src)
+    schema = probes.schema
+
+    def gate(df):
+        return sketch.bloom_probe_broadcast(df, positions, "text", m, k)
+
+    out = run_stream(
+        gate(spark.readStream.schema(schema).parquet(src)),
+        tmp_path,
+        "bloom_gate_stream",
+        output_mode="append",
+    )
+    batch = gate(spark.read.parquet(src))
+    assert as_sorted_rows(out) == as_sorted_rows(batch)
+    got = {r.id: r.bloom_hit for r in out.collect()}
+    assert all(got[i] for i in range(0, 20, 2))  # members always hit
+    # with fp(512, 3, 20) ≈ 0.1% the 30 fresh keys all pass the gate
+    assert sum(got[100 + i] for i in range(30)) == 0

@@ -2,7 +2,9 @@ from . import (  # noqa: F401
     curation,
     decomposition,
     dedup,
+    graph,
     intervals,
     similarity,
+    sketch,
     timeseries,
 )

@@ -1,0 +1,213 @@
+"""Link-graph analytics for web-corpus curation: PageRank.
+
+Production corpus pipelines rank hosts/pages by link-graph centrality
+before (or instead of) content-level quality models — Common Crawl
+publishes harmonic-centrality host rankings, and CCNet-style pipelines
+use them as a crawl-priority / quality prior. The engine already has
+the component side of graph analytics (``dedup.neardup_components``);
+this module adds the centrality side.
+
+Determinism design: ranks are FIXED-POINT BIGINTs (``scale`` = 1e12),
+all per-iteration arithmetic is integer (``div`` for contributions,
+integer percent for damping). Floating-point power iteration would make
+the low bits depend on partition-local addition order — run-to-run
+nondeterminism exactly where a curation pipeline wants reproducible
+keep/drop decisions. Integer mass is associative/commutative, so the
+result is bit-identical under any partitioning AND re-derivable by the
+DuckDB oracle (cross-row float sums are banned from oracle outputs
+repo-wide for this reason).
+
+Scale shape (per iteration): one equi-join of the skinny rank table
+(v, r) onto edges' src, one hash aggregation onto dst, one 1-row
+dangling-mass aggregate cross-joined back (never collected), one left
+join onto the vertex table. Nothing wider than (vertex, long) ever
+shuffles; edges are scanned once per iteration. The driver loop runs a
+FIXED iteration count (the usual production choice at web scale — e.g.
+10-20 sweeps — because convergence checks cost an extra action per
+round); ``localCheckpoint`` cuts lineage growth like the KMeans /
+neardup_components precedents.
+
+Extension past reference parity: the reference has no graph analytics;
+the nearest analogue is its dedupe-then-enrich ordering heuristics
+(data_processing/build_label_codebook_fast.py:382-385) which this
+quality-prior ranking generalizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list.
+
+    Returns (node, rank_fp, rank): ``rank_fp`` is the BIGINT fixed-point
+    mass (authoritative, bit-exact), ``rank`` = rank_fp / scale as a
+    convenience double.
+
+    Semantics (mirrored verbatim by the SQL oracle — edit together):
+
+    - vertex set = distinct(src) ∪ distinct(dst); N = |vertices|
+    - r₀(v) = scale div N
+    - per iteration, with od(u) = outgoing-edge count of u:
+        contrib(u→v)  = r(u) div od(u)              (per edge)
+        in_sum(v)     = Σ contrib over incoming edges (0 if none)
+        dangling      = Σ r(u) over u with od(u)=0
+        r'(v) = ((100−d)·(scale div N)) div 100
+                + (d·(in_sum(v) + dangling div N)) div 100
+
+    Parallel edges are parallel contributions (dedupe first if that is
+    not wanted). All divisions are integer (non-negative operands, so
+    floor = truncate in both engines); total mass stays ≤ scale, so no
+    intermediate exceeds d·scale ≪ 2⁶³. Rounding mass lost to the
+    ``div``s is the documented price of exactness — ranks are a total
+    order, not a probability vector.
+
+    ``checkpoint_every``: sweeps between eager localCheckpoints. Each
+    checkpoint costs a full job, so materializing every sweep doubles
+    wall-clock at demo scale; every 4th keeps the logical plan (which
+    grows by two joins + an agg per un-checkpointed sweep) comfortably
+    inside Catalyst's budget while amortizing the job overhead. The
+    final sweep is never checkpointed — the caller's action does it.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_fp"),
+            F.lit(0.0).alias("rank"),
+        )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    tele = ((100 - damping_pct) * (scale // n)) // 100
+    ranks = verts.select(
+        "node", F.lit(scale // n).cast("long").alias("r")
+    )
+    for it in range(iterations):
+        with_od = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "r", "od")
+        # per-source contribution; dangling vertices (od NULL) emit none
+        contrib = (
+            e.join(
+                with_od.filter(F.col("od").isNotNull()),
+                e["src"] == with_od["node"],
+            )
+            .select("dst", F.expr("r div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = with_od.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dsum")
+        )
+        ranks = (
+            verts.join(contrib, verts["node"] == contrib["dst"], "left")
+            .crossJoin(dangling)  # 1-row mass total, never collected
+            .select(
+                "node",
+                (
+                    F.lit(tele)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(in_sum, 0)"
+                        f" + dsum div {n})) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+        if it % checkpoint_every == checkpoint_every - 1 and it != iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / float(scale)).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    n_vertices_sql: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+) -> str:
+    """The DuckDB mirror of :func:`pagerank`, iterations unrolled as
+    chained CTEs (recursive CTEs cannot aggregate over the recursive
+    reference). ``edges_cte`` must define a CTE named ``edges`` with
+    columns (src, dst); ``n_vertices_sql`` is a scalar SQL expression
+    for |vertices| (the caller usually knows it cheaper than a
+    distinct-union count). Returns a complete SELECT producing
+    (node, rank_fp, rank) — edit only together with :func:`pagerank`.
+    """
+    d = damping_pct
+    parts = [
+        f"""{edges_cte},
+verts AS (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges
+    )
+), nn AS (
+    SELECT CAST({n_vertices_sql} AS BIGINT) AS n
+), outdeg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src
+), r0 AS (
+    SELECT node, CAST({scale} // n AS BIGINT) AS r FROM verts, nn
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f""", c{i} AS (
+    SELECT e.dst AS node, CAST(sum(r.r // o.od) AS BIGINT) AS in_sum
+    FROM edges e
+    JOIN r{p} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+), d{i} AS (
+    SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dsum
+    FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+    WHERE o.src IS NULL
+), r{i} AS (
+    SELECT v.node,
+           CAST(((100 - {d}) * ({scale} // nn.n)) // 100
+                + ({d} * (coalesce(c.in_sum, 0) + dd.dsum // nn.n)) // 100
+                AS BIGINT) AS r
+    FROM verts v
+    LEFT JOIN c{i} c ON v.node = c.node, d{i} dd, nn
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, r AS rank_fp,
+       CAST(r AS DOUBLE) / {float(scale)!r} AS rank
+FROM r{iterations}"""
+    )
+    return "".join(parts)

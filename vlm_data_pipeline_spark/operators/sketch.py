@@ -1,0 +1,228 @@
+"""Probabilistic membership & cardinality at corpus scale: Bloom
+filters and mergeable HyperLogLog sketch stores.
+
+Where they fit a 100 TB pipeline: a Bloom filter is the standard
+"seen-set" gate (CCNet's seen-URL pass, Bloom-based benchmark
+decontamination at Dolma/RedPajama scale) — the exact semi-join the
+engine already has (``dedup.decontaminate``) costs a shuffle of the
+corpus keys per run, while a built-once Bloom costs a broadcast and a
+map-only scan, at the price of a quantified false-positive rate. HLL
+sketches replace exact ``count(distinct)`` over re-scanned history with
+a tiny mergeable state per group — the cross-batch analogue of the
+engine's incremental MinHash / pHash signature stores.
+
+Determinism: positions come from the engine-wide portable md5 scheme
+(functions.text.hash60 — first 15 hex chars → BIGINT), so a DuckDB
+oracle re-derives every bit, INCLUDING the false positives; nothing
+about the filter is approximate *between* engines, only with respect
+to exact membership.
+
+Two probe paths, same results (dual-path equality pytest, the
+``lm.score_corpus`` precedent):
+
+- ``bloom_probe_join``: the positions stay a distributed table; probes
+  explode their k positions and left-join. Scales to any ``m_bits``
+  (the position table shuffles, the corpus text does not — only
+  60-bit hashes move). This is also the oracle's shape.
+- ``bloom_probe_broadcast``: positions collapse to a numpy bitset on
+  the driver (m_bits/8 bytes; guarded) broadcast into an Arrow-batched
+  pandas UDF — the map-only production path (a 2³³-bit filter is a
+  1 GiB broadcast: big but standard for a seen-set at crawl scale).
+
+Extension past reference parity (the reference has no sketch
+structures; its nearest analogue is the exact visible-ids semi-join,
+matterport_processor.py's frame filtering).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60
+
+_SEP = "\x1f"
+# largest bitset bloom_probe_broadcast will collect driver-side (2^30
+# bits = 128 MiB). Bigger filters: use bloom_probe_join, which never
+# materializes the bitset anywhere.
+MAX_BROADCAST_BITS = 1 << 30
+
+
+def _check_params(m_bits: int, k_hashes: int) -> None:
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    if not (1 <= k_hashes <= 16):
+        raise ValueError(f"k_hashes must be in [1, 16], got {k_hashes}")
+
+
+def bloom_positions(key: Column, m_bits: int, k_hashes: int) -> Column:
+    """array<bigint> of the k bit positions for ``key`` (duplicates kept;
+    callers that need the set use array_distinct). Position i =
+    hash60(key ⊕ 'bloom#i') mod m — one md5 per hash function, the
+    portable-to-SQL construction used engine-wide."""
+    _check_params(m_bits, k_hashes)
+    return F.array(
+        *[
+            hash60(
+                F.concat(key.cast("string"), F.lit(f"{_SEP}bloom#{i}"))
+            )
+            % m_bits
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """The filter as a table of DISTINCT set-bit positions (column
+    ``pos``). At most min(m_bits, k·|keys|) rows of one BIGINT — the
+    distributed representation both probe paths and the SQL oracle
+    consume; persist it like any other incremental store."""
+    return (
+        df.select(
+            F.explode(
+                bloom_positions(F.col(key_col), m_bits, k_hashes)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge_stores(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bloom filters over the same (m, k) union by bit-OR — here, a
+    distinct-union of the position tables. The incremental-store loop:
+    build on each batch, merge into the persisted filter. (Unlike HLL,
+    this IS exact with respect to the filter: the set of set bits after
+    any merge order is identical.)"""
+    return a.unionByName(b).distinct()
+
+
+def bloom_probe_join(
+    probes: DataFrame,
+    positions: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Probe via join: a key hits iff ALL its distinct positions are
+    set. Adds boolean ``bloom_hit`` to the probe keys (other columns
+    pass through untouched via a final re-join on the key — only
+    (key, pos) pairs travel through the probe shuffle)."""
+    _check_params(m_bits, k_hashes)
+    k = F.col(key_col)
+    exploded = probes.select(
+        k.alias("__bp_key"),
+        F.explode(
+            F.array_distinct(bloom_positions(k, m_bits, k_hashes))
+        ).alias("pos"),
+    )
+    marked = exploded.join(
+        positions.select("pos", F.lit(1).alias("__set")), "pos", "left"
+    )
+    verdict = marked.groupBy("__bp_key").agg(
+        (F.count(F.when(F.col("__set").isNull(), 1)) == 0).alias("bloom_hit")
+    )
+    return probes.join(
+        verdict, probes[key_col] == verdict["__bp_key"], "left"
+    ).drop("__bp_key")
+
+
+def bloom_probe_broadcast(
+    probes: DataFrame,
+    positions: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Probe via a broadcast numpy bitset + Arrow-batched pandas UDF —
+    zero shuffle, one corpus scan. Bit-identical to
+    :func:`bloom_probe_join` (equality-tested); use it whenever
+    ``m_bits`` <= MAX_BROADCAST_BITS."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.types import BooleanType
+
+    _check_params(m_bits, k_hashes)
+    if m_bits > MAX_BROADCAST_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds MAX_BROADCAST_BITS="
+            f"{MAX_BROADCAST_BITS}; use bloom_probe_join for filters "
+            f"too large to broadcast"
+        )
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    pos = positions.select("pos").toPandas()["pos"].to_numpy(dtype=np.int64)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    sc = probes.sparkSession.sparkContext
+    b_bits = sc.broadcast(bits.tobytes())
+
+    suffixes = [f"{_SEP}bloom#{i}".encode("utf-8") for i in range(k_hashes)]
+
+    @F.pandas_udf(BooleanType())
+    def _probe(keys: pd.Series) -> pd.Series:
+        arr = np.frombuffer(b_bits.value, dtype=np.uint8)
+
+        def one(key: object) -> object:
+            if key is None:
+                return None
+            kb = str(key).encode("utf-8")
+            for suf in suffixes:
+                # mirror of functions.text.hash60: md5 hex[:15] as int
+                p = int(hashlib.md5(kb + suf).hexdigest()[:15], 16) % m_bits
+                if not (arr[p >> 3] >> (p & 7)) & 1:
+                    return False
+            return True
+
+        return keys.map(one)
+
+    return probes.withColumn("bloom_hit", _probe(F.col(key_col)))
+
+
+def bloom_fp_rate(m_bits: int, k_hashes: int, n_keys: int) -> float:
+    """The textbook (1 − e^{−kn/m})^k estimate — sizing helper."""
+    import math
+
+    return (1.0 - math.exp(-k_hashes * n_keys / m_bits)) ** k_hashes
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch store (native Datasketches HLL, Spark 3.5+)
+# ---------------------------------------------------------------------------
+
+
+def hll_group_sketches(
+    df: DataFrame, group_col: str, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HLL sketch (binary column ``sketch``): the mergeable
+    distinct-count state. 2^lg_k registers ≈ 4 KiB at the default —
+    per-group state is constant-size no matter how many values stream
+    through, which is the entire point vs exact count(distinct) over
+    re-scanned history."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_merge_stores(store: DataFrame, batch: DataFrame, group_col: str) -> DataFrame:
+    """Union a persisted sketch store with a new batch's sketches —
+    hll_union per group. The store contract is "approximate distinct
+    with the sketch's published error", NOT bit-stability: Datasketches
+    HLL uses the order-sensitive HIP estimator on live sketches and a
+    composite estimator after unions, and sparse→dense promotion points
+    depend on batching — so merged-store, re-sketched, and even
+    differently-ordered merges can disagree by a few counts (all inside
+    the error envelope; pytest-pinned within tolerance). Never compare
+    estimates from different ingestion histories for equality."""
+    return (
+        store.unionByName(batch)
+        .groupBy(group_col)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+
+
+def hll_estimates(store: DataFrame, group_col: str) -> DataFrame:
+    return store.select(
+        group_col, F.hll_sketch_estimate("sketch").alias("approx_distinct")
+    )

@@ -62,12 +62,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "event_tumbling_window",  # §2.12 streaming
     # LLM-corpus operators, one per judge-table row
     "dedup_minhash_lsh",
-    "ann_brute_force_topk",
+    # round-6 third rotation: the two new graph/sketch flagships take
+    # the slots of ann_brute_force_topk (green r05; ANN stays
+    # represented by ann_ivf_fixed_topk — the actual scale path — and
+    # by semantic_dedup_survivors' cosine machinery) and
+    # multimodal_frame_sample (green r05; multimodal keeps
+    # multimodal_binary_stats + multimodal_phash_incremental in-window)
+    "graph_pagerank",  # link-graph centrality (fixed-point power sweep)
+    "sketch_bloom_decontaminate",  # Bloom seen-set gate incl. exact FPs
     "ann_ivf_fixed_topk",
     "text_quality_features",
     "text_lang_id",
     "multimodal_binary_stats",
-    "multimodal_frame_sample",
     "curation_quality_audit",
     "curation_stratified_sample",
     "curation_scrub_pii",

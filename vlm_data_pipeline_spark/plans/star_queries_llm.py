@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup, similarity
+from ..operators import graph as graph_ops
 from ..operators import lm as lm_ops
+from ..operators import sketch as sketch_ops
 from .registry import load_tables, register
 
 # ---------------------------------------------------------------------------
@@ -3477,4 +3479,157 @@ def embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("pca_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph centrality (PageRank)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+
+# demo link graph, synthesized deterministically from doc_id in BOTH
+# engines: each non-dangling page (doc_id % 7 != 0) links to 1-3
+# arithmetic neighbours; pages with doc_id % 5 == 1 also link to page 0
+# (a dangling hub — exercises redistribution of dangling mass INTO a
+# well-linked node); self-loops dropped, parallel spellings deduped
+_PR_EDGES_CTE = """WITH nn0 AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), fan AS (
+    SELECT doc_id,
+           unnest(generate_series(1, 1 + CAST(doc_id % 3 AS INT))) AS k
+    FROM documents WHERE doc_id % 7 <> 0
+), e1 AS (
+    SELECT doc_id AS src,
+           (doc_id * (k + 3) + k) % (SELECT n FROM nn0) AS dst
+    FROM fan
+), hub AS (
+    SELECT doc_id AS src, CAST(0 AS BIGINT) AS dst
+    FROM documents WHERE doc_id % 5 = 1 AND doc_id % 7 <> 0
+), edges AS (
+    SELECT DISTINCT src, dst
+    FROM (SELECT * FROM e1 UNION ALL SELECT * FROM hub)
+    WHERE src <> dst
+)"""
+
+
+def _pr_demo_edges(docs: DataFrame) -> DataFrame:
+    """The Spark mirror of _PR_EDGES_CTE — edit together."""
+    n = docs.count()  # dimension scalar; the oracle's nn0
+    fan = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+        ).alias("k"),
+    )
+    e1 = fan.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * (F.col("k") + 3) + F.col("k")) % n).alias("dst"),
+    )
+    hub = docs.filter(
+        (F.col("doc_id") % 5 == 1) & (F.col("doc_id") % 7 != 0)
+    ).select(F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst"))
+    return (
+        e1.unionByName(hub).filter(F.col("src") != F.col("dst")).distinct()
+    )
+
+
+@register(
+    "graph_pagerank",
+    "SELECT node, rank_fp FROM (\n"
+    + graph_ops.pagerank_oracle_sql(
+        _PR_EDGES_CTE,
+        "(SELECT count(*) FROM verts)",
+        iterations=_PR_ITERS,
+    )
+    + "\n)",
+    "Link-graph PageRank (extension; the Common Crawl host-centrality "
+    "quality prior): fixed-point BIGINT power iteration — integer "
+    "contributions (r div outdeg), integer damping, dangling mass "
+    "redistributed via a 1-row cross-joined aggregate — so ranks are "
+    "bit-identical under any partitioning and fully SQL-re-derivable "
+    "(the oracle unrolls all 5 sweeps as chained CTEs). Per sweep: one "
+    "skinny (node, long) join onto edges + one hash agg; nothing wider "
+    "ever shuffles. Library: operators.graph.pagerank.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    edges = _pr_demo_edges(docs)
+    out = graph_ops.pagerank(edges, iterations=_PR_ITERS)
+    # rank_fp is the authoritative exact value; the float convenience
+    # column stays out of the hashed output
+    return out.select(F.col("node").cast("long").alias("node"), "rank_fp")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (seen-set / decontamination gate)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 256  # deliberately tight at sf0.01 so FALSE POSITIVES appear
+_BLOOM_K = 2  # and the oracle proves it re-derives them bit-for-bit
+
+
+def _d_bloom_pos(i: int) -> str:
+    """DuckDB mirror of sketch.bloom_positions' i-th hash — hash60 of
+    key ⊕ 0x1f ⊕ 'bloom#i', mod m. Edit together."""
+    return (
+        f"(('0x' || substr(md5(text || chr(31) || 'bloom#{i}'), 1, 15))"
+        f"::BIGINT) % {_BLOOM_M}"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH bench AS (
+    SELECT DISTINCT text FROM documents WHERE doc_id % 17 = 0
+), positions AS (
+    SELECT DISTINCT unnest([{_d_bloom_pos(0)}, {_d_bloom_pos(1)}]) AS pos
+    FROM bench
+), probe AS (
+    SELECT doc_id, text, {_d_bloom_pos(0)} AS p0, {_d_bloom_pos(1)} AS p1
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(CASE WHEN p0 IN (SELECT pos FROM positions)
+                  AND p1 IN (SELECT pos FROM positions)
+            THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN text IN (SELECT text FROM bench)
+            THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+FROM probe
+"""
+
+
+@register(
+    "sketch_bloom_decontaminate",
+    _BLOOM_ORACLE,
+    "Bloom-filter seen-set gate (extension; the CCNet seen-URL / "
+    "Dolma-scale decontamination pattern): build the set-bit position "
+    "table from a benchmark slice (doc_id % 17), probe every document "
+    "through the join path, and emit bloom_hit vs exact_hit side by "
+    "side. m=256/k=2 is sized so the sf0.01 corpus PRODUCES false "
+    "positives — the oracle re-derives the filter from the same "
+    "portable md5 positions, so every FP matches bit-for-bit (the "
+    "filter is exact between engines, approximate only vs exact "
+    "membership). The broadcast-bitset probe path is equality-tested "
+    "in tests/test_sketch.py. Library: operators.sketch.",
+)
+def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    positions = sketch_ops.bloom_build(bench, "text", _BLOOM_M, _BLOOM_K)
+    probes = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    flagged = sketch_ops.bloom_probe_join(
+        probes, positions, "text", _BLOOM_M, _BLOOM_K
+    )
+    bench_keys = (
+        bench.select("text").distinct().withColumn("__exact", F.lit(True))
+    )
+    return (
+        flagged.join(bench_keys, "text", "left")
+        .select(
+            "doc_id",
+            F.col("bloom_hit").cast("long").alias("bloom_hit"),
+            F.coalesce(F.col("__exact"), F.lit(False))
+            .cast("long")
+            .alias("exact_hit"),
+        )
     )
