@@ -273,3 +273,94 @@ def test_mlp_classifier_arg_validation():
         tinymlp.mlp_classifier(
             weights=tinymlp.make_fixture_weights(), weights_path="x.npz"
         )
+
+
+# ---------------------------------------------------------------------------
+# M5 real pixel kernel
+# ---------------------------------------------------------------------------
+
+
+def _mask_png(h, w, boxes, speckles=()):
+    """RGB mask PNG: white inside each (x0, y0, x1, y1) box + 1-px
+    speckles — built with the engine's own encoder."""
+    import numpy as np
+
+    from vlm_data_pipeline_spark.functions.graphics import encode_png_rgb
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for x0, y0, x1, y1 in boxes:
+        img[y0:y1, x0:x1] = 255
+    for x, y in speckles:
+        img[y, x] = 255
+    return encode_png_rgb(img)
+
+
+def test_pixel_mask_refiner_tightens_and_denoises(spark):
+    """A blob + speckle noise inside a loose prompt box: the open pass
+    kills every speckle, the tight box is exactly the blob, the area is
+    the blob's pixel count."""
+    from vlm_data_pipeline_spark.enrich.codebook import refine_masks_from_pixels
+
+    png = _mask_png(
+        60, 80,
+        boxes=[(30, 20, 50, 32)],
+        speckles=[(10, 10), (70, 55), (33, 50)],
+    )
+    crops = spark.createDataFrame(
+        [(1, 25, 15, 55, 40, bytearray(png))],
+        "instance_id int, x_min int, y_min int, x_max int, y_max int, mask_png binary",
+    )
+    row = refine_masks_from_pixels(crops).collect()[0]
+    assert (row.x_min, row.y_min, row.x_max, row.y_max) == (30, 20, 50, 32)
+    assert row.mask_area == 20 * 12
+    # refined ⊂ prompt: IoU = blob box / prompt box
+    assert row.box_iou == round((20 * 12) / (30 * 25), 6)
+
+
+def test_pixel_mask_refiner_keeps_largest_blob(spark):
+    from vlm_data_pipeline_spark.enrich.codebook import refine_masks_from_pixels
+
+    png = _mask_png(60, 80, boxes=[(5, 5, 15, 15), (30, 20, 60, 45)])
+    crops = spark.createDataFrame(
+        [(7, 0, 0, 80, 60, bytearray(png))],
+        "instance_id int, x_min int, y_min int, x_max int, y_max int, mask_png binary",
+    )
+    row = refine_masks_from_pixels(crops).collect()[0]
+    assert (row.x_min, row.y_min, row.x_max, row.y_max) == (30, 20, 60, 45)
+    assert row.mask_area == 30 * 25
+
+
+def test_pixel_mask_refiner_empty_mask_degrades_to_prompt(spark):
+    """All-black mask (or one that erodes away): the stage emits the
+    prompt box with area 0 / IoU 0.0 instead of dying — the documented
+    'refinement failed' row."""
+    from vlm_data_pipeline_spark.enrich.codebook import refine_masks_from_pixels
+
+    png = _mask_png(40, 40, boxes=[], speckles=[(20, 20)])  # erodes away
+    crops = spark.createDataFrame(
+        [(9, 5, 5, 35, 35, bytearray(png))],
+        "instance_id int, x_min int, y_min int, x_max int, y_max int, mask_png binary",
+    )
+    row = refine_masks_from_pixels(crops).collect()[0]
+    assert (row.x_min, row.y_min, row.x_max, row.y_max) == (5, 5, 35, 35)
+    assert row.mask_area == 0
+    assert row.box_iou == 0.0
+
+
+def test_pixel_mask_refiner_clips_outside_context(spark):
+    """Mask pixels outside the context-expanded prompt box are ignored
+    (the box PROMPT restricts the refinement, as with SAM)."""
+    from vlm_data_pipeline_spark.enrich.codebook import refine_masks_from_pixels
+
+    # blob partially outside the prompt+context window
+    png = _mask_png(60, 80, boxes=[(0, 0, 40, 10)])
+    crops = spark.createDataFrame(
+        [(3, 20, 2, 36, 9, bytearray(png))],
+        "instance_id int, x_min int, y_min int, x_max int, y_max int, mask_png binary",
+    )
+    row = refine_masks_from_pixels(crops, context_frac=0.0).collect()[0]
+    # the open's erosion shaves the clip-window border, so the refined
+    # box sits strictly inside the prompt window
+    assert row.x_min >= 20 and row.x_max <= 36
+    assert row.y_min >= 2 and row.y_max <= 9
+    assert row.mask_area > 0

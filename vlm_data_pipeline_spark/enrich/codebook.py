@@ -474,6 +474,140 @@ def stub_mask_refiner(
     return refine
 
 
+def pixel_mask_refiner(
+    mask_col: str = "mask_png",
+    context_frac: float = 0.1,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """REAL mask-refinement kernel — the non-stub face of M5, same
+    output contract as :func:`stub_mask_refiner` (and as a SAM
+    deployment), but computing on actual pixels via the engine's own
+    PNG decoder: binarize (any channel > 0), clip to the prompt box
+    expanded by ``context_frac`` per side, 3×3 morphological OPEN
+    (erode-then-dilate — kills speckle noise the way SAM's mask head
+    smooths ragged prompts), keep the LARGEST 4-connected component,
+    emit its tight bbox + pixel area + box-IoU vs the prompt box.
+
+    Connected components use vectorized min-label sweeps (the in-batch
+    twin of dedup.neardup_components' hash-to-min scheme): converges in
+    O(component diameter) full-array passes — crop-sized masks have
+    diameters in the hundreds, so this stays numpy-bound without
+    scipy.ndimage (not in this container). A mask that opens to empty
+    degrades to the prompt box with mask_area 0 / box_iou 0.0, the
+    explicit "refinement failed, keep the prompt" row downstream
+    agreement joins can filter on.
+
+    Ref: build_enhanced_codebook_v2.py:314-336 (get_sam_mask) — box
+    prompt in, tight mask stats out.
+    """
+    import numpy as np
+
+    from ..sources.png_codec import decode_png
+
+    def _open3(m: "np.ndarray") -> "np.ndarray":
+        def shifts(x, reduce_all):
+            # outside-of-frame is EMPTY for both passes: erosion shaves
+            # the border (conservative), dilation never invents pixels
+            p = np.pad(x, 1, constant_values=False)
+            acc = None
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    s = p[dy : dy + x.shape[0], dx : dx + x.shape[1]]
+                    acc = s if acc is None else (
+                        (acc & s) if reduce_all else (acc | s)
+                    )
+            return acc
+
+        return shifts(shifts(m, True), False)
+
+    def _largest_component(m: "np.ndarray") -> "np.ndarray":
+        h, w = m.shape
+        big = h * w
+        lbl = np.where(m, np.arange(big).reshape(h, w), big)
+        while True:
+            p = np.pad(lbl, 1, constant_values=big)
+            nxt = lbl
+            for dy, dx in ((0, 1), (2, 1), (1, 0), (1, 2)):  # 4-conn
+                nxt = np.minimum(nxt, p[dy : dy + h, dx : dx + w])
+            nxt = np.where(m, nxt, big)
+            if np.array_equal(nxt, lbl):
+                break
+            lbl = nxt
+        flat = lbl[m]
+        if flat.size == 0:
+            return np.zeros_like(m)
+        roots, counts = np.unique(flat, return_counts=True)
+        return lbl == roots[np.argmax(counts)]
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                x0, y0, x1, y1 = (
+                    int(row.x_min), int(row.y_min),
+                    int(row.x_max), int(row.y_max),
+                )
+                img = decode_png(bytes(getattr(row, mask_col)))
+                arr = np.asarray(img.rows, dtype=np.int64)
+                if img.channels > 1:
+                    arr = arr.reshape(img.height, img.width, img.channels)
+                    mask = (arr > 0).any(axis=2)
+                else:
+                    mask = arr.reshape(img.height, img.width) > 0
+                dx = int((x1 - x0) * context_frac)
+                dy = int((y1 - y0) * context_frac)
+                cx0 = max(0, x0 - dx)
+                cy0 = max(0, y0 - dy)
+                cx1 = min(img.width, x1 + dx)
+                cy1 = min(img.height, y1 + dy)
+                clipped = np.zeros_like(mask)
+                clipped[cy0:cy1, cx0:cx1] = mask[cy0:cy1, cx0:cx1]
+                blob = _largest_component(_open3(clipped))
+                ys, xs = np.nonzero(blob)
+                if ys.size == 0:
+                    out.append((row.instance_id, x0, y0, x1, y1, 0, 0.0))
+                    continue
+                nx0, nx1 = int(xs.min()), int(xs.max()) + 1
+                ny0, ny1 = int(ys.min()), int(ys.max()) + 1
+                inter = max(0, min(nx1, x1) - max(nx0, x0)) * max(
+                    0, min(ny1, y1) - max(ny0, y0)
+                )
+                union = (
+                    (nx1 - nx0) * (ny1 - ny0) + (x1 - x0) * (y1 - y0) - inter
+                )
+                out.append(
+                    (
+                        row.instance_id, nx0, ny0, nx1, ny1,
+                        int(ys.size),
+                        round(inter / union, 6) if union > 0 else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "instance_id", "x_min", "y_min", "x_max", "y_max",
+                    "mask_area", "box_iou",
+                ],
+            )
+
+    return refine
+
+
+def refine_masks_from_pixels(
+    crops: DataFrame,
+    mask_col: str = "mask_png",
+    context_frac: float = 0.1,
+) -> DataFrame:
+    """M5 with the real pixel kernel: crop rows carrying their mask PNG
+    bytes → refined tight boxes. Same Arrow-batched mapInPandas seam as
+    :func:`refine_masks`; pixels stay inside the stage, only the skinny
+    stats cross the shuffle boundary (the taskonomy F7 rule)."""
+    return crops.select(
+        "instance_id", "x_min", "y_min", "x_max", "y_max", mask_col
+    ).mapInPandas(
+        pixel_mask_refiner(mask_col, context_frac), schema=MASK_REFINE_SCHEMA
+    )
+
+
 def refine_masks(
     crops: DataFrame,
     refiner: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]] | None = None,
