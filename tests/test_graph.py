@@ -114,3 +114,49 @@ def test_pagerank_plan_has_no_wide_cartesian(spark):
     e = _edges(spark, [(i, (i + 1) % 10) for i in range(10)])
     plan = pagerank(e, iterations=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_trustrank_unreachable_is_exact_zero(spark):
+    """Seeded teleport: a node with no path from any seed holds exactly
+    0 mass; seeds and their descendants hold positive mass."""
+    # 0 -> 1 -> 2; island 3 -> 4 (unreachable from seed 0)
+    e = _edges(spark, [(0, 1), (1, 2), (3, 4)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = _ranks(pagerank(e, iterations=6, seeds=seeds))
+    assert got[3] == 0 and got[4] == 0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    assert got[0] > got[1] > got[2]  # trust attenuates with distance
+
+
+def test_trustrank_seed_guard(spark):
+    e = _edges(spark, [(0, 1)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed"):
+        pagerank(e, seeds=spark.createDataFrame([(99,)], "node long"))
+
+
+def test_trustrank_oracle_parity(spark):
+    """Seeded variant: Spark vs the seeds_cte-parameterized unrolled
+    oracle, exact rank_fp equality on a graph with an unreachable
+    island and a dangling seed."""
+    pairs = [(i, (i * 3 + 1) % 30) for i in range(30) if i % 5 != 0]
+    pairs = sorted({(s, d) for s, d in pairs if s != d})
+    seed_ids = [0, 7, 14]  # 0 is dangling (0 % 5 == 0 has no outlinks)
+    seeds = spark.createDataFrame([(i,) for i in seed_ids], "node long")
+    got = _ranks(pagerank(_edges(spark, pairs), iterations=4, seeds=seeds))
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE edges_in (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges_in VALUES (?, ?)", pairs)
+    sql = pagerank_oracle_sql(
+        "WITH edges AS (SELECT src, dst FROM edges_in)",
+        "(SELECT count(*) FROM verts)",
+        iterations=4,
+        seeds_cte=(
+            "seeds AS (SELECT unnest([0, 7, 14])::BIGINT AS node)"
+        ),
+    )
+    want = {int(n): int(r) for n, r, _ in con.sql(sql).fetchall()}
+    assert got == want
+    assert any(v == 0 for v in got.values())  # some node is untrusted

@@ -49,6 +49,8 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = PAGERANK_SCALE,
     checkpoint_every: int = 4,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -74,6 +76,17 @@ def pagerank(
     ``div``s is the documented price of exactness — ranks are a total
     order, not a probability vector.
 
+    ``seeds`` switches the teleport distribution from uniform to
+    seed-only — TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB
+    2004), the standard trusted-seed trust-propagation used to
+    down-rank spam hosts in web-corpus curation: r₀ puts all mass on
+    the (deduplicated, graph-restricted) seed set, the teleport term
+    and the dangling redistribution go only to seeds (S = |seeds ∩
+    vertices| replaces N in the formulas; raises if the intersection is
+    empty). Nodes unreachable from any seed converge to exactly 0 —
+    the integer arithmetic makes "no trust" a real zero, not an
+    epsilon, so the drop list is a plain ``rank_fp = 0`` filter.
+
     ``checkpoint_every``: sweeps between eager localCheckpoints. Each
     checkpoint costs a full job, so materializing every sweep doubles
     wall-clock at demo scale; every 4th keeps the logical plan (which
@@ -93,23 +106,48 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .localCheckpoint()
     )
-    verts = (
+    verts_plain = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    n = verts.count()
+    n = verts_plain.count()
     if n == 0:
-        return verts.select(
+        return verts_plain.select(
             "node",
             F.lit(0).cast("long").alias("rank_fp"),
             F.lit(0.0).alias("rank"),
         )
+    if seeds is None:
+        # classic: every vertex is a teleport target
+        verts = verts_plain.select("node", F.lit(True).alias("is_tgt"))
+        s = n
+    else:
+        seed_nodes = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .join(verts_plain, "node", "left_semi")
+        )
+        s = seed_nodes.count()
+        if s == 0:
+            raise ValueError(
+                "no seed node appears in the edge graph — TrustRank mass "
+                "would be zero everywhere; check the seed/node id domains"
+            )
+        verts = verts_plain.join(
+            seed_nodes.withColumn("is_tgt", F.lit(True)), "node", "left"
+        ).select(
+            "node", F.coalesce(F.col("is_tgt"), F.lit(False)).alias("is_tgt")
+        ).localCheckpoint()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    tele = ((100 - damping_pct) * (scale // n)) // 100
+    tele = ((100 - damping_pct) * (scale // s)) // 100
     ranks = verts.select(
-        "node", F.lit(scale // n).cast("long").alias("r")
+        "node",
+        F.when(F.col("is_tgt"), F.lit(scale // s))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
     )
     for it in range(iterations):
         with_od = ranks.join(
@@ -134,10 +172,11 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(tele)
+                    F.when(F.col("is_tgt"), F.lit(tele)).otherwise(F.lit(0))
                     + F.expr(
                         f"({damping_pct} * (coalesce(in_sum, 0)"
-                        f" + dsum div {n})) div 100"
+                        f" + (CASE WHEN is_tgt THEN dsum div {s}"
+                        f" ELSE 0 END))) div 100"
                     )
                 ).cast("long").alias("r"),
             )
@@ -157,13 +196,17 @@ def pagerank_oracle_sql(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = PAGERANK_SCALE,
+    seeds_cte: str | None = None,
 ) -> str:
     """The DuckDB mirror of :func:`pagerank`, iterations unrolled as
     chained CTEs (recursive CTEs cannot aggregate over the recursive
     reference). ``edges_cte`` must define a CTE named ``edges`` with
     columns (src, dst); ``n_vertices_sql`` is a scalar SQL expression
     for |vertices| (the caller usually knows it cheaper than a
-    distinct-union count). Returns a complete SELECT producing
+    distinct-union count). ``seeds_cte``, when given, is a CTE *body*
+    (no WITH) named ``seeds`` with a ``node`` column — the TrustRank
+    teleport set, mirrored with the same dedupe/graph-restriction as
+    the Column path. Returns a complete SELECT producing
     (node, rank_fp, rank) — edit only together with :func:`pagerank`.
     """
     d = damping_pct
@@ -174,14 +217,36 @@ verts AS (
         SELECT src AS node FROM edges
         UNION ALL SELECT dst FROM edges
     )
-), nn AS (
-    SELECT CAST({n_vertices_sql} AS BIGINT) AS n
-), outdeg AS (
-    SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src
-), r0 AS (
-    SELECT node, CAST({scale} // n AS BIGINT) AS r FROM verts, nn
 )"""
     ]
+    if seeds_cte is None:
+        parts.append(
+            f""", tgt AS (
+    SELECT node, TRUE AS is_tgt FROM verts
+), nn AS (
+    SELECT CAST({n_vertices_sql} AS BIGINT) AS n
+)"""
+        )
+    else:
+        parts.append(
+            f""", {seeds_cte}, seedv AS (
+    SELECT DISTINCT s.node FROM seeds s JOIN verts v ON s.node = v.node
+), tgt AS (
+    SELECT v.node, (s.node IS NOT NULL) AS is_tgt
+    FROM verts v LEFT JOIN seedv s ON v.node = s.node
+), nn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM seedv
+)"""
+        )
+    parts.append(
+        f""", outdeg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src
+), r0 AS (
+    SELECT node, CAST(CASE WHEN is_tgt THEN {scale} // n ELSE 0 END
+                      AS BIGINT) AS r
+    FROM tgt, nn
+)"""
+    )
     for i in range(1, iterations + 1):
         p = i - 1
         parts.append(
@@ -197,10 +262,14 @@ verts AS (
     WHERE o.src IS NULL
 ), r{i} AS (
     SELECT v.node,
-           CAST(((100 - {d}) * ({scale} // nn.n)) // 100
-                + ({d} * (coalesce(c.in_sum, 0) + dd.dsum // nn.n)) // 100
+           CAST((CASE WHEN v.is_tgt
+                 THEN ((100 - {d}) * ({scale} // nn.n)) // 100
+                 ELSE 0 END)
+                + ({d} * (coalesce(c.in_sum, 0)
+                   + (CASE WHEN v.is_tgt THEN dd.dsum // nn.n
+                      ELSE 0 END))) // 100
                 AS BIGINT) AS r
-    FROM verts v
+    FROM tgt v
     LEFT JOIN c{i} c ON v.node = c.node, d{i} dd, nn
 )"""
         )

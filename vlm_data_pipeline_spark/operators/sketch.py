@@ -107,9 +107,13 @@ def bloom_probe_join(
     k_hashes: int,
 ) -> DataFrame:
     """Probe via join: a key hits iff ALL its distinct positions are
-    set. Adds boolean ``bloom_hit`` to the probe keys (other columns
-    pass through untouched via a final re-join on the key — only
-    (key, pos) pairs travel through the probe shuffle)."""
+    set. Adds boolean ``bloom_hit`` to the probe keys; other columns
+    pass through via a final re-join on the key. Cost shape: the
+    position probe shuffles k·|probes| skinny (key, pos) pairs; the
+    verdict re-join then shuffles the probe rows once on the key (the
+    price of arbitrary ``m_bits`` — when the filter fits
+    MAX_BROADCAST_BITS, :func:`bloom_probe_broadcast` does the whole
+    probe with zero shuffle)."""
     _check_params(m_bits, k_hashes)
     k = F.col(key_col)
     exploded = probes.select(

@@ -3633,3 +3633,37 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_hit"),
         )
     )
+
+
+_TR_SEEDS_CTE = """seeds AS (
+    SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 1
+)"""
+
+
+@register(
+    "graph_trustrank",
+    "SELECT node, rank_fp FROM (\n"
+    + graph_ops.pagerank_oracle_sql(
+        _PR_EDGES_CTE,
+        "(SELECT count(*) FROM verts)",
+        iterations=_PR_ITERS,
+        seeds_cte=_TR_SEEDS_CTE,
+    )
+    + "\n)",
+    "TrustRank (Gyongyi et al., VLDB 2004 — the trusted-seed spam "
+    "prior of web-corpus curation) over the same demo link graph as "
+    "graph_pagerank: teleport AND dangling mass go only to the seed "
+    "pages (doc_id % 50 = 1), so pages unreachable from every seed "
+    "converge to an exact integer 0 — the drop list is a plain "
+    "rank_fp = 0 filter, no epsilon. Same fixed-point machinery and "
+    "unrolled-CTE oracle as graph_pagerank, seed-parameterized. "
+    "Library: operators.graph.pagerank(seeds=...).",
+)
+def graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    edges = _pr_demo_edges(docs)
+    seeds = docs.filter(F.col("doc_id") % 50 == 1).select(
+        F.col("doc_id").alias("node")
+    )
+    out = graph_ops.pagerank(edges, iterations=_PR_ITERS, seeds=seeds)
+    return out.select(F.col("node").cast("long").alias("node"), "rank_fp")
