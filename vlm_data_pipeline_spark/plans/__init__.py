@@ -71,7 +71,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "graph_pagerank",  # link-graph centrality (fixed-point power sweep)
     "sketch_bloom_decontaminate",  # Bloom seen-set gate incl. exact FPs
     "ann_ivf_fixed_topk",
-    "text_quality_features",
+    # composed web-ingest funnel (round-6 third wave): URL dedup →
+    # TrustRank gate → Bloom decontam → quality rules, one CASE oracle;
+    # takes text_quality_features' slot (green r05 — the quality
+    # feature family stays in-window via curation_quality_audit, whose
+    # per-rule counts derive from the same feature program)
+    "curation_web_pipeline",
     "text_lang_id",
     "multimodal_binary_stats",
     "curation_quality_audit",

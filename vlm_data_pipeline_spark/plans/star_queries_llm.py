@@ -2558,8 +2558,9 @@ _URL_SPARK = """CASE CAST(doc_id % 5 AS INT)
  ELSE concat('http://site', CAST(doc_id DIV 5 AS STRING), '.com/other/', CAST(doc_id AS STRING))
 END"""
 
-_URL_ORACLE = """
-WITH urls AS (
+# CTE chain doc_id → canon(doc_id, canon_url); shared by the dedup
+# oracle and the composed web-pipeline oracle
+_URL_CANON_CTES = """urls AS (
     SELECT doc_id,
            CASE CAST(doc_id % 5 AS INT)
              WHEN 0 THEN concat('https://www.site', CAST(doc_id // 5 AS VARCHAR), '.com/a/b/?utm_source=feed&x=1&b=2')
@@ -2596,7 +2597,10 @@ WITH urls AS (
            CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
                 ELSE '' END AS canon_url
     FROM norm
-)
+)"""
+
+_URL_ORACLE = f"""
+WITH {_URL_CANON_CTES}
 SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
        CAST(count(*) - 1 AS BIGINT) AS n_dups
 FROM canon GROUP BY canon_url HAVING count(*) > 1
@@ -3667,3 +3671,123 @@ def graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = graph_ops.pagerank(edges, iterations=_PR_ITERS, seeds=seeds)
     return out.select(F.col("node").cast("long").alias("node"), "rank_fp")
+
+
+# ---------------------------------------------------------------------------
+# Composed web-ingest pipeline: URL dedup → trust gate → decontam → quality
+# ---------------------------------------------------------------------------
+
+def _web_pipeline_oracle() -> str:
+    """One SQL program re-deriving all four stage verdicts: the URL
+    canonicalization chain, the FULL seeded-PageRank unroll (nested as
+    a derived table — its WITH scope is isolated), the Bloom filter
+    bit-for-bit, and the integer-exact quality predicates. Stage flags
+    are doc-intrinsic, so first-failure attribution is one CASE."""
+    trust_sql = graph_ops.pagerank_oracle_sql(
+        _PR_EDGES_CTE,
+        "(SELECT count(*) FROM verts)",
+        iterations=_PR_ITERS,
+        seeds_cte=_TR_SEEDS_CTE,
+    )
+    return f"""
+WITH {_URL_CANON_CTES},
+keepers AS (
+    SELECT canon_url, min(doc_id) AS keep_id FROM canon GROUP BY canon_url
+), url_stage AS (
+    SELECT c.doc_id, (c.doc_id = k.keep_id) AS url_keep
+    FROM canon c JOIN keepers k USING (canon_url)
+), trust AS (
+    SELECT node, rank_fp FROM ({trust_sql})
+), bench AS (
+    SELECT DISTINCT text FROM documents WHERE doc_id % 17 = 0
+), positions AS (
+    SELECT DISTINCT unnest([{_d_bloom_pos(0)}, {_d_bloom_pos(1)}]) AS pos
+    FROM bench
+), bloomed AS (
+    SELECT doc_id,
+           ({_d_bloom_pos(0)} IN (SELECT pos FROM positions)
+            AND {_d_bloom_pos(1)} IN (SELECT pos FROM positions)) AS bloom_hit
+    FROM documents
+), {_C_FEATURES.lstrip()},
+verdict AS (
+    SELECT p.doc_id, ({_C_ALL_PREDS}) AS q_ok FROM preds p
+)
+SELECT d.doc_id,
+       CASE WHEN NOT u.url_keep THEN 'url_dup'
+            WHEN t.node IS NULL OR t.rank_fp = 0 THEN 'untrusted'
+            WHEN b.bloom_hit THEN 'contaminated'
+            WHEN NOT v.q_ok THEN 'low_quality'
+            ELSE 'kept' END AS dropped_at
+FROM documents d
+JOIN url_stage u USING (doc_id)
+LEFT JOIN trust t ON d.doc_id = t.node
+JOIN bloomed b USING (doc_id)
+JOIN verdict v USING (doc_id)
+"""
+
+
+@register(
+    "curation_web_pipeline",
+    _web_pipeline_oracle(),
+    "Composed web-ingest curation pipeline (extension; the CommonCrawl→"
+    "corpus funnel): URL-canonicalization dedup (keep min doc per canon "
+    "URL) → TrustRank gate (seeded teleport; not-in-graph or exact-zero "
+    "trust drops) → Bloom decontamination (false positives drop too — "
+    "the documented cost of the probabilistic gate) → Gopher quality "
+    "rules; every doc gets a first-failure attribution or 'kept'. All "
+    "four stage flags are doc-intrinsic, computed in parallel and "
+    "joined once on doc_id; ONE SQL oracle re-derives the whole funnel "
+    "including the 5-sweep trust unroll. Library: operators.dedup."
+    "canonical_url + operators.graph.pagerank(seeds) + operators."
+    "sketch.bloom_* + operators.curation.quality_filter.",
+)
+def curation_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    canon = docs.select(
+        "doc_id", dedup.canonical_url(F.expr(_URL_SPARK)).alias("canon_url")
+    )
+    keepers = canon.groupBy("canon_url").agg(F.min("doc_id").alias("keep_id"))
+    url_stage = canon.join(keepers, "canon_url").select(
+        "doc_id", (F.col("doc_id") == F.col("keep_id")).alias("url_keep")
+    )
+
+    edges = _pr_demo_edges(docs)
+    seeds = docs.filter(F.col("doc_id") % 50 == 1).select(
+        F.col("doc_id").alias("node")
+    )
+    trust = graph_ops.pagerank(edges, iterations=_PR_ITERS, seeds=seeds).select(
+        F.col("node").alias("doc_id"), "rank_fp"
+    )
+
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    positions = sketch_ops.bloom_build(bench, "text", _BLOOM_M, _BLOOM_K)
+    bloomed = sketch_ops.bloom_probe_join(
+        docs.select("doc_id", "text"), positions, "text", _BLOOM_M, _BLOOM_K
+    ).select("doc_id", "bloom_hit")
+
+    q_ok = curation.quality_filter(docs).select(
+        "doc_id", F.lit(True).alias("q_ok")
+    )
+
+    return (
+        docs.select("doc_id")
+        .join(url_stage, "doc_id")
+        .join(trust, "doc_id", "left")
+        .join(bloomed, "doc_id")
+        .join(q_ok, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("url_keep"), F.lit("url_dup"))
+            .when(
+                F.col("rank_fp").isNull() | (F.col("rank_fp") == 0),
+                F.lit("untrusted"),
+            )
+            .when(F.col("bloom_hit"), F.lit("contaminated"))
+            .when(F.col("q_ok").isNull(), F.lit("low_quality"))
+            .otherwise(F.lit("kept"))
+            .alias("dropped_at"),
+        )
+    )
