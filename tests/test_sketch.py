@@ -143,3 +143,58 @@ def test_bloom_merge_stores_is_incremental_build(spark):
     assert sorted(r["pos"] for r in merged.collect()) == sorted(
         r["pos"] for r in rebuilt.collect()
     )
+
+
+def test_countmin_never_underestimates(spark):
+    """est >= true count for every key, with a width tight enough to
+    force collisions; absent keys estimate >= 0 (possibly > 0 — the
+    documented overestimate)."""
+    rows = [(f"k{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "w string")
+    sk = sketch.countmin_build(df, "w", 32, 3)  # 37 keys into 32 buckets
+    truth = {}
+    for (w,) in rows:
+        truth[w] = truth.get(w, 0) + 1
+    probes = spark.createDataFrame([(k,) for k in truth], "w string")
+    est = {
+        r["w"]: r["est"]
+        for r in sketch.countmin_estimate(probes, sk, "w", 32, 3).collect()
+    }
+    assert all(est[k] >= c for k, c in truth.items())
+    # total cell mass per row equals the stream length exactly
+    per_row = {
+        r["row"]: r["s"]
+        for r in sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert per_row == {0: 1000, 1: 1000, 2: 1000}
+
+
+def test_countmin_merge_is_exact(spark):
+    """Merging two batch sketches == sketching the concatenation,
+    cell-for-cell (integer mass commutes — unlike the HLL store)."""
+    b1 = spark.createDataFrame([(f"a{i % 11}",) for i in range(200)], "w string")
+    b2 = spark.createDataFrame([(f"a{i % 7}",) for i in range(150)], "w string")
+    merged = sketch.countmin_merge(
+        sketch.countmin_build(b1, "w", 64, 2),
+        sketch.countmin_build(b2, "w", 64, 2),
+    )
+    rebuilt = sketch.countmin_build(b1.unionByName(b2), "w", 64, 2)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_countmin_weighted_and_guards(spark):
+    df = spark.createDataFrame([("x", 5), ("x", 7), ("y", 1)], "w string, n long")
+    sk = sketch.countmin_build(df, "w", 1024, 4, weight_col="n")
+    probes = spark.createDataFrame([("x",), ("y",)], "w string")
+    est = {
+        r["w"]: r["est"]
+        for r in sketch.countmin_estimate(probes, sk, "w", 1024, 4).collect()
+    }
+    # wide sketch, 2 keys: no collisions — estimates are exact sums
+    assert est == {"x": 12, "y": 1}
+    with pytest.raises(ValueError, match="width"):
+        sketch.countmin_positions(F.col("w"), 1, 2)
+    with pytest.raises(ValueError, match="depth"):
+        sketch.countmin_positions(F.col("w"), 64, 0)

@@ -192,6 +192,86 @@ def bloom_fp_rate(m_bits: int, k_hashes: int, n_keys: int) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def countmin_positions(key: Column, width: int, depth: int) -> Column:
+    """array<bigint> of length ``depth``: row i's bucket for ``key`` =
+    hash60(key ⊕ 'cm#i') mod width — same portable-md5 scheme as the
+    Bloom positions, so a SQL oracle re-derives every cell."""
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if not (1 <= depth <= 16):
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    return F.array(
+        *[
+            hash60(F.concat(key.cast("string"), F.lit(f"{_SEP}cm#{i}")))
+            % width
+            for i in range(depth)
+        ]
+    )
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    width: int,
+    depth: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The sketch as a (row, bucket, cnt) table — depth·width cells max,
+    mergeable by summing cells (exact: addition commutes), persistable
+    like the other incremental stores. One explode (×depth) + one
+    depth·width-key aggregation; the keys themselves never need to fit
+    anywhere — that is the point vs an exact groupBy at unbounded
+    cardinality."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(
+            F.posexplode(
+                countmin_positions(F.col(key_col), width, depth)
+            ).alias("row", "bucket"),
+            w.cast("long").alias("w"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum — exact under any merge order/batching (unlike the
+    HLL store's estimator, CM cells are plain integer mass)."""
+    return (
+        a.unionByName(b).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    probes: DataFrame, sketch: DataFrame, key_col: str, width: int, depth: int
+) -> DataFrame:
+    """Point-query: est(key) = min over rows of cell(row, bucket_row(key))
+    — an overestimate with the classic (e/width, e^-depth) guarantee,
+    never an underestimate. The probe explodes to ``depth`` skinny rows
+    and joins the depth·width-bounded sketch (broadcastable for any
+    practical shape). Missing cells are zero-count. Estimates are
+    bit-deterministic: same data → same cells → same min, under any
+    partitioning."""
+    ex = probes.select(
+        F.col(key_col).alias("__cm_key"),
+        F.posexplode(
+            countmin_positions(F.col(key_col), width, depth)
+        ).alias("row", "bucket"),
+    )
+    joined = ex.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy("__cm_key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .withColumnRenamed("__cm_key", key_col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog sketch store (native Datasketches HLL, Spark 3.5+)
 # ---------------------------------------------------------------------------
 

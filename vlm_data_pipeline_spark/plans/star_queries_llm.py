@@ -3791,3 +3791,68 @@ def curation_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dropped_at"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+_CM_W, _CM_D, _CM_TOP = 512, 3, 20
+
+_CM_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest({_D_TOKS}) AS w FROM documents
+), counts AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY w
+), top AS (
+    SELECT w, true_cnt FROM counts
+    ORDER BY true_cnt DESC, w ASC LIMIT {_CM_TOP}
+), cells AS (
+    SELECT i AS row,
+           (('0x' || substr(md5(w || chr(31) || 'cm#' || CAST(i AS VARCHAR)),
+             1, 15))::BIGINT) % {_CM_W} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM toks, unnest([0, 1, 2]) AS u(i)
+    GROUP BY 1, 2
+), probes AS (
+    SELECT t.w, t.true_cnt, u.i AS row,
+           (('0x' || substr(md5(t.w || chr(31) || 'cm#'
+             || CAST(u.i AS VARCHAR)), 1, 15))::BIGINT) % {_CM_W} AS bucket
+    FROM top t, unnest([0, 1, 2]) AS u(i)
+)
+SELECT p.w AS token, p.true_cnt,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+FROM probes p
+LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+GROUP BY p.w, p.true_cnt
+"""
+
+
+@register(
+    "sketch_countmin_tokens",
+    _CM_ORACLE,
+    "Count-Min sketch heavy-hitter estimation (Cormode & Muthukrishnan "
+    "2005; the hot-key/frequent-token detector when key cardinality "
+    "cannot fit a groupBy): depth x width cell table built in one "
+    "explode+agg over the token stream, point estimates = min over "
+    "rows of the key's cell — always >= truth, bit-deterministic from "
+    "the portable md5 buckets, so the oracle re-derives every cell AND "
+    "every overestimate exactly. Demo probes the exact top-20 tokens "
+    "and emits truth beside estimate. Library: operators.sketch."
+    "countmin_build / countmin_estimate / countmin_merge.",
+)
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = counts.orderBy(F.desc("true_cnt"), F.asc("w")).limit(_CM_TOP)
+    sk = sketch_ops.countmin_build(toks, "w", _CM_W, _CM_D)
+    est = sketch_ops.countmin_estimate(top, sk, "w", _CM_W, _CM_D)
+    return (
+        top.join(est, "w")
+        .select(
+            F.col("w").alias("token"),
+            "true_cnt",
+            F.col("est").cast("long").alias("est"),
+        )
+    )
