@@ -198,3 +198,59 @@ def test_countmin_weighted_and_guards(spark):
         sketch.countmin_positions(F.col("w"), 1, 2)
     with pytest.raises(ValueError, match="depth"):
         sketch.countmin_positions(F.col("w"), 64, 0)
+
+
+def test_bloom_null_keys_set_no_bits_and_both_paths_agree(spark):
+    """A NULL key in the build input sets no bits (review-confirmed
+    crash: the NULL position used to reach the broadcast bitset as
+    INT64_MIN); NULL probe keys come back NULL on both paths."""
+    members = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, text string"
+    )
+    m, k = 256, 2
+    pos = sketch.bloom_build(members, "text", m, k)
+    assert pos.filter(F.col("pos").isNull()).count() == 0
+    probes = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "zzz")], "id long, text string"
+    )
+    a = {r["id"]: r["bloom_hit"]
+         for r in sketch.bloom_probe_join(probes, pos, "text", m, k).collect()}
+    b = {r["id"]: r["bloom_hit"]
+         for r in sketch.bloom_probe_broadcast(probes, pos, "text", m, k).collect()}
+    assert a == b
+    assert a[1] is True and a[2] is None
+
+
+def test_bloom_store_param_mismatch_raises(spark):
+    """Probing (or having merged) a store built under different (m, k)
+    fails loudly instead of silently producing false negatives."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    df = _docs(spark, ["x", "y"])
+    pos_small = sketch.bloom_build(df, "text", 64, 2)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="mismatch"):
+        sketch.bloom_probe_join(df, pos_small, "text", 128, 2).collect()
+    merged = sketch.bloom_merge_stores(
+        pos_small, sketch.bloom_build(df, "text", 128, 2)
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="mismatch"):
+        sketch.bloom_probe_join(df, merged, "text", 128, 2).collect()
+    # a bare hand-built (pos) table without metadata is accepted as-is
+    bare = pos_small.select("pos")
+    out = sketch.bloom_probe_join(df, bare, "text", 64, 2)
+    assert out.filter(~F.col("bloom_hit")).count() == 0
+
+
+def test_countmin_estimate_passes_rows_through(spark):
+    """Probe rows keep their columns and multiplicity; NULL keys get
+    est NULL instead of vanishing."""
+    df = spark.createDataFrame([("x",), ("x",)], "w string")
+    sk = sketch.countmin_build(df, "w", 64, 2)
+    probes = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None)], "id long, w string"
+    )
+    rows = sketch.countmin_estimate(probes, sk, "w", 64, 2).collect()
+    assert len(rows) == 3
+    by_id = {r["id"]: r["est"] for r in rows}
+    assert by_id[1] == 2 and by_id[2] == 2 and by_id[3] is None

@@ -47,6 +47,11 @@ _SEP = "\x1f"
 # bits = 128 MiB). Bigger filters: use bloom_probe_join, which never
 # materializes the bitset anywhere.
 MAX_BROADCAST_BITS = 1 << 30
+# largest position-ROW count bloom_probe_broadcast will pull through
+# toPandas() while building that bitset (~16 bytes/row in pandas →
+# ~512 MiB at the cap); a well-filled filter has far more set rows
+# than bitset bytes, so this is the binding limit in practice
+MAX_BROADCAST_POSITIONS = 1 << 25
 
 
 def _check_params(m_bits: int, k_hashes: int) -> None:
@@ -76,26 +81,67 @@ def bloom_positions(key: Column, m_bits: int, k_hashes: int) -> Column:
 def bloom_build(
     df: DataFrame, key_col: str, m_bits: int, k_hashes: int
 ) -> DataFrame:
-    """The filter as a table of DISTINCT set-bit positions (column
-    ``pos``). At most min(m_bits, k·|keys|) rows of one BIGINT — the
-    distributed representation both probe paths and the SQL oracle
-    consume; persist it like any other incremental store."""
+    """The filter as a table of DISTINCT set-bit positions plus the
+    parameters they were computed under: (pos, m_bits, k_hashes). At
+    most min(m_bits, k·|keys|) rows — the distributed representation
+    both probe paths and the SQL oracle consume; persist it like any
+    other incremental store. NULL keys set no bits (and probe as NULL,
+    on both paths). The constant parameter columns cost nothing after
+    parquet RLE and let every consumer VERIFY it was handed a store
+    built under its own (m, k) — a mismatched probe would silently
+    produce false negatives, the one failure a Bloom gate must never
+    have (same guard pattern as the banded pHash store)."""
     return (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             F.explode(
                 bloom_positions(F.col(key_col), m_bits, k_hashes)
             ).alias("pos")
         )
         .distinct()
+        .select(
+            "pos",
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k_hashes).cast("int").alias("k_hashes"),
+        )
+    )
+
+
+def _checked_positions(
+    positions: DataFrame, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """(pos) rows with an in-plan parameter assertion. Stores lacking
+    the metadata columns (hand-built position tables) are accepted
+    as-is — the guard protects the engine's own build/merge loop."""
+    cols = set(positions.columns)
+    if not {"m_bits", "k_hashes"} <= cols:
+        return positions.select("pos")
+    ok = (F.col("m_bits") == m_bits) & (F.col("k_hashes") == k_hashes)
+    return positions.select(
+        F.when(
+            F.assert_true(
+                ok,
+                F.concat_ws(
+                    " ",
+                    F.lit("bloom store parameter mismatch: store has"),
+                    F.col("m_bits").cast("string"),
+                    F.col("k_hashes").cast("string"),
+                    F.lit(f"but probe expects {m_bits} {k_hashes} —"),
+                    F.lit("probing would yield false negatives"),
+                ),
+            ).isNull(),
+            F.col("pos"),
+        ).alias("pos")
     )
 
 
 def bloom_merge_stores(a: DataFrame, b: DataFrame) -> DataFrame:
     """Bloom filters over the same (m, k) union by bit-OR — here, a
-    distinct-union of the position tables. The incremental-store loop:
-    build on each batch, merge into the persisted filter. (Unlike HLL,
-    this IS exact with respect to the filter: the set of set bits after
-    any merge order is identical.)"""
+    distinct-union of the position tables; the metadata columns ride
+    along, so a merge of stores built under DIFFERENT parameters leaves
+    mixed metadata rows that the next probe's assertion rejects instead
+    of silently leaking false negatives. (Unlike HLL, the merge is
+    exact: the set of set bits after any merge order is identical.)"""
     return a.unionByName(b).distinct()
 
 
@@ -123,7 +169,11 @@ def bloom_probe_join(
         ).alias("pos"),
     )
     marked = exploded.join(
-        positions.select("pos", F.lit(1).alias("__set")), "pos", "left"
+        _checked_positions(positions, m_bits, k_hashes).select(
+            "pos", F.lit(1).alias("__set")
+        ),
+        "pos",
+        "left",
     )
     verdict = marked.groupBy("__bp_key").agg(
         (F.count(F.when(F.col("__set").isNull(), 1)) == 0).alias("bloom_hit")
@@ -142,8 +192,12 @@ def bloom_probe_broadcast(
 ) -> DataFrame:
     """Probe via a broadcast numpy bitset + Arrow-batched pandas UDF —
     zero shuffle, one corpus scan. Bit-identical to
-    :func:`bloom_probe_join` (equality-tested); use it whenever
-    ``m_bits`` <= MAX_BROADCAST_BITS."""
+    :func:`bloom_probe_join` (equality-tested); use it whenever the
+    filter fits the driver: ``m_bits`` <= MAX_BROADCAST_BITS bounds the
+    bitset/broadcast, MAX_BROADCAST_POSITIONS bounds the driver-side
+    materialization of the position ROWS (the row table can dwarf the
+    bitset for a well-filled filter — both limits are checked, both
+    error messages point to the join path)."""
     import hashlib
 
     import numpy as np
@@ -156,8 +210,22 @@ def bloom_probe_broadcast(
             f"{MAX_BROADCAST_BITS}; use bloom_probe_join for filters "
             f"too large to broadcast"
         )
+    checked = _checked_positions(positions, m_bits, k_hashes)
+    n_pos = checked.count()
+    if n_pos > MAX_BROADCAST_POSITIONS:
+        raise ValueError(
+            f"{n_pos} set positions exceed MAX_BROADCAST_POSITIONS="
+            f"{MAX_BROADCAST_POSITIONS} — materializing them on the "
+            f"driver would cost far more than the bitset itself; use "
+            f"bloom_probe_join"
+        )
     bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
-    pos = positions.select("pos").toPandas()["pos"].to_numpy(dtype=np.int64)
+    # NULLs never occur in engine-built stores (bloom_build drops null
+    # keys) but a hand-built table could carry them — dropna, as a null
+    # bit position is meaningless
+    pos = (
+        checked.toPandas()["pos"].dropna().to_numpy(dtype=np.int64)
+    )
     np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
     sc = probes.sparkSession.sparkContext
     b_bits = sc.broadcast(bits.tobytes())
@@ -252,23 +320,29 @@ def countmin_estimate(
 ) -> DataFrame:
     """Point-query: est(key) = min over rows of cell(row, bucket_row(key))
     — an overestimate with the classic (e/width, e^-depth) guarantee,
-    never an underestimate. The probe explodes to ``depth`` skinny rows
-    and joins the depth·width-bounded sketch (broadcastable for any
-    practical shape). Missing cells are zero-count. Estimates are
-    bit-deterministic: same data → same cells → same min, under any
-    partitioning."""
-    ex = probes.select(
-        F.col(key_col).alias("__cm_key"),
+    never an underestimate. Distinct keys explode to ``depth`` skinny
+    rows against the depth·width-bounded sketch (broadcastable for any
+    practical shape); verdicts re-join onto the probe rows, so every
+    probe row comes back with all its columns (the bloom_probe_join
+    contract): duplicates keep their multiplicity, NULL keys get est
+    NULL. Missing cells are zero-count. Estimates are bit-deterministic:
+    same data → same cells → same min, under any partitioning."""
+    keys = probes.select(F.col(key_col).alias("__cm_key")).distinct().filter(
+        F.col("__cm_key").isNotNull()
+    )
+    ex = keys.select(
+        "__cm_key",
         F.posexplode(
-            countmin_positions(F.col(key_col), width, depth)
+            countmin_positions(F.col("__cm_key"), width, depth)
         ).alias("row", "bucket"),
     )
     joined = ex.join(F.broadcast(sketch), ["row", "bucket"], "left")
-    return (
-        joined.groupBy("__cm_key")
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
-        .withColumnRenamed("__cm_key", key_col)
+    verdict = joined.groupBy("__cm_key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+    return probes.join(
+        verdict, probes[key_col] == verdict["__cm_key"], "left"
+    ).drop("__cm_key")
 
 
 # ---------------------------------------------------------------------------

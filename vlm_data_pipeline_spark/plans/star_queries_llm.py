@@ -3576,10 +3576,8 @@ _BLOOM_K = 2  # and the oracle proves it re-derives them bit-for-bit
 def _d_bloom_pos(i: int) -> str:
     """DuckDB mirror of sketch.bloom_positions' i-th hash — hash60 of
     key ⊕ 0x1f ⊕ 'bloom#i', mod m. Edit together."""
-    return (
-        f"(('0x' || substr(md5(text || chr(31) || 'bloom#{i}'), 1, 15))"
-        f"::BIGINT) % {_BLOOM_M}"
-    )
+    key = f"text || chr(31) || 'bloom#{i}'"
+    return f"({_d_hash60(key)} % {_BLOOM_M})"
 
 
 _BLOOM_ORACLE = f"""
@@ -3809,15 +3807,15 @@ WITH toks AS (
     ORDER BY true_cnt DESC, w ASC LIMIT {_CM_TOP}
 ), cells AS (
     SELECT i AS row,
-           (('0x' || substr(md5(w || chr(31) || 'cm#' || CAST(i AS VARCHAR)),
-             1, 15))::BIGINT) % {_CM_W} AS bucket,
+           {_d_hash60("w || chr(31) || 'cm#' || CAST(i AS VARCHAR)")}
+               % {_CM_W} AS bucket,
            CAST(count(*) AS BIGINT) AS cnt
     FROM toks, unnest([0, 1, 2]) AS u(i)
     GROUP BY 1, 2
 ), probes AS (
     SELECT t.w, t.true_cnt, u.i AS row,
-           (('0x' || substr(md5(t.w || chr(31) || 'cm#'
-             || CAST(u.i AS VARCHAR)), 1, 15))::BIGINT) % {_CM_W} AS bucket
+           {_d_hash60("t.w || chr(31) || 'cm#' || CAST(u.i AS VARCHAR)")}
+               % {_CM_W} AS bucket
     FROM top t, unnest([0, 1, 2]) AS u(i)
 )
 SELECT p.w AS token, p.true_cnt,
@@ -3847,12 +3845,10 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
     top = counts.orderBy(F.desc("true_cnt"), F.asc("w")).limit(_CM_TOP)
     sk = sketch_ops.countmin_build(toks, "w", _CM_W, _CM_D)
+    # estimate passes the probe columns through, so truth rides along
     est = sketch_ops.countmin_estimate(top, sk, "w", _CM_W, _CM_D)
-    return (
-        top.join(est, "w")
-        .select(
-            F.col("w").alias("token"),
-            "true_cnt",
-            F.col("est").cast("long").alias("est"),
-        )
+    return est.select(
+        F.col("w").alias("token"),
+        "true_cnt",
+        F.col("est").cast("long").alias("est"),
     )
