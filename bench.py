@@ -36,6 +36,12 @@ HEADLINE = [
     "a10_quality_audit",
     "events_interval_join",  # binned range join (100K events x 1.5K windows)
     "events_asof_join",  # union-window merge_asof over events
+    # round-6 third wave: the Bloom seen-set gate (position build +
+    # join-path probe over the full corpus) and the Count-Min token
+    # sketch (token explode + cell agg) — both data-bound, so their
+    # per-round numbers track corpus scale, not fixed overhead
+    "sketch_bloom_decontaminate",
+    "sketch_countmin_tokens",
     # scale flagships: the full 10-task QA pipeline over ~150K synthesized
     # frames (reference single-node analogue: 8-12 frames/s) and the
     # MinHash+LSH near-dup pass over the documents corpus

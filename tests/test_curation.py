@@ -1040,3 +1040,41 @@ def test_gopher_extended_rules_hand_computed(spark):
     assert all(
         rows[6][k] for k in ("bullet_ok", "ellipsis_ok", "alpha_ok", "symbol_ok")
     )
+
+
+def test_hash_split_exact_widths_and_stability(spark):
+    """Quantized interval widths are exact integers (remainder to the
+    last split); assignment is identical under repartitioning; guards
+    reject bad fraction maps."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # hash buckets approximate the fractions (binomial, n=3000)
+    assert abs(counts["train"] - 2400) < 150
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+    # a doc's split never changes when the corpus around it changes
+    sub = hash_split(
+        df.filter(F.col("doc_id") < 100), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert all(a[r["doc_id"]] == r["split"] for r in sub.collect())
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"train": 0.5, "val": 0.4})
+    with _pytest.raises(ValueError, match="non-empty"):
+        hash_split(df, {})
+    # uneven denominator remainder: 1/3 splits still cover every bucket
+    thirds = hash_split(df, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert thirds.filter(F.col("split").isNull()).count() == 0

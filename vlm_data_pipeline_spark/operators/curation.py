@@ -999,6 +999,52 @@ def shuffle_shards(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the universal last
+    fork of a dataset build. Each row draws an integer bucket in
+    [0, denominator) from (seed, id) via the engine-wide portable hash
+    (partitioning/order independent, re-derivable by any engine — the
+    functions.detrandom rationale), and the split label is the first
+    cumulative-fraction interval containing it, with fractions
+    quantized to EXACT integer bucket counts (floor(frac*denominator),
+    remainder to the last split) so boundaries are integer comparisons
+    — no float threshold can flip between engines. Adds ``split``;
+    zero shuffle, pure in-row expression. Membership is stable under
+    any re-partitioning, appends, or re-runs: a document can never
+    migrate between splits across pipeline versions, which is the
+    property that keeps eval sets uncontaminated over time.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be >= 0, got {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total!r}")
+    names = list(fractions)
+    widths = [int(fractions[n] * denominator) for n in names]
+    widths[-1] = denominator - sum(widths[:-1])  # exact remainder
+    from ..functions.text import seeded_hash60
+
+    bucket = F.pmod(
+        seeded_hash60(F.lit(seed), F.col(id_col).cast("string")),
+        F.lit(denominator),
+    )
+    hi = 0
+    expr = None
+    for name, width in zip(names, widths):
+        hi += width
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
 def pareto_select(
     scored: DataFrame,
     alpha: float = 9.0,

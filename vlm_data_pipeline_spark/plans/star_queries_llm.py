@@ -3852,3 +3852,43 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_cnt",
         F.col("est").cast("long").alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splitting
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           {_d_hash60("'split' || ':' || CAST(doc_id AS VARCHAR)")} % 10000
+               AS b
+    FROM documents
+)
+"""
+
+
+@register(
+    "curation_hash_split",
+    _SPLIT_ORACLE,
+    "Deterministic train/val/test split (extension; the universal last "
+    "fork of a dataset build): portable-hash bucket in [0, 10000) per "
+    "id, split = first cumulative interval, fractions quantized to "
+    "exact integer bucket counts so boundaries are integer compares — "
+    "membership is stable under repartitioning/appends/re-runs, the "
+    "property that keeps eval sets uncontaminated across pipeline "
+    "versions. Zero shuffle, pure in-row. Library: operators.curation."
+    "hash_split.",
+)
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = curation.hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split")
