@@ -1078,3 +1078,41 @@ def test_hash_split_exact_widths_and_stability(spark):
     # uneven denominator remainder: 1/3 splits still cover every bucket
     thirds = hash_split(df, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
     assert thirds.filter(F.col("split").isNull()).count() == 0
+
+
+def test_perplexity_buckets_equal_counts_and_stability(spark):
+    """Equal-count cuts per language (sizes differ by <= 1), identical
+    assignment under repartitioning, global mode works, label guard."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.curation import perplexity_buckets
+
+    rows = [(i, "en" if i % 3 else "fr", float((i * 37) % 101) / 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = perplexity_buckets(df, "s", lang_col="lang")
+    sizes = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in out.groupBy("lang", "bucket").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, total in (("en", 133), ("fr", 67)):
+        per = [sizes[(lang, b)] for b in ("head", "middle", "tail")]
+        assert sum(per) == total
+        assert max(per) - min(per) <= 1
+    # low scores land in head
+    en_head = out.filter((F.col("lang") == "en") & (F.col("bucket") == "head"))
+    en_tail = out.filter((F.col("lang") == "en") & (F.col("bucket") == "tail"))
+    assert en_head.agg(F.max("s")).collect()[0][0] <= \
+        en_tail.agg(F.min("s")).collect()[0][0]
+    a = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(df.repartition(11), "s", lang_col="lang").collect()
+    }
+    assert a == b
+    halves = perplexity_buckets(df, "s", labels=("keep", "drop"))
+    n_by = {r["bucket"]: r["n"] for r in
+            halves.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert n_by == {"keep": 100, "drop": 100}
+    with _pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(df, "s", labels=("only",))

@@ -999,6 +999,59 @@ def shuffle_shards(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str,
+    lang_col: str | None = None,
+    id_col: str = "doc_id",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's perplexity terciles (Wenzek et al. 2020 §4.3): within
+    each language, rank documents by LM score ascending (low perplexity
+    = closest to the reference corpus) and cut the ranking into
+    ``len(labels)`` equal-count buckets — head/middle/tail is the
+    split CCNet publishes and downstream recipes sample from (e.g.
+    head+middle for LLaMA-style pretraining). Adds ``bucket``.
+
+    Bucket = ((rank − 1) · n_buckets) div count — pure integer
+    arithmetic on a (score, id)-ordered row_number, so assignment is
+    deterministic and engine-portable; callers must pass an
+    engine-stable score (the rounded fixed-decimal mean_nlp the LM
+    scorer emits — raw float sums would tie-break differently across
+    engines).
+
+    Scale shape: ONE exchange on the language key + a per-language
+    window sort — the same per-language sharding CCNet itself uses;
+    a language's documents sort within its partition (Spark spills
+    window sorts to disk, so a giant language is slow, not fatal).
+    With ``lang_col=None`` the whole corpus is one ranking — only for
+    monolingual corpora small enough for a single sort domain.
+    """
+    if len(labels) < 2:
+        raise ValueError(f"need >= 2 bucket labels, got {labels!r}")
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(*( [lang_col] if lang_col else [] ))
+    w = part.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    n = len(labels)
+    idx = ((F.row_number().over(w) - 1) * n).cast("long")
+    cnt = F.count(F.lit(1)).over(part)
+    bucket_ix = F.expr("__pb_num div __pb_den")
+    out = (
+        scored.withColumn("__pb_num", idx)
+        .withColumn("__pb_den", cnt.cast("long"))
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]),
+                (bucket_ix + 1).cast("int"),
+            ),
+        )
+        .drop("__pb_num", "__pb_den")
+    )
+    return out
+
+
 def hash_split(
     df: DataFrame,
     fractions: dict[str, float],

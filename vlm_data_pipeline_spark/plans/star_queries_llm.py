@@ -1323,8 +1323,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_ORACLE = f"""
-WITH rt AS (
+# CTE chain train-slice → bigram model → per-(doc, pair) nlp rows;
+# shared by the score oracle and the CCNet-bucket oracle
+_LM_SCORE_CTES = f"""rt AS (
     SELECT {_D_TOKS} AS t FROM documents WHERE doc_id % 20 = 0
 ), uni AS (
     -- mirrors train_bigram_lm's driver-collect cap: top max_vocab by
@@ -1356,7 +1357,10 @@ WITH rt AS (
     FROM pairs p
     LEFT JOIN bi ON p.b = bi.b
     LEFT JOIN uni u ON p.w1 = u.w, vs
-)
+)"""
+
+_LM_ORACLE = f"""
+WITH {_LM_SCORE_CTES}
 SELECT doc_id, round(sum(nlp) / (max(n) - 1), 6) AS mean_nlp
 FROM scored GROUP BY doc_id
 """
@@ -3892,3 +3896,61 @@ def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"train": 0.9, "val": 0.05, "test": 0.05}
     )
     return out.select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+_CCNET_ORACLE = f"""
+WITH {_LM_SCORE_CTES},
+msc AS (
+    SELECT doc_id, round(sum(nlp) / (max(n) - 1), 6) AS mean_nlp
+    FROM scored GROUP BY doc_id
+), wl AS (
+    SELECT m.doc_id, d.lang, m.mean_nlp
+    FROM msc m JOIN documents d USING (doc_id)
+), rk AS (
+    SELECT doc_id, lang, mean_nlp,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY mean_nlp ASC, doc_id ASC) AS r,
+           count(*) OVER (PARTITION BY lang) AS c
+    FROM wl
+)
+SELECT doc_id, lang,
+       CASE ((r - 1) * 3) // c
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM rk
+"""
+
+
+@register(
+    "curation_ccnet_buckets",
+    _CCNET_ORACLE,
+    "CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020 "
+    "§4.3): bigram-LM mean-nlp per doc (the curation_lm_score model, "
+    "same held-out training slice), then per-language equal-count "
+    "terciles by ((rank-1)*3) div count over the (rounded-score, id) "
+    "order — pure integer bucket math on an engine-stable score, one "
+    "exchange on the language key (CCNet's own sharding unit). The "
+    "oracle replays model training, scoring, and the window cut. "
+    "Library: operators.curation.perplexity_buckets + operators.lm.",
+)
+def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators import curation, lm
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    model = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 20 == 0))
+    corpus = docs.filter(
+        (F.col("doc_id") % 20 != 0) & (token_count(F.col("text")) >= 2)
+    )
+    scored = corpus.select(
+        "doc_id",
+        "lang",
+        F.round(lm.mean_neg_log_prob(F.col("text"), model), 6).alias(
+            "mean_nlp"
+        ),
+    )
+    out = curation.perplexity_buckets(scored, "mean_nlp", lang_col="lang")
+    return out.select("doc_id", "lang", "bucket")
