@@ -160,3 +160,34 @@ def test_trustrank_oracle_parity(spark):
     want = {int(n): int(r) for n, r, _ in con.sql(sql).fetchall()}
     assert got == want
     assert any(v == 0 for v in got.values())  # some node is untrusted
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_oracle_parity_fuzz(spark, seed):
+    """Randomized graphs (self-loop-free, with dangling nodes and
+    duplicate-edge collapses) agree with the unrolled oracle exactly —
+    three shapes beyond the hand-built parity graph."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    n = rng.randint(12, 40)
+    pairs = sorted({
+        (s, d)
+        for s in range(n)
+        if rng.random() > 0.25  # ~1/4 of nodes dangle
+        for d in rng.sample(range(n), rng.randint(1, 4))
+        if s != d
+    })
+    iters = rng.randint(2, 6)
+    got = _ranks(pagerank(_edges(spark, pairs), iterations=iters))
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE edges_in (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges_in VALUES (?, ?)", pairs)
+    sql = pagerank_oracle_sql(
+        "WITH edges AS (SELECT src, dst FROM edges_in)",
+        "(SELECT count(*) FROM verts)",
+        iterations=iters,
+    )
+    want = {int(v): int(r) for v, r, _ in con.sql(sql).fetchall()}
+    assert got == want

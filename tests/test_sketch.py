@@ -254,3 +254,13 @@ def test_countmin_estimate_passes_rows_through(spark):
     assert len(rows) == 3
     by_id = {r["id"]: r["est"] for r in rows}
     assert by_id[1] == 2 and by_id[2] == 2 and by_id[3] is None
+
+
+def test_countmin_build_has_partial_aggregation(spark):
+    """The cell aggregation must map-side combine (partial_sum before
+    the exchange) — the property that keeps the shuffle bounded by
+    depth x width instead of the token stream."""
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "w string")
+    sk = sketch.countmin_build(df, "w", 128, 3)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
