@@ -480,3 +480,53 @@ def test_bloom_gate_streams_unchanged(spark, tmp_path):
     assert all(got[i] for i in range(0, 20, 2))  # members always hit
     # with fp(512, 3, 20) ≈ 0.1% the 30 fresh keys all pass the gate
     assert sum(got[100 + i] for i in range(30)) == 0
+
+
+def test_countmin_incremental_ingest_stream(spark, tmp_path):
+    """Count-Min cells build per micro-batch and merge into a store via
+    foreachBatch — after draining, the store equals the single-shot
+    sketch of all batches cell-for-cell (CM merge is exact integer
+    mass, so the streaming loop loses nothing)."""
+    from vlm_data_pipeline_spark.operators import sketch
+
+    batches = [
+        [(f"k{i % 13}",) for i in range(120)],
+        [(f"k{i % 7}",) for i in range(90)],
+        [(f"q{i % 5}",) for i in range(40)],
+    ]
+    src = str(tmp_path / "cm_src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "w string").write.parquet(f"{src}/b{i}")
+    schema = spark.createDataFrame(batches[0], "w string").schema
+
+    store = {"df": None}
+
+    def process(batch_df, _bid):
+        cells = sketch.countmin_build(batch_df, "w", 64, 3)
+        merged = (
+            cells if store["df"] is None
+            else sketch.countmin_merge(store["df"], cells)
+        )
+        # pin the store like a persisted table would
+        store["df"] = spark.createDataFrame(
+            merged.collect(), "row int, bucket long, cnt long"
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "cm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    rebuilt = sketch.countmin_build(
+        spark.createDataFrame(all_rows, "w string"), "w", 64, 3
+    )
+    assert sorted(map(tuple, store["df"].collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )

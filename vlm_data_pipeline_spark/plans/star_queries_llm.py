@@ -3954,3 +3954,24 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = curation.perplexity_buckets(scored, "mean_nlp", lang_col="lang")
     return out.select("doc_id", "lang", "bucket")
+
+
+@register(
+    "sketch_hll_cardinality",
+    None,  # rows-only: Datasketches register internals are not SQL-re-derivable
+    "Per-source HyperLogLog distinct-token cardinality via the native "
+    "Datasketches aggregate — the mergeable-store face of A-family "
+    "distinct counting (estimates carry the sketch's published ~1.6% "
+    "error at lg_k=12 and are deliberately NOT value-oracled: the "
+    "estimator is order/batching-sensitive within its envelope, see "
+    "operators.sketch docstring; merge/tolerance behavior is pinned in "
+    "tests/test_sketch.py). Library: operators.sketch."
+    "hll_group_sketches / hll_estimates.",
+)
+def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("w")
+    )
+    store = sketch_ops.hll_group_sketches(toks, "source", "w")
+    return sketch_ops.hll_estimates(store, "source")
