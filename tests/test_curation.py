@@ -1116,3 +1116,40 @@ def test_perplexity_buckets_equal_counts_and_stability(spark):
     assert n_by == {"keep": 100, "drop": 100}
     with _pytest.raises(ValueError, match="labels"):
         perplexity_buckets(df, "s", labels=("only",))
+
+
+def test_fix_encoding_restores_sloppy_cp1252(spark):
+    """Round-trip: UTF-8 bytes mis-decoded by sloppy-cp1252 (unmapped
+    bytes pass through — how â€(9d) arises) are fully restored for
+    every sequence in the table; clean text is untouched (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import fix_encoding
+
+    UNMAPPED = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+
+    def sloppy(b: bytes) -> str:
+        return "".join(
+            bytes([x]).decode("cp1252") if x not in UNMAPPED else chr(x)
+            for x in b
+        )
+
+    goods = [
+        "it’s “fine” — ok… café",
+        "touché señor – naïve mañana",  # en dash + ñ
+        "plain ascii stays put",
+        "﻿BOM and zero​width go",
+    ]
+    rows = [(i, sloppy(g.encode("utf-8")) if i < 2 else g) for i, g in enumerate(goods)]
+    df = spark.createDataFrame(rows, "i int, t string")
+    out = {r["i"]: r["f"] for r in
+           df.select("i", fix_encoding(F.col("t")).alias("f")).collect()}
+    assert out[0] == goods[0]
+    assert out[1] == goods[1]
+    assert out[2] == goods[2]
+    assert out[3] == "BOM and zerowidth go"
+    # idempotent: fixing already-fixed text changes nothing
+    df2 = spark.createDataFrame([(g,) for g in out.values()], "t string")
+    again = [r["f"] for r in
+             df2.select(fix_encoding(F.col("t")).alias("f")).collect()]
+    assert sorted(again) == sorted(out.values())

@@ -569,3 +569,76 @@ def gopher_line_counts(text: Column) -> dict[str, Column]:
             + count_char("…")
         ).cast("long"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair (ftfy-lite)
+# ---------------------------------------------------------------------------
+
+# The classic UTF-8-bytes-decoded-as-cp1252 mojibake sequences a web
+# crawl accumulates (the core of what ftfy fixes, table-driven so the
+# Spark chain and any SQL oracle derive the SAME replace cascade from
+# one list). ORDER MATTERS: longer/more-specific sequences first, so
+# 'â€”' wins before any 2-char prefix could. Pairs are code-point
+# tuples, never literals — no source-encoding ambiguity.
+ENCODING_FIXES: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...] = (
+    ((0xE2, 0x20AC, 0x2122), (0x2019,)),  # â€™ → right single quote
+    ((0xE2, 0x20AC, 0x153), (0x201C,)),  # â€œ → left double quote
+    ((0xE2, 0x20AC, 0x9D), (0x201D,)),  # â€(9d) → right double quote
+    ((0xE2, 0x20AC, 0x201C), (0x2013,)),  # â€“ → en dash
+    ((0xE2, 0x20AC, 0x201D), (0x2014,)),  # â€” → em dash
+    ((0xE2, 0x20AC, 0xA6), (0x2026,)),  # â€¦ → ellipsis
+    ((0xC3, 0xA9), (0xE9,)),  # Ã© → é
+    ((0xC3, 0xA8), (0xE8,)),  # Ã¨ → è
+    ((0xC3, 0xAA), (0xEA,)),  # Ãª → ê
+    ((0xC3, 0xBC), (0xFC,)),  # Ã¼ → ü
+    ((0xC3, 0xB6), (0xF6,)),  # Ã¶ → ö
+    ((0xC3, 0xB1), (0xF1,)),  # Ã± → ñ
+    ((0xC3, 0xA7), (0xE7,)),  # Ã§ → ç
+    ((0xC3, 0xA0), (0xE0,)),  # Ã  → à
+    # the rest of the common Latin-1 vowel block follows the uniform
+    # (0xC3, b) → chr(b + 0x40) shape (bytes 0xA0-0xBF are identity
+    # under cp1252, so the mojibake second char IS the raw byte)
+    ((0xC3, 0xA1), (0xE1,)),  # Ã¡ → á
+    ((0xC3, 0xA2), (0xE2,)),  # Ã¢ → â
+    ((0xC3, 0xA4), (0xE4,)),  # Ã¤ → ä
+    ((0xC3, 0xAB), (0xEB,)),  # Ã« → ë
+    ((0xC3, 0xAD), (0xED,)),  # Ã­ → í
+    ((0xC3, 0xAF), (0xEF,)),  # Ã¯ → ï
+    ((0xC3, 0xB3), (0xF3,)),  # Ã³ → ó
+    ((0xC3, 0xB4), (0xF4,)),  # Ã´ → ô
+    ((0xC3, 0xBA), (0xFA,)),  # Ãº → ú
+    ((0xFEFF,), ()),  # BOM / zero-width no-break space: drop
+    ((0x200B,), ()),  # zero-width space: drop
+)
+
+
+def fix_encoding(text: Column) -> Column:
+    """ftfy-lite: undo the cp1252-mojibake table above, in order, as a
+    chain of in-row ``replace`` calls (zero shuffle, codegen-friendly —
+    the cascade is ~16 nested string ops, far below expression-tree
+    limits). NOT a general ftfy: only the enumerated unambiguous
+    sequences are touched, so the operator is idempotent and
+    SQL-oracle-portable; extend the table, not the logic."""
+    out = text
+    for bad, good in ENCODING_FIXES:
+        out = F.replace(
+            out,
+            F.lit("".join(map(chr, bad))),
+            F.lit("".join(map(chr, good))),
+        )
+    return out
+
+
+def d_fix_encoding(expr: str) -> str:
+    """The DuckDB mirror of :func:`fix_encoding`: the same cascade
+    generated from the same table, pattern/replacement spelled as
+    chr() concatenations so no literal survives an encoding hop."""
+
+    def lit(points: tuple[int, ...]) -> str:
+        return " || ".join(f"chr({p})" for p in points) if points else "''"
+
+    out = expr
+    for bad, good in ENCODING_FIXES:
+        out = f"replace({out}, {lit(bad)}, {lit(good)})"
+    return out

@@ -3975,3 +3975,98 @@ def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = sketch_ops.hll_group_sketches(toks, "source", "w")
     return sketch_ops.hll_estimates(store, "source")
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair (ftfy-lite)
+# ---------------------------------------------------------------------------
+
+# planted mojibake suffixes by doc_id % 4: (corrupted, expected-fixed)
+# as code-point tuples — one table drives BOTH engines
+_ENC_PLANTS: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...] = (
+    # ' cafÃ©' → ' café'
+    ((0x20, 0x63, 0x61, 0x66, 0xC3, 0xA9), (0x20, 0x63, 0x61, 0x66, 0xE9)),
+    # ' â€œqâ€(9d)' → ' “q”'
+    (
+        (0x20, 0xE2, 0x20AC, 0x153, 0x71, 0xE2, 0x20AC, 0x9D),
+        (0x20, 0x201C, 0x71, 0x201D),
+    ),
+    # ' â€”' → ' —' (em dash)
+    ((0x20, 0xE2, 0x20AC, 0x201D), (0x20, 0x2014)),
+    # BOM + zero-width space → dropped entirely
+    ((0xFEFF, 0x200B), ()),
+)
+
+
+def _enc_chr_sql(points: tuple[int, ...]) -> str:
+    return " || ".join(f"chr({p})" for p in points) if points else "''"
+
+
+def _enc_py(points: tuple[int, ...]) -> str:
+    return "".join(map(chr, points))
+
+
+def _enc_oracle() -> str:
+    plant = " ".join(
+        f"WHEN {i} THEN text || {_enc_chr_sql(bad)}"
+        for i, (bad, _) in enumerate(_ENC_PLANTS)
+    )
+    expect = " ".join(
+        f"WHEN {i} THEN text || {_enc_chr_sql(good)}"
+        for i, (_, good) in enumerate(_ENC_PLANTS)
+    )
+    return f"""
+WITH planted AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT) {plant} END AS corrupted,
+           CASE CAST(doc_id % 4 AS INT) {expect} END AS expected
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN {T.d_fix_encoding("corrupted")} <> corrupted
+            THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       CAST(CASE WHEN {T.d_fix_encoding("corrupted")} = expected
+            THEN 1 ELSE 0 END AS BIGINT) AS ok,
+       CAST(length(corrupted)
+            - length({T.d_fix_encoding("corrupted")}) AS BIGINT) AS n_delta
+FROM planted
+"""
+
+
+@register(
+    "curation_fix_encoding",
+    _enc_oracle(),
+    "Encoding repair (extension; the ftfy pass every web-crawl corpus "
+    "runs): table-driven undo of the classic UTF-8-read-as-cp1252 "
+    "mojibake sequences (â€™ â€œ Ã© … plus BOM/zero-width strips) as a "
+    "~16-step in-row replace cascade — zero shuffle, idempotent, and "
+    "generated from ONE code-point table in both engines so the oracle "
+    "is parity by construction. Demo plants four mojibake shapes by "
+    "doc_id and checks fixed == expected alongside the byte delta. "
+    "Library: functions.text.fix_encoding / ENCODING_FIXES.",
+)
+def curation_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    plant = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(_enc_py(_ENC_PLANTS[0][0])))
+    )
+    expect = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(_enc_py(_ENC_PLANTS[0][1])))
+    )
+    for i, (bad, good) in enumerate(_ENC_PLANTS[1:], start=1):
+        plant = plant.when(
+            F.col("doc_id") % 4 == i, F.concat(F.col("text"), F.lit(_enc_py(bad)))
+        )
+        expect = expect.when(
+            F.col("doc_id") % 4 == i, F.concat(F.col("text"), F.lit(_enc_py(good)))
+        )
+    planted = docs.select(
+        "doc_id", plant.alias("corrupted"), expect.alias("expected")
+    )
+    fixed = T.fix_encoding(F.col("corrupted"))
+    return planted.select(
+        "doc_id",
+        (fixed != F.col("corrupted")).cast("long").alias("changed"),
+        (fixed == F.col("expected")).cast("long").alias("ok"),
+        (F.length("corrupted") - F.length(fixed)).cast("long").alias("n_delta"),
+    )
