@@ -1153,3 +1153,34 @@ def test_fix_encoding_restores_sloppy_cp1252(spark):
     again = [r["f"] for r in
              df2.select(fix_encoding(F.col("t")).alias("f")).collect()]
     assert sorted(again) == sorted(out.values())
+
+
+def test_html_to_text_strips_boilerplate(spark):
+    """Script/style content dies entirely, comments vanish, block
+    structure becomes newlines, entities decode one level, whitespace
+    collapses; plain text passes through unchanged."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import html_to_text
+
+    html = (
+        '<html><head><script>var x = "<secret>";</script>'
+        "<style>body{color:red}</style></head><body>"
+        "<!-- hidden -->"
+        '<nav>Home | About</nav>'
+        "<p>first\t\tpara</p>"
+        "<ul><li>one</li><li>two</li></ul>"
+        "<p>a &amp;amp; b stays half-encoded</p>"
+        "<P>UPPER closer</P></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "no markup at all")], "i int, t string")
+    out = {r["i"]: r["x"] for r in
+           df.select("i", html_to_text(F.col("t")).alias("x")).collect()}
+    got = out[1]
+    assert "secret" not in got and "color" not in got and "hidden" not in got
+    assert "Home | About" in got
+    assert "first para" in got  # tabs collapsed
+    assert "one\ntwo" in got  # list items on their own lines
+    assert "a &amp; b stays half-encoded" in got  # exactly one decode level
+    assert "UPPER closer" in got  # case-insensitive tag handling
+    assert out[2] == "no markup at all"

@@ -642,3 +642,78 @@ def d_fix_encoding(expr: str) -> str:
     for bad, good in ENCODING_FIXES:
         out = f"replace({out}, {lit(bad)}, {lit(good)})"
     return out
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the crawl pipeline's first content stage)
+# ---------------------------------------------------------------------------
+
+# regex steps as (pattern-core, replacement, flags): Spark runs the
+# core with inline (?flags) (Java replaces globally by default), the
+# SQL mirror passes flags + 'g' as DuckDB options. Cores are RE2-safe
+# AND Java-safe: explicit classes only (never \s — Java's includes
+# \x0B, RE2's does not), non-greedy dotall for the container blocks.
+_HTML_STEPS: tuple[tuple[str, str, str], ...] = (
+    (r"<script[^>]*>.*?</script>", "", "is"),  # script blocks, content too
+    (r"<style[^>]*>.*?</style>", "", "is"),  # style blocks, content too
+    (r"<!--.*?-->", "", "s"),  # comments
+    # block-level closers/breaks become newlines so paragraphs survive
+    (
+        r"<(?:br|/p|/div|/li|/tr|/h[1-6]|/nav|/ul|/ol|/table|/section"
+        r"|/article|/header|/footer|/blockquote|/pre)[^>]*>",
+        "\n",
+        "i",
+    ),
+    (r"<[^>]*>", "", ""),  # every remaining tag
+    (r"[ \t]+", " ", ""),  # collapse runs of spaces/tabs
+    (r"[ \t]*\n[ \t]*", "\n", ""),  # trim around newlines
+    (r"\n{3,}", "\n\n", ""),  # at most one blank line
+)
+
+# entity decode AFTER tag removal; &amp; must come LAST so double-
+# encoded entities (&amp;lt;) decode exactly one level per pass
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Boilerplate-stripping HTML → text (trafilatura-lite): drop
+    script/style/comment blocks with their content, turn block closers
+    into newlines, strip every remaining tag, decode the core entities,
+    normalize whitespace. Pure in-row regex/replace cascade — zero
+    shuffle, one pass over the markup; the SQL mirror
+    (:func:`d_html_to_text`) is generated from the SAME step tables.
+    Not a browser: malformed nesting degrades to over-stripping, never
+    to leaked markup."""
+    out = html
+    for core, rep, flags in _HTML_STEPS:
+        pat = f"(?{flags}){core}" if flags else core
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(out)
+
+
+def d_html_to_text(expr: str) -> str:
+    """DuckDB mirror of :func:`html_to_text` — same tables, DuckDB
+    spells flags as the options argument (plus 'g': Java replaces
+    globally by default, DuckDB only with the flag)."""
+    out = expr
+    for core, rep, flags in _HTML_STEPS:
+        # DuckDB plain '...' literals keep backslashes VERBATIM (no
+        # escape processing), so the regex source passes through as-is;
+        # only quotes need doubling. (Doubling backslashes here once
+        # turned [ \t]+ into a class matching the letter t.)
+        pat = core.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{r}', '{flags}g')"
+    for ent, ch in HTML_ENTITIES:
+        c = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{c}')"
+    return f"trim({out})"

@@ -4070,3 +4070,62 @@ def curation_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fixed == F.col("expected")).cast("long").alias("ok"),
         (F.length("corrupted") - F.length(fixed)).cast("long").alias("n_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction
+# ---------------------------------------------------------------------------
+
+# deterministic page template around each document's text; ONE set of
+# string pieces drives both engines
+_HTML_P0 = '<html><head><title>Doc '
+_HTML_P1 = (
+    '</title><script>var id='
+)
+_HTML_P2 = (
+    ';track();</script><style>.ad{display:none}</style></head><body>'
+    '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+    '<!-- ad slot --><h1>Doc '
+)
+_HTML_P3 = '</h1><div class="content"><p>'
+_HTML_P4 = (
+    '</p></div><footer>&copy; 2026 Example &amp; Co.</footer></body></html>'
+)
+
+
+def _html_oracle() -> str:
+    page = (
+        f"'{_HTML_P0}' || CAST(doc_id AS VARCHAR) || '{_HTML_P1}' || "
+        f"CAST(doc_id AS VARCHAR) || '{_HTML_P2}' || "
+        f"CAST(doc_id AS VARCHAR) || '{_HTML_P3}' || text || '{_HTML_P4}'"
+    )
+    return f"""
+SELECT doc_id, {T.d_html_to_text(f"({page})")} AS extracted
+FROM documents
+"""
+
+
+@register(
+    "text_html_extract",
+    _html_oracle(),
+    "HTML -> text extraction (extension; the crawl pipeline's first "
+    "content stage, trafilatura-lite): script/style/comment blocks die "
+    "with their content, block closers become newlines, remaining tags "
+    "strip, core entities decode (&amp; last, one level per pass), "
+    "whitespace normalizes — a pure in-row regex cascade generated "
+    "from ONE step table in both engines (Java inline flags vs DuckDB "
+    "option flags, explicit whitespace classes, no \\\\s). Demo wraps "
+    "every document in a deterministic page (nav, tracker script, ad "
+    "comment, entity footer) and the oracle hashes the full extracted "
+    "text. Library: functions.text.html_to_text / d_html_to_text.",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit(_HTML_P0), did, F.lit(_HTML_P1), did, F.lit(_HTML_P2), did,
+        F.lit(_HTML_P3), F.col("text"), F.lit(_HTML_P4),
+    )
+    return docs.select(
+        "doc_id", T.html_to_text(page).alias("extracted")
+    )
