@@ -1184,3 +1184,50 @@ def test_html_to_text_strips_boilerplate(spark):
     assert "a &amp; b stays half-encoded" in got  # exactly one decode level
     assert "UPPER closer" in got  # case-insensitive tag handling
     assert out[2] == "no markup at all"
+
+
+def test_fix_encoding_idempotent_on_mixed_artifacts(spark):
+    """The review counterexample: 'Ã¢€™' (a â€™ whose first byte was
+    itself re-encoded) repairs fully in ONE pass because the Ã-block
+    runs before the â€-block; a second pass changes nothing."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.functions.text import fix_encoding
+
+    mixed = chr(0xC3) + chr(0xA2) + chr(0x20AC) + chr(0x2122)
+    df = spark.createDataFrame([(mixed,)], "t string")
+    once = df.select(fix_encoding(F.col("t")).alias("f")).collect()[0]["f"]
+    assert once == chr(0x2019)  # fully repaired in one pass
+    twice = (
+        spark.createDataFrame([(once,)], "t string")
+        .select(fix_encoding(F.col("t")).alias("f"))
+        .collect()[0]["f"]
+    )
+    assert twice == once
+
+
+def test_hash_split_rounds_widths_exactly(spark):
+    """0.57*10000 is 5699.999… as a double — widths must round, not
+    truncate, and a 0.0 fraction must receive zero rows."""
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = hash_split(df, {"a": 0.57, "b": 0.43})
+    # boundary check via the library's own hash: bucket 5699 is 'a'
+    from vlm_data_pipeline_spark.functions.text import seeded_hash60
+
+    b = df.select(
+        "doc_id",
+        F.pmod(
+            seeded_hash60(F.lit("split"), F.col("doc_id").cast("string")),
+            F.lit(10000),
+        ).alias("b"),
+    )
+    joined = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in b.collect():
+        want = "a" if r["b"] < 5700 else "b"
+        assert joined[r["doc_id"]] == want, (r["doc_id"], r["b"])
+    zero = hash_split(df, {"x": 0.5, "y": 0.5, "z": 0.0})
+    assert zero.filter(F.col("split") == "z").count() == 0

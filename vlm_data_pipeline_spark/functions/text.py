@@ -582,12 +582,11 @@ def gopher_line_counts(text: Column) -> dict[str, Column]:
 # 'â€”' wins before any 2-char prefix could. Pairs are code-point
 # tuples, never literals — no source-encoding ambiguity.
 ENCODING_FIXES: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...] = (
-    ((0xE2, 0x20AC, 0x2122), (0x2019,)),  # â€™ → right single quote
-    ((0xE2, 0x20AC, 0x153), (0x201C,)),  # â€œ → left double quote
-    ((0xE2, 0x20AC, 0x9D), (0x201D,)),  # â€(9d) → right double quote
-    ((0xE2, 0x20AC, 0x201C), (0x2013,)),  # â€“ → en dash
-    ((0xE2, 0x20AC, 0x201D), (0x2014,)),  # â€” → em dash
-    ((0xE2, 0x20AC, 0xA6), (0x2026,)),  # â€¦ → ellipsis
+    # 2-char Ã-block FIRST: repairing Ã¢ → â can complete a partially
+    # re-encoded â€-sequence, which the â€-block then fixes in the SAME
+    # pass — this ordering is what makes the cascade idempotent (no
+    # â€-pattern contains 0xC3 and no replacement emits 0xC3, so the
+    # Ã-rules can never destroy or recreate later work)
     ((0xC3, 0xA9), (0xE9,)),  # Ã© → é
     ((0xC3, 0xA8), (0xE8,)),  # Ã¨ → è
     ((0xC3, 0xAA), (0xEA,)),  # Ãª → ê
@@ -608,6 +607,14 @@ ENCODING_FIXES: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...] = (
     ((0xC3, 0xB3), (0xF3,)),  # Ã³ → ó
     ((0xC3, 0xB4), (0xF4,)),  # Ã´ → ô
     ((0xC3, 0xBA), (0xFA,)),  # Ãº → ú
+    # 3-char â€-block second
+    ((0xE2, 0x20AC, 0x2122), (0x2019,)),  # â€™ → right single quote
+    ((0xE2, 0x20AC, 0x153), (0x201C,)),  # â€œ → left double quote
+    ((0xE2, 0x20AC, 0x9D), (0x201D,)),  # â€(9d) → right double quote
+    ((0xE2, 0x20AC, 0x201C), (0x2013,)),  # â€“ → en dash
+    ((0xE2, 0x20AC, 0x201D), (0x2014,)),  # â€” → em dash
+    ((0xE2, 0x20AC, 0xA6), (0x2026,)),  # â€¦ → ellipsis
+    # zero-width strips last
     ((0xFEFF,), ()),  # BOM / zero-width no-break space: drop
     ((0x200B,), ()),  # zero-width space: drop
 )
@@ -630,17 +637,21 @@ def fix_encoding(text: Column) -> Column:
     return out
 
 
+def d_chr_concat(points: tuple[int, ...]) -> str:
+    """Code points → a DuckDB string expression built from chr() calls
+    (empty tuple → ''). The ONE spelling used by every oracle that
+    plants or fixes non-ASCII sequences — no literal survives an
+    encoding hop, and no second copy can drift."""
+    return " || ".join(f"chr({p})" for p in points) if points else "''"
+
+
 def d_fix_encoding(expr: str) -> str:
     """The DuckDB mirror of :func:`fix_encoding`: the same cascade
-    generated from the same table, pattern/replacement spelled as
-    chr() concatenations so no literal survives an encoding hop."""
-
-    def lit(points: tuple[int, ...]) -> str:
-        return " || ".join(f"chr({p})" for p in points) if points else "''"
-
+    generated from the same table, pattern/replacement spelled via
+    :func:`d_chr_concat`."""
     out = expr
     for bad, good in ENCODING_FIXES:
-        out = f"replace({out}, {lit(bad)}, {lit(good)})"
+        out = f"replace({out}, {d_chr_concat(bad)}, {d_chr_concat(good)})"
     return out
 
 

@@ -1065,9 +1065,11 @@ def hash_split(
     (partitioning/order independent, re-derivable by any engine — the
     functions.detrandom rationale), and the split label is the first
     cumulative-fraction interval containing it, with fractions
-    quantized to EXACT integer bucket counts (floor(frac*denominator),
-    remainder to the last split) so boundaries are integer comparisons
-    — no float threshold can flip between engines. Adds ``split``;
+    quantized to EXACT integer bucket counts (round(frac*denominator)
+    — nearest, not truncation, so 0.57*10000's 5699.999… double still
+    yields 5700 — remainder to the last split) so boundaries are
+    integer comparisons — no float threshold can flip between engines.
+    Adds ``split`` (NULL for NULL ids — mirrored by the oracle);
     zero shuffle, pure in-row expression. Membership is stable under
     any re-partitioning, appends, or re-runs: a document can never
     migrate between splits across pipeline versions, which is the
@@ -1081,7 +1083,10 @@ def hash_split(
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total!r}")
     names = list(fractions)
-    widths = [int(fractions[n] * denominator) for n in names]
+    # round-to-nearest, NOT int(): 0.57 * 10000 is 5699.999… as a
+    # double, and truncation would shift the boundary bucket — the
+    # float-representation trap this operator exists to avoid
+    widths = [round(fractions[n] * denominator) for n in names]
     widths[-1] = denominator - sum(widths[:-1])  # exact remainder
     from ..functions.text import seeded_hash60
 

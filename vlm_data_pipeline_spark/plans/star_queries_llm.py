@@ -3866,7 +3866,7 @@ _SPLIT_ORACLE = f"""
 SELECT doc_id,
        CASE WHEN b < 9000 THEN 'train'
             WHEN b < 9500 THEN 'val'
-            ELSE 'test' END AS split
+            WHEN b IS NOT NULL THEN 'test' END AS split
 FROM (
     SELECT doc_id,
            {_d_hash60("'split' || ':' || CAST(doc_id AS VARCHAR)")} % 10000
@@ -3998,8 +3998,7 @@ _ENC_PLANTS: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...] = (
 )
 
 
-def _enc_chr_sql(points: tuple[int, ...]) -> str:
-    return " || ".join(f"chr({p})" for p in points) if points else "''"
+_enc_chr_sql = T.d_chr_concat  # one spelling of chr()-concat, shared
 
 
 def _enc_py(points: tuple[int, ...]) -> str:
