@@ -1231,3 +1231,26 @@ def test_hash_split_rounds_widths_exactly(spark):
         assert joined[r["doc_id"]] == want, (r["doc_id"], r["b"])
     zero = hash_split(df, {"x": 0.5, "y": 0.5, "z": 0.0})
     assert zero.filter(F.col("split") == "z").count() == 0
+
+
+def test_corpus_diff_classifies_all_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, None), (5, "new"), (6, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "same",
+        2: "changed",
+        3: "removed",
+        4: "same",  # NULL == NULL null-safely
+        5: "added",
+        6: "added",
+    }

@@ -999,6 +999,44 @@ def shuffle_shards(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit every
+    iterative dataset build wants before shipping v(N+1): which ids
+    were added, removed, or changed (content fingerprint moved), and
+    how many stayed byte-identical. Returns (id, status) with status in
+    {'added', 'removed', 'changed', 'same'}.
+
+    Shape: each side reduces to (id, md5(text)) BEFORE the full-outer
+    join, so only 16-byte fingerprints shuffle, never content; one
+    exchange per side on the id. NULL texts compare null-safely (two
+    NULLs are 'same', NULL vs text is 'changed').
+    """
+    of = old.select(
+        F.col(id_col).alias("__cd_id"), F.md5(F.col(text_col)).alias("__cd_o")
+    )
+    nf = new.select(
+        F.col(id_col).alias("__cd_id"), F.md5(F.col(text_col)).alias("__cd_n")
+    )
+    o = of.alias("o")
+    n = nf.alias("n")
+    j = o.join(n, F.col("o.__cd_id") == F.col("n.__cd_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("o.__cd_id"), F.col("n.__cd_id")).alias(id_col),
+        F.when(F.col("o.__cd_id").isNull(), F.lit("added"))
+        .when(F.col("n.__cd_id").isNull(), F.lit("removed"))
+        .when(
+            F.col("o.__cd_o").eqNullSafe(F.col("n.__cd_n")), F.lit("same")
+        )
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
 def perplexity_buckets(
     scored: DataFrame,
     score_col: str,

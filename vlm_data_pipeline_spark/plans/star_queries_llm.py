@@ -4128,3 +4128,61 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.html_to_text(page).alias("extracted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH v_old AS (
+    SELECT doc_id, text FROM documents
+), v_new AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 2 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 19 <> 5
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 23 = 1
+), o AS (SELECT doc_id, md5(text) AS f FROM v_old),
+n AS (SELECT doc_id, md5(text) AS f FROM v_new)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.f IS NOT DISTINCT FROM n.f THEN 'same'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+@register(
+    "curation_corpus_diff",
+    _DIFF_ORACLE,
+    "Corpus snapshot diff (extension; the pre-ship audit of an "
+    "iterative dataset build): v2 synthesized from v1 with removals "
+    "(doc_id % 19 = 5), edits (% 11 = 2 append), and additions "
+    "(% 23 = 1 re-keyed) — each side reduces to (id, md5) BEFORE the "
+    "full-outer join, so fingerprints shuffle, never content; "
+    "null-safe equality classes NULLs correctly. Library: operators."
+    "curation.corpus_diff.",
+)
+def curation_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    v_new = (
+        docs.filter(F.col("doc_id") % 19 != 5)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 2, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 1).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return curation.corpus_diff(docs, v_new)
