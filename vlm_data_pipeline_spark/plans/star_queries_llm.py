@@ -18,6 +18,7 @@ from ..operators import dedup, similarity
 from ..operators import graph as graph_ops
 from ..operators import lm as lm_ops
 from ..operators import sketch as sketch_ops
+from ..operators import chat as chat_ops
 from .registry import load_tables, register
 
 # ---------------------------------------------------------------------------
@@ -4186,3 +4187,166 @@ def curation_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return curation.corpus_diff(docs, v_new)
+
+
+# ---------------------------------------------------------------------------
+# Conversation (SFT) data: validation, templating, prompt dedup
+# ---------------------------------------------------------------------------
+
+# deterministic conversation synthesis from documents (both engines):
+# 1 + doc_id % 5 turns, roles alternate with parity (i + doc_id) % 2
+# (odd ids START with 'assistant' — malformed on purpose so the
+# validators have work), content = the doc's tokens in windows of 8
+# (short docs yield empty turns — also on purpose)
+_CHAT_CONV_CTES = f"""t AS (
+    SELECT doc_id, {_D_TOKS} AS tk FROM documents
+), conv AS (
+    SELECT doc_id,
+           list_transform(range(0, CAST(1 + doc_id % 5 AS INT)), i ->
+               struct_pack(
+                   role := CASE WHEN (i + doc_id) % 2 = 0
+                           THEN 'user' ELSE 'assistant' END,
+                   content := array_to_string(tk[i*8+1 : i*8+8], ' ')
+               )) AS turns
+    FROM t
+)"""
+
+
+def _chat_demo_convs(docs: DataFrame) -> DataFrame:
+    """Spark mirror of _CHAT_CONV_CTES — edit together."""
+    toks = T.tokens(F.col("text"))
+    n_t = (F.lit(1) + F.col("doc_id") % 5).cast("int")
+    turns = F.transform(
+        F.sequence(F.lit(0), n_t - 1),
+        lambda i: F.struct(
+            F.when((i + F.col("doc_id")) % 2 == 0, F.lit(chat_ops.ROLE_USER))
+            .otherwise(F.lit(chat_ops.ROLE_ASSISTANT))
+            .alias("role"),
+            F.array_join(F.slice(toks, (i * 8 + 1).cast("int"), 8), " ").alias(
+                "content"
+            ),
+        ),
+    )
+    return docs.select("doc_id", turns.alias("turns"))
+
+
+_CHAT_FLAGS_ORACLE = f"""
+WITH {_CHAT_CONV_CTES}
+SELECT doc_id,
+    CAST(CASE WHEN len(turns) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS has_turns,
+    CAST(CASE WHEN len(turns) > 0 AND turns[1].role = 'user'
+         THEN 1 ELSE 0 END AS BIGINT) AS starts_user,
+    CAST(CASE WHEN len(turns) > 0 AND turns[len(turns)].role = 'assistant'
+         THEN 1 ELSE 0 END AS BIGINT) AS ends_assistant,
+    CAST(CASE WHEN len(turns) < 2 OR len(list_filter(
+             range(1, len(turns)),
+             i -> turns[i].role = turns[i + 1].role)) = 0
+         THEN 1 ELSE 0 END AS BIGINT) AS alternates,
+    CAST(CASE WHEN len(list_filter(turns,
+             t -> t.content IS NULL OR t.content = '')) = 0
+         THEN 1 ELSE 0 END AS BIGINT) AS no_empty
+FROM conv
+"""
+
+
+@register(
+    "chat_validate_flags",
+    _CHAT_FLAGS_ORACLE,
+    "SFT conversation validation (extension; the malformed-conversation "
+    "filters every chat-data recipe applies before templating): "
+    "starts-with-user, ends-with-assistant, role alternation, no empty "
+    "turns, >= 2 turns — each an in-row array fold over "
+    "array<struct<role, content>>, auditable per-flag like the Gopher "
+    "rules. Demo synthesizes deliberately-flawed conversations from "
+    "documents (odd ids start with assistant; short docs yield empty "
+    "turns). Library: operators.chat.conversation_flags / "
+    "valid_conversation.",
+)
+def chat_validate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    convs = _chat_demo_convs(docs)
+    flags = chat_ops.conversation_flags(F.col("turns"))
+    return convs.select(
+        "doc_id",
+        *[
+            flags[name].cast("long").alias(name)
+            for name in (
+                "has_turns", "starts_user", "ends_assistant",
+                "alternates", "no_empty",
+            )
+        ],
+    )
+
+
+_CHAT_FLATTEN_ORACLE = f"""
+WITH {_CHAT_CONV_CTES}
+SELECT doc_id,
+       array_to_string(list_transform(turns,
+           t -> '<|' || t.role || '|>' || t.content || '<|end|>'), '')
+           AS flat
+FROM conv
+WHERE len(turns) >= 2 AND turns[1].role = 'user'
+  AND turns[len(turns)].role = 'assistant'
+  AND len(list_filter(range(1, len(turns)),
+          i -> turns[i].role = turns[i + 1].role)) = 0
+  AND len(list_filter(turns, t -> t.content IS NULL OR t.content = '')) = 0
+"""
+
+
+@register(
+    "chat_template_flatten",
+    _CHAT_FLATTEN_ORACLE,
+    "Chat-template flattening (extension; ChatML shape): VALID "
+    "conversations only -> one training string "
+    "'<|role|>content<|end|>' per turn via an in-row fold — the "
+    "output feeds the tokenizer/packing stages exactly like document "
+    "text. The oracle re-derives validation AND the fold and hashes "
+    "the full flattened strings. Library: operators.chat."
+    "apply_chat_template / valid_conversation.",
+)
+def chat_template_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    convs = _chat_demo_convs(docs)
+    return (
+        convs.filter(chat_ops.valid_conversation(F.col("turns")))
+        .select(
+            "doc_id",
+            chat_ops.apply_chat_template(F.col("turns")).alias("flat"),
+        )
+    )
+
+
+_CHAT_DEDUP_ORACLE = f"""
+WITH {_CHAT_CONV_CTES},
+prompts AS (
+    SELECT doc_id,
+           list_filter(turns, t -> t.role = 'user') AS users
+    FROM conv
+), keyed AS (
+    SELECT doc_id, {_d_hash60("users[1].content")} AS prompt_fp
+    FROM prompts WHERE len(users) > 0
+)
+SELECT prompt_fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_dups
+FROM keyed GROUP BY prompt_fp HAVING count(*) > 1
+"""
+
+
+@register(
+    "chat_prompt_dedup",
+    _CHAT_DEDUP_ORACLE,
+    "Prompt-level SFT dedup (extension): conversations keyed by the "
+    "60-bit fingerprint of their FIRST user turn — SFT sets accumulate "
+    "many responses per prompt, and dedup must key on the prompt, not "
+    "the whole conversation. Same (fingerprint, keep-min-id, n_dups) "
+    "delete-list shape as exact/url dedup; only fingerprints shuffle. "
+    "Library: operators.chat.prompt_dedup_groups / first_user_prompt.",
+)
+def chat_prompt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    convs = _chat_demo_convs(docs)
+    return chat_ops.prompt_dedup_groups(convs).select(
+        "prompt_fp",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+    )
