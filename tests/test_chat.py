@@ -103,3 +103,39 @@ def test_chat_ops_stream_unchanged(spark, tmp_path):
         output_mode="append",
     )
     assert as_sorted_rows(out) == as_sorted_rows(transform(spark.read.parquet(src)))
+
+
+def test_preference_pairs_hand_cases(spark):
+    """Chosen/rejected corners, tie-breaking, margin filter, and the
+    single-completion / all-tied degenerate prompts."""
+    rows = [
+        # prompt A: clear winner and loser
+        ("A", 1, "best", 90), ("A", 2, "mid", 50), ("A", 3, "worst", 10),
+        # prompt B: two-way tie — ids break it, still a distinct pair
+        ("B", 4, "x", 70), ("B", 5, "y", 70),
+        # prompt C: single completion — no pair possible
+        ("C", 6, "alone", 40),
+        # prompt D: margin below threshold
+        ("D", 7, "p", 55), ("D", 8, "q", 51),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_fp string, doc_id long, completion string, score long"
+    )
+    out = {
+        r["prompt_fp"]: r
+        for r in chat.preference_pairs(df, min_margin=5).collect()
+    }
+    # only A clears the margin: B ties (margin 0), C has one
+    # completion, D's margin is 4
+    assert set(out) == {"A"}
+    assert out["A"]["chosen_id"] == 1 and out["A"]["rejected_id"] == 3
+    assert out["A"]["margin"] == 80
+    # at min_margin=0, B's tie still yields a DISTINCT pair via the
+    # opposite-corner id tie-breaks; C never pairs with itself
+    loose = {
+        r["prompt_fp"]: r
+        for r in chat.preference_pairs(df, min_margin=0).collect()
+    }
+    assert set(loose) == {"A", "B", "D"}
+    assert loose["B"]["chosen_id"] == 4 and loose["B"]["rejected_id"] == 5
+    assert loose["B"]["margin"] == 0

@@ -135,3 +135,70 @@ def prompt_dedup_groups(
         )
         .filter(F.col("n_dups") > 0)
     )
+
+
+def preference_pairs(
+    scored: DataFrame,
+    prompt_col: str = "prompt_fp",
+    id_col: str = "doc_id",
+    completion_col: str = "completion",
+    score_col: str = "score",
+    min_margin: int = 1,
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: per prompt, ``chosen`` =
+    the highest-scored completion (smallest id on ties), ``rejected`` =
+    the lowest-scored (largest id on ties — the opposite corner, so a
+    two-way tie still yields two DISTINCT rows), emitted only when the
+    score margin is >= ``min_margin``. Scores should be the engine's
+    usual fixed-point longs — float scores would make the margin
+    threshold engine-dependent.
+
+    Shape: one exchange on the prompt key, two row_number windows over
+    the (small) per-prompt completion groups, then a self-join of the
+    two rank-1 rows — no group ever exceeds its completion count, so
+    the windows never see corpus-scale partitions (prompts with a
+    single completion produce no pair: chosen == rejected is filtered
+    by the margin/id guard).
+
+    Output: (prompt, chosen_id, chosen, rejected_id, rejected, margin).
+    """
+    from pyspark.sql import Window
+
+    p, i = F.col(prompt_col), F.col(id_col)
+    top = Window.partitionBy(prompt_col).orderBy(
+        F.col(score_col).desc(), i.asc()
+    )
+    bot = Window.partitionBy(prompt_col).orderBy(
+        F.col(score_col).asc(), i.desc()
+    )
+    ranked = scored.select(
+        p.alias("__pp_prompt"),
+        i.alias("__pp_id"),
+        F.col(completion_col).alias("__pp_text"),
+        F.col(score_col).alias("__pp_score"),
+        F.row_number().over(top).alias("__pp_top"),
+        F.row_number().over(bot).alias("__pp_bot"),
+    )
+    c = ranked.filter(F.col("__pp_top") == 1).select(
+        F.col("__pp_prompt").alias(prompt_col),
+        F.col("__pp_id").alias("chosen_id"),
+        F.col("__pp_text").alias("chosen"),
+        F.col("__pp_score").alias("__pp_cs"),
+    )
+    r = ranked.filter(F.col("__pp_bot") == 1).select(
+        F.col("__pp_prompt").alias(prompt_col),
+        F.col("__pp_id").alias("rejected_id"),
+        F.col("__pp_text").alias("rejected"),
+        F.col("__pp_score").alias("__pp_rs"),
+    )
+    return (
+        c.join(r, prompt_col)
+        .filter(
+            (F.col("__pp_cs") - F.col("__pp_rs") >= min_margin)
+            & (F.col("chosen_id") != F.col("rejected_id"))
+        )
+        .select(
+            prompt_col, "chosen_id", "chosen", "rejected_id", "rejected",
+            (F.col("__pp_cs") - F.col("__pp_rs")).alias("margin"),
+        )
+    )

@@ -4350,3 +4350,58 @@ def chat_prompt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").cast("long").alias("keep_id"),
         F.col("n_dups").cast("long").alias("n_dups"),
     )
+
+
+_PREF_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, doc_id % 50 AS prompt_fp, text AS completion,
+           {_d_hash60("text || chr(31) || 'pref'")} % 1000 AS score
+    FROM documents
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY prompt_fp
+                              ORDER BY score DESC, doc_id ASC) AS rt,
+           row_number() OVER (PARTITION BY prompt_fp
+                              ORDER BY score ASC, doc_id DESC) AS rb
+    FROM scored
+)
+SELECT c.prompt_fp, CAST(c.doc_id AS BIGINT) AS chosen_id,
+       c.completion AS chosen,
+       CAST(r.doc_id AS BIGINT) AS rejected_id, r.completion AS rejected,
+       CAST(c.score - r.score AS BIGINT) AS margin
+FROM (SELECT * FROM ranked WHERE rt = 1) c
+JOIN (SELECT * FROM ranked WHERE rb = 1) r USING (prompt_fp)
+WHERE c.score - r.score >= 1 AND c.doc_id <> r.doc_id
+"""
+
+
+@register(
+    "chat_preference_pairs",
+    _PREF_ORACLE,
+    "DPO/RLHF preference-pair construction (extension): per prompt, "
+    "chosen = highest-scored completion (smallest id on ties), "
+    "rejected = lowest-scored (largest id on ties — the opposite "
+    "corner, so two-way ties still yield distinct rows), margin "
+    "filter in exact integer scores. Demo groups documents into 50 "
+    "prompts with hash-derived fixed-point scores; the oracle replays "
+    "both rank windows and the margin guard. Library: operators.chat."
+    "preference_pairs.",
+)
+def chat_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("prompt_fp"),
+        F.col("text").alias("completion"),
+        (
+            T.hash60(F.concat(F.col("text"), F.lit("\x1fpref"))) % 1000
+        ).alias("score"),
+    )
+    return chat_ops.preference_pairs(scored).select(
+        "prompt_fp",
+        F.col("chosen_id").cast("long").alias("chosen_id"),
+        "chosen",
+        F.col("rejected_id").cast("long").alias("rejected_id"),
+        "rejected",
+        F.col("margin").cast("long").alias("margin"),
+    )
