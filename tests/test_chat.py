@@ -139,3 +139,31 @@ def test_preference_pairs_hand_cases(spark):
     assert set(loose) == {"A", "B", "D"}
     assert loose["B"]["chosen_id"] == 4 and loose["B"]["rejected_id"] == 5
     assert loose["B"]["margin"] == 0
+
+
+def test_parse_conversation_json(spark):
+    """Bare arrays, wrapped objects, and garbage all land correctly;
+    parsed turns flow straight into validation/templating."""
+    rows = [
+        (1, '[{"role": "user", "content": "hi"},'
+            ' {"role": "assistant", "content": "yo"}]'),
+        (2, '{"messages": [{"role": "user", "content": "q"},'
+            ' {"role": "assistant", "content": "a"}]}'),
+        (3, "not json at all"),
+        (4, '{"something": "else"}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, j string")
+    parsed = df.select(
+        "id", chat.parse_conversation_json(F.col("j")).alias("turns")
+    )
+    got = {r["id"]: r["turns"] for r in parsed.collect()}
+    assert [t["content"] for t in got[1]] == ["hi", "yo"]
+    assert [t["role"] for t in got[2]] == ["user", "assistant"]
+    assert got[3] is None and got[4] is None
+    flat = parsed.filter(chat.valid_conversation(F.col("turns"))).select(
+        chat.apply_chat_template(F.col("turns")).alias("f")
+    )
+    assert sorted(r["f"] for r in flat.collect()) == [
+        "<|user|>hi<|end|><|assistant|>yo<|end|>",
+        "<|user|>q<|end|><|assistant|>a<|end|>",
+    ]

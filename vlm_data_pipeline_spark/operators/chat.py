@@ -202,3 +202,26 @@ def preference_pairs(
             (F.col("__pp_cs") - F.col("__pp_rs")).alias("margin"),
         )
     )
+
+
+TURNS_SCHEMA = "array<struct<role: string, content: string>>"
+
+
+def parse_conversation_json(json_col: Column) -> Column:
+    """JSON string → the turns array (SFT corpora ship as JSONL with a
+    'messages'/'conversation' list). Accepts either a bare array
+    ``[{"role": …, "content": …}, …]`` or an object wrapping it under
+    ``messages``; anything unparseable yields NULL (feed to
+    :func:`valid_conversation`, which rejects NULL turns via its
+    flags). Pure ``from_json`` — JVM-side, no UDF."""
+    # discriminate on the first character rather than coalescing: the
+    # permissive from_json parses an OBJECT against an array schema as
+    # [null-struct] (not NULL), which would shadow the wrapped parse
+    trimmed = F.ltrim(json_col)
+    bare = F.from_json(json_col, TURNS_SCHEMA)
+    wrapped = F.from_json(
+        json_col, f"struct<messages: {TURNS_SCHEMA}>"
+    )["messages"]
+    return F.when(trimmed.startswith("["), bare).when(
+        trimmed.startswith("{"), wrapped
+    )
