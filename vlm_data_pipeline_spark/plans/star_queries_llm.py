@@ -19,6 +19,7 @@ from ..operators import graph as graph_ops
 from ..operators import lm as lm_ops
 from ..operators import sketch as sketch_ops
 from ..operators import chat as chat_ops
+from ..sources import warc as warc_src
 from .registry import load_tables, register
 
 # ---------------------------------------------------------------------------
@@ -4405,3 +4406,220 @@ def chat_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rejected",
         F.col("margin").cast("long").alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion (Common Crawl head of the web funnel)
+# ---------------------------------------------------------------------------
+
+# Demo corpus: every document becomes one WARC record STRING (the
+# record-per-row shape sources.warc.read_warc's splitter emits). ONE
+# set of template pieces drives both engines; HTML bodies plant a
+# blank CRLF line on purpose so delimiter-framing (instead of
+# Content-Length framing) would truncate them and fail the hash.
+_W_CRLF = "\r\n"
+_W_HTML0 = "<html><body><p>"
+_W_HTML1 = "</p>"
+_W_HTML2 = "<p>tail</p></body></html>"
+_W_GET = "GET /x HTTP/1.1\r\nHost: example.com\r\n\r\n"
+
+_D_CRLF = T.d_chr_concat((13, 10))
+_D_CRLF2 = T.d_chr_concat((13, 10, 13, 10))
+
+
+def _warc_demo_records(docs: DataFrame) -> DataFrame:
+    """(doc_id, rec): response records (7-cycle: every 3rd a 404) and
+    request records (doc_id % 11 = 6) built with exact Content-Length
+    over the payload — counted in CHARACTERS to match the in-row parse
+    contract (sources/warc.py docstring)."""
+    did = F.col("doc_id")
+    crlf = F.lit(_W_CRLF)
+    html = F.concat(
+        F.lit(_W_HTML0), F.col("text"), F.lit(_W_HTML1), crlf, crlf,
+        F.lit(_W_HTML2),
+    )
+    status = F.when(did % 7 == 3, F.lit(404)).otherwise(F.lit(200))
+    http = F.concat(
+        F.lit("HTTP/1.1 "), status.cast("string"), F.lit(" OK"), crlf,
+        F.lit("Content-Type: text/html; charset=utf-8"), crlf, crlf, html,
+    )
+    is_req = did % 11 == 6
+    payload = F.when(is_req, F.lit(_W_GET)).otherwise(http)
+    rtype = F.when(is_req, F.lit("request")).otherwise(F.lit("response"))
+    rec = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: "), rtype, crlf,
+        F.lit("WARC-Record-ID: <urn:uuid:"), did.cast("string"), F.lit(">"),
+        crlf,
+        F.lit("WARC-Date: 2025-06-01T00:00:00Z"), crlf,
+        F.lit("WARC-Target-URI: https://example.com/"), F.col("source"),
+        F.lit("/"), did.cast("string"), crlf,
+        F.lit("Content-Type: application/http; msgtype="), rtype, crlf,
+        F.lit("Content-Length: "), F.length(payload).cast("string"),
+        crlf, crlf, payload, crlf, crlf,
+    )
+    return docs.select("doc_id", rec.alias("rec"))
+
+
+# the same construction in DuckDB (one CTE shared by both warc oracles)
+_W_REC_CTE = f"""
+recs AS (
+    SELECT doc_id,
+           'WARC/1.0' || {_D_CRLF}
+           || 'WARC-Type: ' || rtype || {_D_CRLF}
+           || 'WARC-Record-ID: <urn:uuid:' || doc_id || '>' || {_D_CRLF}
+           || 'WARC-Date: 2025-06-01T00:00:00Z' || {_D_CRLF}
+           || 'WARC-Target-URI: https://example.com/' || source || '/'
+           || doc_id || {_D_CRLF}
+           || 'Content-Type: application/http; msgtype=' || rtype || {_D_CRLF}
+           || 'Content-Length: ' || length(payload)
+           || {_D_CRLF2} || payload || {_D_CRLF2} AS rec
+    FROM (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 11 = 6 THEN 'request'
+                    ELSE 'response' END AS rtype,
+               CASE WHEN doc_id % 11 = 6
+                    THEN 'GET /x HTTP/1.1' || {_D_CRLF}
+                         || 'Host: example.com' || {_D_CRLF2}
+                    ELSE 'HTTP/1.1 '
+                         || CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END
+                         || ' OK' || {_D_CRLF}
+                         || 'Content-Type: text/html; charset=utf-8'
+                         || {_D_CRLF2}
+                         || '{_W_HTML0}' || text || '{_W_HTML1}'
+                         || {_D_CRLF2} || '{_W_HTML2}'
+               END AS payload
+        FROM documents
+    )
+)"""
+
+
+def _d_named(block: str, name: str) -> str:
+    """DuckDB mirror of sources.warc._named_field (line-anchored
+    header extraction, empty -> NULL)."""
+    return (
+        f"nullif(regexp_extract({block},"
+        f" '(?:^|\\r\\n){name}: ?([^\\r\\n]*)', 1), '')"
+    )
+
+
+# the PARSE side of the oracle: independent DuckDB string machinery
+# (strpos/substring/regexp_extract) re-framing the constructed records
+_W_PARSE_CTE = f"""
+framed AS (
+    SELECT doc_id, rec, strpos(rec, {_D_CRLF2}) AS he FROM recs
+), hdr AS (
+    SELECT doc_id, rec, he, substring(rec, 1, he - 1) AS block FROM framed
+), fields AS (
+    SELECT doc_id,
+           {_d_named('block', 'WARC-Type')} AS warc_type,
+           {_d_named('block', 'WARC-Target-URI')} AS target_uri,
+           CAST({_d_named('block', 'Content-Length')} AS BIGINT)
+               AS content_length,
+           substring(rec, he + 4,
+                     CAST({_d_named('block', 'Content-Length')} AS BIGINT))
+               AS payload
+    FROM hdr
+), http AS (
+    SELECT doc_id, warc_type, target_uri, content_length, payload,
+           CAST(nullif(regexp_extract(payload,
+                '^HTTP/1\\.[01] ([0-9]{{3}})', 1), '') AS INT) AS http_status,
+           strpos(payload, {_D_CRLF2}) AS phe
+    FROM fields
+), parsed AS (
+    SELECT doc_id, warc_type, target_uri, content_length, http_status,
+           CASE WHEN http_status IS NOT NULL AND phe > 0
+                THEN substring(payload, phe + 4)
+                ELSE payload END AS body
+    FROM http
+)"""
+
+
+@register(
+    "warc_parse_records",
+    f"""
+WITH {_W_REC_CTE}, {_W_PARSE_CTE}
+SELECT doc_id, warc_type, target_uri, content_length, http_status,
+       {_d_hash60('body')} AS body_fp
+FROM parsed
+""",
+    "WARC record parsing (extension; Common Crawl is THE public "
+    "LLM-corpus source and ships as WARC): named-field extraction "
+    "(line-anchored regex over the CRLFCRLF-terminated header block), "
+    "Content-Length framing of the payload (bodies plant blank lines "
+    "that would break delimiter framing), HTTP response envelope strip "
+    "(status line + headers off at the first CRLFCRLF). Pure in-row "
+    "column program — zero shuffle; the oracle re-parses the same "
+    "records with independent DuckDB string machinery. The byte-exact "
+    "gzip-member scan is sources.warc.read_warc (pytest: path "
+    "equivalence, Common Crawl member-per-record layout, skip policy). "
+    "Library: sources.warc.warc_fields / http_fields.",
+)
+def warc_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    recs = _warc_demo_records(docs)
+    w = warc_src.warc_fields(F.col("rec"))
+    staged = recs.select(
+        "doc_id",
+        w["warc_type"].alias("warc_type"),
+        w["target_uri"].alias("target_uri"),
+        w["content_length"].alias("content_length"),
+        w["payload"].alias("payload"),
+    )
+    h = warc_src.http_fields(F.col("payload"))
+    return staged.select(
+        "doc_id", "warc_type", "target_uri", "content_length",
+        h["http_status"].alias("http_status"),
+        T.hash60(h["body"]).alias("body_fp"),
+    )
+
+
+@register(
+    "warc_ingest_pipeline",
+    f"""
+WITH {_W_REC_CTE}, {_W_PARSE_CTE}, extracted AS (
+    SELECT doc_id, target_uri,
+           {T.d_html_to_text('body')} AS text
+    FROM parsed
+    WHERE warc_type = 'response' AND http_status = 200
+)
+SELECT doc_id, target_uri,
+       CAST(len(list_filter(string_split_regex(text, '{_D_WS}+'),
+                t -> t <> '')) AS BIGINT) AS n_tokens,
+       {_d_hash60('text')} AS text_fp
+FROM extracted
+WHERE len(list_filter(string_split_regex(text, '{_D_WS}+'),
+          t -> t <> '')) >= 10
+""",
+    "Composed WARC ingest funnel (extension): WARC parse -> keep "
+    "200-status responses -> strip HTTP envelope -> html_to_text "
+    "boilerplate removal -> token-count gate (>= 10). The crawl head "
+    "of the same funnel curation_web_pipeline owns the tail of; one "
+    "oracle re-derives parse, extraction, and gate. All in-row until "
+    "the (absent here) downstream dedup shuffles fingerprints. "
+    "Library: sources.warc + functions.text.html_to_text.",
+)
+def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    recs = _warc_demo_records(docs)
+    w = warc_src.warc_fields(F.col("rec"))
+    staged = recs.select(
+        "doc_id",
+        w["warc_type"].alias("warc_type"),
+        w["target_uri"].alias("target_uri"),
+        w["payload"].alias("payload"),
+    )
+    h = warc_src.http_fields(F.col("payload"))
+    resp = staged.select(
+        "doc_id", "warc_type", "target_uri",
+        h["http_status"].alias("http_status"),
+        h["body"].alias("body"),
+    ).filter((F.col("warc_type") == "response") & (F.col("http_status") == 200))
+    ext = resp.select(
+        "doc_id", "target_uri", T.html_to_text(F.col("body")).alias("text")
+    )
+    return ext.select(
+        "doc_id", "target_uri",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.hash60(F.col("text")).alias("text_fp"),
+    ).filter(F.col("n_tokens") >= 10)

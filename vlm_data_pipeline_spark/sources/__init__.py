@@ -8,4 +8,5 @@ from . import (  # noqa: F401
     star_frames,
     sunrgbd,
     taskonomy,
+    warc,
 )
