@@ -20,6 +20,7 @@ from ..operators import lm as lm_ops
 from ..operators import sketch as sketch_ops
 from ..operators import chat as chat_ops
 from ..sources import warc as warc_src
+from ..functions import audio as audio_fn
 from .registry import load_tables, register
 
 # ---------------------------------------------------------------------------
@@ -4623,3 +4624,176 @@ def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
         T.hash60(F.col("text")).alias("text_fp"),
     ).filter(F.col("n_tokens") >= 10)
+
+
+# ---------------------------------------------------------------------------
+# Audio frame features + video scene cuts (analysis over decoded media)
+# ---------------------------------------------------------------------------
+
+# Synthetic integer PCM per document: a silent head (1-2 frames), a
+# deterministic integer "waveform" body, a silent 1-frame tail — all
+# pure integer arithmetic so every energy/zcr/peak cell is bit-exact
+# cross-engine. The REAL decode path (WAV bytes -> int16 -> the same
+# column program) is pinned by tests/test_audio_video_analysis.py.
+_PCM_FRAME = 16
+
+
+def _pcm_demo(docs: DataFrame):
+    did = F.col("doc_id")
+    n = (F.lit(64) + F.col("n_chars") % 192).cast("int")
+    head = (F.lit(16) + (did % 2) * 16).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            (i <= head) | (i > n - 16), F.lit(0)
+        ).otherwise(((did * 31 + i * i * 7) % 256 - 128).cast("int")),
+    )
+    return docs.select("doc_id", samples.alias("samples"))
+
+
+_D_PCM_SAMPLES = (
+    "list_transform(range(1, CAST(64 + n_chars % 192 AS INT) + 1), i -> "
+    "CASE WHEN i <= 16 + (doc_id % 2) * 16 "
+    "OR i > (64 + n_chars % 192) - 16 THEN 0 "
+    "ELSE CAST((doc_id * 31 + i * i * 7) % 256 - 128 AS INT) END)"
+)
+
+
+@register(
+    "audio_frame_energy",
+    f"""
+WITH pcm AS (
+    SELECT doc_id, {_D_PCM_SAMPLES} AS samples FROM documents
+), framed AS (
+    SELECT doc_id,
+           unnest({audio_fn.d_pcm_frames('samples', _PCM_FRAME, _PCM_FRAME)}) AS f
+    FROM pcm
+)
+SELECT doc_id, f.frame_idx AS frame_idx, f.energy AS energy,
+       f.zcr AS zcr, f.peak AS peak
+FROM framed
+""",
+    "Frame-level audio features (extension; the VAD/silence stage of a "
+    "speech-corpus pipeline): integer-PCM frame energy (sum x^2), "
+    "zero-crossing count, peak |x| — an in-row slice+fold program "
+    "(functions.audio.pcm_frame_features), zero shuffle, every cell "
+    "bit-exact in the oracle because the math is all integers. The "
+    "real WAV decode feeding the same program is pytest-pinned "
+    "(decode_wav -> int16 -> identical features). Library: "
+    "functions.audio.",
+)
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pcm = _pcm_demo(docs)
+    frames = audio_fn.pcm_frame_features(
+        F.col("samples"), frame=_PCM_FRAME, hop=_PCM_FRAME
+    )
+    return (
+        pcm.select("doc_id", F.explode(frames).alias("f"))
+        .select("doc_id", "f.frame_idx", "f.energy", "f.zcr", "f.peak")
+    )
+
+
+@register(
+    "audio_silence_trim",
+    f"""
+WITH pcm AS (
+    SELECT doc_id, {_D_PCM_SAMPLES} AS samples FROM documents
+), framed AS (
+    SELECT doc_id,
+           {audio_fn.d_pcm_frames('samples', _PCM_FRAME, _PCM_FRAME)} AS frames
+    FROM pcm
+), bounds AS (
+    SELECT doc_id, {audio_fn.d_silence_bounds('frames', 0)} AS b,
+           len(frames) AS n_frames
+    FROM framed
+)
+SELECT doc_id, b.first_loud AS first_loud, b.last_loud AS last_loud,
+       b.n_loud AS n_loud, CAST(n_frames AS BIGINT) AS n_frames
+FROM bounds
+""",
+    "Silence-trim bounds (extension): first/last frame with energy > "
+    "threshold over the pcm_frame_features array — the crop decision a "
+    "speech pipeline applies before feature extraction. Synthetic "
+    "corpus plants 1-2 silent head frames and a silent tail frame, so "
+    "the bounds are non-trivial per doc. In-row; exact. Library: "
+    "functions.audio.silence_bounds.",
+)
+def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pcm = _pcm_demo(docs)
+    frames = audio_fn.pcm_frame_features(
+        F.col("samples"), frame=_PCM_FRAME, hop=_PCM_FRAME
+    )
+    staged = pcm.select(
+        "doc_id",
+        audio_fn.silence_bounds(frames, 0).alias("b"),
+        F.size(frames).cast("long").alias("n_frames"),
+    )
+    return staged.select(
+        "doc_id", "b.first_loud", "b.last_loud", "b.n_loud", "n_frames"
+    )
+
+
+@register(
+    "video_scene_cuts",
+    """
+WITH vids AS (
+    SELECT doc_id,
+           CAST(8 + n_chars % 24 AS INT) AS n_f,
+           CAST(40 + doc_id % 60 AS INT) AS base,
+           CAST(3 + doc_id % 9 AS INT) AS jump_at
+    FROM documents
+), frames AS (
+    SELECT doc_id,
+           unnest(range(0, n_f)) AS frame_idx,
+           base + CASE WHEN unnest(range(0, n_f)) >= jump_at THEN 80 ELSE 0 END
+                + CAST((unnest(range(0, n_f)) * doc_id) % 7 AS INT) AS luma
+    FROM vids
+), lagged AS (
+    SELECT doc_id, frame_idx,
+           luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS delta
+    FROM frames
+)
+SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+       CAST(frame_idx AS INT) AS cut_at,
+       CAST(delta AS BIGINT) AS delta
+FROM lagged WHERE abs(delta) > 40
+""",
+    "Shot-boundary detection (extension): a cut is a frame whose mean "
+    "luma jumps > threshold vs the previous frame — lag window per "
+    "asset, one exchange on the asset key, cut rows only out. Demo "
+    "synthesizes per-frame luma with one planted 80-step jump per "
+    "clip (+-6 wiggle below threshold elsewhere; clips too short to "
+    "reach the jump emit nothing — both branches exercised). The real "
+    "path (Y4M bytes -> per-frame mean luma -> the same operator) is "
+    "pytest-pinned end-to-end. Library: sources.multimodal."
+    "video_frame_luma / scene_cuts.",
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.multimodal import scene_cuts
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id")
+    n_f = (F.lit(8) + F.col("n_chars") % 24).cast("int")
+    base = (F.lit(40) + did % 60).cast("int")
+    jump_at = (F.lit(3) + did % 9).cast("int")
+    luma = lambda i: (
+        base
+        + F.when(i >= jump_at, F.lit(80)).otherwise(F.lit(0))
+        + ((i * did) % 7).cast("int")
+    )
+    series = docs.select(
+        did.cast("string").alias("asset_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_f - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("frame_idx"),
+                    luma(i).cast("int").alias("luma"),
+                ),
+            )
+        ).alias("f"),
+    ).select("asset_id", "f.frame_idx", "f.luma")
+    return scene_cuts(series, threshold=40)
