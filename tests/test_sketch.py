@@ -296,3 +296,82 @@ def test_sketch_stores_roundtrip_parquet(spark, tmp_path):
         "approx_distinct"
     ]
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# quantile-histogram store
+# ---------------------------------------------------------------------------
+
+
+def test_qhist_merge_equals_whole_build(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators import sketch as S
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") * 37 % 9973).alias("v"), "id"
+    )
+    whole = S.qhist_build(df, F.col("v"), 0, 10_000, 64)
+    a = S.qhist_build(df.filter(F.col("id") % 3 == 0), F.col("v"), 0, 10_000, 64)
+    b = S.qhist_build(df.filter(F.col("id") % 3 != 0), F.col("v"), 0, 10_000, 64)
+    merged = S.qhist_merge(a, b)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # store survives a parquet round trip (the persistence contract)
+    path = str(tmp_path / "qhist")
+    merged.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # store size is bounded by the grid, never the corpus
+    assert merged.count() <= 64
+
+
+def test_qhist_quantiles_within_one_bin_of_exact(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators import sketch as S
+
+    vals = [(i * 37 % 9973) for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    store = S.qhist_build(df, F.col("v"), 0, 10_000, 64)
+    out = {
+        (r["q_num"], r["q_den"]): r
+        for r in S.qhist_quantiles(
+            store, [(1, 2), (9, 10)], 0, 10_000, 64
+        ).collect()
+    }
+    arr = np.sort(np.array(vals))
+    for (num, den), r in out.items():
+        # rank-exact target: the ceil(total*q)-th smallest value must
+        # lie inside the reported bin's bounds
+        target = -(-len(arr) * num // den)  # ceil
+        v = arr[target - 1]
+        assert r["bound_lo"] <= v < r["bound_hi"], (num, den, v, dict(r.asDict()))
+
+
+def test_qhist_clamps_and_guards(spark):
+    from pyspark.sql import functions as F
+
+    from vlm_data_pipeline_spark.operators import sketch as S
+
+    df = spark.createDataFrame([(-50,), (0,), (99,), (100,), (10_000,)], "v long")
+    bins = [
+        r["bin"]
+        for r in df.select(S.qhist_bin(F.col("v"), 0, 100, 10).alias("bin"))
+        .collect()
+    ]
+    assert bins == [0, 0, 9, 9, 9]  # below clamps to 0, at/above hi to last
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.qhist_build(df, F.col("v"), 100, 100, 10)
+    with _pytest.raises(TypeError):
+        S.qhist_build(df, F.col("v"), 0.5, 100, 10)
+    with _pytest.raises(ValueError):
+        S.qhist_quantiles(df, [(0, 10)], 0, 100, 10)
+    with _pytest.raises(ValueError):
+        S.qhist_quantiles(df, [(11, 10)], 0, 100, 10)

@@ -384,3 +384,141 @@ def hll_estimates(store: DataFrame, group_col: str) -> DataFrame:
     return store.select(
         group_col, F.hll_sketch_estimate("sketch").alias("approx_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid quantile histogram (mergeable, integer-exact)
+# ---------------------------------------------------------------------------
+#
+# The quantile sibling of the Bloom/CMS/HLL stores: approximate
+# quantiles over unbounded history as a TINY mergeable state — here a
+# fixed integer grid over a declared [lo, hi) domain. Unlike t-digest/
+# KLL (whose centroids depend on ingestion order), a fixed grid is
+# bit-stable under ANY partitioning and merge history, so the store
+# contract is exact-by-construction and a DuckDB oracle re-derives
+# every cell — the engine's preferred tradeoff (see the HLL tolerance
+# note: order-sensitive estimators can only be tolerance-pinned).
+# Resolution is the published error: a quantile is located within one
+# bin, i.e. (hi-lo)/n_bins of value error, the classic equi-width
+# histogram bound. Values are integer-scaled (plans/exact.py cents
+# convention) so binning is pure integer multiply-floor-divide.
+#
+# Spark-native alternatives and why not: approx_percentile (KLL-ish)
+# is neither mergeable-as-a-table nor cross-engine reproducible;
+# width_bucket exists in both engines but disagrees on boundary
+# semantics — (v-lo)*n // (hi-lo) is spelled once here instead.
+
+
+def _qhist_check(lo: int, hi: int, n_bins: int) -> None:
+    if not (isinstance(lo, int) and isinstance(hi, int)):
+        raise TypeError("qhist bounds must be exact integers (scaled units)")
+    if hi <= lo or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    if (hi - lo) * n_bins >= 2**62:
+        raise ValueError("(hi-lo)*n_bins must fit BIGINT multiply")
+
+
+def qhist_bin(value: Column, lo: int, hi: int, n_bins: int) -> Column:
+    """Grid bin of an integer-scaled value: floor((v-lo)*n/(hi-lo)),
+    clamped — out-of-domain values land in the edge bins (they count
+    toward quantiles as 'beyond the grid', the standard clamp)."""
+    _qhist_check(lo, hi, n_bins)
+    x = (value.cast("long") - F.lit(lo)) * F.lit(n_bins)
+    d = hi - lo
+    # exact trunc-divide via the remainder identity (a double x/d can
+    # round UP across an integer boundary); trunc-vs-floor only
+    # differs for negative x, which the clamp sends to bin 0 either way
+    raw = (x - x % d) / d
+    return F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("int")
+
+
+def d_qhist_bin(expr: str, lo: int, hi: int, n_bins: int) -> str:
+    """DuckDB mirror of :func:`qhist_bin` (integer floor-divide — BIGINT
+    `//` in DuckDB truncates toward zero, but (v-lo) clamps below at the
+    greatest(), and negative raw bins clamp to 0 either way)."""
+    raw = f"((CAST({expr} AS BIGINT) - {lo}) * {n_bins} // {hi - lo})"
+    return f"CAST(greatest(0, least({n_bins - 1}, {raw})) AS INT)"
+
+
+def qhist_build(
+    df: DataFrame, value: Column, lo: int, hi: int, n_bins: int
+) -> DataFrame:
+    """(bin, n) store over one batch — a single partial-aggregated
+    groupBy on at most n_bins keys; the store is n_bins rows whatever
+    the corpus size."""
+    return (
+        df.select(qhist_bin(value, lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def qhist_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-sum two stores built on the SAME grid. Callers own grid
+    consistency (the Bloom (m,k) guard pattern applies: merging
+    different grids silently corrupts — keep grid params in the store's
+    table name/metadata)."""
+    return (
+        a.unionByName(b).groupBy("bin").agg(F.sum("n").alias("n"))
+    )
+
+
+def qhist_quantiles(
+    store: DataFrame, quantiles: list[tuple[int, int]], lo: int, hi: int,
+    n_bins: int,
+) -> DataFrame:
+    """Rank-exact quantile lookup: for q = num/den, the first bin whose
+    cumulative count reaches ceil(total·num/den). Quantiles are passed
+    as RATIONALS so the target rank is integer math (the float-
+    threshold rule). Output: (q_num, q_den, bin, bound_lo, bound_hi) —
+    bounds are the bin's floor-divided grid edges in scaled units.
+    The store is n_bins rows: the window sort is trivial and the
+    quantile table broadcast-sized by construction."""
+    _qhist_check(lo, hi, n_bins)
+    for num, den in quantiles:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = store.select(
+        "bin", "n", F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qs = F.array(
+        *[
+            F.struct(F.lit(num).alias("q_num"), F.lit(den).alias("q_den"))
+            for num, den in quantiles
+        ]
+    )
+    hits = (
+        cum.select("bin", "cum", "total", F.explode(qs).alias("q"))
+        .filter(
+            # cum >= ceil(total*num/den)  <=>  cum*den >= total*num
+            F.col("cum") * F.col("q.q_den") >= F.col("total") * F.col("q.q_num")
+        )
+        .groupBy("q.q_num", "q.q_den")
+        .agg(F.min("bin").alias("bin"))
+    )
+    width = hi - lo
+
+    def _idiv(x: Column, n: int) -> Column:
+        # exact integer floor-divide for non-negative x: x - x%n is a
+        # multiple of n, so the double division is exact (a plain
+        # double x/n could round UP across an integer boundary and
+        # disagree with the oracle's BIGINT //)
+        return ((x - x % n) / n).cast("long")
+
+    return hits.select(
+        F.col("q_num").cast("int").alias("q_num"),
+        F.col("q_den").cast("int").alias("q_den"),
+        "bin",
+        (F.lit(lo) + _idiv(F.col("bin").cast("long") * width, n_bins))
+        .alias("bound_lo"),
+        (F.lit(lo) + _idiv((F.col("bin") + 1).cast("long") * width, n_bins))
+        .alias("bound_hi"),
+    )

@@ -21,6 +21,7 @@ from ..operators import sketch as sketch_ops
 from ..operators import chat as chat_ops
 from ..sources import warc as warc_src
 from ..functions import audio as audio_fn
+from . import exact
 from .registry import load_tables, register
 
 # ---------------------------------------------------------------------------
@@ -4797,3 +4798,61 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f"),
     ).select("asset_id", "f.frame_idx", "f.luma")
     return scene_cuts(series, threshold=40)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile-histogram store
+# ---------------------------------------------------------------------------
+
+_QH_LO, _QH_HI, _QH_BINS = 0, 10_500_000, 256  # cents grid over lineitem prices
+_QH_QS = ((1, 2), (9, 10), (99, 100))  # p50 / p90 / p99 as rationals
+
+
+@register(
+    "sketch_quantile_store",
+    f"""
+WITH cents AS (
+    SELECT {exact.duck_scaled_long('l_extendedprice')} AS v FROM lineitem
+), binned AS (
+    SELECT {sketch_ops.d_qhist_bin('v', _QH_LO, _QH_HI, _QH_BINS)} AS bin,
+           count(*) AS n
+    FROM cents GROUP BY 1
+), cum AS (
+    SELECT bin, sum(n) OVER (ORDER BY bin) AS cum,
+           sum(n) OVER () AS total
+    FROM binned
+), qs(q_num, q_den) AS (VALUES {', '.join(f'({n}, {d})' for n, d in _QH_QS)}),
+hits AS (
+    SELECT q_num, q_den, min(bin) AS bin
+    FROM cum CROSS JOIN qs
+    WHERE cum * q_den >= total * q_num
+    GROUP BY q_num, q_den
+)
+SELECT CAST(q_num AS INT) AS q_num, CAST(q_den AS INT) AS q_den, bin,
+       CAST({_QH_LO} + (CAST(bin AS BIGINT) * {_QH_HI - _QH_LO})
+            // {_QH_BINS} AS BIGINT) AS bound_lo,
+       CAST({_QH_LO} + ((CAST(bin AS BIGINT) + 1) * {_QH_HI - _QH_LO})
+            // {_QH_BINS} AS BIGINT) AS bound_hi
+FROM hits
+""",
+    "Mergeable quantile-histogram store (extension; the quantile "
+    "sibling of the Bloom/CMS/HLL stores): fixed integer grid over "
+    "exact-cents values — n_bins rows of state whatever the corpus "
+    "size, bit-stable under ANY merge/partitioning history (unlike "
+    "t-digest/KLL), published error = one bin width. Demo builds two "
+    "stores from lineitem halves, merges them, and looks up p50/p90/"
+    "p99 by integer rank (q as rationals: cum*den >= total*num, the "
+    "float-threshold rule). Library: operators.sketch.qhist_build/"
+    "qhist_merge/qhist_quantiles.",
+)
+def sketch_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    cents = exact.to_scaled_long(F.col("l_extendedprice"))
+    even = li.filter(F.col("l_orderkey") % 2 == 0)
+    odd = li.filter(F.col("l_orderkey") % 2 == 1)
+    a = sketch_ops.qhist_build(even, cents, _QH_LO, _QH_HI, _QH_BINS)
+    b = sketch_ops.qhist_build(odd, cents, _QH_LO, _QH_HI, _QH_BINS)
+    store = sketch_ops.qhist_merge(a, b)
+    return sketch_ops.qhist_quantiles(
+        store, list(_QH_QS), _QH_LO, _QH_HI, _QH_BINS
+    )
