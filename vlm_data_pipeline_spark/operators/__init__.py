@@ -1,5 +1,6 @@
 from . import (  # noqa: F401
     chat,
+    code,
     curation,
     decomposition,
     dedup,
