@@ -11,6 +11,7 @@ them at full example counts.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -28,6 +29,13 @@ from vlm_data_pipeline_spark.sources.robust import guard
 
 from .test_hdf5lite import make_hdf5
 from .test_png_codec import encode_png
+
+
+def _n(base: int) -> int:
+    """Per-test example count: FUZZ_MAX_EXAMPLES=1000 overrides every
+    test's baseline for deep sweeps (the round-6 verdict's acceptance
+    run); unset, each test keeps its CI-speed default."""
+    return max(base, int(os.environ.get("FUZZ_MAX_EXAMPLES", "0")))
 
 
 def _corrupt(blob: bytes, cut: int, flip_at: int, flip_bit: int) -> bytes:
@@ -52,7 +60,7 @@ def _skip_never_raises(parse, blob: bytes) -> None:
     assert rows == []
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_n(200), deadline=None)
 @given(payloads=st.lists(st.binary(max_size=40), max_size=4), c=corruption)
 def test_fuzz_tfrecords(payloads, c):
     framed = b"".join(
@@ -70,7 +78,7 @@ def test_fuzz_tfrecords(payloads, c):
     _skip_never_raises(iter_tfrecords, blob)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_n(200), deadline=None)
 @given(blob=st.binary(max_size=120))
 def test_fuzz_pb_wire_and_tf_example(blob):
     for parse in (iter_fields, parse_tf_example):
@@ -83,7 +91,7 @@ def test_fuzz_pb_wire_and_tf_example(blob):
         _skip_never_raises(parse, blob)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_n(100), deadline=None)
 @given(
     rows=st.lists(
         st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=4),
@@ -102,7 +110,7 @@ def test_fuzz_png(rows, c):
     _skip_never_raises(decode_png, blob)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_n(60), deadline=None)
 @given(
     n=st.integers(min_value=1, max_value=6),
     chunked=st.booleans(),
@@ -122,7 +130,7 @@ def test_fuzz_hdf5(n, chunked, c):
     _skip_never_raises(lambda b: read_datasets(b, ["t"]) and [], blob)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_n(100), deadline=None)
 @given(
     rows=st.lists(
         st.lists(st.integers(min_value=0, max_value=255), min_size=3, max_size=12),
@@ -145,7 +153,7 @@ def test_fuzz_bmp(rows, c):
     _skip_never_raises(decode_bmp, blob)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_n(100), deadline=None)
 @given(
     n=st.integers(min_value=1, max_value=64),
     bits=st.sampled_from([8, 16, 32]),
@@ -166,7 +174,7 @@ def test_fuzz_wav(n, bits, c):
     _skip_never_raises(decode_wav, blob)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_n(100), deadline=None)
 @given(
     n=st.integers(min_value=1, max_value=3),
     w=st.integers(min_value=2, max_value=8),
@@ -187,7 +195,7 @@ def test_fuzz_y4m(n, w, h, c):
     _skip_never_raises(decode_y4m, blob)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_n(120), deadline=None)
 @given(
     seed=st.integers(min_value=0, max_value=60),
     gray=st.booleans(),

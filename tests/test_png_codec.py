@@ -120,6 +120,24 @@ def test_decode_rejects_garbage():
         decode_png(b"\x01" * 40)
 
 
+def test_decode_rejects_zero_dimensions():
+    """Round-6 fuzz falsifying example pinned: a 1x1 PNG with one bit
+    flipped in the IHDR height field must raise ValueError, not decode to
+    a silent zero-height image (the height*(stride+1) truncation check is
+    vacuous at height=0)."""
+    blob = bytearray(encode_png([[0]]))
+    # IHDR layout: 8-byte sig, 4-byte len, 4-byte 'IHDR', width@16, height@20
+    assert blob[12:16] == b"IHDR"
+    blob[23] ^= 0x01  # height 1 -> 0
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_png(bytes(blob))
+    # and zero width, same contract
+    blob2 = bytearray(encode_png([[0]]))
+    blob2[19] ^= 0x01  # width 1 -> 0
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_png(bytes(blob2))
+
+
 def test_default_mask_parser_end_to_end(spark, tmp_path):
     """Real PNG bytes → default parser (no injection) → per-instance
     counts + AABBs, through the full binaryFile/mapInPandas stage."""

@@ -311,6 +311,14 @@ def _decode_scan(frame, scan, qtables, htables, restart_interval, segs) -> JpegI
         if cs not in by_id:
             raise ValueError("scan references unknown component")
         cid, ch, cv, tq = by_id[cs]
+        if max_h % ch != 0 or max_v % cv != 0:
+            # legal but exotic (e.g. 3x1 luma vs 2x1 chroma): np.repeat
+            # upsampling below needs integer ratios — a capability gap,
+            # not corruption, so surface it as the documented seam
+            raise NotImplementedError(
+                f"non-integer chroma subsampling ratio ({ch}x{cv} vs "
+                f"{max_h}x{max_v} max)"
+            )
         if tq not in qtables:
             raise ValueError("missing quantization table")
         if (0, td) not in htables or (1, ta) not in htables:

@@ -86,6 +86,14 @@ def decode_png(content: bytes, apply_palette: bool = True) -> PngImage:
     if ihdr is None:
         raise ValueError("missing IHDR")
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    # Dimension sanity BEFORE any geometry math: the spec forbids zero
+    # dimensions, and height=0 would make the truncated-IDAT check below
+    # vacuous — a bit-flipped IHDR would then decode to a silent empty
+    # image instead of the contract's ValueError (round-6 fuzz finding).
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    if width > 1 << 24 or height > 1 << 24:
+        raise ValueError(f"implausible PNG dimensions {width}x{height}")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported compression/filter method")
     if interlace != 0:

@@ -78,10 +78,16 @@ def decode_wav(content: bytes) -> WavAudio:
     if data is None:
         raise ValueError("missing data chunk")
     audio_format, n_channels, sample_rate, _brate, block_align, bits = fmt
-    if n_channels < 1:
+    # Range sanity on BOTH ends (round-6 codec sweep): a bit-flipped fmt
+    # chunk can produce a huge channel count (frame_size > len(data) →
+    # silent zero-frame audio) or a absurd sample rate (garbage
+    # duration_s downstream). The spec's real-world envelope is tiny
+    # compared to uint16/uint32 range, so reject implausible values the
+    # same way the image codecs reject implausible dimensions.
+    if not 1 <= n_channels <= 256:
         raise ValueError(f"invalid channel count {n_channels}")
-    if sample_rate < 1:
-        raise ValueError(f"invalid sample rate {sample_rate}")
+    if not 1 <= sample_rate <= 4_194_304:  # 4 MHz ≫ any real audio rate
+        raise ValueError(f"implausible sample rate {sample_rate}")
     if audio_format == 1:  # integer PCM
         if bits not in (8, 16, 24, 32):
             raise ValueError(f"unsupported PCM bit depth {bits}")
