@@ -784,6 +784,29 @@ def test_dsir_scores_rejects_wrong_bucket_count(spark):
         curation.dsir_scores(docs, ratios, n_buckets=16)
 
 
+def test_dsir_scores_broadcast_path_validates_ratio_table(spark):
+    """The join path must raise the SAME error the map-literal path
+    raises on a malformed ratio table — previously a missing bucket
+    silently nulled scores and a duplicate bucket inflated them through
+    the join (round-6 advice)."""
+    from vlm_data_pipeline_spark.operators import lm
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    good = curation.dsir_log_ratios(docs, docs, n_buckets=8)
+    missing = good.filter(F.col("bucket") != 3)
+    duplicated = good.union(good.limit(1))
+    orig = lm.MAP_LITERAL_LIMIT
+    lm.MAP_LITERAL_LIMIT = 0  # force the broadcast-join path
+    try:
+        for bad in (missing, duplicated):
+            with pytest.raises(ValueError, match="exactly once"):
+                curation.dsir_scores(docs, bad, n_buckets=8)
+        # and the well-formed table still scores
+        assert curation.dsir_scores(docs, good, n_buckets=8).count() == 1
+    finally:
+        lm.MAP_LITERAL_LIMIT = orig
+
+
 def test_quality_classifier_separates_planted_corpus(spark):
     """Linearly separable corpus: after a few iterations positives score
     near 1 and negatives near 0, with a clean margin."""
@@ -1231,6 +1254,27 @@ def test_hash_split_rounds_widths_exactly(spark):
         assert joined[r["doc_id"]] == want, (r["doc_id"], r["b"])
     zero = hash_split(df, {"x": 0.5, "y": 0.5, "z": 0.0})
     assert zero.filter(F.col("split") == "z").count() == 0
+
+
+def test_hash_split_pathological_rounding_fails_loudly(spark):
+    """Round-6 advice: three 0.3335 fractions at denominator 1000 each
+    round UP (334*3 = 1002 > 1000) — the remainder assignment would
+    silently make the last split unreachable; it must raise instead.
+    Likewise a positive fraction that quantizes to zero buckets."""
+    from vlm_data_pipeline_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    # 0.351/0.351/0.251 at denominator 10 round to 4+4+3 = 11 buckets,
+    # driving the remainder width of 'd' to -1
+    with pytest.raises(ValueError, match="raise denominator"):
+        hash_split(
+            df, {"a": 0.351, "b": 0.351, "c": 0.251, "d": 0.047},
+            denominator=10,
+        )
+    with pytest.raises(ValueError, match="zero buckets"):
+        hash_split(
+            df, {"a": 0.9996, "b": 0.0004}, denominator=1000
+        )
 
 
 def test_corpus_diff_classifies_all_statuses(spark):

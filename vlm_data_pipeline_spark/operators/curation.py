@@ -785,6 +785,29 @@ def dsir_scores(
     # null bucket matches nothing in the inner-complete ratio table and
     # is filtered out of the fold, leaving score 0.0 — same as the
     # literal path's empty-array fold).
+    #
+    # Validate the ratio table HERE too, matching the literal path's
+    # error: without this, a missing bucket silently nulls the fold and
+    # a duplicate bucket silently multiplies rows through the join —
+    # asymmetric failure modes between the two supposedly bit-identical
+    # paths. One tiny aggregate (3 longs) instead of collecting 10k rows.
+    chk = ratios.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("bucket").alias("nd"),
+        F.sum(
+            F.when(
+                (F.col("bucket") >= 0) & (F.col("bucket") < n_buckets), 0
+            ).otherwise(1)
+        ).alias("oob"),
+    ).collect()[0]
+    if chk["n"] != n_buckets or chk["nd"] != n_buckets or (chk["oob"] or 0) != 0:
+        raise ValueError(
+            f"ratio table must cover buckets 0..{n_buckets - 1} exactly "
+            f"once (got {chk['n']} rows, {chk['nd']} distinct, "
+            f"{chk['oob'] or 0} out of range); a duplicate bucket would "
+            "inflate scores through the join and a missing one would "
+            "null them out"
+        )
     exploded = docs.select(F.col(id_col), F.explode_outer(feats).alias("bucket"))
     joined = exploded.join(F.broadcast(ratios), "bucket", "left")
     per_doc = joined.groupBy(id_col).agg(
@@ -1126,6 +1149,23 @@ def hash_split(
     # float-representation trap this operator exists to avoid
     widths = [round(fractions[n] * denominator) for n in names]
     widths[-1] = denominator - sum(widths[:-1])  # exact remainder
+    # pathological rounding must fail loudly, not silently skew: three
+    # 0.3335 fractions at denominator 1000 each round UP, driving the
+    # remainder negative (unreachable last split, over-weighted
+    # predecessors); a positive fraction quantizing to zero buckets
+    # would likewise silently drop its split
+    if widths[-1] < 0:
+        raise ValueError(
+            f"fractions round to more than denominator={denominator} "
+            f"buckets ({dict(zip(names, widths))}); raise denominator"
+        )
+    for name, width in zip(names, widths):
+        if width == 0 and fractions[name] > 0:
+            raise ValueError(
+                f"fraction {fractions[name]!r} for split {name!r} "
+                f"quantizes to zero buckets at denominator={denominator}; "
+                "raise denominator"
+            )
     from ..functions.text import seeded_hash60
 
     bucket = F.pmod(

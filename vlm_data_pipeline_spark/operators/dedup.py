@@ -125,9 +125,19 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.8,
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    BEHAVIOR NOTE (round-6 change): ``max_bucket`` defaults to 256, so
+    (band, bucket) groups above the cap are culled before pairing —
+    pairs among MASS-duplicated content (>256 docs sharing a band
+    slice) are only emitted if :func:`exact_dedup_groups` runs FIRST,
+    which is the documented pipeline order (see
+    plans/star_queries_llm.py's dedup pipeline and the rationale
+    below). Pass ``max_bucket=None`` to restore the uncapped pre-r6
+    semantics when composing without an exact pass — accepting the
+    O(m²·bands) candidate blowup that the cap exists to prevent.
 
     Pipeline: shingle → k-minhash → split signature into ``bands`` bands of
     r = k/bands rows → md5(band) bucket key → per-(band, bucket) member
@@ -151,8 +161,8 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     assert bands * r == k, "k must divide into equal bands"
-    if max_bucket < 2:
-        raise ValueError("max_bucket must be >= 2")
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (or None for uncapped)")
 
     # Stage the column pipeline through real projections: a higher-order
     # lambda re-evaluates its input subexpression per element, so tokens
@@ -178,10 +188,13 @@ def minhash_lsh_pairs(
     # ids and shuffling the corpus.
     banded = banded_signatures(sig.select("doc_id", "sig"), k, bands).drop("sig")
 
+    size_ok = F.size("members") >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size("members") <= max_bucket)
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+        .filter(size_ok)
     )
     cand_ids = (
         grouped.select(F.explode(_inrow_id_pairs(F.col("members"))).alias("p"))
@@ -775,7 +788,7 @@ def minhash_incremental_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.8,
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs for BATCH-APPEND ingestion — the MinHash
     sibling of :func:`dedup_incremental`: the new batch's signatures are
@@ -819,11 +832,13 @@ def minhash_incremental_pairs(
     """
     if k // bands * bands != k:
         raise ValueError("k must divide into equal bands")
-    if max_bucket < 2:
-        raise ValueError("max_bucket must be >= 2")
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (or None for uncapped)")
     from pyspark.sql import Window
 
     def cap(banded: DataFrame) -> DataFrame:
+        if max_bucket is None:  # explicit pre-r6 uncapped opt-out
+            return banded
         w = Window.partitionBy("band", "bucket")
         return (
             banded.withColumn("_bn", F.count("*").over(w))

@@ -414,8 +414,16 @@ def _qhist_check(lo: int, hi: int, n_bins: int) -> None:
         raise TypeError("qhist bounds must be exact integers (scaled units)")
     if hi <= lo or n_bins < 1:
         raise ValueError("need hi > lo and n_bins >= 1")
-    if (hi - lo) * n_bins >= 2**62:
-        raise ValueError("(hi-lo)*n_bins must fit BIGINT multiply")
+    if (hi - lo) * n_bins >= 2**53:
+        # 2**53, not 2**62: qhist_bin/_idiv divide (x - x%d)/d as
+        # doubles. The numerator is a multiple of d so the QUOTIENT is
+        # an integer, but a numerator above 2**53 is itself not exactly
+        # representable as a double — the quotient could then round just
+        # below the true integer and the int cast truncate to bin k-1,
+        # breaking bit-exactness. Bounding (hi-lo)*n_bins < 2**53 keeps
+        # every in-domain numerator exact (out-of-domain values clamp to
+        # the edge bins where last-ulp error cannot change the result).
+        raise ValueError("(hi-lo)*n_bins must stay below 2**53 for exact binning")
 
 
 def qhist_bin(value: Column, lo: int, hi: int, n_bins: int) -> Column:
