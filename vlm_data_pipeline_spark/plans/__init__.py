@@ -5,6 +5,7 @@ from . import star_queries  # noqa: E402,F401
 from . import star_queries2  # noqa: E402,F401
 from . import star_queries_llm  # noqa: E402,F401
 from . import star_queries_domain  # noqa: E402,F401
+from . import star_queries_code  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering
@@ -23,16 +24,19 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # end-to-end QA-task value oracles (ids, templates, hash-seeded
     # draws, option shuffles, answers re-derived in SQL) — the flagship
     # evidence, one per reference QA generator
+    # Round-7 rotation (VERDICT r6 #5): the 2D task variants
+    # (object_count_2d, bbox_2d_size, object_2d_size — green r03-r06,
+    # four straight rounds, and near-duplicates of their 3D siblings'
+    # logic) cede slots to never-driver-graded flagships; they keep
+    # full-simulation + pytest coverage, and the 2D pipeline stays
+    # value-checked through qa_pipeline_summary_oracle's union.
     "qa_task_object_count",
     "qa_task_cam_distance",
     "qa_task_object_3d_size",
     "qa_task_obj_obj_distance",
     "qa_task_obj_obj_rel_pos",
     "qa_task_cam_obj_rel_dist",
-    "qa_task_object_count_2d",
     "qa_task_object_count_mc",
-    "qa_task_bbox_2d_size",
-    "qa_task_object_2d_size",
     # full-pipeline value checks
     "qa_pipeline_summary_oracle",  # per-task counts/answer-type mix (E1 union)
     "curation_clean_pipeline",  # quality→LSH→components→retention→decontam
@@ -77,28 +81,42 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # feature family stays in-window via curation_quality_audit, whose
     # per-rule counts derive from the same feature program)
     "curation_web_pipeline",
-    "text_lang_id",
-    "multimodal_binary_stats",
     "curation_quality_audit",
-    "curation_stratified_sample",
-    "curation_scrub_pii",
+    # Round-7 rotation, slots from text_lang_id / multimodal_binary_
+    # stats / curation_stratified_sample / curation_scrub_pii /
+    # curation_clean_lines / retrieval_bm25 / dedup_winnow_pairs /
+    # dedup_sentence_spans / similarity_density_filter /
+    # eval_detection_ap_exact_3d (all green 2+ driver rounds; families
+    # stay represented — lang-id via curation_web_pipeline's quality
+    # program, multimodal via multimodal_phash_incremental, BM25 via
+    # retrieval_index_topk, MC IoU AP via eval_detection_ap):
+    # first-time driver grading for the chat/SFT family, WARC funnel,
+    # Count-Min, corpus diff/split/buckets, the text-repair pair, and
+    # the code-corpus family (new this round).
+    "chat_validate_flags",  # SFT conversation validation flags
+    "chat_template_flatten",  # ChatML flatten of valid conversations
+    "chat_prompt_dedup",  # first-user-prompt fingerprint dedup
+    "chat_preference_pairs",  # DPO pair construction
+    "warc_ingest_pipeline",  # WARC -> HTML extract -> quality funnel
+    "sketch_countmin_tokens",  # Count-Min heavy hitters
+    "curation_corpus_diff",  # snapshot diff (added/removed/changed)
+    "curation_hash_split",  # deterministic train/val/test assignment
+    "curation_ccnet_buckets",  # CCNet perplexity terciles
+    "text_html_extract",  # HTML -> text extraction
+    "curation_fix_encoding",  # ftfy-lite mojibake repair
+    "code_corpus_stats",  # code-family audit (lang/license/gates)
+    "code_strip_comments",  # comment-strip ablation (round 7)
     # round-5 flagship oracles (each a first-class corpus operator new
     # this round; the demoted entries they displaced — f1/f11/o2/e3/a3/
     # p9/ngram_jaccard/embedding_cosine/ann_lsh/repetition, and in the
     # second wave exact_groups/simhash — are green in
     # CORRECTNESS_r01..r04 driver rows and stay covered by the full
     # local simulation every round)
-    "curation_clean_lines",  # C4 line-level cleaning (Raffel et al.)
-    "retrieval_bm25",  # BM25 Lucene-idf scoring
     "lm_bpe_encode",  # BPE train+encode end-to-end (Sennrich et al.)
     "dedup_incremental_minhash",  # cross-batch near-dup vs signature store
     "dedup_span_removal",  # ExactSubstr span dedup (Lee et al. 2021)
-    "dedup_winnow_pairs",  # winnowing fingerprints (Schleimer et al. 2003)
     "curation_dsir_scores",  # DSIR importance resampling (Xie et al. 2023)
     "curation_quality_classifier",  # fastText-style logistic filter (GPT-3 App.A)
-    "similarity_density_filter",  # D4 prototypicality drop (Tirumala et al.)
-    "eval_detection_ap_exact_3d",  # exact oriented 3D IoU AP (Objectron protocol)
-    "dedup_sentence_spans",  # C4 three-sentence span dedup (Raffel et al.)
     "lm_unigram_seed_vocab",  # unigram/SentencePiece seed stage (Kudo 2018)
     # round-6 rotation (VERDICT r5 #6): first-time driver grading for
     # flagships that only had local-sim evidence. Displaced to make room:
