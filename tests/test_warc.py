@@ -130,6 +130,95 @@ def test_read_warc_scan_and_skip_policy(spark, tmp_path):
     assert df.count() == 4
 
 
+def test_streaming_splitter_bounds_batches():
+    """Round-6 verdict #4: the splitter must yield MULTIPLE bounded
+    frames under a small cap — never one segment-sized materialization
+    — with identical total output. Caps also coalesce across files."""
+    from vlm_data_pipeline_spark.sources.warc import batched_record_frames
+
+    records = [
+        _response_record(f"https://example.com/{i}", b"x" * 300)
+        for i in range(20)
+    ]
+    blob = b"".join(gzip.compress(r) for r in records)
+    # byte cap: 300-byte-ish payloads, 1000-byte cap -> >= 5 frames
+    frames = list(
+        batched_record_frames(
+            [("seg.warc.gz", blob)], batch_bytes=1000, batch_records=10**9
+        )
+    )
+    assert len(frames) >= 5
+    assert all(len(f) <= 4 for f in frames)  # ~3 records trip the cap
+    # record cap path
+    frames_rc = list(
+        batched_record_frames(
+            [("seg.warc.gz", blob)], batch_records=7, batch_bytes=1 << 40
+        )
+    )
+    assert [len(f) for f in frames_rc] == [7, 7, 6]
+    # identical total output either way (and vs the eager parse)
+    import pandas as pd
+
+    eager = pd.DataFrame(parse_warc_bytes("seg.warc.gz", blob))
+    for split in (frames, frames_rc):
+        total = pd.concat(split, ignore_index=True)
+        assert len(total) == len(eager)
+        assert list(total["target_uri"]) == list(eager["target_uri"])
+        assert [bytes(b) for b in total["body"]] == [
+            bytes(b) for b in eager["body"]
+        ]
+    # cross-file coalescing: two tiny files land in ONE frame
+    two = list(
+        batched_record_frames(
+            [("a.warc", RESP), ("b.warc", RESP2)],
+            batch_records=100,
+            batch_bytes=1 << 40,
+        )
+    )
+    assert len(two) == 1 and len(two[0]) == 2
+
+
+def test_streaming_skip_drops_from_first_corrupt_record():
+    """Documented streaming-skip semantics: records before the corrupt
+    point stay (memory bound means no retraction), the remainder of the
+    file drops, later files still parse."""
+    from vlm_data_pipeline_spark.sources.warc import batched_record_frames
+
+    corrupt = RESP + b"not-a-warc-record" + RESP2
+    frames = list(
+        batched_record_frames(
+            [("bad.warc", corrupt), ("ok.warc", RESP2)], on_error="skip"
+        )
+    )
+    import pandas as pd
+
+    total = pd.concat(frames, ignore_index=True)
+    assert list(total["path"]) == ["bad.warc", "ok.warc"]
+    assert list(total["target_uri"]) == [
+        "https://example.com/a", "https://example.com/b",
+    ]
+    with pytest.raises(ValueError):
+        list(batched_record_frames([("bad.warc", corrupt)], on_error="fail"))
+
+
+def test_read_warc_respects_batch_caps(spark, tmp_path):
+    """End-to-end through mapInPandas with a tiny byte cap: same rows,
+    same values — the bound changes frame boundaries only."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    records = [
+        _response_record(f"https://example.com/{i}", b"y" * 200)
+        for i in range(12)
+    ]
+    (d / "seg.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in records)
+    )
+    df = read_warc(spark, str(d), batch_bytes=500, batch_records=3)
+    assert df.count() == 12
+    uris = sorted(r["target_uri"] for r in df.select("target_uri").collect())
+    assert uris == sorted(f"https://example.com/{i}" for i in range(12))
+
+
 def test_inrow_matches_byte_path(spark):
     records = [INFO, REQ, RESP, RESP2]
     byte_rows = parse_warc_bytes("f", b"".join(records))

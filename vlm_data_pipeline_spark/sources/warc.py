@@ -16,12 +16,16 @@ CRLFCRLF, payload framed by ``Content-Length`` — never by searching
 for a delimiter, because payloads legally contain blank lines):
 
 - :func:`read_warc` — the production scan. ``binaryFile`` over
-  ``.warc``/``.warc.gz`` trees → ``mapInPandas`` record splitter
-  (:func:`parse_warc_bytes`): gzip members are split with one stdlib
-  ``zlib`` pass (:func:`split_gzip_members`), records framed by BYTE
-  Content-Length per spec, HTTP response envelopes stripped
-  executor-side. Payload bytes stay inside the Arrow batch — only the
-  (bounded) fields the caller selects cross to the JVM. Input-split
+  ``.warc``/``.warc.gz`` trees → ``mapInPandas`` STREAMING record
+  splitter (:func:`iter_warc_records` through
+  :func:`batched_record_frames`): gzip members decompress lazily one
+  member at a time (:func:`split_gzip_members` is a generator),
+  records framed by BYTE Content-Length per spec, HTTP response
+  envelopes stripped executor-side, and records flush in bounded
+  frames (record-count OR payload-byte cap) so a 3-5 GB decompressed
+  segment peaks at ~64 MiB per task, not the whole segment. Payload
+  bytes stay inside the Arrow batch — only the (bounded) fields the
+  caller selects cross to the JVM. Input-split
   parallelism comes from the file listing (Common Crawl segments are
   ~1 GB each, thousands per crawl: natural partition grain); one
   corrupt segment follows the ``sources.robust`` skip policy instead
@@ -141,13 +145,27 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
 
 
 def parse_warc_bytes(path: str, content: bytes) -> list[dict[str, Any]]:
+    """Eager wrapper over :func:`iter_warc_records` (tests, the robust
+    audit probe, small files). The production scan streams the iterator
+    through bounded batches instead — see :func:`read_warc`: a real
+    Common Crawl segment is ~1 GB compressed / 3-5 GB decompressed, and
+    materializing every record dict of one segment at once (×32
+    concurrent tasks) is exactly the executor-OOM shape this split
+    avoids (round-6 verdict #4)."""
+    return list(iter_warc_records(path, content))
+
+
+def iter_warc_records(path: str, content: bytes):
     """Split one WARC file (possibly multi-member gzip) into record
-    dicts. Framing is strict: ``Content-Length`` BYTES of payload, then
-    CRLFCRLF (the final record may omit the trailer). Unknown or
-    missing named fields become NULLs, never errors — crawls are messy;
-    a record with no Content-Length at all is the one malformation that
-    raises (the stream offset is lost)."""
-    rows: list[dict[str, Any]] = []
+    dicts, LAZILY — gzip members decompress one at a time
+    (:func:`split_gzip_members` is itself a generator) and each record
+    dict is yielded as soon as it is framed, so peak memory is one
+    member + one payload, not the decompressed segment. Framing is
+    strict: ``Content-Length`` BYTES of payload, then CRLFCRLF (the
+    final record may omit the trailer). Unknown or missing named fields
+    become NULLs, never errors — crawls are messy; a record with no
+    Content-Length at all is the one malformation that raises (the
+    stream offset is lost)."""
     for member in split_gzip_members(content):
         off = 0
         n = len(member)
@@ -173,22 +191,19 @@ def parse_warc_bytes(path: str, content: bytes) -> list[dict[str, Any]]:
             if len(payload) < clen:
                 raise ValueError(f"truncated WARC payload in {path}")
             status, http_ctype, body = _split_http(payload)
-            rows.append(
-                {
-                    "path": path,
-                    "record_id": headers.get("warc-record-id"),
-                    "warc_type": headers.get("warc-type"),
-                    "target_uri": headers.get("warc-target-uri"),
-                    "warc_date": headers.get("warc-date"),
-                    "content_type": headers.get("content-type"),
-                    "content_length": clen,
-                    "http_status": status,
-                    "http_content_type": http_ctype,
-                    "body": bytes(body),
-                }
-            )
+            yield {
+                "path": path,
+                "record_id": headers.get("warc-record-id"),
+                "warc_type": headers.get("warc-type"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "content_length": clen,
+                "http_status": status,
+                "http_content_type": http_ctype,
+                "body": bytes(body),
+            }
             off = hdr_end + 4 + clen
-    return rows
 
 
 def encode_warc_record(headers: dict[str, str], payload: bytes) -> bytes:
@@ -218,25 +233,83 @@ WARC_RECORDS = T.StructType(
 )
 
 
+# bounded-batch defaults for the streaming splitter: flush when EITHER
+# cap trips, so peak in-flight decompressed payload per task is
+# ~BATCH_BYTES + one record regardless of segment size
+WARC_BATCH_RECORDS = 2048
+WARC_BATCH_BYTES = 64 << 20  # 64 MiB of payload per emitted frame
+
+
+def batched_record_frames(
+    files,
+    on_error: str = "fail",
+    batch_records: int = WARC_BATCH_RECORDS,
+    batch_bytes: int = WARC_BATCH_BYTES,
+) -> Iterator[pd.DataFrame]:
+    """(path, content) pairs → bounded-size record DataFrames. The
+    worker half of :func:`read_warc`, module-level so the bounding
+    property is unit-testable without Spark. A frame flushes when
+    either cap trips; caps apply ACROSS file boundaries (many small
+    files coalesce into one frame, one huge segment spreads over
+    many).
+
+    ``on_error='skip'`` semantics under streaming: a file is dropped
+    from its FIRST corrupt record onward — records before the
+    corruption that already left in a flushed frame cannot be
+    retracted (the memory bound is the point). The eager path
+    (``robust.guard(parse_warc_bytes, 'skip')``) drops whole files;
+    :func:`robust.file_decode_errors` audits identically for both."""
+    if on_error not in robust.ON_ERROR_MODES:
+        raise ValueError(
+            f"on_error must be one of {robust.ON_ERROR_MODES}, got {on_error!r}"
+        )
+    cols = [f.name for f in WARC_RECORDS.fields]
+    buf: list[dict[str, Any]] = []
+    held = 0
+    for path, content in files:
+        records = iter_warc_records(path, bytes(content))
+        while True:
+            try:
+                rec = next(records)
+            except StopIteration:
+                break
+            except Exception:
+                if on_error == "fail":
+                    raise
+                break  # skip: drop this file from the corrupt record on
+            buf.append(rec)
+            held += int(rec["content_length"] or 0)
+            if len(buf) >= batch_records or held >= batch_bytes:
+                yield pd.DataFrame(buf, columns=cols)
+                buf, held = [], 0
+    if buf:
+        yield pd.DataFrame(buf, columns=cols)
+
+
 def read_warc(
     spark: SparkSession,
     pattern: str,
     glob: str = "*.warc*",
     on_error: str = "fail",
+    batch_records: int = WARC_BATCH_RECORDS,
+    batch_bytes: int = WARC_BATCH_BYTES,
 ) -> DataFrame:
     """Scan a WARC tree to one row per record. Scale shape: binaryFile
     gives one task per file (Common Crawl's ~1 GB segment grain);
     records never leave their file's task, bodies cross only the Arrow
-    boundary; everything downstream is a column program. No shuffle."""
-    parse = robust.guard(parse_warc_bytes, on_error)
+    boundary in BOUNDED frames (the streaming splitter above — a 3-5 GB
+    decompressed segment peaks at ~batch_bytes per task, not the whole
+    segment); everything downstream is a column program. No shuffle."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_RECORDS.fields]
-        for pdf in batches:
-            rows: list[dict[str, Any]] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse(path, bytes(content)))
-            yield pd.DataFrame(rows, columns=cols)
+        pairs = (
+            (path, content)
+            for pdf in batches
+            for path, content in zip(pdf["path"], pdf["content"])
+        )
+        yield from batched_record_frames(
+            pairs, on_error, batch_records, batch_bytes
+        )
 
     binary = (
         spark.read.format("binaryFile")
