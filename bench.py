@@ -41,6 +41,9 @@ HEADLINE = [
     # sketch (token explode + cell agg) — both data-bound, so their
     # per-round numbers track corpus scale, not fixed overhead
     "sketch_bloom_decontaminate",
+    # round-7: the broadcast-bitset probe sibling — the row that makes
+    # the join-vs-broadcast crossover data instead of folklore
+    "sketch_bloom_probe_broadcast",
     "sketch_countmin_tokens",
     # scale flagships: the full 10-task QA pipeline over ~150K synthesized
     # frames (reference single-node analogue: 8-12 frames/s) and the

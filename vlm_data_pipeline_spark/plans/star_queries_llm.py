@@ -3645,6 +3645,51 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_BCAST_ORACLE = f"""
+WITH bench AS (
+    SELECT DISTINCT text FROM documents WHERE doc_id % 17 = 0
+), positions AS (
+    SELECT DISTINCT unnest([{_d_bloom_pos(0)}, {_d_bloom_pos(1)}]) AS pos
+    FROM bench
+), probe AS (
+    SELECT doc_id, {_d_bloom_pos(0)} AS p0, {_d_bloom_pos(1)} AS p1
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(CASE WHEN p0 IN (SELECT pos FROM positions)
+                  AND p1 IN (SELECT pos FROM positions)
+            THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit
+FROM probe
+"""
+
+
+@register(
+    "sketch_bloom_probe_broadcast",
+    _BLOOM_BCAST_ORACLE,
+    "The BROADCAST-bitset Bloom probe end-to-end (sibling of "
+    "sketch_bloom_decontaminate, which takes the join path): the "
+    "position table collapses to a numpy bitset broadcast once, and "
+    "every probe is an Arrow-batched pandas UDF with per-hash early "
+    "exit — zero shuffle, one corpus scan. The oracle re-derives every "
+    "bit from the same portable md5 positions, pinning the two probe "
+    "paths AND the two engines to identical verdicts (incl. false "
+    "positives). Measured probe throughput is documented in "
+    "operators/sketch.py. Library: operators.sketch."
+    "bloom_probe_broadcast.",
+)
+def sketch_bloom_probe_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    positions = sketch_ops.bloom_build(bench, "text", _BLOOM_M, _BLOOM_K)
+    probes = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    flagged = sketch_ops.bloom_probe_broadcast(
+        probes, positions, "text", _BLOOM_M, _BLOOM_K
+    )
+    return flagged.select(
+        "doc_id", F.col("bloom_hit").cast("long").alias("bloom_hit")
+    )
+
+
 _TR_SEEDS_CTE = """seeds AS (
     SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 1
 )"""
