@@ -96,6 +96,33 @@ def main() -> None:
     # queries, not session bring-up.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # Steady-state warmup (BENCH_WARMUP=0 disables): run every headline
+    # query once at sf0.001 (~milliseconds of data) BEFORE timing.
+    # Round-7 diagnosis of the r6 'qa_pipeline_full drift': the same
+    # query in the same session measured 19.9s on first execution and
+    # 10.1s on the second, with whole-stage codegen ON or OFF alike and
+    # clearCache having no effect — the cold cost is JVM JIT (C2)
+    # compilation of the expression interpreters and reader hot loops,
+    # not a plan or data regression. A tiny-scale pass executes the
+    # IDENTICAL generated code (same expression trees → same codegen
+    # source → compiled-class cache hit) so the timed sf0.1 runs measure
+    # steady-state throughput — the regime that matters for a long-lived
+    # engine, and the number that is comparable across rounds regardless
+    # of bench-list composition. Warmup wall-clock is reported separately.
+    warmup_s = None
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARMUP_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+    )
+    if os.environ.get("BENCH_WARMUP", "1") == "1" and os.path.isdir(warm_dir):
+        t0 = time.perf_counter()
+        for name in HEADLINE:
+            q0 = QUERIES.get(name)
+            if q0 is not None:
+                q0.build(spark, warm_dir).count()
+        spark.catalog.clearCache()
+        warmup_s = round(time.perf_counter() - t0, 3)
+
     # BENCH_PLANS=1: also report per-query Exchange counts on stderr —
     # plan-shape regressions (a new shuffle) matter more than wall-clock
     # noise (±30% box variance); stdout stays the single JSON line.
@@ -106,6 +133,13 @@ def main() -> None:
         q = QUERIES.get(name)
         if q is None:
             continue
+        # Each query starts from a clean cache: generate_all (and other
+        # pipelines) persist intermediates that would otherwise linger
+        # in the block manager across queries. Measured effect on the
+        # timings is noise-level (the r6 drift was JIT warmup, see
+        # above), but clearing keeps each query's persist cost inside
+        # its own timing — the honest per-query number.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = q.build(spark, sf_dir)
         n = df.count()
@@ -134,6 +168,9 @@ def main() -> None:
                 # >0 = another JVM was alive at bench start: treat the
                 # wall-clocks as contaminated (±2× variance observed)
                 "foreign_jvms_at_start": foreign_jvms,
+                # sf0.001 steady-state warmup wall (None = skipped):
+                # timed queries measure warm-JIT throughput, see above
+                "warmup_sec": warmup_s,
             }
         )
     )
