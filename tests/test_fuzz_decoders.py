@@ -211,3 +211,24 @@ def test_fuzz_jpeg(seed, gray, c):
     img = rng.integers(0, 256, shape, dtype=np.uint8)
     blob = _corrupt(encode_jpeg(img), *c)
     _skip_never_raises(lambda b: [decode_jpeg(b)], blob)
+
+
+@settings(max_examples=_n(120), deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=60),
+    gray=st.booleans(),
+    refine=st.booleans(),
+    c=corruption,
+)
+def test_fuzz_jpeg_progressive(seed, gray, refine, c):
+    """Corrupted multi-scan SOF2 streams must skip (ValueError /
+    NotImplementedError), never crash — same contract as sequential."""
+    from vlm_data_pipeline_spark.sources.jpeg_codec import decode_jpeg
+
+    from .test_jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    shape = (16, 16) if gray else (16, 16, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    blob = _corrupt(encode_jpeg_progressive(img, refine=refine), *c)
+    _skip_never_raises(lambda b: [decode_jpeg(b)], blob)

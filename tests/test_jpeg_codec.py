@@ -126,9 +126,10 @@ def _pad_to_blocks(plane, bh, bw_):
     return np.pad(plane, ((0, bh - h), (0, bw_ - w)), mode="edge")
 
 
-def encode_jpeg(pixels, sampling=(1, 1), restart_interval=0):
-    """pixels: (h, w) grayscale or (h, w, 3) RGB uint8; sampling applies
-    to chroma (1,1)=4:4:4, (2,2)=4:2:0 via box-average downsample."""
+def _prep_planes(pixels, sampling):
+    """Shared forward path: RGB→YCbCr, chroma downsample, MCU padding.
+    Returns (h, w, padded planes, per-comp factors, max_h, max_v,
+    mcus_x, mcus_y)."""
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -159,6 +160,17 @@ def encode_jpeg(pixels, sampling=(1, 1), restart_interval=0):
     padded = []
     for p, (fh, fv) in zip(planes, factors):
         padded.append(_pad_to_blocks(p, mcus_y * fv * 8, mcus_x * fh * 8))
+    return h, w, padded, factors, max_h, max_v, mcus_x, mcus_y
+
+
+def encode_jpeg(pixels, sampling=(1, 1), restart_interval=0):
+    """pixels: (h, w) grayscale or (h, w, 3) RGB uint8; sampling applies
+    to chroma (1,1)=4:4:4, (2,2)=4:2:0 via box-average downsample."""
+    h, w, padded, factors, max_h, max_v, mcus_x, mcus_y = _prep_planes(
+        pixels, sampling
+    )
+    ncomp = len(padded)
+    gray = ncomp == 1
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # unit table, id 0
@@ -201,6 +213,190 @@ def encode_jpeg(pixels, sampling=(1, 1), restart_interval=0):
                     )
     entropy += bw.flush()
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder: same quantized coefficients as the baseline
+# encoder, transmitted as DC-first/DC-refine interleaved scans plus
+# per-component spectral AC bands with one successive-approximation stage
+# (Al=1 first pass, Ah=1/Al=0 refinement) — T.81 Annex G forward path.
+# Because the coefficients are identical, decode(progressive) must equal
+# decode(baseline) exactly.
+# ---------------------------------------------------------------------------
+
+
+def _zz_blocks(plane):
+    """Quantized (unit table) zigzag coefficients for every 8x8 block."""
+    bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw_, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw_):
+            sp = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            q = np.round(_A @ (sp - 128.0) @ _A.T).astype(np.int64)
+            out[by, bx] = [q.flat[ZZ[i]] for i in range(64)]
+    return out
+
+
+def _emit_ac_first(bw, zz, ss, se, al):
+    """One block of a first AC scan: sign-magnitude point transform,
+    RLE with ZRL, EOB0 terminator."""
+    vals = {
+        k: (1 if zz[k] > 0 else -1) * (abs(int(zz[k])) >> al)
+        for k in range(ss, se + 1)
+    }
+    run = 0
+    for k in range(ss, se + 1):
+        v = vals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = AC_ENC[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = _cat(v)
+        ln, code = AC_ENC[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run > 0:
+        ln, code = AC_ENC[0x00]  # EOB0
+        bw.put(code, ln)
+
+
+def _emit_ac_refine(bw, zz, ss, se, ah, al):
+    """One block of a refinement AC scan (jcphuff-style): newly
+    significant coefficients emit (run,1)+sign, history coefficients
+    buffer correction bits flushed after each symbol, trailing
+    content folds into EOB0."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index AFTER the last newly-significant coefficient
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i + 1
+    run = 0
+    pend: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and i < eob:
+            ln, code = AC_ENC[0xF0]
+            bw.put(code, ln)
+            run -= 16
+            for bit in pend:
+                bw.put(bit, 1)
+            pend = []
+        if a > 1:  # already significant at Ah precision: correction bit
+            pend.append(a & 1)
+            continue
+        # newly significant (a == 1)
+        ln, code = AC_ENC[(run << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if zz[ss + i] > 0 else 0, 1)
+        for bit in pend:
+            bw.put(bit, 1)
+        pend = []
+        run = 0
+    if run > 0 or pend:
+        ln, code = AC_ENC[0x00]  # EOB0
+        bw.put(code, ln)
+        for bit in pend:
+            bw.put(bit, 1)
+
+
+def encode_jpeg_progressive(pixels, sampling=(1, 1), refine=True):
+    """Progressive encoding of the SAME quantized coefficients the
+    baseline encoder produces. refine=True adds a successive-
+    approximation stage (Al=1 then Ah=1/Al=0); refine=False sends
+    full-precision spectral bands (Al=0 only)."""
+    h, w, padded, factors, max_h, max_v, mcus_x, mcus_y = _prep_planes(
+        pixels, sampling
+    )
+    ncomp = len(padded)
+    zzs = [_zz_blocks(p) for p in padded]
+    # per-component non-interleaved block dims (ceil of scaled dims / 8)
+    nidims = []
+    for fh, fv in factors:
+        cw = -(-w * fh // max_h)
+        chh = -(-h * fv // max_v)
+        nidims.append((-(-chh // 8), -(-cw // 8)))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    out += _seg(0xC2, sof)  # SOF2
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMS)
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMS)
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    al0 = 1 if refine else 0
+
+    # scan 1: DC first, interleaved, Al=al0
+    out += sos(list(range(ncomp)), 0, 0, 0, al0)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for m_i in range(mcus_x * mcus_y):
+        my, mx = divmod(m_i, mcus_x)
+        for ci in range(ncomp):
+            fh, fv = factors[ci]
+            for by in range(fv):
+                for bx in range(fh):
+                    dc = int(zzs[ci][my * fv + by, mx * fh + bx, 0]) >> al0
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    t = _cat(diff)
+                    ln, code = DC_ENC[t]
+                    bw.put(code, ln)
+                    if t:
+                        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += bw.flush()
+
+    if refine:
+        # scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw bits)
+        out += sos(list(range(ncomp)), 0, 0, 1, 0)
+        bw = _BitWriter()
+        for m_i in range(mcus_x * mcus_y):
+            my, mx = divmod(m_i, mcus_x)
+            for ci in range(ncomp):
+                fh, fv = factors[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        bw.put(int(zzs[ci][my * fv + by, mx * fh + bx, 0]) & 1, 1)
+        out += bw.flush()
+
+    # spectral AC bands per component, first pass at Al=al0
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            out += sos([ci], ss, se, 0, al0)
+            bw = _BitWriter()
+            bh, bw_ = nidims[ci]
+            for u in range(bh * bw_):
+                by, bx = divmod(u, bw_)
+                _emit_ac_first(bw, zzs[ci][by, bx], ss, se, al0)
+            out += bw.flush()
+
+    if refine:
+        # AC refinement over the whole band, Ah=1 Al=0
+        for ci in range(ncomp):
+            out += sos([ci], 1, 63, 1, 0)
+            bw = _BitWriter()
+            bh, bw_ = nidims[ci]
+            for u in range(bh * bw_):
+                by, bx = divmod(u, bw_)
+                _emit_ac_refine(bw, zzs[ci][by, bx], 1, 63, 1, 0)
+            out += bw.flush()
+
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -296,14 +492,63 @@ def test_decode_images_stage_handles_planted_jpeg(spark):
     assert row.mean_luma == pytest.approx(100 / 255.0, abs=0.02)
 
 
-def test_progressive_is_a_capability_gap():
-    # minimal stream up to an SOF2 marker
+def test_progressive_matches_baseline_gray():
+    """Same quantized coefficients, two transmission orders → identical
+    pixels. Exercises DC first+refine and banded AC first+refine."""
+    img = np.add.outer(np.arange(16) * 3, np.arange(24) * 2).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert (prog.width, prog.height, prog.channels) == (24, 16, 1)
+    assert prog.rows == base.rows
+
+
+def test_progressive_matches_baseline_rgb_420():
+    """Color + 4:2:0: interleaved DC scans over the MCU grid, per-
+    component AC bands over each component's own ceil(dim/8) raster
+    (including the odd-block-count luma sub-grid of the padded MCU
+    grid), successive approximation on."""
+    rng = np.random.default_rng(11)
+    img = (rng.integers(0, 8, (20, 17, 3)) * 32 + 16).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, sampling=(2, 2)))
+    prog = decode_jpeg(encode_jpeg_progressive(img, sampling=(2, 2)))
+    assert (prog.width, prog.height, prog.channels) == (17, 20, 3)
+    assert prog.rows == base.rows
+
+
+def test_progressive_spectral_only_no_refinement():
+    """Al=0 everywhere: pure spectral selection without successive
+    approximation — the second independent scan-script shape."""
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 4, (13, 21, 3)) * 64 + 32).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img, refine=False))
+    assert prog.rows == base.rows
+
+
+def test_progressive_truncated_scan_is_value_error():
+    img = np.add.outer(np.arange(16), np.arange(16)).astype(np.uint8) * 4
+    blob = encode_jpeg_progressive(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])
+
+
+def test_progressive_header_without_scans_is_value_error():
     blob = (
         b"\xff\xd8"
         + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
         + _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
+        decode_jpeg(blob)
+
+
+def test_arithmetic_coding_is_a_capability_gap():
+    blob = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _seg(0xC9, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    )
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(blob)
 
 

@@ -3,14 +3,27 @@
 JPEG is a public spec (ITU-T T.81 / ISO 10918-1): marker segments, DQT
 quantization tables, DHT canonical Huffman tables, SOF0 geometry, one
 interleaved entropy-coded scan of 8×8 DCT blocks. The subset here —
-baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit samples,
-grayscale and 3-component YCbCr with any integer sampling factors
-(4:4:4, 4:2:2, 4:2:0), restart markers — is the dominant VLM-corpus
-format (the reference reads .jpg throughout, e.g.
-sunrgbd_processor.py:195-215), using only stdlib ``struct`` + numpy.
-Progressive (SOF2) and arithmetic coding are capability gaps →
-NotImplementedError (inject Pillow/cv2); corrupt data → ValueError (the
-robust skip policy), same contract as png_codec/bmp_codec.
+baseline + extended-sequential Huffman (SOF0/SOF1) and progressive
+Huffman (SOF2, spectral selection + successive approximation, T.81
+Annex G), 8-bit samples, grayscale and 3-component YCbCr with any
+integer sampling factors (4:4:4, 4:2:2, 4:2:0), restart markers — is
+the dominant VLM-corpus format (the reference reads .jpg throughout,
+e.g. sunrgbd_processor.py:195-215), using only stdlib ``struct`` +
+numpy. Arithmetic coding, hierarchical (SOF5+), and 12-bit samples are
+capability gaps → NotImplementedError (inject Pillow/cv2); corrupt
+data → ValueError (the robust skip policy), same contract as
+png_codec/bmp_codec.
+
+Progressive design: each SOS scan deposits quantized coefficients into
+per-component int32 arrays (zigzag order) — interleaved-MCU traversal
+for multi-component DC scans, the component's own ceil(dim/8) raster
+for single-component scans, EOBRUN + correction-bit refinement per
+G.1.2.2/G.1.2.3 — and reconstruction (dequantize → IDCT → upsample →
+color convert) happens once at EOI via the same vectorized tail the
+baseline path uses. Since baseline and progressive transmit the SAME
+quantized coefficients, a progressive re-encoding decodes
+bit-identically to its baseline sibling (pinned in
+tests/test_jpeg_codec.py::test_progressive_matches_baseline_*).
 
 Output matches the shared rows-of-channel-ints codec contract
 (``multimodal._decode_pixels``): top-down rows, 8-bit samples, RGB for
@@ -195,15 +208,268 @@ def _decode_block(
     return _A.T @ block @ _A, dc
 
 
+class _ProgState:
+    """Quantized-coefficient accumulator for a progressive (SOF2) frame.
+
+    Every scan deposits bits into per-component int32 arrays in ZIGZAG
+    order; nothing is dequantized until ``reconstruct`` at EOI, so scan
+    order / spectral banding / successive approximation all compose the
+    way T.81 Annex G specifies. Multi-component (necessarily DC) scans
+    traverse the MCU grid like a baseline scan; single-component scans
+    traverse the component's own ceil(dim/8) raster — the MCU-padding
+    blocks exist only in the interleaved grid, so the arrays are
+    allocated at the padded size and non-interleaved scans write the
+    top-left sub-grid.
+    """
+
+    __slots__ = (
+        "frame", "max_h", "max_v", "mcus_x", "mcus_y",
+        "by_id", "coefs", "dims", "any_scan",
+    )
+
+    def __init__(self, frame):
+        height, width, comps = frame
+        self.frame = frame
+        self.max_h = max(c[1] for c in comps)
+        self.max_v = max(c[2] for c in comps)
+        self.mcus_x = -(-width // (8 * self.max_h))
+        self.mcus_y = -(-height // (8 * self.max_v))
+        self.by_id = {c[0]: c for c in comps}
+        self.coefs: dict[int, np.ndarray] = {}
+        self.dims: dict[int, tuple[int, int]] = {}
+        for cid, ch, cv, _tq in comps:
+            self.coefs[cid] = np.zeros(
+                (self.mcus_y * cv, self.mcus_x * ch, 64), dtype=np.int32
+            )
+            comp_w = -(-width * ch // self.max_h)
+            comp_h = -(-height * cv // self.max_v)
+            self.dims[cid] = (-(-comp_h // 8), -(-comp_w // 8))
+        self.any_scan = False
+
+    def decode_scan(self, scan, ss, se, ah, al, htables, restart_interval, segs):
+        if not (0 <= ss <= se <= 63) or al > 13 or ah > 14:
+            raise ValueError("bad progressive scan parameters")
+        for cs, _td, _ta in scan:
+            if cs not in self.by_id:
+                raise ValueError("scan references unknown component")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            self._dc_scan(scan, ah, al, htables, restart_interval, segs)
+        else:
+            if len(scan) != 1:
+                raise ValueError(
+                    "progressive AC scan must be single-component"
+                )
+            self._ac_scan(
+                scan[0], ss, se, ah, al, htables, restart_interval, segs
+            )
+        self.any_scan = True
+
+    # -- DC scans (interleaved or single-component) --------------------
+
+    def _dc_scan(self, scan, ah, al, htables, restart_interval, segs):
+        first = ah == 0
+        tabs = {}
+        for cs, td, _ta in scan:
+            if first:
+                if (0, td) not in htables:
+                    raise ValueError("missing DC Huffman table")
+                tabs[cs] = htables[(0, td)]
+        preds = {cs: 0 for cs, _, _ in scan}
+        interleaved = len(scan) > 1
+        if interleaved:
+            units = self.mcus_x * self.mcus_y
+        else:
+            bh, bw = self.dims[scan[0][0]]
+            units = bh * bw
+        reader = _BitReader(segs[0])
+        seg_idx = 0
+        for u in range(units):
+            if restart_interval and u > 0 and u % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("missing restart segment")
+                reader = _BitReader(segs[seg_idx])
+                preds = {cs: 0 for cs, _, _ in scan}
+            if interleaved:
+                my, mx = divmod(u, self.mcus_x)
+                for cs, _td, _ta in scan:
+                    _cid, ch, cv, _tq = self.by_id[cs]
+                    coef = self.coefs[cs]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            self._dc_unit(
+                                coef, my * cv + by, mx * ch + bx,
+                                reader, tabs.get(cs), preds, cs, first, al,
+                            )
+            else:
+                cs = scan[0][0]
+                _bh, bw = self.dims[cs]
+                by, bx = divmod(u, bw)
+                self._dc_unit(
+                    self.coefs[cs], by, bx,
+                    reader, tabs.get(cs), preds, cs, first, al,
+                )
+
+    @staticmethod
+    def _dc_unit(coef, by, bx, reader, tab, preds, cs, first, al):
+        if first:
+            t = reader.decode(tab)
+            if t > 11:  # 8-bit precision: DC categories 0..11 (F.1.2.1.1)
+                raise ValueError("DC magnitude category out of range")
+            preds[cs] += _extend(reader.receive(t), t)
+            v = preds[cs] << al  # arithmetic point transform
+            if not -(1 << 31) <= v < (1 << 31):
+                # only reachable on corrupt data: a legal stream keeps
+                # DC within 12(+Al) bits; don't overflow the int32 store
+                raise ValueError("DC predictor out of range")
+            coef[by, bx, 0] = v
+        elif reader.read_bit():
+            coef[by, bx, 0] |= 1 << al  # two's-complement OR per G.1.2.1
+
+    # -- AC scans (always single-component) ----------------------------
+
+    def _ac_scan(self, comp, ss, se, ah, al, htables, restart_interval, segs):
+        cs, _td, ta = comp
+        if (1, ta) not in htables:
+            raise ValueError("missing AC Huffman table")
+        tab = htables[(1, ta)]
+        coef = self.coefs[cs]
+        bh, bw = self.dims[cs]
+        reader = _BitReader(segs[0])
+        seg_idx = 0
+        eobrun = 0
+        for u in range(bh * bw):
+            if restart_interval and u > 0 and u % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("missing restart segment")
+                reader = _BitReader(segs[seg_idx])
+                eobrun = 0
+            by, bx = divmod(u, bw)
+            blk = coef[by, bx]
+            if ah == 0:
+                eobrun = self._ac_first(blk, ss, se, al, tab, reader, eobrun)
+            else:
+                eobrun = self._ac_refine(blk, ss, se, al, tab, reader, eobrun)
+
+    @staticmethod
+    def _ac_first(blk, ss, se, al, tab, reader, eobrun):
+        """G.1.2.2: first AC scan of a band — RLE + EOBRUN, magnitudes
+        arrive pre-shifted by the sign-magnitude point transform."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.decode(tab)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run < 15:  # EOBn: run of (1<<run)+ext end-of-band blocks
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += reader.receive(run)
+                    break
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC run past end of spectral band")
+            blk[k] = _extend(reader.receive(size), size) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine(blk, ss, se, al, tab, reader, eobrun):
+        """G.1.2.3: refinement AC scan — newly-significant coefficients
+        carry a sign bit; already-nonzero coefficients consume one
+        correction bit each as the run advances across them."""
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode(tab)
+                run, size = rs >> 4, rs & 0x0F
+                newval = 0
+                if size != 0:
+                    if size != 1:
+                        raise ValueError(
+                            "invalid refinement magnitude category"
+                        )
+                    newval = p1 if reader.read_bit() else m1
+                elif run != 15:
+                    eobrun = 1 << run  # includes the current block
+                    if run:
+                        eobrun += reader.receive(run)
+                    break
+                # advance over `run` zero-history coefficients, applying
+                # correction bits to already-nonzero ones along the way
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval != 0:
+                    if k > se:
+                        raise ValueError("refinement run past end of band")
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # correction bits only, to end of band
+                if blk[k] != 0 and reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- final reconstruction at EOI ------------------------------------
+
+    def reconstruct(self, qtables) -> JpegImage:
+        height, width, comps = self.frame
+        full = []
+        for cid, ch, cv, tq in comps:
+            if tq not in qtables:
+                raise ValueError("missing quantization table")
+            if self.max_v % cv or self.max_h % ch:
+                raise NotImplementedError(
+                    f"non-integer chroma subsampling ratio ({ch}x{cv} vs "
+                    f"{self.max_h}x{self.max_v} max)"
+                )
+            qt = qtables[tq]
+            deq = self.coefs[cid].astype(np.float64) * qt[None, None, :]
+            bh, bw = deq.shape[:2]
+            nat = np.zeros((bh, bw, 64), dtype=np.float64)
+            nat[:, :, ZIGZAG] = deq  # de-zigzag
+            # same dgemm per 8x8 block as the baseline path → the same
+            # quantized coefficients decode bit-identically either way
+            spatial = _A.T @ nat.reshape(bh, bw, 8, 8) @ _A
+            plane = (
+                spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+            )
+            plane = np.repeat(
+                np.repeat(plane, self.max_v // cv, axis=0),
+                self.max_h // ch, axis=1,
+            )
+            full.append(plane[:height, :width])
+        return _planes_to_image(full, width, height)
+
+
 def decode_jpeg(content: bytes) -> JpegImage:
-    """Decode a baseline JFIF/EXIF JPEG to 8-bit channel rows (RGB or
-    grayscale)."""
+    """Decode a baseline or progressive JFIF/EXIF JPEG to 8-bit channel
+    rows (RGB or grayscale)."""
     if len(content) < 4 or content[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Huff] = {}  # (class, id)
     restart_interval = 0
     frame = None  # (height, width, comps) comps: (id, h, v, tq)
+    progressive = False
+    prog: _ProgState | None = None
     i = 2
     n = len(content)
     while i < n:
@@ -212,7 +478,9 @@ def decode_jpeg(content: bytes) -> JpegImage:
         marker = content[i + 1] if i + 1 < n else None
         if marker is None:
             raise ValueError("truncated marker")
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if prog is not None and prog.any_scan:
+                return prog.reconstruct(qtables)
             raise ValueError("EOI before SOS: no image data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2
@@ -253,7 +521,7 @@ def decode_jpeg(content: bytes) -> JpegImage:
                     raise ValueError("truncated DHT symbols")
                 htables[(tc, th)] = _Huff(counts, syms)
                 p += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: Huffman sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG samples supported")
@@ -273,10 +541,13 @@ def decode_jpeg(content: bytes) -> JpegImage:
                 if (hv >> 4) == 0 or (hv & 0x0F) == 0:
                     raise ValueError("zero sampling factor")
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+            if progressive:
+                prog = _ProgState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG needs an injected "
-                "decoder (Pillow/cv2); baseline sequential only"
+                "arithmetic/lossless/hierarchical JPEG needs an injected "
+                "decoder (Pillow/cv2); Huffman sequential + progressive only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[0:2])[0]
@@ -284,13 +555,29 @@ def decode_jpeg(content: bytes) -> JpegImage:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")
             scan = []
             for c in range(ns):
                 cs, td_ta = body[1 + 2 * c : 3 + 2 * c]
                 scan.append((cs, td_ta >> 4, td_ta & 0x0F))
-            segs, _ = _split_entropy(content, i + 2 + seglen)
-            return _decode_scan(frame, scan, qtables, htables, restart_interval, segs)
+            segs, nxt = _split_entropy(content, i + 2 + seglen)
+            if not progressive:
+                return _decode_scan(
+                    frame, scan, qtables, htables, restart_interval, segs
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahl = body[3 + 2 * ns]
+            prog.decode_scan(
+                scan, ss, se, ahl >> 4, ahl & 0x0F,
+                htables, restart_interval, segs,
+            )
+            i = nxt
+            continue
         i += 2 + seglen
+    if prog is not None and prog.any_scan:
+        # missing EOI but scans decoded: tolerate (browsers do), data is whole
+        return prog.reconstruct(qtables)
     raise ValueError("no SOS marker: truncated JPEG")
 
 
@@ -355,7 +642,11 @@ def _decode_scan(frame, scan, qtables, htables, restart_interval, segs) -> JpegI
         p = planes[cid] + 128.0
         p = np.repeat(np.repeat(p, max_v // cv, axis=0), max_h // ch, axis=1)
         full.append(p[:height, :width])
+    return _planes_to_image(full, width, height)
 
+
+def _planes_to_image(full: list[np.ndarray], width: int, height: int) -> JpegImage:
+    """Shared tail: level-shifted full-geometry planes → rows contract."""
     if len(full) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.int64)
         return JpegImage(width, height, 8, 1, out.tolist())

@@ -138,10 +138,10 @@ def _scalar_feature_stage(assets: DataFrame, schema: T.StructType, decode):
 def _decode_pixels(payload: bytes):
     """Format dispatch over the two REAL stdlib codecs: PNG
     (``sources.png_codec``), uncompressed BMP (``sources.bmp_codec``) and
-    baseline JPEG (``sources.jpeg_codec``) — all returning the same
-    rows-of-channel-ints contract (RGB/RGBA/gray, top-down), so every
-    pixel consumer (luma stats, aHash) is codec-agnostic. Remaining
-    formats (progressive JPEG, webp, …) need an injected decoder —
+    baseline + progressive JPEG (``sources.jpeg_codec``) — all returning
+    the same rows-of-channel-ints contract (RGB/RGBA/gray, top-down), so
+    every pixel consumer (luma stats, aHash) is codec-agnostic. Remaining
+    formats (arithmetic-coded JPEG, webp, …) need an injected decoder —
     Pillow/cv2 in production. Empty payloads are corrupt DATA
     (ValueError → the robust skip policy), not a missing capability."""
     if not payload:
