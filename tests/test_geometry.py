@@ -74,6 +74,52 @@ def test_box_vertices_match_numpy(box_df):
         assert np.allclose(actual, expected, atol=1e-12), row.i
 
 
+def test_min_vertex_distance_arrow_bit_parity(spark):
+    """The Arrow kernel must equal the Column fold BIT-FOR-BIT — same
+    subtraction/multiply/add association, min, one final sqrt — on
+    randomized oriented box pairs (the qa_task_obj_obj_distance hot
+    path runs the Arrow side; the fold is its equality witness)."""
+    rng = np.random.default_rng(42)
+
+    def b():
+        geom = dict(zip(
+            ["x", "y", "z", "xl", "yl", "zl", "pitch", "yaw", "roll"],
+            [
+                float(rng.uniform(-5, 5)), float(rng.uniform(-5, 5)),
+                float(rng.uniform(0.5, 8)), float(rng.uniform(0.1, 3)),
+                float(rng.uniform(0.1, 3)), float(rng.uniform(0.1, 3)),
+                float(rng.uniform(-1.5, 1.5)), float(rng.uniform(-3.1, 3.1)),
+                float(rng.uniform(-1.5, 1.5)),
+            ],
+        ))
+        return geom | {"category": "c", "label_id": None, "object_id": None,
+                       "confidence": None, "method": None}
+
+    rows = [{"i": i, "ba": b(), "bb": b()} for i in range(500)]
+    from pyspark.sql import types as T
+
+    from vlm_data_pipeline_spark.schemas import BBOX_3D
+
+    schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("ba", BBOX_3D),
+        T.StructField("bb", BBOX_3D),
+    ])
+    df = spark.createDataFrame(rows, schema).select(
+        "i",
+        G.box_vertices(F.col("ba")).alias("va"),
+        G.box_vertices(F.col("bb")).alias("vb"),
+    )
+    out = df.select(
+        "i",
+        G.min_vertex_distance(F.col("va"), F.col("vb")).alias("fold"),
+        G.min_vertex_distance_arrow(F.col("va"), F.col("vb")).alias("arrow"),
+    ).collect()
+    assert len(out) == 500
+    for r in out:
+        assert r.fold == r.arrow, (r.i, r.fold, r.arrow)  # exact, not approx
+
+
 def test_min_vertex_distance_analytic(box_df):
     """Two axis-aligned unit cubes 3 m apart on x → nearest faces 2 m."""
     a = box_df.filter("i = 0").select(F.col("box").alias("ba"))

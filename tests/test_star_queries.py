@@ -61,12 +61,13 @@ def test_driver_window_is_all_flagship_oracles():
     assert len(_DRIVER_WINDOW) == 50
     assert names[: len(_DRIVER_WINDOW)] == list(_DRIVER_WINDOW)
     assert all(QUERIES[n].oracle is not None for n in _DRIVER_WINDOW)
-    # round-7 rotation: the 2D variants (object_count_2d, bbox_2d_size,
-    # object_2d_size — four straight green rounds, near-duplicates of
-    # their 3D siblings) ceded slots to first-time-graded flagships;
-    # they stay registered and full-simulation-covered
+    # round-7 rotations: the 2D variants (object_count_2d, bbox_2d_size,
+    # object_2d_size) and then cam_distance (all 4 straight green
+    # rounds; plain point-distance geometry re-proven by the remaining
+    # tasks) ceded slots to first-time-graded flagships and the layout
+    # family; they stay registered and full-simulation-covered
     flagship = {f"qa_task_{t}" for t in (
-        "object_count", "cam_distance", "object_3d_size", "obj_obj_distance",
+        "object_count", "object_3d_size", "obj_obj_distance",
         "obj_obj_rel_pos", "cam_obj_rel_dist", "object_count_mc",
     )} | {"qa_pipeline_summary_oracle", "curation_clean_pipeline"}
     assert flagship <= set(_DRIVER_WINDOW)

