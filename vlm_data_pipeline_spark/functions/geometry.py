@@ -161,15 +161,23 @@ def min_vertex_distance_arrow(verts_a: Column, verts_b: Column) -> Column:
     pair tables (the ``score_corpus`` dual-path precedent).
 
     The Column fold above interprets ~64 lambda bodies per pair (Spark
-    does not codegen higher-order functions); at 1.2M pairs that is the
-    single largest line item inside qa_pipeline_full. This kernel runs
-    the identical arithmetic — dx*dx + dy*dy + dz*dz left-associated,
-    min over the 64 pairs, one final sqrt — on (N, 8, 3) float64
-    batches, measured 2.2x faster warm and BIT-IDENTICAL on all 1.2M
-    sf0.1 pairs (equality pinned in
-    tests/test_geometry.py::test_min_vertex_distance_arrow_bit_parity,
-    plus the task's unchanged driver oracle). Vertices cross as
-    flattened 24-double arrays; Arrow float64 transfer is exact."""
+    does not codegen higher-order functions). This kernel runs the
+    identical arithmetic — dx*dx + dy*dy + dz*dz left-associated, min
+    over the 64 pairs, one final sqrt — on (N, 8, 3) float64 batches,
+    BIT-IDENTICAL on all 1.2M sf0.1 pairs (equality pinned in
+    tests/test_geometry.py::test_min_vertex_distance_arrow_bit_parity).
+    Vertices cross as flattened 24-double arrays; Arrow float64
+    transfer is exact.
+
+    WHEN TO USE WHICH (both measured, round 7): on a standalone
+    persisted pair table this kernel is 2.2x faster warm (2.80s →
+    1.26s at 1.2M pairs); inside qa_pipeline_full's ten-task union the
+    FOLD wins (10.8-11.3s vs 11.1-15.2s, 27s cold) — the Python-worker
+    stage break and per-thread worker startup cost more than the
+    interpreted lambdas save when the scan shares a session with nine
+    sibling tasks. Pick by pipeline-level measurement, not operator
+    microbenchmarks; the QA task uses the fold for exactly this
+    reason."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

@@ -273,12 +273,17 @@ def obj_obj_distance(frames: DataFrame) -> DataFrame:
     pairs = _box_pairs(frames, with_verts=True)
     band = F.round(F.col("dist_m"), 6)
     d = (
-        # Arrow kernel: bit-identical to the Column fold (proven over
-        # all 1.2M sf0.1 pairs + pinned by test), 2.2x faster warm —
-        # this is the largest single line item inside qa_pipeline_full
+        # Column fold, DELIBERATELY not the Arrow kernel: the two are
+        # bit-identical (pinned in test_geometry), and the kernel is
+        # 2.2x faster on a standalone persisted pair table — but inside
+        # this ten-task union the fold measures 10.8-11.3s consistently
+        # vs 11.1-15.2s (27s cold) for the kernel: the Python-worker
+        # stage break + per-thread worker startup costs more than the
+        # interpreted lambdas save when the pair scan shares a session
+        # with nine sibling tasks. Measured A/B same-session, round 7.
         pairs.withColumn(
             "dist_m",
-            G.min_vertex_distance_arrow(F.col("verts_a"), F.col("verts_b")),
+            G.min_vertex_distance(F.col("verts_a"), F.col("verts_b")),
         )
         .filter(
             (band >= P_OBJ["min_distance"]) & (band <= P_OBJ["max_distance"])
