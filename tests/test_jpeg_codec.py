@@ -307,11 +307,15 @@ def _emit_ac_refine(bw, zz, ss, se, ah, al):
             bw.put(bit, 1)
 
 
-def encode_jpeg_progressive(pixels, sampling=(1, 1), refine=True):
+def encode_jpeg_progressive(
+    pixels, sampling=(1, 1), refine=True, restart_interval=0
+):
     """Progressive encoding of the SAME quantized coefficients the
     baseline encoder produces. refine=True adds a successive-
     approximation stage (Al=1 then Ah=1/Al=0); refine=False sends
-    full-precision spectral bands (Al=0 only)."""
+    full-precision spectral bands (Al=0 only). restart_interval > 0
+    emits RSTn every N MCUs (DC scans) / N blocks (AC scans) with
+    predictor/EOBRUN state reset, per T.81 DRI semantics."""
     h, w, padded, factors, max_h, max_v, mcus_x, mcus_y = _prep_planes(
         pixels, sampling
     )
@@ -341,12 +345,38 @@ def encode_jpeg_progressive(pixels, sampling=(1, 1), refine=True):
         return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
     al0 = 1 if refine else 0
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    class _SegWriter:
+        """Flush + emit RSTn every `restart_interval` units; the caller
+        resets its predictor state when next_unit returns True."""
+
+        def __init__(self):
+            self.bw = _BitWriter()
+            self.rst = 0
+
+        def next_unit(self, u):
+            nonlocal out
+            if restart_interval and u > 0 and u % restart_interval == 0:
+                out += self.bw.flush()
+                out += bytes([0xFF, 0xD0 + (self.rst % 8)])
+                self.rst += 1
+                self.bw = _BitWriter()
+                return True
+            return False
+
+        def finish(self):
+            nonlocal out
+            out += self.bw.flush()
 
     # scan 1: DC first, interleaved, Al=al0
     out += sos(list(range(ncomp)), 0, 0, 0, al0)
-    bw = _BitWriter()
+    w = _SegWriter()
     preds = [0] * ncomp
     for m_i in range(mcus_x * mcus_y):
+        if w.next_unit(m_i):
+            preds = [0] * ncomp
         my, mx = divmod(m_i, mcus_x)
         for ci in range(ncomp):
             fh, fv = factors[ci]
@@ -357,45 +387,50 @@ def encode_jpeg_progressive(pixels, sampling=(1, 1), refine=True):
                     preds[ci] = dc
                     t = _cat(diff)
                     ln, code = DC_ENC[t]
-                    bw.put(code, ln)
+                    w.bw.put(code, ln)
                     if t:
-                        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
-    out += bw.flush()
+                        w.bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    w.finish()
 
     if refine:
         # scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw bits)
         out += sos(list(range(ncomp)), 0, 0, 1, 0)
-        bw = _BitWriter()
+        w = _SegWriter()
         for m_i in range(mcus_x * mcus_y):
+            w.next_unit(m_i)
             my, mx = divmod(m_i, mcus_x)
             for ci in range(ncomp):
                 fh, fv = factors[ci]
                 for by in range(fv):
                     for bx in range(fh):
-                        bw.put(int(zzs[ci][my * fv + by, mx * fh + bx, 0]) & 1, 1)
-        out += bw.flush()
+                        w.bw.put(
+                            int(zzs[ci][my * fv + by, mx * fh + bx, 0]) & 1, 1
+                        )
+        w.finish()
 
     # spectral AC bands per component, first pass at Al=al0
     for ss, se in ((1, 5), (6, 63)):
         for ci in range(ncomp):
             out += sos([ci], ss, se, 0, al0)
-            bw = _BitWriter()
+            w = _SegWriter()
             bh, bw_ = nidims[ci]
             for u in range(bh * bw_):
+                w.next_unit(u)  # EOB0-only encoder: no cross-block state
                 by, bx = divmod(u, bw_)
-                _emit_ac_first(bw, zzs[ci][by, bx], ss, se, al0)
-            out += bw.flush()
+                _emit_ac_first(w.bw, zzs[ci][by, bx], ss, se, al0)
+            w.finish()
 
     if refine:
         # AC refinement over the whole band, Ah=1 Al=0
         for ci in range(ncomp):
             out += sos([ci], 1, 63, 1, 0)
-            bw = _BitWriter()
+            w = _SegWriter()
             bh, bw_ = nidims[ci]
             for u in range(bh * bw_):
+                w.next_unit(u)
                 by, bx = divmod(u, bw_)
-                _emit_ac_refine(bw, zzs[ci][by, bx], 1, 63, 1, 0)
-            out += bw.flush()
+                _emit_ac_refine(w.bw, zzs[ci][by, bx], 1, 63, 1, 0)
+            w.finish()
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -522,6 +557,24 @@ def test_progressive_spectral_only_no_refinement():
     img = (rng.integers(0, 4, (13, 21, 3)) * 64 + 32).astype(np.uint8)
     base = decode_jpeg(encode_jpeg(img))
     prog = decode_jpeg(encode_jpeg_progressive(img, refine=False))
+    assert prog.rows == base.rows
+
+
+def test_progressive_restart_markers_reset_state():
+    """RSTn inside progressive scans: predictor reset per interval in
+    the DC scan, segment-reader reset in every scan — output must stay
+    bit-identical to the unrestarted baseline decode."""
+    rng = np.random.default_rng(5)
+    img = (rng.integers(0, 8, (24, 19, 3)) * 32 + 16).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, sampling=(2, 2)))
+    blob = encode_jpeg_progressive(
+        img, sampling=(2, 2), restart_interval=3
+    )
+    assert any(
+        blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+        for i in range(len(blob) - 1)
+    )
+    prog = decode_jpeg(blob)
     assert prog.rows == base.rows
 
 
