@@ -101,6 +101,23 @@ def test_average_precision_voc_fixture(spark):
     ].ap == pytest.approx(1.0)
 
 
+def test_average_precision_has_no_quadratic_window_frame(spark):
+    """The VOC suffix-max must be a RUNNING max over the reversed sort,
+    never a CURRENT..UNBOUNDED FOLLOWING frame: Spark re-aggregates
+    that frame per row (O(n^2) per group — a 3-task stage measured
+    pinned for 9+ minutes at sf0.1 before the round-7 fix). The plan
+    is the contract: no currentrow-to-unboundedfollowing frame. (The
+    whole-partition UNBOUNDED..UNBOUNDED frame for the n_true fallback
+    is fine — Spark computes that one once per partition.)"""
+    det = spark.createDataFrame(
+        [("g", 0.9, 1, 1), ("g", 0.8, 0, 2)],
+        "grp string, score double, hit int, det_id int",
+    )
+    out = ev.average_precision(det, ["grp"], order_cols=["det_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "currentrow$(), unboundedfollowing$()" not in plan
+
+
 def test_accuracy_under_threshold(spark):
     errs = spark.createDataFrame(
         [("g", 0.05), ("g", 0.1), ("g", 0.2), ("g", 0.5)], "grp string, error double"

@@ -194,6 +194,16 @@ def test_compaction_plan_offset_binning_exact(spark):
     assert rows == {"b": (10, 0), "d": (9, 0), "a": (5, 1), "c": (3, 2)}
 
 
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    """4 dims x 16 bits = bit 63 = the BIGINT sign bit: ordering would
+    go negative-first and silently break range partitioning."""
+    cols = [F.lit(1).cast("long")] * 4
+    with pytest.raises(ValueError, match="62"):
+        zorder_key(cols, 16)
+    assert zorder_key(cols[:3], 16) is not None  # 48 bits: fine
+    assert zorder_key(cols, 15) is not None  # 60 bits: fine
+
+
 def test_compaction_plan_rejects_bad_target(spark):
     df = spark.createDataFrame([("a", 1)], "name string, sz long")
     with pytest.raises(ValueError):

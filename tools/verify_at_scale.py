@@ -34,6 +34,18 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.path.join(REPO, ".scale", "sf1"))
     ap.add_argument("--names", default=None, help="comma list; default = driver window")
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--max-rows",
+        type=int,
+        default=2_000_000,
+        help="skip queries whose Spark result exceeds this row count — "
+        "the row-level compare collects BOTH engines' full results into "
+        "Python and canonicalizes them, which stops being practical in "
+        "the tens of millions (a 12M-row task measured >35 min). "
+        "Skipped giants stay covered by the sf0.01 driver gate and, for "
+        "the QA family, by qa_pipeline_summary_oracle which value-checks "
+        "every task's union counts at this scale.",
+    )
     args = ap.parse_args()
 
     from tests.oracle import compare
@@ -44,22 +56,28 @@ def main() -> None:
     names = args.names.split(",") if args.names else list(_DRIVER_WINDOW)
     spark = get_spark("verify-scale", cpus=args.cpus)
 
-    passed, failed = [], []
+    passed, failed, skipped = [], [], []
     for name in names:
         q = QUERIES[name]
         if q.oracle is None:
             continue
         t0 = time.perf_counter()
         try:
+            n = q.build(spark, args.sf_dir).count()
+            if n > args.max_rows:
+                skipped.append(name)
+                print(f"  {name}: SKIP ({n} rows > --max-rows)", flush=True)
+                continue
             compare(spark, q, args.sf_dir)
             passed.append(name)
-            print(f"  {name}: MATCH ({time.perf_counter() - t0:.1f}s)", flush=True)
+            print(f"  {name}: MATCH rows={n} ({time.perf_counter() - t0:.1f}s)", flush=True)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             failed.append(name)
             print(f"  {name}: FAIL {exc}", flush=True)
     print(json.dumps({
         "sf_dir": args.sf_dir,
         "compared": len(passed) + len(failed),
+        "skipped_over_max_rows": skipped,
         "failed": failed,
     }))
     spark.stop()

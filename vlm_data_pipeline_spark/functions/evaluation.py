@@ -313,14 +313,24 @@ def average_precision(
 
     ``order_cols`` must make the sort total for deterministic results.
 
-    Scale note: the cumulative/suffix windows serialize each group
-    through one reducer — inherent to AP's global ranking. That is the
-    right trade for this operator's workload: detection EVAL sets are
-    benchmark-sized (10^5–10^7 rows per category), not corpus-sized, and
-    a single window task handles that comfortably; the corpus-scale
-    stages of this engine never funnel a whole stratum this way.
+    Scale note: the cumulative windows serialize each group through one
+    reducer — inherent to AP's global ranking; a running frame is O(n)
+    per group, so one task handles benchmark-sized strata (10^5–10^7
+    rows) comfortably. The VOC suffix-max is therefore computed as a
+    RUNNING max over the REVERSED sort order, never as a
+    CURRENT-TO-UNBOUNDED-FOLLOWING frame: Spark's UnboundedFollowing
+    window frame re-aggregates the whole remaining frame for EVERY row
+    (O(n²) per group — measured as a 3-task stage pinned at 100% CPU
+    for 9+ minutes at sf0.1 and unbounded at sf1, vs seconds for the
+    reversed running frame; round-7 finding). max() is order-
+    insensitive, so the two formulations are value-identical.
     """
     order = [F.col(score_col).desc()] + [F.col(c) for c in (order_cols or [])]
+    # exact reverse of `order`, so UNBOUNDED PRECEDING..CURRENT here ==
+    # CURRENT..UNBOUNDED FOLLOWING there (same rows, max is symmetric)
+    order_rev = [F.col(score_col).asc()] + [
+        F.col(c).desc() for c in (order_cols or [])
+    ]
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy(*order)
@@ -328,8 +338,8 @@ def average_precision(
     )
     w_suffix = (
         Window.partitionBy(*group_cols)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*order_rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_lag = Window.partitionBy(*group_cols).orderBy(*order)
     total = Window.partitionBy(*group_cols)
@@ -560,6 +570,19 @@ def detection_ap(
         raise ValueError(f"matcher must be 'closed' or 'exact', got {matcher!r}")
     if matcher == "exact" and mode != "3d":
         raise ValueError("matcher='exact' is the oriented 3D protocol")
+    # Pin the greedy-match stage's parallelism. The per-(image, category)
+    # box arrays are byte-LIGHT (hundreds of compressed bytes per image)
+    # but the in-row greedy matcher is CPU-DENSE (O(dets x gts) IoU per
+    # row — interpreted fold or Arrow clipping kernel), so AQE's
+    # byte-based partition coalescing starves it: at sf1 the stage ran
+    # as 3 tasks and sat for 20+ minutes where 32 tasks take ~1 minute.
+    # An explicit keyed repartition is exempt from AQE coalescing, and
+    # the groupBy below reuses its hash partitioning (ClusteredDistribution
+    # satisfied) — so this costs no extra exchange, it just pins the
+    # count. defaultParallelism scales with the cluster.
+    par = 2 * dets.sparkSession.sparkContext.defaultParallelism
+    dets = dets.repartition(par, image_col, category_col)
+    gts = gts.repartition(par, image_col, category_col)
     if box_cols is None:
         box_cols = (
             BOX_COLS_2D

@@ -99,6 +99,12 @@ def zorder_key(ranks: list[Column], bits: int = 8) -> Column:
         raise ValueError(f"zorder_key supports 1..{MAX_ZORDER_COLS} columns")
     if not 1 <= bits <= MAX_ZORDER_BITS:
         raise ValueError(f"bits must be 1..{MAX_ZORDER_BITS}")
+    if bits * n > 62:
+        # bit 63 is the BIGINT sign bit: a 4-dim 16-bit key would order
+        # negative-first and break range partitioning — fail loudly
+        raise ValueError(
+            f"bits*n_cols = {bits * n} exceeds 62 (signed 64-bit key)"
+        )
     key = F.lit(0).cast("long")
     for i in range(bits):
         for j, r in enumerate(ranks):
