@@ -77,8 +77,10 @@ def test_box_vertices_match_numpy(box_df):
 def test_min_vertex_distance_arrow_bit_parity(spark):
     """The Arrow kernel must equal the Column fold BIT-FOR-BIT — same
     subtraction/multiply/add association, min, one final sqrt — on
-    randomized oriented box pairs (the qa_task_obj_obj_distance hot
-    path runs the Arrow side; the fold is its equality witness)."""
+    randomized oriented box pairs. The FOLD is the shipped path inside
+    qa_task_obj_obj_distance (it wins at pipeline level — tasks3d.py);
+    the Arrow kernel is the standalone-scan sibling whose parity this
+    test pins."""
     rng = np.random.default_rng(42)
 
     def b():
@@ -275,3 +277,36 @@ def test_strict_relations(spark):
     assert r.rel.horizontal_rel == "Left"
     assert r.rel.depth_rel is None
     assert r.rel.vertical_rel is None
+
+
+def test_min_vertex_distance_arrow_null_propagation(spark):
+    """ADVICE r7: NULL verts arrays must yield NULL from the Arrow
+    kernel — the same propagation as the Column fold — not crash
+    np.stack inside the pandas_udf."""
+    df = spark.createDataFrame(
+        [
+            (0, [[0.0, 0.0, 0.0]] * 8, [[1.0, 0.0, 0.0]] * 8),
+            (1, None, [[1.0, 0.0, 0.0]] * 8),
+            (2, [[0.0, 0.0, 0.0]] * 8, None),
+            (3, None, None),
+        ],
+        "i INT, va ARRAY<ARRAY<DOUBLE>>, vb ARRAY<ARRAY<DOUBLE>>",
+    )
+    out = (
+        df.select(
+            "i",
+            G.min_vertex_distance(F.col("va"), F.col("vb")).alias("fold"),
+            G.min_vertex_distance_arrow(F.col("va"), F.col("vb")).alias(
+                "kern"
+            ),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert out[0].fold == out[0].kern == 1.0
+    # The fold's null semantics are ASYMMETRIC and the kernel must mirror
+    # them: NULL va -> NULL; NULL vb alone -> inf (F.least skips the
+    # inner NULL aggregate, leaving the +inf seed).
+    assert out[1].fold is None and out[1].kern is None, out[1]
+    assert out[2].fold == float("inf") and out[2].kern == float("inf"), out[2]
+    assert out[3].fold is None and out[3].kern is None, out[3]

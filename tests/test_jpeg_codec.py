@@ -622,3 +622,27 @@ def test_truncated_entropy_stream_is_value_error():
     blob = encode_jpeg(img)
     with pytest.raises(ValueError):
         decode_jpeg(blob[: len(blob) - 40])
+
+
+def test_progressive_refinement_before_first_scan_is_value_error():
+    """ADVICE r7: a refinement scan (Ah>0) with no prior first scan for
+    its (component, band) would deposit correction bits onto never-
+    initialized coefficients — silently wrong pixels. The codec contract
+    routes corruption to ValueError so robust.guard can skip it."""
+    sof = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    header = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _seg(0xC2, sof)
+        + _seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMS)
+        + _seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMS)
+    )
+    # DC refinement (Ss=0, Se=0, Ah=1) with no prior DC first scan.
+    dc_refine = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + b"\x00"
+    with pytest.raises(ValueError, match="refinement scan precedes"):
+        decode_jpeg(header + dc_refine + b"\xff\xd9")
+    # AC refinement (Ss=1, Se=5, Ah=1) with no prior AC first scan for
+    # that band.
+    ac_refine = _seg(0xDA, bytes([1, 1, 0x00, 1, 5, 0x10])) + b"\x00"
+    with pytest.raises(ValueError, match="refinement scan precedes"):
+        decode_jpeg(header + ac_refine + b"\xff\xd9")

@@ -255,3 +255,16 @@ def test_zorder_buckets_show_locality(spark):
     ).first().s
     narrow = [r for r in out if r.span_partkey <= p_span // 8]
     assert len(narrow) >= len(out) // 2, (len(narrow), len(out))
+
+
+def test_cluster_by_zorder_empty_and_all_null_raise(spark):
+    """ADVICE r7: an empty DataFrame or an all-NULL cluster column must
+    raise a clear ValueError, not an opaque TypeError from int(None)."""
+    empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    with pytest.raises(ValueError, match="z-order"):
+        cluster_by_zorder(empty, ["a", "b"])
+    allnull = spark.range(5).selectExpr(
+        "id AS a", "CAST(NULL AS BIGINT) AS b"
+    )
+    with pytest.raises(ValueError, match=r"\['b'\]"):
+        cluster_by_zorder(allnull, ["a", "b"])

@@ -167,7 +167,10 @@ def min_vertex_distance_arrow(verts_a: Column, verts_b: Column) -> Column:
     BIT-IDENTICAL on all 1.2M sf0.1 pairs (equality pinned in
     tests/test_geometry.py::test_min_vertex_distance_arrow_bit_parity).
     Vertices cross as flattened 24-double arrays; Arrow float64
-    transfer is exact.
+    transfer is exact. NULL handling mirrors the fold exactly, including
+    its asymmetry: NULL ``verts_a`` → NULL, NULL ``verts_b`` alone →
+    Infinity (pinned in
+    test_min_vertex_distance_arrow_null_propagation).
 
     WHEN TO USE WHICH (both measured, round 7): on a standalone
     persisted pair table this kernel is 2.2x faster warm (2.80s →
@@ -183,13 +186,26 @@ def min_vertex_distance_arrow(verts_a: Column, verts_b: Column) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     def _kern(fa: pd.Series, fb: pd.Series) -> pd.Series:
-        a = np.stack(fa.values).reshape(-1, 8, 3)
-        b = np.stack(fb.values).reshape(-1, 8, 3)
-        d = a[:, :, None, :] - b[:, None, :, :]
-        # sum over the length-3 axis reduces left-to-right:
-        # (dx*dx + dy*dy) + dz*dz — the same association as _pair_sqdist
-        sq = (d * d).sum(axis=3)
-        return pd.Series(np.sqrt(sq.reshape(len(fa), 64).min(axis=1)))
+        # NULL handling mirrors the fold EXACTLY (it is asymmetric):
+        # NULL verts_a → NULL (the outer `aggregate` over a NULL array
+        # is NULL), but NULL verts_b with non-NULL verts_a → Infinity —
+        # the inner aggregate returns NULL and F.least SKIPS nulls, so
+        # the accumulator stays at its +inf seed. Pinned in
+        # test_min_vertex_distance_arrow_null_propagation.
+        a_ok = fa.notna().values
+        b_ok = fb.notna().values
+        valid = a_ok & b_ok
+        out = pd.array([None] * len(fa), dtype="Float64")
+        out[a_ok & ~b_ok] = float("inf")
+        if valid.any():
+            a = np.stack(fa.values[valid]).reshape(-1, 8, 3)
+            b = np.stack(fb.values[valid]).reshape(-1, 8, 3)
+            d = a[:, :, None, :] - b[:, None, :, :]
+            # sum over the length-3 axis reduces left-to-right:
+            # (dx*dx + dy*dy) + dz*dz — same association as _pair_sqdist
+            sq = (d * d).sum(axis=3)
+            out[valid] = np.sqrt(sq.reshape(-1, 64).min(axis=1))
+        return pd.Series(out)
 
     # NOTE: this module has `from __future__ import annotations`, so the
     # kernel's hints are strings that pandas_udf cannot resolve against

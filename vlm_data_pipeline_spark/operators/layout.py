@@ -146,6 +146,12 @@ def cluster_by_zorder(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).first()
+    null_cols = [c for c in cols if bounds is None or bounds[f"lo_{c}"] is None]
+    if null_cols:
+        raise ValueError(
+            "cannot z-order an empty DataFrame or all-NULL cluster "
+            f"column(s): {null_cols}"
+        )
     ranks = [
         zorder_rank(
             F.col(c).cast("long"),

@@ -224,7 +224,7 @@ class _ProgState:
 
     __slots__ = (
         "frame", "max_h", "max_v", "mcus_x", "mcus_y",
-        "by_id", "coefs", "dims", "any_scan",
+        "by_id", "coefs", "dims", "any_scan", "seen",
     )
 
     def __init__(self, frame):
@@ -244,6 +244,13 @@ class _ProgState:
             comp_w = -(-width * ch // self.max_h)
             comp_h = -(-height * cv // self.max_v)
             self.dims[cid] = (-(-comp_h // 8), -(-comp_w // 8))
+        # Per-component bitmap of coefficient indices covered by a FIRST
+        # (Ah=0) scan. A refinement scan (Ah>0) arriving before its first
+        # scan would deposit correction bits onto never-initialized
+        # coefficients — silently wrong pixels — so it must raise
+        # ValueError like every other corruption class (robust-skip
+        # contract).
+        self.seen = {c[0]: bytearray(64) for c in comps}
         self.any_scan = False
 
     def decode_scan(self, scan, ss, se, ah, al, htables, restart_interval, segs):
@@ -252,6 +259,13 @@ class _ProgState:
         for cs, _td, _ta in scan:
             if cs not in self.by_id:
                 raise ValueError("scan references unknown component")
+        if ah > 0:
+            for cs, _td, _ta in scan:
+                if not all(self.seen[cs][ss:se + 1]):
+                    raise ValueError(
+                        "progressive refinement scan precedes first scan "
+                        f"for component {cs} band {ss}..{se}"
+                    )
         if ss == 0:
             if se != 0:
                 raise ValueError("progressive DC scan must have Se=0")
@@ -264,6 +278,10 @@ class _ProgState:
             self._ac_scan(
                 scan[0], ss, se, ah, al, htables, restart_interval, segs
             )
+        if ah == 0:
+            for cs, _td, _ta in scan:
+                for k in range(ss, se + 1):
+                    self.seen[cs][k] = 1
         self.any_scan = True
 
     # -- DC scans (interleaved or single-component) --------------------
