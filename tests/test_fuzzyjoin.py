@@ -1,0 +1,155 @@
+"""Edit-distance join: blocking completeness vs the brute-force witness
+and vs an independent pure-Python Levenshtein, including adversarial
+strings straddling every blocking boundary (short/long cut, prefix cut,
+empty strings, duplicate grams)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vlm_data_pipeline_spark.operators.fuzzyjoin import (
+    edit_distance_join,
+    edit_distance_join_brute,
+    gram_prefix,
+)
+
+
+def py_lev(a: str, b: str) -> int:
+    """Independent textbook DP — the ground truth both Spark paths must
+    reproduce."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def ground_truth(strings: list[str], tau: int) -> set[tuple[int, int, int]]:
+    out = set()
+    for i in range(len(strings)):
+        for j in range(i + 1, len(strings)):
+            d = py_lev(strings[i], strings[j])
+            if d <= tau:
+                out.add((i, j, d))
+    return out
+
+
+def run_join(spark, strings, tau, q=3):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id INT, s STRING"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "s", tau, q=q).collect()
+    }
+    return got
+
+
+CASES = [
+    # exact dup, 1-edit, 2-edit around a 9-char short cut (q=3, tau=2)
+    ["abcdefgh", "abcdefgh", "abcdefgX", "abcdefXY", "abXdefgh"],
+    # empty + near-empty strings (fallback path, zero-gram strings)
+    ["", "", "a", "ab", "abc", "xyz", "ax"],
+    # short vs long straddling the cut: len 8 (short) vs len 10 (long)
+    ["abcdefgh", "abcdefghij", "abcdefghXY", "zzzzzzzzzz"],
+    # repeated grams — occurrence-rank bag encoding must not collapse
+    ["aaaaaaaaaaaa", "aaaaaaaaaaa", "aaaaaaaaaaab", "abababababab"],
+    # long strings differing only past the prefix cut
+    ["0123456789abcdefgh", "0123456789abcdefgX", "0123456789abcdeXgh"],
+]
+
+
+@pytest.mark.parametrize("strings", CASES, ids=range(len(CASES)))
+@pytest.mark.parametrize("tau", [0, 1, 2])
+def test_matches_ground_truth(spark, strings, tau):
+    assert run_join(spark, strings, tau) == ground_truth(strings, tau)
+
+
+def test_matches_brute_force_path(spark):
+    strings = [c for case in CASES for c in case]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id INT, s STRING"
+    )
+    fast = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "s", 2).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join_brute(df, "id", "s", 2).collect()
+    }
+    assert fast == brute
+    assert fast == ground_truth(strings, 2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=14),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_hypothesis_small_alphabet(spark, strings, tau):
+    """Tiny alphabet maximizes collisions and near-misses; lengths span
+    both sides of every q=3 short cut (9 at tau=2, 12 at tau=3)."""
+    assert run_join(spark, strings, tau) == ground_truth(strings, tau)
+
+
+def test_gram_prefix_is_sorted_bag_prefix(spark):
+    """The in-row prefix must be the first q*tau+1 elements of the
+    (xxhash64, gram, position) order with correct occurrence ranks."""
+    s = "abcabcabc"
+    q, prefix_n = 3, 7
+    row = (
+        spark.range(1)
+        .select(
+            gram_prefix(F.lit(s), F.lit(len(s)), q, prefix_n).alias("p")
+        )
+        .first()
+    )
+    grams = [s[i : i + q] for i in range(len(s) - q + 1)]
+    # independent reconstruction of the global order
+    hashes = {
+        g: spark.range(1).select(F.xxhash64(F.lit(g))).first()[0]
+        for g in set(grams)
+    }
+    seen: dict[str, int] = {}
+    expected = []
+    for g in sorted(
+        ((hashes[g], g, i) for i, g in enumerate(grams))
+    ):
+        occ = seen.get(g[1], 0)
+        seen[g[1]] = occ + 1
+        expected.append((g[1], occ))
+    assert [(e.g, e.occ) for e in row.p] == expected[:prefix_n]
+
+
+def test_null_strings_never_match(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, None), (2, "abcdefghij")],
+        "id INT, s STRING",
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "s", 2).collect()
+    }
+    assert got == {(0, 2, 0)}
+
+
+def test_bad_params_raise(spark):
+    df = spark.createDataFrame([(0, "x")], "id INT, s STRING")
+    with pytest.raises(ValueError):
+        edit_distance_join(df, "id", "s", -1)
+    with pytest.raises(ValueError):
+        edit_distance_join(df, "id", "s", 2, q=0)

@@ -646,3 +646,126 @@ def test_progressive_refinement_before_first_scan_is_value_error():
     ac_refine = _seg(0xDA, bytes([1, 1, 0x00, 1, 5, 0x10])) + b"\x00"
     with pytest.raises(ValueError, match="refinement scan precedes"):
         decode_jpeg(header + ac_refine + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended-sequential (SOF1) — grayscale forward path. DC diffs at
+# 12-bit reach category 14+, so the DC table carries all 16 symbols.
+# ---------------------------------------------------------------------------
+
+DC16_COUNTS = [0, 0, 0, 0, 16] + [0] * 11
+DC16_SYMS = bytes(range(16))
+DC16_ENC = _canonical_encode_map(DC16_COUNTS, DC16_SYMS)
+
+
+def encode_jpeg_12bit_gray(pixels12):
+    """(h, w) uint16 samples in [0, 4095] → SOF1 12-bit grayscale JPEG
+    (unit quant table, level shift 2048)."""
+    px = np.asarray(pixels12, dtype=np.float64)
+    h, w = px.shape
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    padded = _pad_to_blocks(px, bh * 8, bw_ * 8)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([12]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += _seg(0xC1, sof)  # SOF1: extended sequential
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC16_COUNTS) + DC16_SYMS)
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMS)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    bw = _BitWriter()
+    pred = 0
+    for m_i in range(bh * bw_):
+        my, mx = divmod(m_i, bw_)
+        block = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+        coeffs = _A @ (block - 2048.0) @ _A.T
+        q = np.round(coeffs).astype(np.int64)
+        zz = [int(q.flat[ZZ[i]]) for i in range(64)]
+        diff = zz[0] - pred
+        pred = zz[0]
+        t = _cat(diff)
+        ln, code = DC16_ENC[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if zz[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = AC_ENC[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s = _cat(zz[k])
+            ln, code = AC_ENC[(run << 4) | s]
+            bw.put(code, ln)
+            v = zz[k]
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            ln, code = AC_ENC[0x00]
+            bw.put(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_12bit_flat_gray_is_exact():
+    """A flat 12-bit field decodes to its exact 8-bit conversion:
+    round(v * 255 / 4095)."""
+    img = np.full((16, 16), 1234, dtype=np.uint16)
+    d = decode_jpeg(encode_jpeg_12bit_gray(img))
+    assert (d.width, d.height, d.channels) == (16, 16, 1)
+    expect = round(1234 * 255 / 4095)  # = 77
+    assert all(v == expect for row in d.rows for v in row)
+
+
+def test_12bit_gradient_round_trip():
+    """Gradient spanning the full 12-bit range: unit quantization makes
+    the 12-bit reconstruction near-exact, so after the documented
+    bit-depth conversion every sample lands within 1 of
+    round(orig * 255 / 4095)."""
+    img = np.add.outer(
+        np.arange(16, dtype=np.float64) * 100,
+        np.arange(24, dtype=np.float64) * 100,
+    ).clip(0, 4095).astype(np.uint16)
+    d = decode_jpeg(encode_jpeg_12bit_gray(img))
+    got = np.array(d.rows, dtype=np.float64)
+    expect = np.round(img.astype(np.float64) * 255.0 / 4095.0)
+    assert np.abs(got - expect).max() <= 1.0
+
+
+def test_12bit_dc_categories_above_11_are_exercised():
+    """A 0→4095 block step forces a DC diff in category >= 13 — the
+    range 8-bit tables cannot express — proving the decoder accepts
+    the extended categories at 12-bit precision."""
+    img = np.zeros((8, 16), dtype=np.uint16)
+    img[:, 8:] = 4095
+    blob = encode_jpeg_12bit_gray(img)
+    d = decode_jpeg(blob)
+    assert d.pixel(0, 0)[0] == 0
+    assert d.pixel(15, 0)[0] == 255
+
+
+def test_12bit_in_sof0_is_value_error():
+    """T.81: baseline SOF0 is 8-bit only — a 12-bit SOF0 is corrupt,
+    not a capability gap."""
+    blob = bytearray(encode_jpeg_12bit_gray(np.full((8, 8), 100, np.uint16)))
+    i = blob.index(b"\xff\xc1")
+    blob[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(bytes(blob))
+
+
+def test_16bit_precision_still_a_capability_gap():
+    blob = bytearray(encode_jpeg_12bit_gray(np.full((8, 8), 100, np.uint16)))
+    i = blob.index(b"\xff\xc1")
+    blob[i + 4] = 16  # precision byte of the SOF payload
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))

@@ -1269,3 +1269,76 @@ def gopher_extended_predicates(
             c["n_symbols"], c["n_words"], r["max_symbol_word_ratio"]
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (extension; round 8)
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio_ppm(text: Column, level: int = 6) -> Column:
+    """zlib-compressed size over raw UTF-8 size, as integer
+    parts-per-million (NULL text → NULL).
+
+    The classic repetition/boilerplate detector (used alongside the
+    Gopher rules in web-corpus curation): machine-generated or
+    template-stamped text compresses far below prose (ratio well under
+    ~300_000 ppm), while random/binary-ish payloads sit near or above
+    1_000_000. Complements :func:`quality_predicates`' n-gram repetition
+    ceilings — zlib's LZ77 window catches long-range and cross-line
+    repetition the fixed-size n-gram rules cannot.
+
+    Execution: Arrow-batched pandas_udf; the per-row Python loop only
+    dispatches into zlib's C compressor (measured ~100 MB/s/core at
+    level 6 — one scan, no shuffle, embarrassingly parallel). Integer
+    ppm (size ratios are exact rationals) keeps downstream threshold
+    predicates engine-stable — the rule_fraction rationale. zlib output
+    length is deterministic for a pinned level within a zlib build;
+    tests pin ORDERING properties (repetitive < prose < random), not
+    exact byte counts.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kern(s: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            raw = v.encode("utf-8")
+            if not raw:
+                out.append(1_000_000)
+                continue
+            out.append(len(zlib.compress(raw, level)) * 1_000_000 // len(raw))
+        return pd.Series(out, dtype="object")
+
+    _kern.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_kern, "long")(text)
+
+
+def compression_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_ppm: int = 250_000,
+    max_ppm: int = 1_050_000,
+    level: int = 6,
+) -> DataFrame:
+    """Flag documents by compressibility band: ``too_repetitive``
+    (below ``min_ppm`` — template spam, stutter loops),
+    ``too_incompressible`` (above ``max_ppm`` — binary junk,
+    encrypted/encoded blobs), else ``ok``. Adds ``compression_ppm``
+    and ``compression_flag``; filtering is the caller's policy
+    decision (the audit-then-filter pattern of quality_audit)."""
+    ppm = compression_ratio_ppm(F.col(text_col), level)
+    return docs.withColumn("compression_ppm", ppm).withColumn(
+        "compression_flag",
+        F.when(F.col("compression_ppm").isNull(), F.lit("null_text"))
+        .when(F.col("compression_ppm") < min_ppm, F.lit("too_repetitive"))
+        .when(
+            F.col("compression_ppm") > max_ppm, F.lit("too_incompressible")
+        )
+        .otherwise(F.lit("ok")),
+    )

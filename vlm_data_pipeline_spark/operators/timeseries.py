@@ -121,3 +121,70 @@ def time_bucket_gapfill(
         else:
             out_cols.append(F.col(name))
     return joined.select(*key_cols, *out_cols)
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign batch session ids: a new session starts whenever the gap
+    to the previous event OF THE SAME KEY exceeds ``gap_seconds``.
+
+    The batch sibling of streaming/events.session_window_stats (Spark's
+    ``session_window`` handles the stream side; batch backfill over
+    historical data needs the classic lag/flag/cumsum program):
+
+    1. ``lag(ts)`` over (key, ts-order) — one window exchange on key;
+    2. new-session flag = gap NULL (first event) or > gap_seconds;
+    3. ``session_idx`` = running SUM of flags over the same window —
+       Spark reuses the single sort/exchange for both window functions
+       (one Window physical node, state = one counter).
+
+    Output: input columns + ``session_idx`` (1-based per key). Window
+    state is O(1) per row; the only shuffle is the per-key exchange,
+    which every downstream per-session rollup reuses. Per-key event
+    counts at 100 TB are user-activity-bounded (not corpus-bounded);
+    a pathological single-key firehose is a [[diag_key_skew]]-visible
+    problem, not a planner cliff.
+
+    Equal timestamps within a key are one session by construction
+    (gap 0 <= gap_seconds) so session ids are deterministic even though
+    the tie ORDER is not; callers needing a stable total order for
+    other window uses should pass a composite ts (e.g. a struct of
+    (ts, event_id)) — session assignment itself does not require it.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn("session_idx", F.sum(new_sess).over(w))
+
+
+def session_rollup(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap_seconds: int,
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-session summary on top of :func:`sessionize`: key_cols +
+    session_idx + session_start/session_end/n_events/duration_seconds
+    (+ caller aggs). The groupBy hash-partitions on (key, session_idx),
+    a superset of the window's key partitioning — AQE sees the narrow
+    dependency and the rollup rides the existing exchange."""
+    s = sessionize(events, ts_col, key_cols, gap_seconds)
+    extra = aggs or {}
+    return s.groupBy(*key_cols, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_seconds"),
+        *[c.alias(n) for n, c in extra.items()],
+    )

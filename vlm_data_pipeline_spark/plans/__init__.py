@@ -7,6 +7,7 @@ from . import star_queries_llm  # noqa: E402,F401
 from . import star_queries_domain  # noqa: E402,F401
 from . import star_queries_code  # noqa: E402,F401
 from . import star_queries_layout  # noqa: E402,F401
+from . import star_queries_fuzzy  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering

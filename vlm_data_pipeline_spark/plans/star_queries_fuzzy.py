@@ -1,0 +1,100 @@
+"""Round-8 additions: edit-distance similarity join and batch
+sessionization — oracle-checked against DuckDB like every other entry
+(see registry.py for the aliasing/rounding/timestamp conventions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load_tables, register
+
+
+@register(
+    "fuzzy_edit_join",
+    """
+    WITH s AS (
+        SELECT doc_id AS id, substr(text, 1, 32) AS s
+        FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM s a JOIN s b
+      ON a.id < b.id
+     AND abs(length(a.s) - length(b.s)) <= 2
+     AND levenshtein(a.s, b.s) <= 2
+    """,
+    "Edit-distance similarity join (extension; no reference "
+    "counterpart): all document-prefix pairs within Levenshtein "
+    "distance 2, via q-gram prefix-filter blocking — each string "
+    "explodes only its first q*tau+1 (gram, occurrence) bag elements "
+    "in global hash order (complete by the count-bound + prefix-filter "
+    "theorems; short strings ride a length-banded equi-join fallback) "
+    "— then one equi-join on (gram, occ), and JVM-side "
+    "levenshtein(a, b, tau) verification (banded early-exit, codegen, "
+    "no UDF anywhere). The oracle is the unblocked quadratic "
+    "ground-truth join, so a single false negative from the blocking "
+    "is a hash mismatch. Library: operators.fuzzyjoin."
+    "edit_distance_join; completeness fuzzed in tests/test_fuzzyjoin.",
+)
+def fuzzy_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzyjoin import edit_distance_join
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    keys = docs.select(
+        "doc_id", F.substring("text", 1, 32).alias("k")
+    )
+    return edit_distance_join(keys, "doc_id", "k", tau=2, q=3)
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+               AS duration_seconds
+    FROM s
+    GROUP BY user_id, session_idx
+    """,
+    "Batch sessionization (extension; the batch sibling of "
+    "streaming.events.session_window_stats): per-user sessions split "
+    "at 30-minute inactivity gaps — lag + flag + running-sum over ONE "
+    "(key, ts) window exchange (both window functions share the single "
+    "sort), then the per-session rollup rides the same key "
+    "partitioning. Session ids are deterministic under timestamp ties "
+    "(tied events share a session by construction). Library: "
+    "operators.timeseries.sessionize / session_rollup.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import session_rollup
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    out = session_rollup(ev, "ts", ["user_id"], gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("duration_seconds").cast("long").alias("duration_seconds"),
+    )

@@ -9,10 +9,14 @@ Annex G), 8-bit samples, grayscale and 3-component YCbCr with any
 integer sampling factors (4:4:4, 4:2:2, 4:2:0), restart markers — is
 the dominant VLM-corpus format (the reference reads .jpg throughout,
 e.g. sunrgbd_processor.py:195-215), using only stdlib ``struct`` +
-numpy. Arithmetic coding, hierarchical (SOF5+), and 12-bit samples are
-capability gaps → NotImplementedError (inject Pillow/cv2); corrupt
-data → ValueError (the robust skip policy), same contract as
-png_codec/bmp_codec.
+numpy. 12-bit samples (SOF1/SOF2) decode natively and convert to the
+8-bit row contract with round(v*255/4095). Arithmetic coding and
+hierarchical (SOF5+) remain capability gaps → NotImplementedError
+(inject Pillow/cv2) — arithmetic needs T.81 Table D.3's exact 113-row
+state machine, which cannot be responsibly reproduced from memory (a
+self-consistent wrong table would round-trip tests yet silently
+mis-decode real files). Corrupt data → ValueError (the robust skip
+policy), same contract as png_codec/bmp_codec.
 
 Progressive design: each SOS scan deposits quantized coefficients into
 per-component int32 arrays (zigzag order) — interleaved-MCU traversal
@@ -224,11 +228,11 @@ class _ProgState:
 
     __slots__ = (
         "frame", "max_h", "max_v", "mcus_x", "mcus_y",
-        "by_id", "coefs", "dims", "any_scan", "seen",
+        "by_id", "coefs", "dims", "any_scan", "seen", "prec",
     )
 
     def __init__(self, frame):
-        height, width, comps = frame
+        height, width, comps, self.prec = frame
         self.frame = frame
         self.max_h = max(c[1] for c in comps)
         self.max_v = max(c[2] for c in comps)
@@ -320,6 +324,7 @@ class _ProgState:
                             self._dc_unit(
                                 coef, my * cv + by, mx * ch + bx,
                                 reader, tabs.get(cs), preds, cs, first, al,
+                                self.prec,
                             )
             else:
                 cs = scan[0][0]
@@ -327,14 +332,15 @@ class _ProgState:
                 by, bx = divmod(u, bw)
                 self._dc_unit(
                     self.coefs[cs], by, bx,
-                    reader, tabs.get(cs), preds, cs, first, al,
+                    reader, tabs.get(cs), preds, cs, first, al, self.prec,
                 )
 
     @staticmethod
-    def _dc_unit(coef, by, bx, reader, tab, preds, cs, first, al):
+    def _dc_unit(coef, by, bx, reader, tab, preds, cs, first, al, prec):
         if first:
             t = reader.decode(tab)
-            if t > 11:  # 8-bit precision: DC categories 0..11 (F.1.2.1.1)
+            # DC categories: 0..11 at 8-bit, 0..15 at 12-bit (F.1.2.1.1)
+            if t > (11 if prec == 8 else 15):
                 raise ValueError("DC magnitude category out of range")
             preds[cs] += _extend(reader.receive(t), t)
             v = preds[cs] << al  # arithmetic point transform
@@ -448,7 +454,7 @@ class _ProgState:
     # -- final reconstruction at EOI ------------------------------------
 
     def reconstruct(self, qtables) -> JpegImage:
-        height, width, comps = self.frame
+        height, width, comps, prec = self.frame
         full = []
         for cid, ch, cv, tq in comps:
             if tq not in qtables:
@@ -467,14 +473,15 @@ class _ProgState:
             # quantized coefficients decode bit-identically either way
             spatial = _A.T @ nat.reshape(bh, bw, 8, 8) @ _A
             plane = (
-                spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+                spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+                + float(1 << (prec - 1))
             )
             plane = np.repeat(
                 np.repeat(plane, self.max_v // cv, axis=0),
                 self.max_h // ch, axis=1,
             )
             full.append(plane[:height, :width])
-        return _planes_to_image(full, width, height)
+        return _planes_to_image(full, width, height, prec)
 
 
 def decode_jpeg(content: bytes) -> JpegImage:
@@ -541,8 +548,13 @@ def decode_jpeg(content: bytes) -> JpegImage:
                 p += 17 + total
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = body[0]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG samples supported")
+            if prec == 12 and marker == 0xC0:
+                # T.81: baseline (SOF0) is defined for 8-bit only
+                raise ValueError("12-bit precision is illegal in SOF0")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    "only 8- and 12-bit JPEG samples supported"
+                )
             h, w = struct.unpack(">HH", body[1:5])
             if h == 0 or w == 0:
                 raise ValueError("zero image dimension")
@@ -558,7 +570,7 @@ def decode_jpeg(content: bytes) -> JpegImage:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
                 if (hv >> 4) == 0 or (hv & 0x0F) == 0:
                     raise ValueError("zero sampling factor")
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             progressive = marker == 0xC2
             if progressive:
                 prog = _ProgState(frame)
@@ -600,7 +612,7 @@ def decode_jpeg(content: bytes) -> JpegImage:
 
 
 def _decode_scan(frame, scan, qtables, htables, restart_interval, segs) -> JpegImage:
-    height, width, comps = frame
+    height, width, comps, prec = frame
     by_id = {c[0]: c for c in comps}
     if len(scan) != len(comps):
         raise NotImplementedError(
@@ -657,24 +669,39 @@ def _decode_scan(frame, scan, qtables, htables, restart_interval, segs) -> JpegI
     # level shift, upsample to full geometry, crop
     full = []
     for cid, ch, cv, _, _, _ in meta:
-        p = planes[cid] + 128.0
+        p = planes[cid] + float(1 << (prec - 1))
         p = np.repeat(np.repeat(p, max_v // cv, axis=0), max_h // ch, axis=1)
         full.append(p[:height, :width])
-    return _planes_to_image(full, width, height)
+    return _planes_to_image(full, width, height, prec)
 
 
-def _planes_to_image(full: list[np.ndarray], width: int, height: int) -> JpegImage:
-    """Shared tail: level-shifted full-geometry planes → rows contract."""
+def _planes_to_image(
+    full: list[np.ndarray], width: int, height: int, prec: int = 8
+) -> JpegImage:
+    """Shared tail: level-shifted full-geometry planes → rows contract.
+
+    12-bit frames decode to their native [0, 4095] samples first (the
+    value T.81 defines), then convert to the codec-wide 8-bit row
+    contract with round(v * 255 / 4095) — a separate bit-depth
+    conversion step, so the spec-defined sample is what gets rounded.
+    """
+    maxv = (1 << prec) - 1
+    half = float(1 << (prec - 1))
+
+    def to8(ch_: np.ndarray) -> np.ndarray:
+        native = np.clip(np.round(ch_), 0, maxv)
+        if prec == 8:
+            return native
+        return np.round(native * 255.0 / maxv)
+
     if len(full) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.int64)
+        out = to8(full[0]).astype(np.int64)
         return JpegImage(width, height, 8, 1, out.tolist())
 
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack(
-        [np.clip(np.round(ch_), 0, 255) for ch_ in (r, g, b)], axis=2
-    ).astype(np.int64)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
+    rgb = np.stack([to8(ch_) for ch_ in (r, g, b)], axis=2).astype(np.int64)
     rows = [rgb[j].reshape(-1).tolist() for j in range(height)]
     return JpegImage(width, height, 8, 3, rows)
