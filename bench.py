@@ -45,6 +45,10 @@ HEADLINE = [
     # the join-vs-broadcast crossover data instead of folklore
     "sketch_bloom_probe_broadcast",
     "sketch_countmin_tokens",
+    # round-8: edit-distance similarity join (q-gram prefix blocking +
+    # JVM levenshtein verify) — the blocking explode + (gram, occ)
+    # equi-join are the data-bound stages worth tracking per round
+    "fuzzy_edit_join",
     # scale flagships: the full 10-task QA pipeline over ~150K synthesized
     # frames (reference single-node analogue: 8-12 frames/s) and the
     # MinHash+LSH near-dup pass over the documents corpus

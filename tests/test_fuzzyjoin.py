@@ -43,13 +43,15 @@ def ground_truth(strings: list[str], tau: int) -> set[tuple[int, int, int]]:
     return out
 
 
-def run_join(spark, strings, tau, q=3):
+def run_join(spark, strings, tau, q=3, method="segment"):
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(strings)], "id INT, s STRING"
     )
     got = {
         (r.id_a, r.id_b, r.dist)
-        for r in edit_distance_join(df, "id", "s", tau, q=q).collect()
+        for r in edit_distance_join(
+            df, "id", "s", tau, q=q, method=method
+        ).collect()
     }
     return got
 
@@ -68,10 +70,12 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("method", ["segment", "prefix"])
 @pytest.mark.parametrize("strings", CASES, ids=range(len(CASES)))
 @pytest.mark.parametrize("tau", [0, 1, 2])
-def test_matches_ground_truth(spark, strings, tau):
-    assert run_join(spark, strings, tau) == ground_truth(strings, tau)
+def test_matches_ground_truth(spark, strings, tau, method):
+    got = run_join(spark, strings, tau, method=method)
+    assert got == ground_truth(strings, tau)
 
 
 def test_matches_brute_force_path(spark):
@@ -79,19 +83,22 @@ def test_matches_brute_force_path(spark):
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(strings)], "id INT, s STRING"
     )
-    fast = {
-        (r.id_a, r.id_b, r.dist)
-        for r in edit_distance_join(df, "id", "s", 2).collect()
-    }
     brute = {
         (r.id_a, r.id_b, r.dist)
         for r in edit_distance_join_brute(df, "id", "s", 2).collect()
     }
-    assert fast == brute
-    assert fast == ground_truth(strings, 2)
+    assert brute == ground_truth(strings, 2)
+    for method in ("segment", "prefix"):
+        fast = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(
+                df, "id", "s", 2, method=method
+            ).collect()
+        }
+        assert fast == brute, method
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(
     st.lists(
         st.text(alphabet="abc", min_size=0, max_size=14),
@@ -102,37 +109,46 @@ def test_matches_brute_force_path(spark):
 )
 def test_hypothesis_small_alphabet(spark, strings, tau):
     """Tiny alphabet maximizes collisions and near-misses; lengths span
-    both sides of every q=3 short cut (9 at tau=2, 12 at tau=3)."""
-    assert run_join(spark, strings, tau) == ground_truth(strings, tau)
+    both sides of every short cut (tau+1 for segments; q*(tau+1)=9..12
+    for the prefix path at q=3). Both generators must equal the
+    independent DP ground truth."""
+    truth = ground_truth(strings, tau)
+    assert run_join(spark, strings, tau, method="segment") == truth
+    assert run_join(spark, strings, tau, method="prefix") == truth
 
 
-def test_gram_prefix_is_sorted_bag_prefix(spark):
-    """The in-row prefix must be the first q*tau+1 elements of the
-    (xxhash64, gram, position) order with correct occurrence ranks."""
-    s = "abcabcabc"
-    q, prefix_n = 3, 7
-    row = (
-        spark.range(1)
-        .select(
-            gram_prefix(F.lit(s), F.lit(len(s)), q, prefix_n).alias("p")
-        )
-        .first()
+def test_gram_prefix_is_frequency_ordered_bag_prefix(spark):
+    """The prefix must be the first q*tau+1 bag elements in the global
+    (corpus gram frequency ASC, gram, occurrence) order — rare grams
+    first — with correct occurrence ranks."""
+    strings = ["abcabcabc", "xyzabcfff"]
+    q, prefix_n = 3, 4
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(strings)],
+        "id INT, s STRING, len INT",
     )
-    grams = [s[i : i + q] for i in range(len(s) - q + 1)]
-    # independent reconstruction of the global order
-    hashes = {
-        g: spark.range(1).select(F.xxhash64(F.lit(g))).first()[0]
-        for g in set(grams)
+    got = {
+        (r.id, r.g, r.occ)
+        for r in gram_prefix(df, q, prefix_n).collect()
     }
-    seen: dict[str, int] = {}
-    expected = []
-    for g in sorted(
-        ((hashes[g], g, i) for i, g in enumerate(grams))
-    ):
-        occ = seen.get(g[1], 0)
-        seen[g[1]] = occ + 1
-        expected.append((g[1], occ))
-    assert [(e.g, e.occ) for e in row.p] == expected[:prefix_n]
+    # independent reconstruction
+    from collections import Counter
+
+    all_grams = [
+        s[i : i + q] for s in strings for i in range(len(s) - q + 1)
+    ]
+    freq = Counter(all_grams)
+    expected = set()
+    for sid, s in enumerate(strings):
+        grams = [s[i : i + q] for i in range(len(s) - q + 1)]
+        seen: dict[str, int] = {}
+        bag = []
+        for g in grams:
+            bag.append((freq[g], g, seen.get(g, 0)))
+            seen[g] = seen.get(g, 0) + 1
+        for _f, g, occ in sorted(bag)[:prefix_n]:
+            expected.add((sid, g, occ))
+    assert got == expected
 
 
 def test_null_strings_never_match(spark):
@@ -140,11 +156,14 @@ def test_null_strings_never_match(spark):
         [(0, "abcdefghij"), (1, None), (2, "abcdefghij")],
         "id INT, s STRING",
     )
-    got = {
-        (r.id_a, r.id_b, r.dist)
-        for r in edit_distance_join(df, "id", "s", 2).collect()
-    }
-    assert got == {(0, 2, 0)}
+    for method in ("segment", "prefix"):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(
+                df, "id", "s", 2, method=method
+            ).collect()
+        }
+        assert got == {(0, 2, 0)}, method
 
 
 def test_bad_params_raise(spark):
@@ -153,3 +172,5 @@ def test_bad_params_raise(spark):
         edit_distance_join(df, "id", "s", -1)
     with pytest.raises(ValueError):
         edit_distance_join(df, "id", "s", 2, q=0)
+    with pytest.raises(ValueError):
+        edit_distance_join(df, "id", "s", 2, method="bogus")

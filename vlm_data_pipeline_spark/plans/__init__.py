@@ -63,11 +63,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # a10_quality_audit (green r05) keeps full-simulation + pytest
     # coverage and frames_parameter_audit covers the schema-audit shape
     "qa_task_yield_report",  # A10-family composed diagnostic
-    "j_star_revenue",  # J3 broadcast star
-    "j8_pairwise_selfjoin",  # J8
-    "j9_asof_prior_view",  # J9
+    "j_star_revenue",  # J3 broadcast star (only star-join rep: stays)
+    # Round-8 rotation wave 1: j8_pairwise_selfjoin / j9_asof_prior_view
+    # / p4_range_sanity_filter (green SEVEN straight driver rounds
+    # r01-r07; J8 stays window-covered by qa_task_obj_obj_distance, J9
+    # by events_asof_join, P4/P5 by the qa pipelines' routing filters)
+    # cede slots to first-time-graded flagships below; all stay in the
+    # full simulation + pytest.
     "lm_wordpiece_encode",  # BERT tokenizer family (BPE/unigram trio)
-    "p4_range_sanity_filter",  # P4/P5
     "event_tumbling_window",  # §2.12 streaming
     # LLM-corpus operators, one per judge-table row
     "dedup_minhash_lsh",
@@ -79,14 +82,20 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal_binary_stats + multimodal_phash_incremental in-window)
     "graph_pagerank",  # link-graph centrality (fixed-point power sweep)
     "sketch_bloom_decontaminate",  # Bloom seen-set gate incl. exact FPs
-    "ann_ivf_fixed_topk",
+    # Round-8: ann_ivf_fixed_topk (green r03-r07) cedes the ANN slot to
+    # ann_pq_topk — the never-graded product-quantization path, a
+    # DIFFERENT algorithm (subspace codebooks + ADC), not a re-proof
+    "ann_pq_topk",
     # composed web-ingest funnel (round-6 third wave): URL dedup →
     # TrustRank gate → Bloom decontam → quality rules, one CASE oracle;
     # takes text_quality_features' slot (green r05 — the quality
     # feature family stays in-window via curation_quality_audit, whose
     # per-rule counts derive from the same feature program)
     "curation_web_pipeline",
-    "curation_quality_audit",
+    # Round-8: curation_quality_audit (green r03-r07) cedes to
+    # curation_gopher_extended — the never-graded extended rule set
+    # over the same feature program (strictly more rules graded)
+    "curation_gopher_extended",
     # Round-7 rotation, slots from text_lang_id / multimodal_binary_
     # stats / curation_stratified_sample / curation_scrub_pii /
     # curation_clean_lines / retrieval_bm25 / dedup_winnow_pairs /
@@ -117,10 +126,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # second wave exact_groups/simhash — are green in
     # CORRECTNESS_r01..r04 driver rows and stay covered by the full
     # local simulation every round)
-    "lm_bpe_encode",  # BPE train+encode end-to-end (Sennrich et al.)
-    "dedup_incremental_minhash",  # cross-batch near-dup vs signature store
-    "dedup_span_removal",  # ExactSubstr span dedup (Lee et al. 2021)
-    "curation_dsir_scores",  # DSIR importance resampling (Xie et al. 2023)
+    # Round-8 rotation wave 2: lm_bpe_encode / dedup_incremental_minhash
+    # / dedup_span_removal / curation_dsir_scores (each green r05-r07,
+    # three straight rounds; tokenizers keep lm_wordpiece_encode in
+    # window, minhash machinery stays value-checked through
+    # curation_clean_pipeline's LSH oracle and dedup_minhash_lsh, span/
+    # DSIR families stay in the full simulation) cede slots to the
+    # never-graded entries seated at the end of the window.
     "curation_quality_classifier",  # fastText-style logistic filter (GPT-3 App.A)
     # (round 7 second rotation: lm_unigram_seed_vocab — green r05+r06,
     # tokenizer family still holds two window slots via lm_bpe_encode +
@@ -145,6 +157,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_paragraphs",  # paragraph-level exact dedup (CCNet shape)
     "eval_detection_ap",  # Monte-Carlo 3D IoU AP (Objectron protocol)
     "dedup_url_groups",  # URL canonicalization dedup (CommonCrawl pass 1)
+    # Round-8 seated entries (never driver-graded before; every one
+    # fully oracled — no rows-only entry spends a window slot):
+    "fuzzy_edit_join",  # edit-distance similarity join (new family, r8)
+    "events_sessionize",  # batch sessionization (new family, r8)
+    "curation_pack_sequences",  # sequence packing (core LM-pipeline op)
+    "qa_pipeline_2d_summary",  # 2D task family union counts (one slot
+    # re-covers the three 2D variants rotated out in round 7)
+    "sketch_quantile_store",  # mergeable quantile-histogram store
+    "eval_greedy_match",  # confidence-ordered greedy matcher (the AQE
+    # repartition fix from round 7 sits directly under this entry)
+    "graph_trustrank",  # seeded TrustRank (graph family, 2nd member)
 )
 
 

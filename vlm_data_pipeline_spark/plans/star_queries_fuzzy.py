@@ -26,16 +26,18 @@ from .registry import load_tables, register
     """,
     "Edit-distance similarity join (extension; no reference "
     "counterpart): all document-prefix pairs within Levenshtein "
-    "distance 2, via q-gram prefix-filter blocking — each string "
-    "explodes only its first q*tau+1 (gram, occurrence) bag elements "
-    "in global hash order (complete by the count-bound + prefix-filter "
-    "theorems; short strings ride a length-banded equi-join fallback) "
-    "— then one equi-join on (gram, occ), and JVM-side "
-    "levenshtein(a, b, tau) verification (banded early-exit, codegen, "
-    "no UDF anywhere). The oracle is the unblocked quadratic "
+    "distance 2, via PassJoin-style segment blocking — pigeonhole on "
+    "tau+1 contiguous segments (~len/(tau+1)-char equality keys, cut "
+    "in-row before the explode, shift window <= tau), selective even "
+    "on this adversarial tiny-vocabulary corpus where gram-granular "
+    "blocking floods (measured: 27K candidates vs 3.6M for the "
+    "frequency-ordered q-gram prefix sibling, method='prefix') — then "
+    "JVM-side levenshtein(a, b, tau) verification (banded early-exit, "
+    "codegen, no UDF anywhere). The oracle is the unblocked quadratic "
     "ground-truth join, so a single false negative from the blocking "
     "is a hash mismatch. Library: operators.fuzzyjoin."
-    "edit_distance_join; completeness fuzzed in tests/test_fuzzyjoin.",
+    "edit_distance_join; both generators fuzzed against an independent "
+    "DP in tests/test_fuzzyjoin.",
 )
 def fuzzy_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzyjoin import edit_distance_join
