@@ -72,3 +72,38 @@ def test_single_exchange_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_hypothesis_matches_python_reference(spark):
+    """Randomized event sets vs an independent Python sessionizer —
+    gaps straddling the timeout, multi-user interleaving, ties."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for user in range(6):
+        t = 0
+        for _ in range(rng.randint(0, 25)):
+            t += rng.choice([0, 1, 60, 299, 300, 301, 1000])
+            rows.append((user, datetime.fromtimestamp(1704067200 + t)))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    got = {
+        (r.user_id, int(r.ts.timestamp()), r.session_idx)
+        for r in sessionize(df, "ts", ["user_id"], 300).collect()
+    }
+    # independent reference
+    expected = set()
+    by_user: dict[int, list[int]] = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(int(ts.timestamp()))
+    for u, tss in by_user.items():
+        tss.sort()
+        idx, prev = 0, None
+        for t in tss:
+            if prev is None or t - prev > 300:
+                idx += 1
+            expected.add((u, t, idx))
+            prev = t
+    assert got == expected

@@ -325,7 +325,13 @@ def edit_distance_join_brute(
         F.col(str_col).alias("s"),
         F.length(str_col).alias("len"),
     ).filter(F.col("s").isNotNull())
-    a = base.select(
+    sess = df.sparkSession
+    # the nested-loop verify is byte-light but CPU-dense (O(n^2) pair
+    # evaluations): AQE's byte-based coalescing would starve it to 1-2
+    # tasks, so pin the streamed side's parallelism explicitly (the
+    # eval_greedy_match precedent)
+    n_part = sess.sparkContext.defaultParallelism * 2
+    a = base.repartition(n_part).select(
         F.col("id").alias("id_a"), F.col("s").alias("_sa"), F.col("len").alias("la")
     )
     b = base.select(

@@ -100,3 +100,25 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("duration_seconds").cast("long").alias("duration_seconds"),
     )
+
+
+@register(
+    "curation_compression_gate",
+    None,  # zlib is not re-derivable in DuckDB SQL: rows-only check;
+    # the family's values are pytest-pinned (tests/test_compression_gate
+    # — ordering properties, UTF-8 byte semantics, determinism, bands)
+    "Compression-ratio quality gate (extension): zlib compressed/raw "
+    "bytes as integer ppm per document plus a band flag "
+    "(too_repetitive / ok / too_incompressible) — the long-range-"
+    "repetition detector the fixed-n-gram Gopher rules cannot express "
+    "(LZ77's window catches cross-line and template repetition). "
+    "Arrow-batched pandas_udf; the per-row loop only dispatches into "
+    "zlib's C compressor. One scan, no shuffle. Library: operators."
+    "curation.compression_gate.",
+)
+def curation_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import compression_gate
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = compression_gate(docs.select("doc_id", "text"))
+    return out.select("doc_id", "compression_ppm", "compression_flag")
