@@ -174,3 +174,22 @@ def test_bad_params_raise(spark):
         edit_distance_join(df, "id", "s", 2, q=0)
     with pytest.raises(ValueError):
         edit_distance_join(df, "id", "s", 2, method="bogus")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="aé日\U0001F600", min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=2),
+)
+def test_hypothesis_unicode_codepoints(spark, strings, tau):
+    """Multibyte text: Spark's length/substring/levenshtein are all
+    CODEPOINT-based (incl. astral-plane emoji), so segment boundaries
+    must never split a character and distances must match a Python
+    codepoint DP."""
+    truth = ground_truth(strings, tau)
+    assert run_join(spark, strings, tau, method="segment") == truth
+    assert run_join(spark, strings, tau, method="prefix") == truth

@@ -146,7 +146,7 @@ def sessionize(
     state is O(1) per row; the only shuffle is the per-key exchange,
     which every downstream per-session rollup reuses. Per-key event
     counts at 100 TB are user-activity-bounded (not corpus-bounded);
-    a pathological single-key firehose is a [[diag_key_skew]]-visible
+    a pathological single-key firehose is a key_skew_report-visible
     problem, not a planner cliff.
 
     Equal timestamps within a key are one session by construction
