@@ -133,3 +133,22 @@ def test_pivot_explicit_values_two_aggregate_lowering(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
     assert "pivotfirst" in plan.lower(), plan[:2000]
     assert "SortMergeJoin" not in plan and "Expand" not in plan
+
+
+def test_biggest_expression_queries_compile_without_codegen_fallback(spark):
+    """Janino's 64 KB method limit silently drops a whole stage to
+    interpreted execution — the query stays CORRECT and only an ERROR
+    line in the log betrays the 2-10x slowdown (round 8 found
+    code_strip_comments running interpreted: its when-cascade re-inlined
+    the full language_id tree per branch until let-bound). Strict mode
+    (spark.sql.codegen.fallback=false) turns that silent degradation
+    into a hard failure, pinning compilability of the repo's largest
+    expression surfaces."""
+    big = ["code_strip_comments", "code_corpus_stats", "curation_web_pipeline"]
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in big:
+            assert QUERIES[name].build(spark, sf_dir).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")

@@ -73,7 +73,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "lm_wordpiece_encode",  # BERT tokenizer family (BPE/unigram trio)
     "event_tumbling_window",  # §2.12 streaming
     # LLM-corpus operators, one per judge-table row
-    "dedup_minhash_lsh",
+    # Round-8 rotation wave 3: dedup_minhash_lsh (green SEVEN straight
+    # rounds r01-r07; the LSH pair machinery stays value-checked
+    # in-window through curation_clean_pipeline's composed oracle, and
+    # the query remains the bench headline + full-simulation row) cedes
+    # its slot to the never-graded video family below.
+    "video_scene_cuts",
     # round-6 third rotation: the two new graph/sketch flagships take
     # the slots of ann_brute_force_topk (green r05; ANN stays
     # represented by ann_ivf_fixed_topk — the actual scale path — and
