@@ -232,3 +232,22 @@ def test_fuzz_jpeg_progressive(seed, gray, refine, c):
     img = rng.integers(0, 256, shape, dtype=np.uint8)
     blob = _corrupt(encode_jpeg_progressive(img, refine=refine), *c)
     _skip_never_raises(lambda b: [decode_jpeg(b)], blob)
+
+
+@settings(max_examples=_n(120), deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=60),
+    c=corruption,
+)
+def test_fuzz_jpeg_12bit(seed, c):
+    """Corrupted 12-bit SOF1 streams (round-8 precision path: widened
+    DC categories, 2048 level shift, 12->8 bit-depth conversion) must
+    skip cleanly, never crash — same contract as the 8-bit paths."""
+    from vlm_data_pipeline_spark.sources.jpeg_codec import decode_jpeg
+
+    from .test_jpeg_codec import encode_jpeg_12bit_gray
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 4096, (16, 16), dtype=np.uint16)
+    blob = _corrupt(encode_jpeg_12bit_gray(img), *c)
+    _skip_never_raises(lambda b: [decode_jpeg(b)], blob)

@@ -656,6 +656,14 @@ def test_progressive_refinement_before_first_scan_is_value_error():
 DC16_COUNTS = [0, 0, 0, 0, 16] + [0] * 11
 DC16_SYMS = bytes(range(16))
 DC16_ENC = _canonical_encode_map(DC16_COUNTS, DC16_SYMS)
+# AC sizes reach 14 at 12-bit precision (F.1.2.2.1): EOB, ZRL and every
+# (run, size<=14) at length 10 — 226 symbols, a valid canonical code
+_AC14_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+AC14_COUNTS = [0] * 9 + [len(_AC14_SYMS)] + [0] * 6
+AC14_SYMS = bytes(_AC14_SYMS)
+AC14_ENC = _canonical_encode_map(AC14_COUNTS, AC14_SYMS)
 
 
 def encode_jpeg_12bit_gray(pixels12):
@@ -671,7 +679,7 @@ def encode_jpeg_12bit_gray(pixels12):
     sof = bytes([12]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
     out += _seg(0xC1, sof)  # SOF1: extended sequential
     out += _seg(0xC4, bytes([0x00]) + bytes(DC16_COUNTS) + DC16_SYMS)
-    out += _seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMS)
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC14_COUNTS) + AC14_SYMS)
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
 
     bw = _BitWriter()
@@ -703,13 +711,13 @@ def encode_jpeg_12bit_gray(pixels12):
                 bw.put(code, ln)
                 run -= 16
             s = _cat(zz[k])
-            ln, code = AC_ENC[(run << 4) | s]
+            ln, code = AC14_ENC[(run << 4) | s]
             bw.put(code, ln)
             v = zz[k]
             bw.put(v if v > 0 else v + (1 << s) - 1, s)
             run = 0
         if last_nz < 63:
-            ln, code = AC_ENC[0x00]
+            ln, code = AC14_ENC[0x00]
             bw.put(code, ln)
     out += bw.flush()
     out += b"\xff\xd9"
