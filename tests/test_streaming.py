@@ -530,3 +530,40 @@ def test_countmin_incremental_ingest_stream(spark, tmp_path):
     assert sorted(map(tuple, store["df"].collect())) == sorted(
         map(tuple, rebuilt.collect())
     )
+
+
+def test_compression_gate_streams_unchanged(spark, tmp_path):
+    """compression_gate is a stateless per-row Arrow kernel, so it runs
+    unchanged on a readStream in append mode — the round-8 quality
+    signal composes into the streaming ingestion funnel like the other
+    in-row curation ops."""
+    from vlm_data_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 300),
+            (2, "a perfectly ordinary sentence about data pipelines "
+                "followed by different unrelated words entirely"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "cgate_src")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def transform(df):
+        return curation.compression_gate(df).select(
+            "doc_id", "compression_ppm", "compression_flag"
+        )
+
+    out = run_stream(
+        transform(spark.readStream.schema(schema).parquet(src)),
+        tmp_path,
+        "cgate_stream",
+        output_mode="append",
+    )
+    batch = transform(spark.read.parquet(src))
+    assert as_sorted_rows(out) == as_sorted_rows(batch)
+    flags = {r.doc_id: r.compression_flag for r in out.collect()}
+    assert flags == {1: "too_repetitive", 2: "ok", 3: "null_text"}
