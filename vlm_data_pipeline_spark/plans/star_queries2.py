@@ -303,7 +303,10 @@ def a3_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Sessionization EXTENSION (no reference analogue; the scene/sequence "
     "grouping J11 is its batch cousin): lag-gap > 30 min starts a session; "
     "running sum assigns ids. One shuffle on user_id serves every window. "
-    "Streaming twin: session_window(ts, '30 minutes') in "
+    "PER-USER aggregate granularity; the round-8 events_sessionize entry "
+    "emits the PER-SESSION rollup from the shared library operator "
+    "(operators.timeseries.sessionize). Streaming twin: "
+    "session_window(ts, '30 minutes') in "
     "vlm_data_pipeline_spark.streaming.",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,14 +74,16 @@ def fuzzy_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     GROUP BY user_id, session_idx
     """,
-    "Batch sessionization (extension; the batch sibling of "
-    "streaming.events.session_window_stats): per-user sessions split "
-    "at 30-minute inactivity gaps — lag + flag + running-sum over ONE "
-    "(key, ts) window exchange (both window functions share the single "
-    "sort), then the per-session rollup rides the same key "
-    "partitioning. Session ids are deterministic under timestamp ties "
-    "(tied events share a session by construction). Library: "
-    "operators.timeseries.sessionize / session_rollup.",
+    "Batch sessionization at PER-SESSION granularity (extension; the "
+    "batch sibling of streaming.events.session_window_stats, and the "
+    "session-level complement of the r1-era sessionize_events entry, "
+    "which aggregates to one row per USER): lag + flag + running-sum "
+    "over ONE (key, ts) window exchange (both window functions share "
+    "the single sort), then the per-session rollup rides the same key "
+    "partitioning (plan-pinned single exchange). Session ids are "
+    "deterministic under timestamp ties (tied events share a session "
+    "by construction). Library: operators.timeseries.sessionize / "
+    "session_rollup.",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import session_rollup
