@@ -1,6 +1,8 @@
-"""Round-8 additions: edit-distance similarity join and batch
-sessionization — oracle-checked against DuckDB like every other entry
-(see registry.py for the aliasing/rounding/timestamp conventions)."""
+"""Round-8 additions: edit-distance similarity join, batch
+sessionization, the compression-ratio gate (rows-only; zlib has no SQL
+mirror), and VARIANT-native semi-structured extraction — oracle-checked
+against DuckDB like every other entry (see registry.py for the
+aliasing/rounding/timestamp conventions)."""
 
 from __future__ import annotations
 
@@ -124,3 +126,43 @@ def curation_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     out = compression_gate(docs.select("doc_id", "text"))
     return out.select("doc_id", "compression_ppm", "compression_flag")
+
+
+@register(
+    "events_props_variant",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(count(*) FILTER (CAST(props->>'$.k' AS BIGINT) % 2 = 0)
+                AS BIGINT) AS n_even_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+    "Semi-structured props via Spark 4 VARIANT (extension; the "
+    "variant-native sibling of f11_json_props' regexp/get_json_object "
+    "path): parse_json ONCE per row into VariantType, then typed "
+    "variant_get extraction feeds the aggregate — at 100 TB of logs "
+    "the variant binary encoding is parsed once at scan time instead "
+    "of per-field regexp passes, and extraction is codegen'd "
+    "path-offset access, not string scanning. Oracle: DuckDB JSON "
+    "path extraction over the same column.",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count(F.when(F.col("k") % 2 == 0, 1)).cast("long").alias(
+                "n_even_k"
+            ),
+        )
+    )
