@@ -62,6 +62,9 @@ def test_gate_flags(spark):
     assert flags[0] == "too_repetitive"
     assert flags[1] == "ok"
     assert flags[3] == "null_text"
+    # the 1_000_000 ppm sentinel sits inside the default ok band, so
+    # empty docs need their own flag to not silently pass the gate
+    assert flags[4] == "empty_text"
 
 
 def test_unicode_ratio_uses_utf8_bytes(spark):

@@ -1331,11 +1331,17 @@ def compression_gate(
     ``too_incompressible`` (above ``max_ppm`` — binary junk,
     encrypted/encoded blobs), else ``ok``. Adds ``compression_ppm``
     and ``compression_flag``; filtering is the caller's policy
-    decision (the audit-then-filter pattern of quality_audit)."""
+    decision (the audit-then-filter pattern of quality_audit).
+
+    Zero-length text gets its own ``empty_text`` flag: the ppm kernel
+    maps it to the 1_000_000 sentinel (0/0 has no ratio), which would
+    otherwise land inside the default ``ok`` band and silently pass
+    empty documents through the quality gate."""
     ppm = compression_ratio_ppm(F.col(text_col), level)
     return docs.withColumn("compression_ppm", ppm).withColumn(
         "compression_flag",
         F.when(F.col("compression_ppm").isNull(), F.lit("null_text"))
+        .when(F.length(F.col(text_col)) == 0, F.lit("empty_text"))
         .when(F.col("compression_ppm") < min_ppm, F.lit("too_repetitive"))
         .when(
             F.col("compression_ppm") > max_ppm, F.lit("too_incompressible")

@@ -149,6 +149,15 @@ def sessionize(
     a pathological single-key firehose is a key_skew_report-visible
     problem, not a planner cliff.
 
+    Gaps are measured on WHOLE-SECOND boundaries: ``unix_timestamp``
+    floors to seconds, so events 1800.9s apart under gap_seconds=1800
+    share a session (floor(t2) - floor(t1) may be <= gap even when the
+    real delta exceeds it). That is the classic epoch-seconds
+    sessionization contract (and what the DuckDB ``epoch()`` oracle
+    computes); callers needing sub-second gap sensitivity should pass a
+    pre-computed microsecond column as ``ts_col`` and scale
+    ``gap_seconds`` to micros.
+
     Equal timestamps within a key are one session by construction
     (gap 0 <= gap_seconds) so session ids are deterministic even though
     the tie ORDER is not; callers needing a stable total order for
