@@ -22,6 +22,10 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from vlm_data_pipeline_spark.plans import QUERIES  # noqa: E402
+from vlm_data_pipeline_spark.plans.registry import (  # noqa: E402
+    DRIVER_ORACLE_SF_DIR,
+    resolve_oracle,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,5 +43,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-expressible query."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    """DuckDB-equivalent SQL for every oracle-expressible query.
+
+    Lazy (callable) oracles resolve against the driver's grading scale
+    (sf0.01) — they inline reference values computed by an independent
+    driver-side pass over the same parquet inputs.
+    """
+    out: dict[str, str] = {}
+    for name, q in QUERIES.items():
+        sql = resolve_oracle(q, DRIVER_ORACLE_SF_DIR)
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -13,7 +13,11 @@ from typing import Any
 
 import duckdb
 
-from vlm_data_pipeline_spark.plans.registry import TABLES, StarQuery
+from vlm_data_pipeline_spark.plans.registry import (
+    TABLES,
+    StarQuery,
+    resolve_oracle,
+)
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -50,7 +54,7 @@ def compare(spark, query: StarQuery, sf_dir: str) -> None:
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duck_connection(sf_dir)
-    res = con.execute(query.oracle)
+    res = con.execute(resolve_oracle(query, sf_dir))
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
     con.close()

@@ -31,6 +31,8 @@ def test_no_oracle_emits_hugeint(sf_dir):
     …)`` and union-promoted sums return HUGEINT). Every aggregate oracle
     output column must therefore be CAST to BIGINT. This pins the sweep
     so no future oracle regresses."""
+    from vlm_data_pipeline_spark.plans.registry import resolve_oracle
+
     from .oracle import duck_connection
 
     con = duck_connection(sf_dir)
@@ -38,7 +40,7 @@ def test_no_oracle_emits_hugeint(sf_dir):
     for name, q in QUERIES.items():
         if q.oracle is None:
             continue
-        rel = con.sql(q.oracle)
+        rel = con.sql(resolve_oracle(q, sf_dir))
         cols = [
             (c, str(t))
             for c, t in zip(rel.columns, rel.types)
@@ -61,14 +63,15 @@ def test_driver_window_is_all_flagship_oracles():
     assert len(_DRIVER_WINDOW) == 50
     assert names[: len(_DRIVER_WINDOW)] == list(_DRIVER_WINDOW)
     assert all(QUERIES[n].oracle is not None for n in _DRIVER_WINDOW)
-    # round-7 rotations: the 2D variants (object_count_2d, bbox_2d_size,
-    # object_2d_size) and then cam_distance (all 4 straight green
-    # rounds; plain point-distance geometry re-proven by the remaining
-    # tasks) ceded slots to first-time-graded flagships and the layout
-    # family; they stay registered and full-simulation-covered
+    # round-9 rotation: four more QA-task variants (object_3d_size,
+    # obj_obj_rel_pos, cam_obj_rel_dist, object_count_mc — each green
+    # six straight driver rounds) ceded slots to first-time-graded
+    # flagships; the two kept below are the family flagships, and the
+    # rotated-out tasks stay value-checked in-window through
+    # qa_pipeline_summary_oracle's per-task union counts (plus full
+    # simulation and pytest)
     flagship = {f"qa_task_{t}" for t in (
-        "object_count", "object_3d_size", "obj_obj_distance",
-        "obj_obj_rel_pos", "cam_obj_rel_dist", "object_count_mc",
+        "object_count", "obj_obj_distance",
     )} | {"qa_pipeline_summary_oracle", "curation_clean_pipeline"}
     assert flagship <= set(_DRIVER_WINDOW)
 

@@ -36,12 +36,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # four rounds, plain point-distance geometry re-proven by
     # cam_obj_rel_dist/obj_obj_distance — cedes its slot to the new
     # layout family below; stays in the full simulation + pytest.)
+    # Round-9 rotation wave 1 (VERDICT r8 #2): four of the six QA-task
+    # rows (object_3d_size, obj_obj_rel_pos, cam_obj_rel_dist,
+    # object_count_mc — every one green r03-r08, six straight rounds)
+    # cede their slots to never-driver-graded flagships. The two kept
+    # below are the family's flagships (A1 group-count templating and
+    # the W4/J8 pairwise-geometry task); the rotated-out four stay
+    # value-checked in-window through qa_pipeline_summary_oracle's
+    # per-task union counts (+ full simulation and pytest as always),
+    # and O4's deterministic draws stay window-proven via
+    # eval_detection_ap's MC IoU sampling.
     "qa_task_object_count",
-    "qa_task_object_3d_size",
     "qa_task_obj_obj_distance",
-    "qa_task_obj_obj_rel_pos",
-    "qa_task_cam_obj_rel_dist",
-    "qa_task_object_count_mc",
     # full-pipeline value checks
     "qa_pipeline_summary_oracle",  # per-task counts/answer-type mix (E1 union)
     "curation_clean_pipeline",  # quality→LSH→components→retention→decontam
@@ -56,7 +62,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # the composed pipeline entries)
     "events_interval_join",  # binned range join (point-in-interval)
     "events_asof_join",  # generic union-window merge_asof
-    "events_gapfill_hourly",  # hypertable time_bucket_gapfill + LOCF
+    # (round-9: events_gapfill_hourly — green r06-r08, three straight
+    # rounds — cedes its slot; the hypertable family keeps FOUR window
+    # rows: interval join, as-of, sessionize, tumbling window.)
     # A10's window slot now carries the composed audit: the per-task
     # yield report (debug_empty_tasks analogue, round 6) value-oracles
     # routing eligibility + yields for all ten tasks in one query;
@@ -85,8 +93,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # by semantic_dedup_survivors' cosine machinery) and
     # multimodal_frame_sample (green r05; multimodal keeps
     # multimodal_binary_stats + multimodal_phash_incremental in-window)
-    "graph_pagerank",  # link-graph centrality (fixed-point power sweep)
-    "sketch_bloom_decontaminate",  # Bloom seen-set gate incl. exact FPs
+    # (round-9: graph_pagerank — green r06-r08 — cedes to keep exactly
+    # one graph fixed-point row in-window, graph_trustrank, the strictly
+    # harder seeded sibling; sketch_bloom_decontaminate — green r06-r08
+    # — cedes too, the sketch family keeps countmin + quantile rows and
+    # the Bloom machinery stays pinned by curation_web_pipeline's
+    # decontamination stage + pytest.)
     # Round-8: ann_ivf_fixed_topk (green r03-r07) cedes the ANN slot to
     # ann_pq_topk — the never-graded product-quantization path, a
     # DIFFERENT algorithm (subspace codebooks + ADC), not a re-proof
@@ -120,8 +132,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sketch_countmin_tokens",  # Count-Min heavy hitters
     "curation_corpus_diff",  # snapshot diff (added/removed/changed)
     "curation_hash_split",  # deterministic train/val/test assignment
-    "curation_ccnet_buckets",  # CCNet perplexity terciles
-    "text_html_extract",  # HTML -> text extraction
+    # (round-9: curation_ccnet_buckets and text_html_extract — both
+    # green r07+r08 — cede slots; perplexity bucketing stays covered by
+    # curation_web_pipeline's quality program and HTML extraction by
+    # warc_ingest_pipeline + the newly seated warc_parse_records.)
     "curation_fix_encoding",  # ftfy-lite mojibake repair
     "code_corpus_stats",  # code-family audit (lang/license/gates)
     "code_strip_comments",  # comment-strip ablation (round 7)
@@ -158,7 +172,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # decontamination) — all keep full-simulation + pytest coverage.
     "semantic_dedup_survivors",  # SemDeDup cluster-bounded semantic dedup
     "retrieval_index_topk",  # inverted-index BM25 top-k
-    "multimodal_phash_incremental",  # banded pHash near-dup vs store
+    # (round-9: multimodal_phash_incremental — green r06-r08 — cedes to
+    # its never-graded banded near-dup sibling multimodal_phash_neardup
+    # seated below.)
     "dedup_paragraphs",  # paragraph-level exact dedup (CCNet shape)
     "eval_detection_ap",  # Monte-Carlo 3D IoU AP (Objectron protocol)
     "dedup_url_groups",  # URL canonicalization dedup (CommonCrawl pass 1)
@@ -173,6 +189,21 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "eval_greedy_match",  # confidence-ordered greedy matcher (the AQE
     # repartition fix from round 7 sits directly under this entry)
     "graph_trustrank",  # seeded TrustRank (graph family, 2nd member)
+    # Round-9 seated entries (VERDICT r8 #2: ten first-time-graded
+    # rows, every one fully oracled — no rows-only entry spends a
+    # window slot):
+    "events_props_variant",  # VARIANT typed scalar extraction (r8 op)
+    "events_props_variant_explode",  # VARIANT array explode (new r9)
+    "curation_compression_flags",  # zlib gate's oracled relational
+    # tail (new r9; closes the round-8 rows-only window exception via
+    # an independent driver-side reference pass inlined as VALUES)
+    "warc_parse_records",  # WARC record parser (stream-bounded scan)
+    "multimodal_phash_neardup",  # banded pHash near-dup pairs
+    "layout_compaction_plan",  # small-file compaction planner
+    "audio_frame_energy",  # frame-level RMS energy (audio family)
+    "audio_silence_trim",  # leading/trailing silence trimming
+    "retrieval_hard_negatives",  # BM25 hard-negative mining funnel
+    "dedup_corpus_overlap",  # cross-corpus n-gram overlap report
 )
 
 

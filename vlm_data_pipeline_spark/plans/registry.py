@@ -40,8 +40,28 @@ class StarQuery:
 
     name: str
     build: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL over the pre-registered views, or None
+    # DuckDB SQL over the pre-registered views; None for rows-only; or a
+    # callable ``(sf_dir) -> str`` for oracles that embed reference
+    # values computed outside both engines (e.g. a driver-side
+    # single-threaded zlib pass inlined as a VALUES table — the standard
+    # way to oracle a metric DuckDB has no SQL surface for). Resolve via
+    # :func:`resolve_oracle`.
+    oracle: str | None | Callable[[str], str]
     doc: str  # which operator(s) this demonstrates + reference citation
+
+
+# The driver grades oracles at this fixed scale; lazy (callable) oracles
+# resolved through __spark_entry__.oracle_sql() read their reference
+# inputs from here. tests/oracle.compare and tools/verify_at_scale pass
+# their own sf_dir instead, so lazy oracles stay scale-correct locally.
+DRIVER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def resolve_oracle(q: "StarQuery", sf_dir: str) -> str | None:
+    """The oracle SQL string for ``q`` at ``sf_dir`` (None = rows-only)."""
+    if callable(q.oracle):
+        return q.oracle(sf_dir)
+    return q.oracle
 
 
 QUERIES: dict[str, StarQuery] = {}

@@ -131,14 +131,19 @@ def curation_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_props_variant",
     """
+    WITH ev AS (
+        SELECT event_type,
+               TRY_CAST(CASE WHEN json_valid(props)
+                             THEN props->>'$.k' END AS BIGINT) AS k
+        FROM events
+        WHERE props IS NOT NULL
+    )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
-           CAST(count(*) FILTER (CAST(props->>'$.k' AS BIGINT) % 2 = 0)
-                AS BIGINT) AS n_even_k
-    FROM events
-    WHERE props IS NOT NULL
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(*) FILTER (k % 2 = 0) AS BIGINT) AS n_even_k
+    FROM ev
     GROUP BY event_type
     """,
     "Semi-structured props via Spark 4 VARIANT (extension; the "
@@ -147,12 +152,16 @@ def curation_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_get extraction feeds the aggregate — at 100 TB of logs "
     "the variant binary encoding is parsed once at scan time instead "
     "of per-field regexp passes, and extraction is codegen'd "
-    "path-offset access, not string scanning. Oracle: DuckDB JSON "
-    "path extraction over the same column.",
+    "path-offset access, not string scanning. try_parse_json + "
+    "try_variant_get keep the repo's robust-skip convention: a "
+    "malformed props row yields NULL k (counted in n_events, skipped "
+    "by sum/max) instead of failing the query — mirrored in the "
+    "oracle with json_valid + TRY_CAST. Oracle: DuckDB JSON path "
+    "extraction over the same column.",
 )
 def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"]
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         ev.filter(F.col("props").isNotNull())
         .select("event_type", k.alias("k"))
@@ -165,4 +174,149 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_even_k"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_props_variant_explode",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_elems,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) FILTER (CAST(props->>'$.k' AS BIGINT) % 2 = 0)
+                AS BIGINT) AS n_even_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY user_id
+    """,
+    "VARIANT nested-collection path (extension; completes the "
+    "semi-structured family beyond events_props_variant's scalar "
+    "extraction): per user the props JSONs are packed into ONE JSON "
+    "array string in-row after the key exchange, parsed ONCE with "
+    "try_parse_json into an array-typed VARIANT, fanned back out with "
+    "the variant_explode table function (pos + per-element VARIANT), "
+    "and each element's k is pulled with typed try_variant_get. The "
+    "round trip must preserve every element exactly — the oracle "
+    "re-derives the same per-user aggregates straight off the scalar "
+    "rows, so any element lost/duplicated/corrupted by the "
+    "pack->parse->explode->extract chain is a value mismatch. One "
+    "exchange: the groupBy(user_id) shuffle; the post-explode re-agg "
+    "rides the same hash partitioning (user_id is retained through "
+    "the lateral generate).",
+)
+def events_props_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    packed = (
+        ev.filter(F.col("props").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.concat(
+                F.lit("["), F.concat_ws(",", F.collect_list("props")), F.lit("]")
+            ).alias("arr_json")
+        )
+        .withColumn("v", F.try_parse_json(F.col("arr_json")))
+    )
+    packed.createOrReplaceTempView("__props_packed")
+    exploded = spark.sql(
+        """
+        SELECT user_id,
+               try_variant_get(value, '$.k', 'bigint') AS k
+        FROM __props_packed, LATERAL variant_explode(v)
+        """
+    )
+    return exploded.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_elems"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count(F.when(F.col("k") % 2 == 0, 1)).cast("long").alias("n_even_k"),
+    )
+
+
+def _compression_flags_oracle(sf_dir: str) -> str:
+    """Reference oracle for curation_compression_flags: a single-threaded
+    driver-side pass computes each document's zlib ppm (the same
+    ``len(zlib.compress(utf8)) * 1e6 // len(utf8)`` definition — zlib IS
+    the metric, so the library is necessarily shared; everything around
+    it — scan, batching, banding, aggregation — is independent), inlines
+    the per-doc values as a VALUES table, and re-derives the band flags
+    and per-flag aggregates in DuckDB SQL joined against the documents
+    view. DuckDB 1.0 exposes no zlib/deflate SQL surface (checked via
+    duckdb_functions()), so inlining the reference column is the only
+    way to value-check this family; the lazy-callable oracle keeps it
+    scale-correct (see registry.resolve_oracle)."""
+    import zlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    vals = []
+    for doc_id, text in rows:
+        if text is None:
+            vals.append(f"({doc_id}, NULL)")
+            continue
+        raw = text.encode("utf-8")
+        ppm = 1_000_000 if not raw else len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+        vals.append(f"({doc_id}, {ppm})")
+    values_sql = ",\n           ".join(vals)
+    return f"""
+    WITH ppm(doc_id, ppm) AS (
+        VALUES {values_sql}
+    ),
+    banded AS (
+        SELECT d.doc_id,
+               p.ppm,
+               CASE WHEN d.text IS NULL THEN 'null_text'
+                    WHEN length(d.text) = 0 THEN 'empty_text'
+                    WHEN p.ppm < 450000 THEN 'too_repetitive'
+                    WHEN p.ppm > 650000 THEN 'too_incompressible'
+                    ELSE 'ok' END AS compression_flag
+        FROM documents d JOIN ppm p USING (doc_id)
+    )
+    SELECT compression_flag,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(ppm) AS BIGINT) AS min_ppm,
+           CAST(max(ppm) AS BIGINT) AS max_ppm,
+           CAST(sum(ppm) AS BIGINT) AS sum_ppm
+    FROM banded
+    GROUP BY compression_flag
+    """
+
+
+@register(
+    "curation_compression_flags",
+    _compression_flags_oracle,
+    "Value-oracled relational tail of the compression-ratio gate "
+    "(closes round-8's one rows-only window exception): per-band "
+    "document counts and exact integer ppm min/max/sum over the whole "
+    "documents table. Spark side runs the full distributed path — "
+    "Arrow-batched zlib pandas_udf, band CASE, hash aggregate; the "
+    "oracle recomputes every doc's ppm in an independent single-"
+    "threaded driver pass (inlined VALUES — DuckDB has no zlib SQL "
+    "surface) and re-derives banding + aggregation in SQL. Integer "
+    "ppm end-to-end: no float in any compared cell. Band thresholds "
+    "(450K/650K ppm) are corpus-calibrated so all three bands are "
+    "populated at every test sf — a single-band result would grade "
+    "only one CASE arm; the operator's web-corpus defaults are "
+    "unchanged. Library: operators.curation.compression_gate.",
+)
+def curation_compression_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import compression_gate
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = compression_gate(
+        docs.select("doc_id", "text"), min_ppm=450_000, max_ppm=650_000
+    )
+    return out.groupBy("compression_flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("compression_ppm").cast("long").alias("min_ppm"),
+        F.max("compression_ppm").cast("long").alias("max_ppm"),
+        F.sum("compression_ppm").cast("long").alias("sum_ppm"),
     )
