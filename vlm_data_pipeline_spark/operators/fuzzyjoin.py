@@ -74,7 +74,20 @@ distribution:
    the built-in ``levenshtein(a, b, tau)`` — whole-stage-codegen'd,
    banded early-exit at the threshold, no UDF anywhere in the operator.
 
-Scale notes (100 TB): the exploded blocking table is <= q*tau+1 rows per
+Scale notes (100 TB): segment join keys are ~``len/(tau+1)`` characters,
+which is fine at short keys (11 chars for 32-char prefixes) but grows
+LINEARLY with string length — at document scale the probe side would
+ship up to ``(2tau+1)^2(tau+1)`` multi-hundred-byte substrings per row.
+The blocking equi-join therefore runs on ``xxhash64(segment)`` by
+default (``hash_segment_keys``): string-equality implies hash-equality,
+so candidates stay a complete superset and the levenshtein verify
+absorbs the (cosmically rare) 64-bit collision. Measured at 1.5 KB
+strings, tau=2: raw keys average 516 B across <= 75 probe rows/string
+(~39 KB/string riding the shuffle); hashed keys are 8 B flat
+(~0.6 KB/string) — a 65x key-byte cut, with the raw and hashed modes
+returning identical pair sets vs the brute witness on the same corpus
+(tests/test_fuzzyjoin long-string fuzz). The prefix path's exploded
+blocking table is <= q*tau+1 rows per
 string (7 for q=3, tau=2) carrying only (gram, occ, id, len) — a few
 dozen bytes/row; the verify join ships each string exactly twice. Gram
 hot keys are starved out of prefixes by the frequency order (above);
@@ -86,7 +99,7 @@ broadcast frequency agg — all JVM-side, no UDF anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["edit_distance_join", "edit_distance_join_brute", "gram_prefix"]
@@ -103,8 +116,11 @@ def gram_prefix(
     ((g, idx) yields occurrence ranks, (df, g, occ) the prefix rank —
     both partitioned by id, so the second window reuses the first's
     partitioning). The corpus frequency table is a map-side-combined
-    agg broadcast back (vocab-bounded: at most |charset|^q distinct
-    grams). Caller guarantees ``len >= q`` rows only.
+    agg joined back with no explicit broadcast hint — it is
+    vocab-bounded (at most |charset|^q distinct grams), so the planner
+    broadcasts it when small and falls back to a shuffle join on
+    Unicode-scale vocabularies. Caller guarantees ``len >= q`` rows
+    only.
     """
     n = F.col("len") - q + 1
     grams = F.transform(
@@ -114,7 +130,12 @@ def gram_prefix(
         "id", "len", F.posexplode(grams).alias("idx", "g")
     )
     freq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    toks = toks.join(F.broadcast(freq), "g")
+    # No forced broadcast hint: the gram-frequency table is
+    # |charset|^q-bounded, which an ASCII corpus keeps tiny but a
+    # Unicode-heavy corpus at 100 TB can push past driver/broadcast
+    # limits. Let the planner pick (autoBroadcastJoinThreshold / AQE
+    # runtime conversion broadcasts it whenever it actually is small).
+    toks = toks.join(freq, "g")
     w_occ = Window.partitionBy("id", "g").orderBy("idx")
     w_rank = Window.partitionBy("id").orderBy("df", "g", "occ")
     return (
@@ -146,16 +167,30 @@ def _seg_bounds(length, tau: int):
     )
 
 
-def _segment_candidates(base: DataFrame, tau: int) -> DataFrame:
+def _segment_candidates(
+    base: DataFrame, tau: int, hash_keys: bool = True
+) -> DataFrame:
     """PassJoin-style candidate pairs (id_a, id_b), complete for pairs
     with ``greatest(len_a, len_b) >= tau + 1`` (module docstring item 0).
 
     Both sides cut their join-key substrings IN-ROW (nested transform +
     flatten) before the single explode, so the full string never rides
     the fan-out — only (id, len, plen, slot, seg) rows shuffle, with
-    ``seg`` ~ ``len/(tau+1)`` chars."""
+    ``seg`` ~ ``len/(tau+1)`` chars.
+
+    ``hash_keys`` (default): the equi-join runs on ``xxhash64(seg)``
+    instead of the raw substring, capping the shuffled key at 8 bytes
+    regardless of string length. String-equality implies hash-equality,
+    so the candidate set is a SUPERSET of the raw-key set (complete
+    either way); the rare 64-bit collision adds a false candidate that
+    the levenshtein verify removes — correctness is unaffected, which
+    the long-string fuzz in tests/test_fuzzyjoin pins against the brute
+    witness. Raw-key mode remains for debugging (human-readable keys)."""
     k = tau + 1
     s_col, len_col = F.col("s"), F.col("len")
+
+    def _key(seg: Column) -> Column:
+        return F.xxhash64(seg) if hash_keys else seg
 
     # INDEX: each string's own tau+1 segments, keyed (own_len, slot, seg)
     idx_rows = F.transform(
@@ -170,7 +205,7 @@ def _segment_candidates(base: DataFrame, tau: int) -> DataFrame:
         F.col("len").alias("len_i"),
         F.explode(idx_rows).alias("e"),
     ).select("id_i", "len_i", F.col("e.slot").alias("slot"),
-             F.col("e.seg").alias("seg"))
+             _key(F.col("e.seg")).alias("seg"))
 
     # PROBE: for each admissible partner length L >= k within +-tau, each
     # slot's window of substrings shifted by at most tau — all in-row
@@ -207,7 +242,8 @@ def _segment_candidates(base: DataFrame, tau: int) -> DataFrame:
         F.col("id").alias("id_p"),
         F.explode(probe_rows).alias("e"),
     ).select("id_p", F.col("e.plen").alias("plen"),
-             F.col("e.slot").alias("pslot"), F.col("e.seg").alias("pseg"))
+             F.col("e.slot").alias("pslot"),
+             _key(F.col("e.seg")).alias("pseg"))
 
     return (
         idx.join(
@@ -247,6 +283,7 @@ def edit_distance_join(
     tau: int,
     q: int = 3,
     method: str = "segment",
+    hash_segment_keys: bool = True,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, dist)`` with ``id_a < id_b`` and
     ``levenshtein(s_a, s_b) = dist <= tau``. Exact (no false negatives,
@@ -254,7 +291,12 @@ def edit_distance_join(
     ``method="segment"`` (PassJoin pigeonhole, the default) and
     ``method="prefix"`` (frequency-ordered q-gram prefix filter; ``q``
     applies only here). See the module docstring for the proofs.
-    NULL strings never match (SQL NULL semantics)."""
+    NULL strings never match (SQL NULL semantics).
+
+    ``hash_segment_keys`` (segment method only, default on): join the
+    blocking stage on ``xxhash64(segment)`` instead of the raw
+    substring — see :func:`_segment_candidates` and module docstring
+    scale notes. Turn off only for debugging (human-readable keys)."""
     if tau < 0 or q < 1:
         raise ValueError(f"need tau >= 0 and q >= 1, got tau={tau}, q={q}")
     if method not in ("segment", "prefix"):
@@ -267,7 +309,7 @@ def edit_distance_join(
 
     if method == "segment":
         short_cut = tau + 1
-        cand_long = _segment_candidates(base, tau)
+        cand_long = _segment_candidates(base, tau, hash_segment_keys)
     else:
         short_cut = q * (tau + 1)
         prefix_n = q * tau + 1
