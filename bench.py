@@ -113,6 +113,16 @@ def main() -> None:
     # steady-state throughput — the regime that matters for a long-lived
     # engine, and the number that is comparable across rounds regardless
     # of bench-list composition. Warmup wall-clock is reported separately.
+    # BENCH_ONLY=a,b,c restricts the run to a headline subset — used by
+    # the sf10 scale spot-check, where only the heaviest pipelines are
+    # worth a 100x-volume execution.
+    only = os.environ.get("BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
+
     warmup_s = None
     warm_dir = os.environ.get(
         "SPARK_GRAFT_WARMUP_DIR",
@@ -120,7 +130,7 @@ def main() -> None:
     )
     if os.environ.get("BENCH_WARMUP", "1") == "1" and os.path.isdir(warm_dir):
         t0 = time.perf_counter()
-        for name in HEADLINE:
+        for name in headline:
             q0 = QUERIES.get(name)
             if q0 is not None:
                 q0.build(spark, warm_dir).count()
@@ -146,7 +156,7 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         q = QUERIES.get(name)
         if q is None:
             continue

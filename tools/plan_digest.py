@@ -2,8 +2,8 @@
 """Registry-wide physical-plan digest — the plan-shape regression
 baseline.
 
-BENCH_PLANS=1 audits the 18 headline queries by executing them; this
-tool covers the WHOLE registry (154 queries) by building plans only
+BENCH_PLANS=1 audits the headline queries by executing them; this
+tool covers the WHOLE registry by building plans only
 (no execution — `executedPlan` on the unexecuted QueryExecution), so a
 full sweep takes ~a minute. Per query it records the counts that
 actually move at 100 TB:
@@ -19,8 +19,13 @@ actually move at 100 TB:
                     documented 1-row aggregates
 
 Output: one JSON file (default PLANS.json) mapping query -> digest.
-Diff two rounds' files to catch silent plan regressions (a new
-exchange, a filter that stopped pushing, a codegen span that split).
+The committed baseline lives at PLANS_BASELINE.json and is ENFORCED by
+tests/test_plan_digest.py (VERDICT r8 #1): every registered query must
+be present, and no plan may gain cartesian/BNLJ/python_eval nodes or
+(for driver-window queries) extra exchanges vs the baseline. After an
+intentional plan change or new query registration, refresh with:
+
+    python tools/plan_digest.py --out PLANS_BASELINE.json
 
 Usage: python tools/plan_digest.py [--sf-dir DIR] [--out PLANS.json]
 """
@@ -58,6 +63,89 @@ def digest(plan: str) -> dict:
     }
 
 
+def digest_all(
+    spark,
+    queries: dict,
+    names: list[str],
+    sf_dir: str,
+    verbose: bool = False,
+) -> dict[str, dict]:
+    """Digest every named query's pre-execution physical plan (no
+    execution — ``executedPlan`` on the unexecuted QueryExecution).
+
+    AQE wraps the plan in AdaptiveSparkPlanExec and defers
+    CollapseCodegenStages to runtime, so a pre-execution toString shows
+    no *(N) spans. Disable it AROUND THE DIGEST ONLY: the digest is a
+    STATIC baseline (exchange positions + codegen structure of the
+    initial plan); production sessions keep AQE, which can only improve
+    on this shape at runtime (coalescing, broadcast conversion, skew
+    splits)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    out: dict[str, dict] = {}
+    try:
+        for name in names:
+            try:
+                df = queries[name](spark, sf_dir)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                out[name] = digest(plan)
+            except Exception as exc:  # noqa: BLE001 — report, don't abort
+                out[name] = {"error": str(exc)[:200]}
+            if verbose:
+                print(f"  {name}: {json.dumps(out[name])}", flush=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return out
+
+
+def compare_digests(
+    baseline: dict[str, dict],
+    live: dict[str, dict],
+    window: tuple[str, ...] | list[str] = (),
+) -> list[str]:
+    """Plan-shape regression check (the pytest gate's core, kept pure so
+    the red paths are unit-testable without Spark). Flags, per query:
+
+    - absence from the baseline (a registered query the committed
+      baseline has never digested — the drift mode VERDICT r8 #1 caught:
+      regenerate PLANS_BASELINE.json);
+    - any growth in cartesian / bnlj / python_eval node counts vs the
+      baseline (a new nested-loop join or Python stage is a scale
+      regression even when results stay correct);
+    - for driver-window queries, growth in the exchange count (an extra
+      shuffle in a flagship plan is a 100 TB wall-clock regression).
+
+    Returns a list of human-readable violations; empty = green.
+    Shrinkage is allowed silently (fewer exchanges is an improvement —
+    refresh the baseline to lock it in)."""
+    errs: list[str] = []
+    for name in sorted(live):
+        lv = live[name]
+        bl = baseline.get(name)
+        if bl is None:
+            errs.append(
+                f"{name}: not in baseline — regenerate PLANS_BASELINE.json"
+            )
+            continue
+        if "error" in bl or "error" in lv:
+            errs.append(
+                f"{name}: digest error (baseline={bl.get('error')!r}, "
+                f"live={lv.get('error')!r})"
+            )
+            continue
+        for node in ("cartesian", "bnlj", "python_eval"):
+            if lv[node] > bl[node]:
+                errs.append(
+                    f"{name}: {node} count grew {bl[node]} -> {lv[node]}"
+                )
+        if name in set(window) and lv["exchanges"] > bl["exchanges"]:
+            errs.append(
+                f"{name}: exchange count grew {bl['exchanges']} -> "
+                f"{lv['exchanges']} (driver-window query)"
+            )
+    return errs
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -70,27 +158,10 @@ def main() -> int:
     import __spark_entry__ as e
 
     spark = get_spark("plan-digest", cpus=8)
-    # AQE wraps the plan in AdaptiveSparkPlanExec and defers
-    # CollapseCodegenStages to runtime, so a pre-execution toString
-    # shows no *(N) spans. Disable it HERE ONLY: the digest is a STATIC
-    # baseline (exchange positions + codegen structure of the initial
-    # plan); production sessions keep AQE, which can only improve on
-    # this shape at runtime (coalescing, broadcast conversion,
-    # skew splits).
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     qs = e.queries()
     names = args.names.split(",") if args.names else sorted(qs)
-    out: dict[str, dict] = {}
-    failed: list[str] = []
-    for name in names:
-        try:
-            df = qs[name](spark, args.sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            out[name] = digest(plan)
-        except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
-            failed.append(name)
-            out[name] = {"error": str(exc)[:200]}
-        print(f"  {name}: {json.dumps(out[name])}", flush=True)
+    out = digest_all(spark, qs, names, args.sf_dir, verbose=True)
+    failed = [n for n, d in out.items() if "error" in d]
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({"queries": len(out), "failed": failed}))
