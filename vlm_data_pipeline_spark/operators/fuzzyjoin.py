@@ -69,10 +69,18 @@ distribution:
    ``L >= q*(tau+1) - tau >= q``, so it has grams. The two paths are
    made disjoint by restricting the gram path to
    ``greatest(L_a, L_b) >= q*(tau+1)``.
-4. **Verify JVM-side.** Candidates (ids only — text never rides the
-   gram explosion) join back to the strings once and are verified with
-   the built-in ``levenshtein(a, b, tau)`` — whole-stage-codegen'd,
-   banded early-exit at the threshold, no UDF anywhere in the operator.
+4. **Verify JVM-side, dedup AFTER verify.** Candidates (ids only —
+   text never rides the gram explosion) join back to the strings and
+   are verified with the built-in ``levenshtein(a, b, tau)`` —
+   whole-stage-codegen'd, banded early-exit at the threshold, no UDF
+   anywhere in the operator. The (id_a, id_b) DISTINCT runs on the
+   verified survivors, never on raw candidates: on a blocking-flooded
+   corpus the pre-verify distinct is a candidate-scale hash
+   aggregation that spills (measured at the sf10 spot-check — a
+   ~30-word-vocabulary corpus at 500K strings yields O(10^8)
+   candidates for 26K true pairs, and the old distinct-first shape
+   stalled in multi-minute spill while verify-first streams), whereas
+   duplicate verifications are just extra early-exit DP calls.
 
 Scale notes (100 TB): segment join keys are ~``len/(tau+1)`` characters,
 which is fine at short keys (11 chars for 32-char prefixes) but grows
@@ -245,6 +253,18 @@ def _segment_candidates(
              F.col("e.slot").alias("pslot"),
              _key(F.col("e.seg")).alias("pseg"))
 
+    # NO .distinct() here — candidates flow to the verify stage raw
+    # (possibly duplicated across slots/shifts). Deduplicating BEFORE
+    # verify looks thrifty but is a scale cliff: on a segment-flooded
+    # corpus (sf10 spot-check: ~30-word vocabulary, 500K docs →
+    # hundreds of millions of candidates for 26K true pairs) the
+    # pre-verify distinct is a candidate-scale hash aggregation whose
+    # table exceeds executor memory and spills for minutes, while the
+    # verify itself (broadcast string lookup + threshold levenshtein)
+    # STREAMS at ~µs/row. Verify-then-distinct keeps every stage
+    # between blocking and the final (tiny) dedup pipelined; the extra
+    # duplicate verifications are early-exit DP calls, orders of
+    # magnitude cheaper than hashing the pair table.
     return (
         idx.join(
             probe,
@@ -257,14 +277,20 @@ def _segment_candidates(
             F.least("id_i", "id_p").alias("id_a"),
             F.greatest("id_i", "id_p").alias("id_b"),
         )
-        .distinct()
     )
 
 
 def _verify(cand: DataFrame, base: DataFrame, tau: int) -> DataFrame:
-    """Join candidate id pairs back to their strings and keep pairs with
+    """Join candidate id pairs back to their strings, keep pairs with
     ``levenshtein <= tau`` (built-in threshold form: banded DP,
-    early-exit, codegen'd)."""
+    early-exit, codegen'd), THEN deduplicate.
+
+    The input may contain duplicate (id_a, id_b) rows (multi-slot /
+    multi-shift blocking matches); the distinct runs on the verified
+    SURVIVORS — true-pair-scale, not candidate-scale (see the
+    _segment_candidates comment for why the pre-verify distinct was a
+    spill cliff). ``dist`` is a pure function of the pair, so distinct
+    on the triple equals distinct on the pair."""
     a = base.select(F.col("id").alias("id_a"), F.col("s").alias("_sa"))
     b = base.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"))
     return (
@@ -273,6 +299,7 @@ def _verify(cand: DataFrame, base: DataFrame, tau: int) -> DataFrame:
         .withColumn("dist", F.levenshtein("_sa", "_sb", tau))
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+        .distinct()
     )
 
 
@@ -327,8 +354,9 @@ def edit_distance_join(
                 & (F.abs(F.col("la") - F.col("lb")) <= tau)
                 & (F.greatest("la", "lb") >= short_cut)
             )
+            # raw (possibly duplicated) pairs: dedup happens after the
+            # verify, on survivors — see _segment_candidates
             .select("id_a", "id_b")
-            .distinct()
         )
 
     # -- short-short fallback: both sides below the count-bound floor --
