@@ -84,7 +84,7 @@ def _foreign_jvms() -> int:
         return -1  # unknown — never abort the benchmark over the probe
 
 
-def main() -> None:
+def main() -> int | None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -117,11 +117,22 @@ def main() -> None:
     # the sf10 scale spot-check, where only the heaviest pipelines are
     # worth a 100x-volume execution.
     only = os.environ.get("BENCH_ONLY")
-    headline = (
-        [n for n in HEADLINE if n in set(only.split(","))]
-        if only
-        else HEADLINE
-    )
+    if only:
+        requested = set(only.split(","))
+        unknown = sorted(requested - set(HEADLINE))
+        if unknown:
+            # fail loudly (ADVICE r9): a typo'd BENCH_ONLY list used to
+            # run ZERO queries yet still emit a headline total of 0 —
+            # indistinguishable from an excellent round number.
+            print(
+                f"BENCH_ONLY names not in HEADLINE: {unknown} "
+                f"(valid: {sorted(HEADLINE)})",
+                file=sys.stderr,
+            )
+            return 2
+        headline = [n for n in HEADLINE if n in requested]
+    else:
+        headline = HEADLINE
 
     warmup_s = None
     warm_dir = os.environ.get(
@@ -211,4 +222,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

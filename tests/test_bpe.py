@@ -523,3 +523,35 @@ def test_wordpiece_vocab_round_trip(spark, tmp_path):
     e1 = lm.apply_wordpiece(docs, vocab).collect()
     e2 = lm.apply_wordpiece(docs, lm.load_wordpiece_vocab(spark, p)).collect()
     assert sorted(map(tuple, e1)) == sorted(map(tuple, e2))
+
+
+def test_unigram_seed_vocab_no_global_window(spark):
+    """VERDICT r9 #1: top-`budget` piece selection must plan as
+    TakeOrderedAndProject (parallel partial top-K per partition), NOT a
+    partition-less row_number WindowExec — that form moves the entire
+    distinct-piece table through Exchange SinglePartition and sorts it
+    on one task, a hard wall when a 100 TB corpus has billions of
+    distinct word substrings. Values are identical either way (the
+    (freq desc, piece asc) order is total, so the top-K cut is unique —
+    pinned by test_unigram_seed_vocab_hand_computed)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "tools"
+        ),
+    )
+    from plan_digest import digest
+
+    from vlm_data_pipeline_spark.operators.lm import unigram_seed_vocab
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(50)],
+        "doc_id long, text string",
+    )
+    seed = unigram_seed_vocab(docs, vocab_size=40, max_piece_len=4)
+    plan = seed._jdf.queryExecution().executedPlan().toString()
+    assert digest(plan)["global_windows"] == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -42,8 +42,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+_SORT_SPEC = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)")
+
+
+def _count_global_windows(plan: str) -> int:
+    """Count WindowExec nodes with NO partition spec — the anti-pattern
+    class VERDICT r9 #1 found at operators/lm.py:655: Spark moves the
+    ENTIRE input to one partition (`Exchange SinglePartition` + single-
+    task sort), a hard wall on any corpus-sized input.
+
+    A `Window [...]` tree line renders its top-level groups as
+    `[funcs], [partitionCols], [sortOrder]`. Partitioned windows have
+    the 3-group form (or 2 groups whose second is plain columns —
+    partitionBy with no orderBy). Partition-less windows have either a
+    single group (no partition, no sort) or 2 groups whose second is a
+    sort spec (`expr ASC NULLS FIRST, ...`)."""
+    n = 0
+    for line in re.findall(r"\bWindow \[.*", plan):
+        groups = line.split("], [")
+        if len(groups) >= 3:
+            continue  # partitionBy present
+        if len(groups) == 1 or _SORT_SPEC.search(groups[1]):
+            n += 1
+    return n
+
+
 def digest(plan: str) -> dict:
     return {
+        "global_windows": _count_global_windows(plan),
         "exchanges": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning")
         + plan.count("Exchange RoundRobinPartitioning")
@@ -115,10 +141,23 @@ def compare_digests(
     - for driver-window queries, growth in the exchange count (an extra
       shuffle in a flagship plan is a 100 TB wall-clock regression).
 
+    - a baseline query absent from the live digest (ADVICE r9: a
+      shrinking live sweep — a query that silently failed to digest, or
+      a --names run compared against the full baseline — must be
+      visible, not silently green);
+    - any partition-less WindowExec (global_windows > 0) — gated at
+      ZERO absolutely, not vs baseline: every occurrence is a
+      single-partition sort of the node's whole input (VERDICT r9 #1).
+
     Returns a list of human-readable violations; empty = green.
     Shrinkage is allowed silently (fewer exchanges is an improvement —
     refresh the baseline to lock it in)."""
     errs: list[str] = []
+    for name in sorted(set(baseline) - set(live)):
+        errs.append(
+            f"{name}: in baseline but missing from live digest — "
+            "coverage shrank"
+        )
     for name in sorted(live):
         lv = live[name]
         bl = baseline.get(name)
@@ -138,6 +177,13 @@ def compare_digests(
                 errs.append(
                     f"{name}: {node} count grew {bl[node]} -> {lv[node]}"
                 )
+        # absolute-zero gate: baselines predating the field default to 0
+        if lv.get("global_windows", 0) > 0:
+            errs.append(
+                f"{name}: {lv['global_windows']} partition-less "
+                "WindowExec node(s) — single-partition sort of the "
+                "whole input"
+            )
         if name in set(window) and lv["exchanges"] > bl["exchanges"]:
             errs.append(
                 f"{name}: exchange count grew {bl['exchanges']} -> "

@@ -189,29 +189,66 @@ def compaction_plan(
     bit in any SQL engine.
 
     Scale note: the input is file METADATA (one row per file — millions
-    of rows at 100 TB, kilobytes per row), so the single global-order
-    window this needs is a skinny one-reducer pass over a listing
-    table, not a data shuffle. Returns (name, bytes, bin) with
-    ``bin`` a 0-based BIGINT."""
+    of rows at 100 TB), and the global prefix sum is computed as a
+    TWO-PASS SEGMENTED scan, the textbook distributed prefix-sum — NOT
+    a partition-less running-sum window, which would plan Exchange
+    SinglePartition and sort every listing row on one task (the
+    anti-pattern class VERDICT r9 #1 banned registry-wide):
+
+    1. range-repartition on the sort key (partition i holds an earlier
+       key range than partition i+1, so partition order IS sort order);
+    2. per-partition byte totals (≤ spark.sql.shuffle.partitions rows)
+       → each partition's global offset via a triangular broadcast
+       join over that bounded-by-config table (a documented tiny BNLJ,
+       like the repo's 1-row aggregate cross-joins);
+    3. running sum WITHIN each partition (partitionBy(pid) window — a
+       parallel sorted window, no single-partition exchange) + the
+       partition offset.
+
+    The range exchange subtree appears in both branches and is
+    deduplicated by Spark's ReuseExchange rule, so the partition ids
+    both branches observe come from the SAME shuffle output (pinned by
+    a determinism test). Returns (name, bytes, bin) with ``bin`` a
+    0-based BIGINT."""
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
     from pyspark.sql import Window
 
+    srt = (
+        files.select(
+            F.col(name_col).alias("name"),
+            F.col(size_col).cast("long").alias("bytes"),
+        )
+        .repartitionByRange(F.desc("bytes"), F.asc("name"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    tots = srt.groupBy("pid").agg(F.sum("bytes").alias("ptot"))
+    offs = (
+        tots.alias("a")
+        .join(
+            F.broadcast(tots.select(
+                F.col("pid").alias("bpid"), F.col("ptot").alias("bptot")
+            )),
+            F.col("bpid") < F.col("pid"),
+            "left",
+        )
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("bptot"), F.lit(0)).cast("long").alias("poff"))
+    )
     w = (
-        Window.orderBy(F.desc(size_col), F.asc(name_col))
+        Window.partitionBy("pid")
+        .orderBy(F.desc("bytes"), F.asc("name"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.sum(F.col(size_col).cast("long")).over(w) - F.col(
-        size_col
-    ).cast("long")
-    return files.select(
-        F.col(name_col).alias("name"),
-        F.col(size_col).cast("long").alias("bytes"),
-        start.alias("__start"),
-    ).select(
-        "name",
-        "bytes",
-        F.expr(f"__start DIV {int(target_bytes)}").alias("bin"),
+    start = F.sum("bytes").over(w) - F.col("bytes") + F.col("poff")
+    return (
+        srt.join(F.broadcast(offs), "pid")
+        .select("name", "bytes", start.alias("__start"))
+        .select(
+            "name",
+            "bytes",
+            F.expr(f"__start DIV {int(target_bytes)}").alias("bin"),
+        )
     )
 
 

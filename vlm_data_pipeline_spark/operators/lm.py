@@ -638,7 +638,6 @@ def unigram_seed_vocab(
         .agg(F.sum("freq").cast("long").alias("freq"))
     )
     chars = counts.filter(F.length("piece") == 1)
-    from pyspark.sql import Window
 
     n_chars = chars.count()
     budget = vocab_size - n_chars
@@ -647,16 +646,18 @@ def unigram_seed_vocab(
             f"vocab_size={vocab_size} below the {n_chars} single characters "
             "the coverage guarantee must keep"
         )
+    # Top-`budget` multi-char pieces by (freq desc, piece asc). A
+    # row_number over Window.orderBy(...) would be value-identical but
+    # moves the ENTIRE distinct-piece table to one partition (WindowExec
+    # with no partitionBy) — on a 100 TB corpus the distinct substrings
+    # of words number in the billions and that single-task sort is a
+    # driver-adjacent wall. orderBy + limit plans as
+    # TakeOrderedAndProject: a parallel partial top-K per partition
+    # merged on the driver, O(budget) driver memory.
     multi = (
         counts.filter(F.length("piece") > 1)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("freq").desc(), F.col("piece").asc())
-            ),
-        )
-        .filter(F.col("rk") <= budget)
-        .drop("rk")
+        .orderBy(F.col("freq").desc(), F.col("piece").asc())
+        .limit(budget)
     )
     return chars.unionByName(multi)
 

@@ -124,20 +124,35 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # first-time driver grading for the chat/SFT family, WARC funnel,
     # Count-Min, corpus diff/split/buckets, the text-repair pair, and
     # the code-corpus family (new this round).
-    "chat_validate_flags",  # SFT conversation validation flags
-    "chat_template_flatten",  # ChatML flatten of valid conversations
-    "chat_prompt_dedup",  # first-user-prompt fingerprint dedup
-    "chat_preference_pairs",  # DPO pair construction
-    "warc_ingest_pipeline",  # WARC -> HTML extract -> quality funnel
-    "sketch_countmin_tokens",  # Count-Min heavy hitters
-    "curation_corpus_diff",  # snapshot diff (added/removed/changed)
-    "curation_hash_split",  # deterministic train/val/test assignment
+    # Round-10 rotation (VERDICT r9 #5): nine never-driver-graded
+    # oracled entries take the slots of multi-round-green holders —
+    # chat family ×4, warc_ingest_pipeline, curation_corpus_diff,
+    # curation_hash_split (each green r07-r09, three straight rounds),
+    # code_corpus_stats and sketch_countmin_tokens (green r07-r09).
+    # Families stay represented: chat/SFT machinery is pure in-row
+    # folds pinned by pytest + full sim; WARC keeps warc_parse_records
+    # in-window; the code family keeps code_strip_comments; sketches
+    # keep sketch_quantile_store plus the newly seated Bloom probe.
+    # The seated nine are distinct operator shapes with no in-window
+    # sibling: interval rollup + pivot + window-overlap (hypertable
+    # family beyond join/as-of/sessionize), corpus mixing plan/apply
+    # (two-stage proportional sampling), incremental batch dedup,
+    # BPE pair statistics, broadcast Bloom probe, and the composed
+    # text-corpus report.
+    "events_interval_rollup",  # interval-overlap weighted rollup
+    "events_pivot_activity",  # pivot (long -> wide) per-type counts
+    "events_window_overlap",  # sliding-window overlap counts
+    "text_corpus_report",  # composed corpus-statistics report
+    "curation_mixing_plan",  # domain-mixing proportions (plan stage)
+    "curation_apply_mixing",  # deterministic mixing sampler (apply)
+    "dedup_incremental_batch",  # batch-vs-seen incremental dedup
+    "lm_bpe_top_pairs",  # BPE symbol-pair frequency statistics
+    "sketch_bloom_probe_broadcast",  # broadcast Bloom membership probe
     # (round-9: curation_ccnet_buckets and text_html_extract — both
     # green r07+r08 — cede slots; perplexity bucketing stays covered by
     # curation_web_pipeline's quality program and HTML extraction by
     # warc_ingest_pipeline + the newly seated warc_parse_records.)
     "curation_fix_encoding",  # ftfy-lite mojibake repair
-    "code_corpus_stats",  # code-family audit (lang/license/gates)
     "code_strip_comments",  # comment-strip ablation (round 7)
     # round-5 flagship oracles (each a first-class corpus operator new
     # this round; the demoted entries they displaced — f1/f11/o2/e3/a3/
