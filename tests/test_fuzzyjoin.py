@@ -241,3 +241,36 @@ def test_long_strings_hashed_keys_match_brute(spark):
             ).collect()
         }
         assert got == brute, f"hash_segment_keys={hk}"
+
+
+def test_blocking_join_is_never_broadcast(spark):
+    """The blocking equi-join must plan shuffle-side (SortMergeJoin)
+    in BOTH candidate generators, however small the input estimate.
+
+    Regression for the sf10 (factor-100) scale finding: size estimates
+    propagate a corpus parquet's COMPRESSED bytes through the segment/
+    gram explode, so the static planner broadcast a 22M-row probe side
+    whose hashed relation materialized at 3.3 GiB — and with every join
+    broadcast, candidate generation + verify collapsed into the scan
+    stage's file splits (no shuffle boundary → no AQE rebalance, no
+    skew split, one straggler task). Both blocking inputs are O(corpus)
+    by construction, so the merge hint is a semantics-free invariant,
+    not a tuning choice. The tiny inline frame below estimates far
+    under autoBroadcastJoinThreshold — exactly the regime where an
+    unhinted plan would go broadcast."""
+    df = spark.createDataFrame(
+        [(i, f"abcdefgh{i}") for i in range(20)], "id INT, s STRING"
+    )
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for method in ("segment", "prefix"):
+            plan = (
+                edit_distance_join(df, "id", "s", 2, method=method)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "SortMergeJoin" in plan, method
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

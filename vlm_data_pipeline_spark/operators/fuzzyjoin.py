@@ -265,8 +265,24 @@ def _segment_candidates(
     # between blocking and the final (tiny) dedup pipelined; the extra
     # duplicate verifications are early-exit DP calls, orders of
     # magnitude cheaper than hashing the pair table.
+    # The blocking equi-join is ALWAYS shuffle-side (merge hint): both
+    # inputs are O(corpus) exploded tables, so broadcasting one is never
+    # the right strategy at scale — yet without the hint the static
+    # planner does exactly that whenever the corpus parquet compresses
+    # under autoBroadcastJoinThreshold, because size estimates propagate
+    # the on-disk bytes through the explode. Measured at the sf10
+    # (factor-100) spot-check: the 58 MB documents.parquet estimated
+    # "small", the planner broadcast the 22M-row probe side, the hashed
+    # relation materialized at 3.3 GiB (spilled past the 8 GB driver
+    # heap), and the whole candidate+verify chain collapsed into the
+    # scan stage's 14 file splits with one straggler task doing nearly
+    # all verification — no shuffle boundary means AQE could neither
+    # rebalance nor skew-split. A sort-merge join keeps both sides
+    # spillable, gives AQE real runtime stats, and engages its skew
+    # splitting on hot segment keys; sorting the skinny (id, len, slot,
+    # 8-byte key) rows is noise next to the verify.
     return (
-        idx.join(
+        idx.hint("merge").join(
             probe,
             (idx["len_i"] == probe["plen"])
             & (idx["slot"] == probe["pslot"])
@@ -348,7 +364,11 @@ def edit_distance_join(
             F.col("id").alias("id_b"), F.col("len").alias("lb"), "g", "occ"
         )
         cand_long = (
-            ga.join(gb, ["g", "occ"])
+            # same corpus-scale-both-sides argument as the segment
+            # path's blocking join (see _segment_candidates): never
+            # broadcast an exploded blocking table off a compressed-
+            # parquet size estimate
+            ga.hint("merge").join(gb, ["g", "occ"])
             .filter(
                 (F.col("id_a") < F.col("id_b"))
                 & (F.abs(F.col("la") - F.col("lb")) <= tau)
