@@ -60,26 +60,33 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # a6_distinct_stats, p3_parse_id_suffix — all keep full-simulation
     # + pytest coverage; their operator families stay represented by
     # the composed pipeline entries)
-    "events_interval_join",  # binned range join (point-in-interval)
-    "events_asof_join",  # generic union-window merge_asof
     # (round-9: events_gapfill_hourly — green r06-r08, three straight
-    # rounds — cedes its slot; the hypertable family keeps FOUR window
-    # rows: interval join, as-of, sessionize, tumbling window.)
-    # A10's window slot now carries the composed audit: the per-task
-    # yield report (debug_empty_tasks analogue, round 6) value-oracles
-    # routing eligibility + yields for all ten tasks in one query;
-    # a10_quality_audit (green r05) keeps full-simulation + pytest
-    # coverage and frames_parameter_audit covers the schema-audit shape
-    "qa_task_yield_report",  # A10-family composed diagnostic
-    "j_star_revenue",  # J3 broadcast star (only star-join rep: stays)
+    # rounds — cedes its slot.)
+    # Round-10 rotation wave 2 (closing the never-driver-graded pool to
+    # ZERO): events_interval_join + events_asof_join (green r06-r09,
+    # four straight rounds; the hypertable family keeps FIVE window
+    # rows — sessionize, interval rollup, pivot, window overlap, plus
+    # the VARIANT pair over the same events table — and both stay bench
+    # headlines + full-sim rows), qa_task_yield_report (green r06-r09;
+    # the A10 audit shape stays in-window through
+    # qa_pipeline_summary_oracle / qa_pipeline_2d_summary union
+    # counts), and j_star_revenue (green NINE straight rounds r01-r09,
+    # the longest-held slot in the registry; star-join machinery stays
+    # exercised by every qa/star plan in the full simulation) cede four
+    # of the eight slots for the final never-graded entries seated at
+    # the end of the window.
     # Round-8 rotation wave 1: j8_pairwise_selfjoin / j9_asof_prior_view
     # / p4_range_sanity_filter (green SEVEN straight driver rounds
     # r01-r07; J8 stays window-covered by qa_task_obj_obj_distance, J9
     # by events_asof_join, P4/P5 by the qa pipelines' routing filters)
     # cede slots to first-time-graded flagships below; all stay in the
     # full simulation + pytest.
-    "lm_wordpiece_encode",  # BERT tokenizer family (BPE/unigram trio)
-    "event_tumbling_window",  # §2.12 streaming
+    # Round-10 wave 2 (cont.): lm_wordpiece_encode (green r06-r09; the
+    # tokenizer family keeps lm_bpe_top_pairs in-window and the full
+    # trio stays sim + pytest green) and event_tumbling_window (green
+    # NINE straight rounds r01-r09; §2.12 streaming stays pinned by the
+    # batch-equivalence pytest suite and the query remains a bench
+    # headline + full-sim row) cede two more slots.
     # LLM-corpus operators, one per judge-table row
     # Round-8 rotation wave 3: dedup_minhash_lsh (green SEVEN straight
     # rounds r01-r07; the LSH pair machinery stays value-checked
@@ -108,7 +115,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # takes text_quality_features' slot (green r05 — the quality
     # feature family stays in-window via curation_quality_audit, whose
     # per-rule counts derive from the same feature program)
-    "curation_web_pipeline",
+    # Round-10 wave 2 (cont.): curation_web_pipeline (green r06-r09;
+    # every stage of the funnel keeps its own in-window row — URL dedup
+    # via dedup_url_groups, the trust gate via graph_trustrank, Bloom
+    # decontamination via sketch_bloom_probe_broadcast, quality rules
+    # via curation_gopher_extended) cedes its slot.
     # Round-8: curation_quality_audit (green r03-r07) cedes to
     # curation_gopher_extended — the never-graded extended rule set
     # over the same feature program (strictly more rules graded)
@@ -186,7 +197,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # j2_semi_anti_split (semi/anti re-proven by curation_clean_pipeline's
     # decontamination) — all keep full-simulation + pytest coverage.
     "semantic_dedup_survivors",  # SemDeDup cluster-bounded semantic dedup
-    "retrieval_index_topk",  # inverted-index BM25 top-k
+    # Round-10 wave 2 (cont.): retrieval_index_topk (green r06-r09;
+    # BM25 machinery stays in-window through retrieval_hard_negatives,
+    # whose mining funnel contains the full index + scoring path) cedes
+    # the eighth slot.
     # (round-9: multimodal_phash_incremental — green r06-r08 — cedes to
     # its never-graded banded near-dup sibling multimodal_phash_neardup
     # seated below.)
@@ -219,6 +233,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "audio_silence_trim",  # leading/trailing silence trimming
     "retrieval_hard_negatives",  # BM25 hard-negative mining funnel
     "dedup_corpus_overlap",  # cross-corpus n-gram overlap report
+    # Round-10 wave 2 seated entries: the FINAL eight never-driver-
+    # graded oracled queries (every oracle-expressible entry in the
+    # registry has now held a graded window slot at least once; all
+    # eight were green in the judge's 146-oracle full re-run in r9):
+    "curation_lm_score",  # CCNet-style bigram-LM perplexity score
+    "curation_chunk_documents",  # boundary-aligned document chunking
+    "curation_domain_blocklist",  # URL-domain blocklist filter
+    "curation_dsir_sample",  # DSIR importance-resampled selection
+    "curation_shuffle_shards",  # deterministic global shuffle-to-shards
+    "curation_pareto_select",  # GPT-3 Pareto-lottery doc selection
+    "embeddings_pca_scatter",  # partial-Gram PCA projection scatter
+    "eval_accuracy_under_threshold",  # thresholded accuracy eval curve
 )
 
 
