@@ -777,3 +777,163 @@ def test_16bit_precision_still_a_capability_gap():
     blob[i + 4] = 16  # precision byte of the SOF payload
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Lossless (SOF3, T.81 Annex H)
+# ---------------------------------------------------------------------------
+
+# difference categories 0..16, all at 5 bits — a valid canonical code
+# (codes 0..16 of 32; the forbidden all-ones max-length code is unused)
+LL_COUNTS = [0, 0, 0, 0, 17] + [0] * 11
+LL_SYMS = bytes(range(17))
+LL_ENC = _canonical_encode_map(LL_COUNTS, LL_SYMS)
+
+
+def _ll_predict(plane, y, x, sel, default):
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return plane[0][x - 1]
+    if x == 0:
+        return plane[y - 1][0]
+    ra, rb, rc = plane[y][x - 1], plane[y - 1][x], plane[y - 1][x - 1]
+    return {
+        1: ra,
+        2: rb,
+        3: rc,
+        4: ra + rb - rc,
+        5: ra + ((rb - rc) >> 1),
+        6: rb + ((ra - rc) >> 1),
+        7: (ra + rb) >> 1,
+    }[sel]
+
+
+def encode_jpeg_lossless(planes, precision, predictor, pt=0):
+    """``planes``: list of (h, w) int lists of ALREADY point-transformed
+    samples in [0, 2^(precision-pt)). Independent Annex-H encoder: the
+    modulo-2^16 difference maps to (-32767, +32768], category SSSS with
+    the SSSS=16/no-extra-bits special case, boundary predictions per
+    H.1.2.2."""
+    h = len(planes[0])
+    w = len(planes[0][0])
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    out += _seg(0xC3, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(LL_COUNTS) + LL_SYMS)
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += _seg(0xDA, sos)
+    bw = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    recon = [[[0] * w for _ in range(h)] for _ in range(nc)]
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                px = _ll_predict(recon[c], y, x, predictor, default)
+                v = planes[c][y][x]
+                recon[c][y][x] = v
+                d = (v - px) & 0xFFFF
+                if d == 32768:  # SSSS=16: no extra bits
+                    ln, code = LL_ENC[16]
+                    bw.put(code, ln)
+                    continue
+                signed = d - 65536 if d > 32768 else d
+                t = _cat(signed)
+                ln, code = LL_ENC[t]
+                bw.put(code, ln)
+                if t:
+                    bw.put(
+                        signed if signed > 0 else signed + (1 << t) - 1, t
+                    )
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_lossless_hand_assembled_golden():
+    """Bit-exact hand derivation, independent of the test encoder: a 4x2
+    8-bit predictor-1 scan whose entropy bytes (0x1C 0x93 0xCD 0xAF)
+    were assembled BY HAND from the spec — 2-bit canonical codes
+    00/01/10/11 for categories 0-3, diffs (0,+1,-2,0 / Rb:-2,+4,-4,-1),
+    28 data bits padded with 1s."""
+    img = bytearray(b"\xff\xd8")
+    img += _seg(0xC3, bytes([8]) + struct.pack(">HH", 2, 4) + bytes([1, 1, 0x11, 0]))
+    img += _seg(0xC4, bytes([0x00]) + bytes([0, 4] + [0] * 14) + bytes([0, 1, 2, 3]))
+    img += _seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0x00]))
+    img += bytes([0x1C, 0x93, 0xCD, 0xAF])
+    img += b"\xff\xd9"
+    got = decode_jpeg(bytes(img))
+    assert (got.width, got.height, got.channels) == (4, 2, 1)
+    assert got.rows == [[128, 129, 127, 127], [126, 130, 126, 125]]
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_gray_round_trip_every_predictor(predictor):
+    rng = np.random.default_rng(100 + predictor)
+    px = rng.integers(0, 256, size=(9, 7)).tolist()
+    got = decode_jpeg(encode_jpeg_lossless([px], 8, predictor))
+    assert got.rows == px  # lossless: EXACT, unlike every DCT test above
+
+
+def test_lossless_rgb_round_trip_exact():
+    """3-component lossless is raw component planes (no YCbCr): the RGB
+    round-trip is bit-exact."""
+    rng = np.random.default_rng(7)
+    r, g, b = (rng.integers(0, 256, size=(5, 6)).tolist() for _ in range(3))
+    got = decode_jpeg(encode_jpeg_lossless([r, g, b], 8, 4))
+    assert (got.channels, got.width, got.height) == (3, 6, 5)
+    for y in range(5):
+        for x in range(6):
+            assert got.rows[y][3 * x : 3 * x + 3] == [r[y][x], g[y][x], b[y][x]]
+
+
+def test_lossless_16bit_with_ssss16_special_case():
+    """16-bit precision: the scan's first sample is 0, so its modulo
+    difference against the 2^15 default prediction is exactly 32768 —
+    the SSSS=16 no-extra-bits special case — and full-range samples map
+    to the 8-bit contract with round(v*255/65535)."""
+    px = [[0, 65535, 32768], [12345, 54321, 1]]
+    got = decode_jpeg(encode_jpeg_lossless([px], 16, 1))
+    exp = [[round(v * 255 / 65535) for v in row] for row in px]
+    assert got.rows == exp
+
+
+def test_lossless_12bit_point_transform():
+    """Pt=2: samples are encoded after >>2 and the decoder output is
+    Rx<<2 mapped through the 12-bit contract conversion."""
+    base = [[407, 1023, 0, 4092], [2048, 300, 3000, 16]]
+    shifted = [[v >> 2 for v in row] for row in base]
+    got = decode_jpeg(encode_jpeg_lossless([shifted], 12, 5, pt=2))
+    exp = [
+        [round(((v >> 2) << 2) * 255 / 4095) for v in row] for row in base
+    ]
+    assert got.rows == exp
+
+
+def test_lossless_capability_seams():
+    px = [[1, 2], [3, 4]]
+    whole = encode_jpeg_lossless([px], 8, 1)
+    # subsampled lossless: rewrite the SOF3 sampling byte (0x11 -> 0x21)
+    sof_at = whole.find(bytes([0xFF, 0xC3]))
+    sub = bytearray(whole)
+    assert sub[sof_at + 11] == 0x11
+    sub[sof_at + 11] = 0x21
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(sub))
+    # restart intervals: inject a DRI segment before SOS
+    sos_at = whole.find(bytes([0xFF, 0xDA]))
+    dri = whole[:sos_at] + _seg(0xDD, struct.pack(">H", 1)) + whole[sos_at:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(dri)
+    # predictor 0 is reserved for hierarchical differential scans
+    bad = bytearray(whole)
+    assert bad[sos_at + 7] == 1  # Ss byte of the 1-component SOS
+    bad[sos_at + 7] = 0
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg(bytes(bad))

@@ -10,7 +10,12 @@ integer sampling factors (4:4:4, 4:2:2, 4:2:0), restart markers — is
 the dominant VLM-corpus format (the reference reads .jpg throughout,
 e.g. sunrgbd_processor.py:195-215), using only stdlib ``struct`` +
 numpy. 12-bit samples (SOF1/SOF2) decode natively and convert to the
-8-bit row contract with round(v*255/4095). Arithmetic coding and
+8-bit row contract with round(v*255/4095). Lossless sequential (SOF3,
+T.81 Annex H — the DNG/medical profile) decodes natively at 2-16 bit
+precision: per-sample Huffman-coded differences against the seven
+Annex-H predictors, modulo-2^16 reconstruction, point transform,
+SSSS=16 special case; see _decode_lossless_scan for its documented
+seams (no restarts, 1x1 sampling only). Arithmetic coding and
 hierarchical (SOF5+) remain capability gaps → NotImplementedError
 (inject Pillow/cv2) — arithmetic needs T.81 Table D.3's exact 113-row
 state machine, which cannot be responsibly reproduced from memory (a
@@ -494,6 +499,7 @@ def decode_jpeg(content: bytes) -> JpegImage:
     restart_interval = 0
     frame = None  # (height, width, comps) comps: (id, h, v, tq)
     progressive = False
+    lossless = False
     prog: _ProgState | None = None
     i = 2
     n = len(content)
@@ -574,10 +580,31 @@ def decode_jpeg(content: bytes) -> JpegImage:
             progressive = marker == 0xC2
             if progressive:
                 prog = _ProgState(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3 lossless sequential Huffman (Annex H)
+            prec = body[0]
+            if not (2 <= prec <= 16):
+                raise ValueError(f"illegal lossless precision {prec}")
+            h, w = struct.unpack(">HH", body[1:5])
+            if h == 0 or w == 0:
+                raise ValueError("zero image dimension")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    "only 1- and 3-component lossless JPEG supported"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                if (hv >> 4) == 0 or (hv & 0x0F) == 0:
+                    raise ValueError("zero sampling factor")
+            frame = (h, w, comps, prec)
+            lossless = True
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "arithmetic/lossless/hierarchical JPEG needs an injected "
-                "decoder (Pillow/cv2); Huffman sequential + progressive only"
+                "arithmetic/hierarchical JPEG needs an injected decoder "
+                "(Pillow/cv2); Huffman sequential + progressive + lossless "
+                "(SOF3) only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[0:2])[0]
@@ -592,6 +619,12 @@ def decode_jpeg(content: bytes) -> JpegImage:
                 cs, td_ta = body[1 + 2 * c : 3 + 2 * c]
                 scan.append((cs, td_ta >> 4, td_ta & 0x0F))
             segs, nxt = _split_entropy(content, i + 2 + seglen)
+            if lossless:
+                ss = body[1 + 2 * ns]  # predictor selector (H.1.2.1)
+                pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
+                return _decode_lossless_scan(
+                    frame, scan, htables, restart_interval, segs, ss, pt
+                )
             if not progressive:
                 return _decode_scan(
                     frame, scan, qtables, htables, restart_interval, segs
@@ -609,6 +642,113 @@ def decode_jpeg(content: bytes) -> JpegImage:
         # missing EOI but scans decoded: tolerate (browsers do), data is whole
         return prog.reconstruct(qtables)
     raise ValueError("no SOS marker: truncated JPEG")
+
+
+def _decode_lossless_scan(
+    frame, scan, htables, restart_interval, segs, sel: int, pt: int
+) -> JpegImage:
+    """One interleaved lossless (SOF3) scan per T.81 Annex H.
+
+    Each sample codes a Huffman(SSSS) + extra-bits difference (the DC
+    coefficient machinery, incl. the SSSS=16 → +32768-no-bits special
+    case) against a prediction chosen by ``sel`` (Ss, 1-7). Boundary
+    rules (H.1.2.2): the scan's first sample predicts 2^(P-Pt-1); the
+    rest of the first line uses Ra; the first sample of every other
+    line uses Rb. All reconstruction is modulo 2^16; decoder output is
+    Rx·2^Pt (the point-transform inverse). Components are emitted as-is
+    (no YCbCr transform: lossless JPEG carries no JFIF color model —
+    DNG/medical payloads are raw component planes), then mapped to the
+    codec-wide 8-bit rows contract with round(v·255/(2^P−1)).
+
+    Capability seams (NotImplementedError, not corruption): restart
+    intervals (H.1.2.2's mid-line prediction reset interacts with the
+    first-line rule ambiguously enough that an offline implementation
+    risks a self-consistent wrong reading) and sampling factors other
+    than 1×1 (interleaved lossless MCUs with subsampling are absent
+    from every DNG/medical profile this engine targets)."""
+    height, width, comps, prec = frame
+    by_id = {c[0]: c for c in comps}
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) lossless JPEG not supported"
+        )
+    if not (1 <= sel <= 7):
+        raise ValueError(f"illegal lossless predictor {sel}")
+    if pt >= prec:
+        raise ValueError(f"point transform {pt} >= precision {prec}")
+    if restart_interval:
+        raise NotImplementedError(
+            "restart intervals in lossless JPEG not supported"
+        )
+    tabs = []
+    for cs, td, _ta in scan:
+        if cs not in by_id:
+            raise ValueError("scan references unknown component")
+        cid, ch, cv, _tq = by_id[cs]
+        if ch != 1 or cv != 1:
+            raise NotImplementedError(
+                "subsampled lossless JPEG not supported (1x1 only)"
+            )
+        if (0, td) not in htables:
+            raise ValueError("missing Huffman table")
+        tabs.append(htables[(0, td)])
+    reader = _BitReader(segs[0])
+    ncomp = len(scan)
+    planes = [[[0] * width for _ in range(height)] for _ in range(ncomp)]
+    default = 1 << (prec - pt - 1)
+    for y in range(height):
+        for x in range(width):
+            for c in range(ncomp):
+                t = reader.decode(tabs[c])
+                if t == 16:  # H.2: SSSS=16 → diff 32768, no extra bits
+                    diff = 32768
+                elif t > 16:
+                    raise ValueError(f"illegal lossless SSSS {t}")
+                else:
+                    diff = _extend(reader.receive(t), t)
+                p = planes[c]
+                if y == 0 and x == 0:
+                    px = default
+                elif y == 0:
+                    px = p[0][x - 1]  # first line: Ra
+                elif x == 0:
+                    px = p[y - 1][0]  # first column: Rb
+                else:
+                    ra, rb, rc = p[y][x - 1], p[y - 1][x], p[y - 1][x - 1]
+                    if sel == 1:
+                        px = ra
+                    elif sel == 2:
+                        px = rb
+                    elif sel == 3:
+                        px = rc
+                    elif sel == 4:
+                        px = ra + rb - rc
+                    elif sel == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif sel == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                p[y][x] = (px + diff) & 0xFFFF
+    maxv = (1 << prec) - 1
+
+    def to8(v: int) -> int:
+        v <<= pt  # decoder output is Rx * 2^Pt (H.2)
+        v = maxv if v > maxv else v
+        return round(v * 255 / maxv) if prec != 8 else v
+
+    if ncomp == 1:
+        rows = [[to8(v) for v in planes[0][y]] for y in range(height)]
+        return JpegImage(width, height, 8, 1, rows)
+    rows = [
+        [
+            to8(planes[c][y][x])
+            for x in range(width)
+            for c in range(3)
+        ]
+        for y in range(height)
+    ]
+    return JpegImage(width, height, 8, 3, rows)
 
 
 def _decode_scan(frame, scan, qtables, htables, restart_interval, segs) -> JpegImage:
