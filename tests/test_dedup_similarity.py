@@ -4,6 +4,8 @@ sensitivity, ANN subset relation."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -122,7 +124,12 @@ def test_embedding_neardup_salted_plan(spark, sf_dir):
     every (a < b) pair forms exactly once."""
     pairs = dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(_salt" in plan, plan[:2000]
+    # the salt must appear in a hash-partitioning exchange — since the
+    # merge hint (the sf10 broadcast-hazard fix), the user repartition
+    # collapses into the join's own (blk, _salt) requirement, which
+    # spreads each block's quadratic verify exactly the same way
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan), plan[:2000]
+    assert "SortMergeJoin" in plan, plan[:2000]  # never a static broadcast
 
     rows = pairs.collect()
     keys = [(r.id_a, r.id_b) for r in rows]
@@ -516,7 +523,10 @@ def test_semantic_dedup_salted_plan(spark, sf_dir):
     emb = _emb(spark, sf_dir).orderBy("vec_id").limit(120)
     pairs = similarity.semantic_dedup_pairs(emb, threshold=-1.0, n_lists=4)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(_salt" in plan, plan[:2000]
+    # see test_embedding_neardup_salted_plan: the salt now rides the
+    # join's own (list_id, _salt) exchange (merge hint, sf10 fix)
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan), plan[:2000]
+    assert "SortMergeJoin" in plan, plan[:2000]  # never a static broadcast
 
     rows = pairs.collect()
     keys = [(r.id_a, r.id_b) for r in rows]

@@ -201,9 +201,29 @@ def minhash_lsh_pairs(
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # The shingle re-attach joins are ALWAYS shuffle-side (merge hint):
+    # the sh relation is O(corpus) rows of fat token-shingle arrays, so
+    # broadcasting it is never right at scale — yet the static planner
+    # does exactly that when the corpus parquet compresses under
+    # autoBroadcastJoinThreshold (size estimates cannot see the ~50×
+    # text-decompression + shingle-expansion amplification). Proven at
+    # the sf10 (factor-100) spot check: curation_clean_pipeline's
+    # composed build DIED with "Could not execute broadcast in 300 secs"
+    # materializing this exact subtree — the broadcast build re-runs
+    # the whole tokenize/shingle pipeline into one driver-side
+    # collection. Same hazard class and fix as the fuzzy-join blocking
+    # equi-join (operators/fuzzyjoin.py): SMJ is spillable on both
+    # sides and AQE-skew-splittable, and sorting by id is noise next to
+    # the Jaccard verify.
     cands = cand_ids.join(
-        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        .hint("merge"),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        .hint("merge"),
+        "id_b",
+    )
 
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
@@ -332,8 +352,15 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
     union = F.size(F.array_union(F.col("a.hs"), F.col("b.hs")))
+    # Merge hint: the replicated side is 32× an O(corpus) table of fat
+    # shingle-hash arrays — statically broadcast whenever the corpus
+    # parquet compresses under the threshold (estimates see neither the
+    # text amplification nor the ×32 explode), which is the sf10-proven
+    # fuzzy/minhash hazard class. SMJ on the (salt, block) equi-keys
+    # keeps both sides spillable; the within-key quadratic verify —
+    # the real cost — is unchanged, and the salting still spreads it.
     return (
-        a.join(b, cond)
+        a.join(b.hint("merge"), cond)
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select(
@@ -390,9 +417,12 @@ def embedding_neardup_pairs(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # same merge-hint rationale as ngram_jaccard_pairs above: the b side
+    # is 32× an O(corpus) table of integer vectors — never broadcast it
+    # off a compressed-parquet size estimate
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.vid") < F.col("b.vid")),

@@ -622,9 +622,16 @@ def semantic_dedup_pairs(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).alias("b")
     cos = _dot(F.col("a.iv"), F.col("b.iv")).cast("double") / float(SCALE * SCALE)
+    # Merge hint — the sf10 (factor-100) spot check killed this exact
+    # join with "Not enough memory to build the broadcast relation": the
+    # ×32-replicated b side is O(corpus) integer vectors whose static
+    # size estimate descends from the compressed parquet scan and sees
+    # neither the decode amplification nor the explode. Same invariant
+    # as dedup.ngram_jaccard_pairs / embedding_neardup_pairs /
+    # fuzzyjoin: a corpus-scaled blocking side is never broadcast.
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.list_id") == F.col("b.list_id"))
             & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.id") < F.col("b.id")),

@@ -698,9 +698,15 @@ def phash_near_pairs(
     """
     banded = banded_hashes(hashes, bands, bits, id_col, hash_col)
     a, b = banded.alias("a"), banded.alias("b")
+    # Merge hint — the blocking-self-join invariant shared with
+    # fuzzyjoin/minhash/ngram/cosine (see operators/fuzzyjoin.py for the
+    # sf10-measured failure): the banded table is O(assets × bands) and
+    # at real scale its subtree contains the image-decode pipeline, the
+    # most expensive thing a statically-mis-estimated broadcast build
+    # could possibly re-run single-collected.
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.id") < F.col("b.id")),
@@ -773,8 +779,10 @@ def phash_incremental_pairs(
     # — min(hamming) per pair is the deterministic answer
     cross = (
         nb.alias("n")
+        # same merge-hint invariant as phash_near_pairs: the store is
+        # corpus-scaled by the loop design (it accumulates every batch)
         .join(
-            sb.alias("s"),
+            sb.alias("s").hint("merge"),
             (F.col("n.band") == F.col("s.band"))
             & (F.col("n.val") == F.col("s.val"))
             & (F.col("n.id") != F.col("s.id")),
