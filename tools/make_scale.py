@@ -95,9 +95,17 @@ def scale_table(name: str, src: str, dst: str, factor: int) -> int:
             )
         reps.append(df)
     out = pd.concat(reps, ignore_index=True)
+    # Cap row-group size well below pyarrow's 1M-row default: a table
+    # under 1M rows otherwise lands in ONE row group, and Spark assigns
+    # parquet work per row-group start — 14 file splits of a single-
+    # group documents.parquet left 13 tasks empty and serialized every
+    # corpus scan onto one core (the consistent 13+1/14 straggler in
+    # the first sf10 runs). ~64 groups lets local[32] actually scan in
+    # parallel, which is what the real cluster layout would give.
     pq.write_table(
         pa.Table.from_pandas(out, schema=table.schema, preserve_index=False),
         os.path.join(dst, f"{name}.parquet"),
+        row_group_size=max(2048, -(-len(out) // 64)),
     )
     return len(out)
 
