@@ -222,3 +222,55 @@ def test_live_plans_match_baseline(spark, sf_dir):
     live = digest_all(spark, qs, sorted(qs), sf_dir)
     errs = compare_digests(_baseline(), live, window=_DRIVER_WINDOW)
     assert not errs, "\n".join(errs)
+
+
+def test_compare_digests_fact_bc_red_path():
+    """Planted fact_bc growth must go red; baselines predating the
+    field (no fact_bc key) must not flag; shrinkage is green."""
+    base = {
+        "q": {
+            "exchanges": 2, "broadcasts": 1, "scans": 1,
+            "pushed_filter_scans": 1, "wscg_spans": 2,
+            "cartesian": 0, "bnlj": 0, "python_eval": 0,
+            "global_windows": 0, "fact_bc": 1,
+        }
+    }
+    grown = {"q": dict(base["q"], fact_bc=2)}
+    assert any(
+        "fact-scan broadcast" in e for e in compare_digests(base, grown)
+    )
+    shrunk = {"q": dict(base["q"], fact_bc=0)}
+    assert compare_digests(base, shrunk) == []
+    legacy_base = {"q": {k: v for k, v in base["q"].items() if k != "fact_bc"}}
+    assert compare_digests(legacy_base, grown) == []
+
+
+def test_count_fact_scan_broadcasts_live(spark, sf_dir):
+    """The tree-walk detector on live plans: an explicit broadcast of a
+    fact-derived frame counts; the same join with the broadcast side
+    AGGREGATED first is bounded and must not count."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_digest import count_fact_scan_broadcasts
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        probe = docs.select(F.col("doc_id"), F.col("n_chars"))
+        # unbounded: project/filter only between exchange and scan
+        fat = F.broadcast(docs.select("doc_id", "text"))
+        j1 = probe.join(fat, "doc_id")
+        assert count_fact_scan_broadcasts(
+            j1._jdf.queryExecution().executedPlan()
+        ) == 1
+        # bounded: an aggregate collapses the side to its group count
+        agg = F.broadcast(
+            docs.groupBy("lang").agg(F.count("*").alias("n"))
+        )
+        j2 = probe.join(agg, probe["doc_id"] % 5 == agg["n"] % 5)
+        assert count_fact_scan_broadcasts(
+            j2._jdf.queryExecution().executedPlan()
+        ) == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -67,6 +67,56 @@ def _count_global_windows(plan: str) -> int:
     return n
 
 
+# The scaled (fact) tables of the test schema — anything whose volume
+# grows with the corpus. region/nation are the only true dimensions.
+FACT_TABLES = (
+    "documents", "lineitem", "orders", "events", "embeddings",
+    "customer", "part", "supplier",
+)
+# Operators that bound a broadcast subtree's cardinality regardless of
+# its scan volume (an aggregate collapses to its group count, a limit
+# to N). Joins, projects, filters, explodes do NOT bound.
+_BC_BOUNDING = ("Aggregate", "Limit", "TakeOrdered")
+
+
+def count_fact_scan_broadcasts(jplan) -> int:
+    """Count fact-table scans sitting under a BroadcastExchange with NO
+    bounding operator (aggregate/limit) in between — the round-10
+    broadcast-hazard class: the static planner sizes such a subtree
+    from the parquet's COMPRESSED bytes and cannot see decompression,
+    explode amplification, or the cost of re-running the subtree into
+    a driver-side collection (sf10-measured: a 58 MB documents scan
+    became a 3.3 GiB hashed relation in the fuzzy join; the cleaning
+    pipeline died with a 300 s broadcast timeout; semantic dedup with
+    a build-side OOM). Scans of checkpointed RDDs are exempt — their
+    estimates are ACCURATE materialized sizes, so the static decision
+    flips to shuffle at exactly the scale it should.
+
+    Gated by compare_digests at NO GROWTH vs the committed baseline:
+    the baseline's residual occurrences are the audited-acceptable
+    narrow/id-only broadcasts documented in SURVEY §7.4-r10; any NEW
+    one needs the same triage (hint it or justify it + refresh)."""
+    n = 0
+
+    def walk(node, in_bc: bool, bounded: bool) -> None:
+        nonlocal n
+        nn = node.nodeName()
+        if "BroadcastExchange" in nn:
+            in_bc, bounded = True, False
+        elif in_bc and any(b in nn for b in _BC_BOUNDING):
+            bounded = True
+        if in_bc and not bounded and "Scan" in nn:
+            first = node.toString().splitlines()[0]
+            if any(f"/{t}.parquet" in first for t in FACT_TABLES):
+                n += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), in_bc, bounded)
+
+    walk(jplan, False, False)
+    return n
+
+
 def digest(plan: str) -> dict:
     return {
         "global_windows": _count_global_windows(plan),
@@ -113,8 +163,9 @@ def digest_all(
         for name in names:
             try:
                 df = queries[name](spark, sf_dir)
-                plan = df._jdf.queryExecution().executedPlan().toString()
-                out[name] = digest(plan)
+                jplan = df._jdf.queryExecution().executedPlan()
+                out[name] = digest(jplan.toString())
+                out[name]["fact_bc"] = count_fact_scan_broadcasts(jplan)
             except Exception as exc:  # noqa: BLE001 — report, don't abort
                 out[name] = {"error": str(exc)[:200]}
             if verbose:
@@ -147,7 +198,9 @@ def compare_digests(
       visible, not silently green);
     - any partition-less WindowExec (global_windows > 0) — gated at
       ZERO absolutely, not vs baseline: every occurrence is a
-      single-partition sort of the node's whole input (VERDICT r9 #1).
+      single-partition sort of the node's whole input (VERDICT r9 #1);
+    - growth in fact_bc (unbounded fact-scan broadcasts, round 10) vs
+      the audited baseline — see count_fact_scan_broadcasts.
 
     Returns a list of human-readable violations; empty = green.
     Shrinkage is allowed silently (fewer exchanges is an improvement —
@@ -177,6 +230,17 @@ def compare_digests(
                 errs.append(
                     f"{name}: {node} count grew {bl[node]} -> {lv[node]}"
                 )
+        # broadcast-hazard gate (round 10): a NEW unbounded fact-scan
+        # broadcast is the class that produced a 3.3 GiB hashed
+        # relation, a 300 s broadcast timeout, and a build-side OOM at
+        # the sf10 spot check — no growth vs the audited baseline
+        if "fact_bc" in bl and lv.get("fact_bc", 0) > bl["fact_bc"]:
+            errs.append(
+                f"{name}: fact-scan broadcast count grew "
+                f"{bl['fact_bc']} -> {lv['fact_bc']} — a corpus-scaled "
+                "side is statically broadcast; hint it shuffle-side or "
+                "justify + refresh the baseline (SURVEY §7.4-r10)"
+            )
         # absolute-zero gate: baselines predating the field default to 0
         if lv.get("global_windows", 0) > 0:
             errs.append(
