@@ -376,9 +376,14 @@ def qa_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "qa_pipeline_summary",
-    None,
+    # round 10: shares _QA_SUMMARY_ORACLE with its identical-builder
+    # sibling qa_pipeline_summary_oracle — this entry predated the full
+    # SQL re-derivation and was left rows-only purely for
+    # round-over-round comparability; same query, same value check
+    lambda sf_dir: _QA_SUMMARY_ORACLE,
     "A9/K3: per-task question counts + answer-type mix over the full QA "
-    "output (generate_qa.py:147-163).",
+    "output (generate_qa.py:147-163). Value-oracled since round 10 via "
+    "the same per-task SQL union as qa_pipeline_summary_oracle.",
 )
 def qa_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa_summary(generate_all(synthetic_frames(spark, sf_dir)))

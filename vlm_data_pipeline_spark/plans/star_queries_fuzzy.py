@@ -109,19 +109,46 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compression_gate_oracle(sf_dir: str) -> str:
+    """Per-document value oracle for curation_compression_gate (round
+    10 — the last convertible rows-only entry): the same memoized
+    driver-side zlib reference pass as _compression_flags_oracle, but
+    compared at ROW level — every document's exact integer ppm and its
+    band flag under the operator's default thresholds (250K/1.05M ppm,
+    plus the null_text/empty_text arms), re-derived in DuckDB from the
+    reference parquet joined against the documents view."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    ppm_path = _compression_ppm_table(sf_dir, os.stat(src).st_mtime_ns)
+    return f"""
+    WITH ppm AS (
+        SELECT doc_id, ppm FROM read_parquet('{ppm_path}')
+    )
+    SELECT d.doc_id,
+           CAST(p.ppm AS BIGINT) AS compression_ppm,
+           CASE WHEN p.ppm IS NULL THEN 'null_text'
+                WHEN length(d.text) = 0 THEN 'empty_text'
+                WHEN p.ppm < 250000 THEN 'too_repetitive'
+                WHEN p.ppm > 1050000 THEN 'too_incompressible'
+                ELSE 'ok' END AS compression_flag
+    FROM documents d JOIN ppm p USING (doc_id)
+    """
+
+
 @register(
     "curation_compression_gate",
-    None,  # zlib is not re-derivable in DuckDB SQL: rows-only check;
-    # the family's values are pytest-pinned (tests/test_compression_gate
-    # — ordering properties, UTF-8 byte semantics, determinism, bands)
+    _compression_gate_oracle,  # round 10: was rows-only ("zlib is not
+    # re-derivable in DuckDB SQL") — the r9 lazy-reference-parquet
+    # machinery makes it value-checkable per document after all
     "Compression-ratio quality gate (extension): zlib compressed/raw "
     "bytes as integer ppm per document plus a band flag "
     "(too_repetitive / ok / too_incompressible) — the long-range-"
     "repetition detector the fixed-n-gram Gopher rules cannot express "
     "(LZ77's window catches cross-line and template repetition). "
     "Arrow-batched pandas_udf; the per-row loop only dispatches into "
-    "zlib's C compressor. One scan, no shuffle. Library: operators."
-    "curation.compression_gate.",
+    "zlib's C compressor. One scan, no shuffle. Oracle: per-row exact "
+    "ppm + flag against an independent single-threaded driver-side "
+    "zlib pass (memoized reference parquet; banding re-derived in "
+    "SQL). Library: operators.curation.compression_gate.",
 )
 def curation_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import compression_gate

@@ -10,6 +10,8 @@ operator in ``operators/dedup.py``, ``operators/similarity.py`` and
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3025,20 +3027,155 @@ def lm_unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_encode_witness_table(sf_dir: str, src_mtime_ns: int) -> str:
+    """Single-threaded pure-Python witness for lm_unigram_encode,
+    memoized to a temp parquet (the _compression_ppm_table pattern —
+    O(1) SQL-text size, cache keyed to the source snapshot).
+
+    Re-derives the ENTIRE train+encode pipeline off-Spark: whitespace
+    word frequencies with the (freq desc, word asc) 65_536 cap, the
+    seed vocabulary (all substrings ≤ max_piece_len weighted by word
+    freq; every single char kept; multi-char top-(V − chars) by
+    (freq desc, piece asc)), two hard-EM rounds (E-step Viterbi over
+    the word table, M-step renormalize + prune + char floor — the same
+    driver-side float arithmetic train_unigram_lm itself performs), and
+    the per-document encode + md5 fingerprint. The one shared kernel is
+    ``lm._py_viterbi_word`` — the hand-fixture-pinned transcription of
+    the column DP (identical recurrence, addition order, and tie-break,
+    bit-equal by tests/test_bpe) — so the oracle independently checks
+    everything DISTRIBUTED: the corpus word aggregation and cap, the
+    seed-vocab TakeOrderedAndProject selection, the E-step piece-count
+    aggregation, model pruning/flooring, the map-literal price table,
+    and the per-doc flatten/ordering. The zlib-oracle precedent: the
+    metric's kernel is necessarily shared, everything around it is
+    re-derived independently."""
+    import hashlib
+    import math
+    import tempfile
+
+    import duckdb
+
+    from ..operators.lm import _py_tokens, _py_viterbi_word
+
+    tag = hashlib.sha256(
+        f"{sf_dir}|{src_mtime_ns}|unigram".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(
+        tempfile.gettempdir(), f"vlm_oracle_unigram_encode_{tag}.parquet"
+    )
+    if os.path.exists(path):
+        return path
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    vocab_size, max_len, iters, max_words = _UNI_V, _UNI_L, 2, 65_536
+    freqs: dict[str, int] = {}
+    for _id, text in docs:
+        if text is None:
+            continue
+        for w in _py_tokens(text):
+            freqs[w] = freqs.get(w, 0) + 1
+    words = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+
+    # seed vocabulary (unigram_seed_vocab transcribed)
+    sub_freq: dict[str, int] = {}
+    for w, f in words:
+        m = len(w)
+        for i in range(m):
+            for j in range(i + 1, min(i + max_len, m) + 1):
+                s = w[i:j]
+                sub_freq[s] = sub_freq.get(s, 0) + f
+    chars = {p for p in sub_freq if len(p) == 1}
+    budget = vocab_size - len(chars)
+    multi = sorted(
+        ((p, f) for p, f in sub_freq.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:budget]
+    seed = [(p, sub_freq[p]) for p in chars] + multi
+    total0 = sum(f for _, f in seed)
+    model = {p: math.log(f / total0) for p, f in seed}
+
+    for _ in range(iters):  # train_unigram_lm transcribed
+        unk_price = -min(model.values()) + 10.0
+        prices = {p: float(-lp) for p, lp in model.items()}
+        got: dict[str, int] = {}
+        for w, f in words:
+            for piece in _py_viterbi_word(w, prices, max_len, unk_price):
+                got[piece] = got.get(piece, 0) + f
+        total = sum(got.values())
+        floor = math.log(0.5 / total)
+        model = {
+            p: math.log(c / total) for p, c in got.items() if p in model
+        }
+        for ch in chars:
+            model.setdefault(ch, floor)
+
+    unk_price = -min(model.values()) + 10.0
+    prices = {p: float(-lp) for p, lp in model.items()}
+    cache: dict[str, list[str]] = {}
+    ids, n_pieces, fps = [], [], []
+    for doc_id, text in docs:
+        ids.append(doc_id)
+        if text is None:  # null in → null out (the column path)
+            n_pieces.append(None)
+            fps.append(None)
+            continue
+        out: list[str] = []
+        for w in _py_tokens(text):
+            hit = cache.get(w)
+            if hit is None:
+                hit = cache[w] = _py_viterbi_word(
+                    w, prices, max_len, unk_price
+                )
+            out.extend(hit)
+        n_pieces.append(len(out))
+        fps.append(hashlib.md5(" ".join(out).encode("utf-8")).hexdigest())
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_pieces": pa.array(n_pieces, pa.int64()),
+                "fp": pa.array(fps, pa.string()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def _unigram_encode_oracle(sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "documents.parquet")
+    path = _unigram_encode_witness_table(sf_dir, os.stat(src).st_mtime_ns)
+    return f"SELECT doc_id, n_pieces, fp FROM read_parquet('{path}')"
+
+
 @register(
     "lm_unigram_encode",
-    None,
+    _unigram_encode_oracle,  # round 10: was rows-only — the witness
+    # table above value-checks the full train+encode pipeline per doc
     "Unigram-LM tokenizer train + encode end-to-end (extension; "
     "SentencePiece, Kudo 2018): hard-EM over the seed vocabulary — "
     "E-step Viterbi-segments the capped word table IN-ROW (forward DP + "
     "backtrace as pure array expressions, price table as a map "
     "literal), M-step renormalizes piece counts on the driver, pruning "
     "zero-count multi-char pieces. Encoding Viterbi-segments every doc "
-    "zero-shuffle. Rows-only driver check (iterative training, the "
-    "ann_ivf_topk/KMeans precedent); the Viterbi kernel and EM are "
-    "value-pinned by hand-computed pytest fixtures and the "
-    "concatenation/cost properties. Library: operators.lm."
-    "train_unigram_lm / unigram_encode.",
+    "zero-shuffle. Oracle (round 10, replacing the rows-only check): a "
+    "single-threaded pure-Python witness re-derives word counts, seed "
+    "vocab, both EM rounds, and every document's piece sequence + md5 "
+    "fingerprint off-Spark (memoized reference parquet; only the "
+    "hand-fixture-pinned Viterbi transcription is shared — the zlib "
+    "precedent). Library: operators.lm.train_unigram_lm / "
+    "unigram_encode.",
 )
 def lm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
