@@ -54,6 +54,11 @@ HEADLINE = [
     # MinHash+LSH near-dup pass over the documents corpus
     "qa_pipeline_full",
     "dedup_minhash_lsh",
+    # round-11 (VERDICT r10 #7): the widest composed DAG (URL dedup →
+    # TrustRank gate → Bloom decontam → quality rules) joins the
+    # headline + sf10 scale list so the post-hint-sweep fix is proven in
+    # the committed artifact, not just the ledger prose
+    "curation_web_pipeline",
 ]
 
 
@@ -88,8 +93,19 @@ def main() -> int | None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    # snapshot BEFORE our own JVM starts: anything alive now is foreign
+    # snapshot BEFORE our own JVM starts: anything alive now is foreign.
+    # VERDICT r10 #3: a foreign JVM swings wall-clocks ±2.5× and the
+    # numbers still land in round-over-round comparisons — so wait
+    # (bounded) for a quiet box, and if it never quiets, stamp the run
+    # `contaminated` so cross-round tooling can exclude it instead of
+    # adjudicating after the fact.
     foreign_jvms = _foreign_jvms()
+    wait_budget = float(os.environ.get("BENCH_QUIET_WAIT_SEC", "120"))
+    waited = 0.0
+    while foreign_jvms > 0 and waited < wait_budget:
+        time.sleep(5.0)
+        waited += 5.0
+        foreign_jvms = _foreign_jvms()
 
     from vlm_data_pipeline_spark.plans import QUERIES
     from vlm_data_pipeline_spark.session import get_spark
@@ -205,9 +221,14 @@ def main() -> int | None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # >0 = another JVM was alive at bench start: treat the
-                # wall-clocks as contaminated (±2× variance observed)
+                # >0 = another JVM was STILL alive after the bounded
+                # quiet-wait: wall-clocks are contaminated (±2× variance
+                # observed). None = ps unusable, can't claim clean.
                 "foreign_jvms_at_start": foreign_jvms,
+                "quiet_wait_sec": round(waited, 1),
+                "contaminated": (
+                    None if foreign_jvms < 0 else foreign_jvms > 0
+                ),
                 # sf0.001 steady-state warmup wall (None = skipped):
                 # timed queries measure warm-JIT throughput, see above
                 "warmup_sec": warmup_s,

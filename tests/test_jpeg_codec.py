@@ -937,3 +937,15 @@ def test_lossless_capability_seams():
     bad[sos_at + 7] = 0
     with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(bytes(bad))
+    # ADVICE r10: Ah must be 0 in lossless (successive approximation is
+    # DCT-only) — set the high nibble of the AhAl byte
+    ah = bytearray(whole)
+    assert ah[sos_at + 9] == 0  # AhAl byte (pt=0 here)
+    ah[sos_at + 9] = 0x10
+    with pytest.raises(ValueError, match="Ah"):
+        decode_jpeg(bytes(ah))
+    # ADVICE r10: an RSTn splitting the entropy stream with DRI
+    # absent/zero used to silently drop all data after the marker
+    rst = whole[:-2] + b"\xff\xd0" + whole[-2:]
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(rst)

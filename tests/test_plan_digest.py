@@ -246,9 +246,11 @@ def test_compare_digests_fact_bc_red_path():
 
 
 def test_count_fact_scan_broadcasts_live(spark, sf_dir):
-    """The tree-walk detector on live plans: an explicit broadcast of a
-    fact-derived frame counts; the same join with the broadcast side
-    AGGREGATED first is bounded and must not count."""
+    """The tree-walk detector on live plans (round-11 bounding rules,
+    VERDICT r10 #2): an explicit broadcast of a fact-derived frame
+    counts; a GROUPED aggregate on a fact key no longer exempts (a
+    distinct/group-by on o_custkey-like keys has SF-scaled
+    cardinality); a GLOBAL (zero-key) aggregate still bounds."""
     from pyspark.sql import functions as F
 
     from tools.plan_digest import count_fact_scan_broadcasts
@@ -264,13 +266,98 @@ def test_count_fact_scan_broadcasts_live(spark, sf_dir):
         assert count_fact_scan_broadcasts(
             j1._jdf.queryExecution().executedPlan()
         ) == 1
-        # bounded: an aggregate collapses the side to its group count
-        agg = F.broadcast(
-            docs.groupBy("lang").agg(F.count("*").alias("n"))
-        )
-        j2 = probe.join(agg, probe["doc_id"] % 5 == agg["n"] % 5)
+        # grouped agg on a FACT key: no longer bounding (the r10 blanket
+        # exemption's false negative — the j2-shaped planted red)
+        keys = F.broadcast(docs.select("doc_id").distinct())
+        j2 = probe.join(keys, "doc_id", "left_semi")
         assert count_fact_scan_broadcasts(
             j2._jdf.queryExecution().executedPlan()
+        ) == 1
+        # global (zero-key) aggregate: exactly one row, still bounds
+        tot = F.broadcast(docs.agg(F.count("*").alias("n")))
+        j3 = probe.crossJoin(tot)
+        assert count_fact_scan_broadcasts(
+            j3._jdf.queryExecution().executedPlan()
+        ) == 0
+        # limit still bounds
+        lim = F.broadcast(docs.select("doc_id").limit(10))
+        j4 = probe.join(lim, "doc_id", "left_semi")
+        assert count_fact_scan_broadcasts(
+            j4._jdf.queryExecution().executedPlan()
         ) == 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_agg_bounds_rules():
+    """Pure-string unit coverage of the round-11 aggregate exemption."""
+    from tools.plan_digest import _agg_bounds
+
+    # global 1-row aggregate
+    assert _agg_bounds("HashAggregate(keys=[], functions=[count(1)])")
+    # dimension-only keys (nation/region columns)
+    assert _agg_bounds(
+        "HashAggregate(keys=[n_name#5, r_name#9], functions=[count(1)])"
+    )
+    # fact key -> unbounded
+    assert not _agg_bounds(
+        "HashAggregate(keys=[o_custkey#3L], functions=[])"
+    )
+    # mixed dim+fact -> unbounded
+    assert not _agg_bounds(
+        "HashAggregate(keys=[n_name#5, l_orderkey#0L], functions=[])"
+    )
+    # not an aggregate line at all
+    assert not _agg_bounds("Project [o_custkey#3L]")
+
+
+def test_fact_bc_hint_isolation(spark, sf_dir):
+    """At autoBroadcastJoinThreshold=-1 an estimate-based broadcast
+    vanishes but an explicit F.broadcast() hint survives — the basis of
+    the fact_bc_hint digest field (VERDICT r10 #1: hints are honored at
+    any size and AQE never demotes them)."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_digest import count_fact_scan_broadcasts
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        probe = docs.select("doc_id", "n_chars")
+        side = docs.select("doc_id", "lang")
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        unhinted = probe.join(side, "doc_id")
+        assert count_fact_scan_broadcasts(
+            unhinted._jdf.queryExecution().executedPlan()
+        ) == 0
+        hinted = probe.join(F.broadcast(side), "doc_id")
+        assert count_fact_scan_broadcasts(
+            hinted._jdf.queryExecution().executedPlan()
+        ) == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+
+
+def test_compare_digests_fact_bc_hint_red_path():
+    """Planted fact_bc_hint growth goes red; legacy baselines without
+    the field stay green; shrinkage is green."""
+    base = {
+        "q": {
+            "exchanges": 2, "broadcasts": 1, "scans": 1,
+            "pushed_filter_scans": 1, "wscg_spans": 2,
+            "cartesian": 0, "bnlj": 0, "python_eval": 0,
+            "global_windows": 0, "fact_bc": 1, "fact_bc_hint": 0,
+        }
+    }
+    grown = {"q": dict(base["q"], fact_bc_hint=1)}
+    assert any(
+        "HINT-forced" in e for e in compare_digests(base, grown)
+    )
+    same = {"q": dict(base["q"])}
+    assert compare_digests(base, same) == []
+    legacy = {"q": {k: v for k, v in base["q"].items() if k != "fact_bc_hint"}}
+    assert compare_digests(legacy, grown) == []

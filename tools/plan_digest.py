@@ -74,9 +74,36 @@ FACT_TABLES = (
     "customer", "part", "supplier",
 )
 # Operators that bound a broadcast subtree's cardinality regardless of
-# its scan volume (an aggregate collapses to its group count, a limit
-# to N). Joins, projects, filters, explodes do NOT bound.
-_BC_BOUNDING = ("Aggregate", "Limit", "TakeOrdered")
+# its scan volume (a limit collapses to N). Joins, projects, filters,
+# explodes do NOT bound. Aggregates are handled separately: VERDICT r10
+# #2 — a group-by/distinct on a HIGH-CARDINALITY fact key (e.g.
+# `orders.select("o_custkey").distinct()`) does not bound scan volume,
+# so only aggregates that PROVABLY bound are exempt (see _agg_bounds).
+_BC_BOUNDING = ("Limit", "TakeOrdered")
+
+# Column prefixes of the two true dimension tables (25 / 5 rows, scale-
+# invariant). A grouped aggregate whose every key comes from these
+# bounds its output cardinality by construction.
+_DIM_COL_PREFIXES = ("n_", "r_")
+
+_AGG_KEYS = re.compile(r"Aggregate\(keys=\[([^\]]*)\]")
+
+
+def _agg_bounds(node_first_line: str) -> bool:
+    """Whether an aggregate node provably bounds its subtree's output:
+    zero grouping keys (global 1-row agg) or every key a dimension-table
+    column. `keys=[o_custkey#7L]` (fact key, cardinality grows with SF)
+    does NOT bound — the round-10 blanket exemption's false negative
+    (VERDICT r10 #2)."""
+    m = _AGG_KEYS.search(node_first_line)
+    if not m:
+        return False
+    keys = [k.strip() for k in m.group(1).split(",") if k.strip()]
+    if not keys:
+        return True  # global aggregate -> exactly one row
+    return all(
+        k.lower().startswith(_DIM_COL_PREFIXES) for k in keys
+    )
 
 
 def count_fact_scan_broadcasts(jplan) -> int:
@@ -105,6 +132,10 @@ def count_fact_scan_broadcasts(jplan) -> int:
             in_bc, bounded = True, False
         elif in_bc and any(b in nn for b in _BC_BOUNDING):
             bounded = True
+        elif in_bc and "Aggregate" in nn:
+            # only PROVABLY bounding aggregates exempt (VERDICT r10 #2)
+            if _agg_bounds(node.toString().splitlines()[0]):
+                bounded = True
         if in_bc and not bounded and "Scan" in nn:
             first = node.toString().splitlines()[0]
             if any(f"/{t}.parquet" in first for t in FACT_TABLES):
@@ -155,9 +186,28 @@ def digest_all(
     STATIC baseline (exchange positions + codegen structure of the
     initial plan); production sessions keep AQE, which can only improve
     on this shape at runtime (coalescing, broadcast conversion, skew
-    splits)."""
+    splits).
+
+    Each query is planned TWICE: once normally (all digest fields +
+    ``fact_bc``), once with ``autoBroadcastJoinThreshold=-1``
+    (``fact_bc_hint``). At threshold -1 every ESTIMATE-based broadcast
+    decision flips to a shuffle join, so any fact-scan broadcast that
+    survives is forced by an explicit ``F.broadcast()`` hint — the one
+    class AQE can never demote at scale (VERDICT r10 #1/#2). Hints
+    deserve a stricter rule than estimates: only the second pass's
+    count feeds the hint gate; the -1 plan is used for NOTHING else
+    (it legitimately contains CartesianProduct for unhinted cross
+    joins, so its other node counts are not comparable).
+
+    ``maxMetadataStringLength`` is raised around the sweep so the scan
+    node's rendered location can't truncate away the parquet filename
+    that count_fact_scan_broadcasts matches on (ADVICE r10: the 100-
+    char default silently undercounts under a long sf_dir path)."""
     prev = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_meta = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     out: dict[str, dict] = {}
     try:
         for name in names:
@@ -166,12 +216,23 @@ def digest_all(
                 jplan = df._jdf.queryExecution().executedPlan()
                 out[name] = digest(jplan.toString())
                 out[name]["fact_bc"] = count_fact_scan_broadcasts(jplan)
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                try:
+                    df2 = queries[name](spark, sf_dir)
+                    jp2 = df2._jdf.queryExecution().executedPlan()
+                    out[name]["fact_bc_hint"] = count_fact_scan_broadcasts(jp2)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.autoBroadcastJoinThreshold", prev_thr
+                    )
             except Exception as exc:  # noqa: BLE001 — report, don't abort
                 out[name] = {"error": str(exc)[:200]}
             if verbose:
                 print(f"  {name}: {json.dumps(out[name])}", flush=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev_meta)
     return out
 
 
@@ -240,6 +301,20 @@ def compare_digests(
                 f"{bl['fact_bc']} -> {lv['fact_bc']} — a corpus-scaled "
                 "side is statically broadcast; hint it shuffle-side or "
                 "justify + refresh the baseline (SURVEY §7.4-r10)"
+            )
+        # explicit-hint gate (round 11, VERDICT r10 #1/#2): a broadcast
+        # HINT on a fact-scan subtree is honored at ANY estimated size
+        # and AQE never demotes it — stricter than the estimate gate
+        # above. No growth vs the audited baseline.
+        if "fact_bc_hint" in bl and (
+            lv.get("fact_bc_hint", 0) > bl["fact_bc_hint"]
+        ):
+            errs.append(
+                f"{name}: HINT-forced fact-scan broadcast count grew "
+                f"{bl['fact_bc_hint']} -> {lv['fact_bc_hint']} — an "
+                "explicit F.broadcast() on a corpus-scaled side; drop "
+                "the hint (estimates+AQE decide) or merge-hint, else "
+                "justify + refresh (SURVEY §7.4-r11)"
             )
         # absolute-zero gate: baselines predating the field default to 0
         if lv.get("global_windows", 0) > 0:

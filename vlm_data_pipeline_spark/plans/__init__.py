@@ -93,7 +93,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # in-window through curation_clean_pipeline's composed oracle, and
     # the query remains the bench headline + full-simulation row) cedes
     # its slot to the never-graded video family below.
-    "video_scene_cuts",
     # round-6 third rotation: the two new graph/sketch flagships take
     # the slots of ann_brute_force_topk (green r05; ANN stays
     # represented by ann_ivf_fixed_topk — the actual scale path — and
@@ -163,8 +162,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # green r07+r08 — cede slots; perplexity bucketing stays covered by
     # curation_web_pipeline's quality program and HTML extraction by
     # warc_ingest_pipeline + the newly seated warc_parse_records.)
-    "curation_fix_encoding",  # ftfy-lite mojibake repair
-    "code_strip_comments",  # comment-strip ablation (round 7)
     # round-5 flagship oracles (each a first-class corpus operator new
     # this round; the demoted entries they displaced — f1/f11/o2/e3/a3/
     # p9/ngram_jaccard/embedding_cosine/ann_lsh/repetition, and in the
@@ -178,7 +175,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # curation_clean_pipeline's LSH oracle and dedup_minhash_lsh, span/
     # DSIR families stay in the full simulation) cede slots to the
     # never-graded entries seated at the end of the window.
-    "curation_quality_classifier",  # fastText-style logistic filter (GPT-3 App.A)
     # (round 7 second rotation: lm_unigram_seed_vocab — green r05+r06,
     # tokenizer family still holds two window slots via lm_bpe_encode +
     # lm_wordpiece_encode — cedes its slot to the layout family.)
@@ -186,8 +182,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # physical-layout surface — Z-order clustering (full interleaved
     # key re-derived bit-for-bit in the oracle) and the pre-join skew
     # report (integer-ppm shares).
-    "layout_zorder_buckets",
-    "diag_key_skew",
     # round-6 rotation (VERDICT r5 #6): first-time driver grading for
     # flagships that only had local-sim evidence. Displaced to make room:
     # q1_pricing_summary (green r01-r05), w1_rank_topk (W1 re-proven by
@@ -196,7 +190,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # tasks), f5_box_geometry (geometry re-proven across qa tasks),
     # j2_semi_anti_split (semi/anti re-proven by curation_clean_pipeline's
     # decontamination) — all keep full-simulation + pytest coverage.
-    "semantic_dedup_survivors",  # SemDeDup cluster-bounded semantic dedup
     # Round-10 wave 2 (cont.): retrieval_index_topk (green r06-r09;
     # BM25 machinery stays in-window through retrieval_hard_negatives,
     # whose mining funnel contains the full index + scoring path) cedes
@@ -204,18 +197,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (round-9: multimodal_phash_incremental — green r06-r08 — cedes to
     # its never-graded banded near-dup sibling multimodal_phash_neardup
     # seated below.)
-    "dedup_paragraphs",  # paragraph-level exact dedup (CCNet shape)
-    "eval_detection_ap",  # Monte-Carlo 3D IoU AP (Objectron protocol)
-    "dedup_url_groups",  # URL canonicalization dedup (CommonCrawl pass 1)
     # Round-8 seated entries (never driver-graded before; every one
     # fully oracled — no rows-only entry spends a window slot):
     "fuzzy_edit_join",  # edit-distance similarity join (new family, r8)
-    "events_sessionize",  # batch sessionization (new family, r8)
-    "curation_pack_sequences",  # sequence packing (core LM-pipeline op)
     "qa_pipeline_2d_summary",  # 2D task family union counts (one slot
     # re-covers the three 2D variants rotated out in round 7)
-    "sketch_quantile_store",  # mergeable quantile-histogram store
-    "eval_greedy_match",  # confidence-ordered greedy matcher (the AQE
     # repartition fix from round 7 sits directly under this entry)
     "graph_trustrank",  # seeded TrustRank (graph family, 2nd member)
     # Round-9 seated entries (VERDICT r8 #2: ten first-time-graded
@@ -223,14 +209,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # window slot):
     "events_props_variant",  # VARIANT typed scalar extraction (r8 op)
     "events_props_variant_explode",  # VARIANT array explode (new r9)
-    "curation_compression_flags",  # zlib gate's oracled relational
     # tail (new r9; closes the round-8 rows-only window exception via
     # an independent driver-side reference pass inlined as VALUES)
     "warc_parse_records",  # WARC record parser (stream-bounded scan)
     "multimodal_phash_neardup",  # banded pHash near-dup pairs
     "layout_compaction_plan",  # small-file compaction planner
     "audio_frame_energy",  # frame-level RMS energy (audio family)
-    "audio_silence_trim",  # leading/trailing silence trimming
     "retrieval_hard_negatives",  # BM25 hard-negative mining funnel
     "dedup_corpus_overlap",  # cross-corpus n-gram overlap report
     # Round-10 wave 2 seated entries: the FINAL eight never-driver-
@@ -245,6 +229,45 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "curation_pareto_select",  # GPT-3 Pareto-lottery doc selection
     "embeddings_pca_scatter",  # partial-Gram PCA projection scatter
     "eval_accuracy_under_threshold",  # thresholded accuracy eval curve
+    # ------------------------------------------------------------------
+    # Round-11 rotation (VERDICT r10 #3/#6): with the never-driver-graded
+    # oracled pool at zero, the window starts CYCLING — the 16 stale
+    # holders below re-seat (chat family + warc/corpus-diff/hash-split/
+    # code-stats/countmin displaced in r10, last graded r09; w1/w2/o4/q1
+    # last graded r05; qa_pipeline_summary last graded r02 and since
+    # value-oracled in ad9f56e alongside lm_unigram_encode and
+    # curation_compression_gate — their first driver grade under the new
+    # witness oracles is the point of having built them). Displaced to
+    # make room (every one multi-round green with an in-window sibling
+    # keeping the family represented, + full-sim + pytest as always):
+    # curation_quality_classifier (r05-r10; gopher_extended stays),
+    # dedup_paragraphs + dedup_url_groups (incremental_batch +
+    # corpus_overlap stay), semantic_dedup_survivors (ann_pq_topk keeps
+    # the cosine machinery), eval_detection_ap + eval_greedy_match
+    # (accuracy_under_threshold stays), curation_fix_encoding,
+    # code_strip_comments (code_corpus_stats re-seats), layout_zorder_
+    # buckets + diag_key_skew (layout_compaction_plan stays),
+    # video_scene_cuts (phash_neardup + audio stay), events_sessionize
+    # (five events rows stay), curation_pack_sequences, sketch_quantile_
+    # store (countmin re-seats, bloom_probe stays), curation_compression_
+    # flags (superseded by the seated full-value compression gate),
+    # audio_silence_trim (audio_frame_energy stays).
+    "qa_pipeline_summary",  # E1/A9 per-task union summary (value oracle)
+    "lm_unigram_encode",  # unigram-LM Viterbi encode (witness oracle)
+    "curation_compression_gate",  # zlib compression-ratio gate (value oracle)
+    "chat_validate_flags",  # SFT structural validation flags
+    "chat_template_flatten",  # chat-template flattening
+    "chat_prompt_dedup",  # first-turn prompt dedup
+    "chat_preference_pairs",  # DPO preference-pair construction
+    "warc_ingest_pipeline",  # WARC -> text ingest funnel
+    "curation_corpus_diff",  # corpus snapshot diff
+    "curation_hash_split",  # deterministic train/val/test hash split
+    "code_corpus_stats",  # code-corpus language/size statistics
+    "sketch_countmin_tokens",  # Count-Min token frequency sketch
+    "w1_rank_topk",  # W1 rank-by-distance window
+    "w2_first_per_group",  # W2 first-per-(frame,category) window
+    "o4_deterministic_sample",  # O4 hash-seeded deterministic sampling
+    "q1_pricing_summary",  # TPC-H Q1 pricing summary (A8 distribution)
 )
 
 

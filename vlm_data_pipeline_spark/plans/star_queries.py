@@ -295,14 +295,16 @@ def a10_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "J3/J5 dimension joins (codebook/category dict probes = broadcast hash "
     "joins; matterport_processor.py:66-71, coco_processor.py:283-321). Fact "
-    "table streams once; all three dims broadcast — zero fact shuffles before "
-    "the final 2-key agg. TPC-H Q5 shape.",
+    "table streams once; nation/region (25/5 rows, scale-invariant) are "
+    "hint-broadcast; customer is SF-SCALED (150K rows/SF — multi-GB hashed "
+    "at sf100) so it carries NO hint: the estimate+AQE machinery broadcasts "
+    "it at small sf and shuffles at scale (VERDICT r10 #1). TPC-H Q5 shape.",
 )
 def j_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -325,20 +327,23 @@ def j_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J2/E2 membership semi-join + labeled/unlabeled anti-join split "
     "(visible_instance_ids probe, matterport_processor.py:93-120; "
     "labeled-vs-unlabeled split, create_labeled_dataset.py:80-120). "
-    "LEFT SEMI / LEFT ANTI with the orders side aggregated to distinct keys "
-    "→ broadcastable at any fanout.",
+    "LEFT SEMI / LEFT ANTI with the orders side aggregated to distinct keys. "
+    "The key set's cardinality is ~all active customers — UNBOUNDED in SF — "
+    "so it carries NO broadcast hint (VERDICT r10 #1): Spark's estimates "
+    "broadcast it at small sf and AQE keeps the option open at scale, where "
+    "a shuffled semi-join on the key is the right plan.",
 )
 def j2_semi_anti_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders")
     cust, orders = t["customer"], t["orders"]
     keys = orders.select("o_custkey").distinct()
     witho = (
-        cust.join(F.broadcast(keys), cust.c_custkey == keys.o_custkey, "left_semi")
+        cust.join(keys, cust.c_custkey == keys.o_custkey, "left_semi")
         .agg(F.count("*").alias("n_customers"))
         .select(F.lit("with_orders").alias("segment"), "n_customers")
     )
     without = (
-        cust.join(F.broadcast(keys), cust.c_custkey == keys.o_custkey, "left_anti")
+        cust.join(keys, cust.c_custkey == keys.o_custkey, "left_anti")
         .agg(F.count("*").alias("n_customers"))
         .select(F.lit("without_orders").alias("segment"), "n_customers")
     )

@@ -622,6 +622,11 @@ def decode_jpeg(content: bytes) -> JpegImage:
             if lossless:
                 ss = body[1 + 2 * ns]  # predictor selector (H.1.2.1)
                 pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
+                if body[3 + 2 * ns] >> 4:  # Ah must be 0 in lossless
+                    raise ValueError(
+                        "nonzero Ah in lossless SOS (T.81 H.1: "
+                        "successive approximation is DCT-only)"
+                    )
                 return _decode_lossless_scan(
                     frame, scan, htables, restart_interval, segs, ss, pt
                 )
@@ -692,6 +697,13 @@ def _decode_lossless_scan(
         if (0, td) not in htables:
             raise ValueError("missing Huffman table")
         tabs.append(htables[(0, td)])
+    if len(segs) > 1:
+        # RSTn markers split the entropy stream; with DRI absent/zero
+        # reading only segs[0] would silently drop everything after the
+        # first RSTn — corrupt input, fail loudly (ADVICE r10).
+        raise ValueError(
+            "RST marker in lossless scan with no/zero restart interval"
+        )
     reader = _BitReader(segs[0])
     ncomp = len(scan)
     planes = [[[0] * width for _ in range(height)] for _ in range(ncomp)]

@@ -30,7 +30,9 @@ def synthetic_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.registry import load_tables
 
     t = load_tables(spark, sf_dir, "lineitem", "part")
-    li = t["lineitem"].join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    # part is SF-scaled (200K rows/SF) — no broadcast hint: estimates+AQE
+    # broadcast it at test scales and shuffle at sf100 (VERDICT r10 #1).
+    li = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
 
     box = F.struct(
         (((F.col("l_partkey") % 21).cast("int") - 10) * 0.3).alias("x"),
@@ -110,8 +112,9 @@ def synthetic_frames_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.registry import load_tables
 
     t = load_tables(spark, sf_dir, "lineitem", "part")
+    # part is SF-scaled — unhinted for the same reason as synthetic_frames.
     li = t["lineitem"].join(
-        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+        t["part"], F.col("l_partkey") == F.col("p_partkey")
     )
 
     box = F.struct(
