@@ -949,3 +949,173 @@ def test_lossless_capability_seams():
     rst = whole[:-2] + b"\xff\xd0" + whole[-2:]
     with pytest.raises(ValueError, match="RST"):
         decode_jpeg(rst)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (DHP + SOF3 base + SOF7 corrections, T.81 Annex J,
+# non-expansive lossless refinement profile)
+# ---------------------------------------------------------------------------
+
+
+def _ll_entropy(diffs_mod16):
+    """Entropy-code a stream of modulo-2^16 differences with the shared
+    LL tables (category SSSS + extra bits, SSSS=16 special case)."""
+    bw = _BitWriter()
+    for d in diffs_mod16:
+        if d == 32768:  # SSSS=16: no extra bits
+            ln, code = LL_ENC[16]
+            bw.put(code, ln)
+            continue
+        signed = d - 65536 if d > 32768 else d
+        t = _cat(signed)
+        ln, code = LL_ENC[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(signed if signed > 0 else signed + (1 << t) - 1, t)
+    return bw.flush()
+
+
+def encode_jpeg_hierarchical(stages, precision, predictor, pt=0):
+    """Independent Annex-J encoder (non-expansive profile): ``stages[0]``
+    is the base image's component planes in the Rx (point-transformed)
+    domain, coded as an SOF3 frame with ``predictor``/``pt``; each later
+    stage is a list of signed CORRECTION planes, coded as an SOF7
+    differential frame (Ss=0, Pt=0, corrections modulo 2^16 against the
+    running output-domain reconstruction). Returns (bytes, final
+    output-domain planes)."""
+    h, w, nc = len(stages[0][0]), len(stages[0][0][0]), len(stages[0])
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    out += _seg(0xDE, sof)  # DHP: same syntax as SOF
+    out += _seg(0xC4, bytes([0x00]) + bytes(LL_COUNTS) + LL_SYMS)
+    out += _seg(0xC3, sof)
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += _seg(0xDA, sos)
+    default = 1 << (precision - pt - 1)
+    recon = [[[0] * w for _ in range(h)] for _ in range(nc)]
+    diffs = []
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                px = _ll_predict(recon[c], y, x, predictor, default)
+                v = stages[0][c][y][x]
+                recon[c][y][x] = v
+                diffs.append((v - px) & 0xFFFF)
+    out += _ll_entropy(diffs)
+    ref = [[[v << pt for v in row] for row in p] for p in recon]
+    for corr in stages[1:]:
+        out += _seg(0xC7, sof)
+        sos7 = bytes([nc])
+        for c in range(nc):
+            sos7 += bytes([c + 1, 0x00])
+        sos7 += bytes([0, 0, 0])  # Ss=0 (no predictor), Se=0, AhAl=0
+        out += _seg(0xDA, sos7)
+        diffs = []
+        for y in range(h):
+            for x in range(w):
+                for c in range(nc):
+                    target = (ref[c][y][x] + corr[c][y][x]) & 0xFFFF
+                    diffs.append((target - ref[c][y][x]) & 0xFFFF)
+                    ref[c][y][x] = target
+        out += _ll_entropy(diffs)
+    out += b"\xff\xd9"
+    return bytes(out), ref
+
+
+def test_hierarchical_two_stage_gray_exact():
+    """Coarse base + lossless correction reconstructs the original
+    EXACTLY — the profile's whole point."""
+    orig = [[17, 250, 3, 128], [99, 64, 200, 1], [255, 0, 77, 180]]
+    base = [[v & 0xF0 for v in row] for row in orig]  # 4-bit-coarse base
+    corr = [
+        [orig[y][x] - base[y][x] for x in range(4)] for y in range(3)
+    ]
+    blob, final = encode_jpeg_hierarchical([[base], [corr]], 8, 1)
+    got = decode_jpeg(blob)
+    assert (got.width, got.height, got.channels) == (4, 3, 1)
+    assert got.rows == orig
+    assert [r for r in final[0]] == orig
+
+
+def test_hierarchical_three_stage_rgb_exact():
+    r = [[10, 20], [30, 40]]
+    g = [[50, 60], [70, 80]]
+    b = [[90, 100], [110, 120]]
+    base = [[[v // 3 for v in row] for row in p] for p in (r, g, b)]
+    c1 = [
+        [[p[y][x] // 2 - bp[y][x] for x in range(2)] for y in range(2)]
+        for p, bp in zip((r, g, b), base)
+    ]
+    # second correction closes the remaining gap exactly
+    mid = [
+        [[base[c][y][x] + c1[c][y][x] for x in range(2)] for y in range(2)]
+        for c in range(3)
+    ]
+    c2 = [
+        [[p[y][x] - mp[y][x] for x in range(2)] for y in range(2)]
+        for p, mp in zip((r, g, b), mid)
+    ]
+    blob, _ = encode_jpeg_hierarchical([base, c1, c2], 8, 4)
+    got = decode_jpeg(blob)
+    assert got.channels == 3
+    exp = [
+        [v for x in range(2) for v in (r[y][x], g[y][x], b[y][x])]
+        for y in range(2)
+    ]
+    assert got.rows == exp
+
+
+def test_hierarchical_16bit_pt_base_plus_correction():
+    """16-bit medical shape: the base frame carries Rx = v >> 2 (Pt=2),
+    the SOF7 correction restores full precision, including a correction
+    big enough to exercise wide SSSS categories."""
+    orig = [[65535, 4], [32768, 40000]]
+    base_rx = [[v >> 2 for v in row] for row in orig]  # Pt=2 domain
+    base_out = [[v << 2 for v in row] for row in base_rx]
+    corr = [
+        [orig[y][x] - base_out[y][x] for x in range(2)] for y in range(2)
+    ]
+    blob, final = encode_jpeg_hierarchical(
+        [[base_rx], [corr]], 16, 2, pt=2
+    )
+    got = decode_jpeg(blob)
+    assert final[0] == orig
+    exp = [[round(v * 255 / 65535) for v in row] for row in orig]
+    assert got.rows == exp
+
+
+def test_hierarchical_seams():
+    base = [[1, 2], [3, 4]]
+    corr = [[1, -1], [0, 2]]
+    blob, _ = encode_jpeg_hierarchical([[base], [corr]], 8, 1)
+    # EXP (resolution expansion) before the differential frame: refused
+    at = blob.find(b"\xff\xc7")
+    exp_blob = blob[:at] + _seg(0xDF, bytes([0x11])) + blob[at:]
+    with pytest.raises(NotImplementedError, match="EXP"):
+        decode_jpeg(exp_blob)
+    # SOF7 with no DHP context: structural error
+    sof = bytes([8]) + struct.pack(">HH", 2, 2) + bytes([1, 1, 0x11, 0])
+    with pytest.raises(ValueError, match="outside DHP"):
+        decode_jpeg(b"\xff\xd8" + _seg(0xC7, sof) + b"\xff\xd9")
+    # DCT frame inside hierarchical mode: refused (lossless profile only)
+    with pytest.raises(NotImplementedError, match="DCT frames inside"):
+        decode_jpeg(
+            b"\xff\xd8" + _seg(0xDE, sof) + _seg(0xC0, sof) + b"\xff\xd9"
+        )
+    # a second NON-differential frame: structural error
+    twice = blob.replace(b"\xff\xc7", b"\xff\xc3")
+    with pytest.raises(ValueError, match="second non-differential"):
+        decode_jpeg(twice)
+    # differential DCT (SOF5) is still a documented seam
+    with pytest.raises(NotImplementedError, match="differential DCT"):
+        decode_jpeg(
+            b"\xff\xd8" + _seg(0xDE, sof) + _seg(0xC5, sof) + b"\xff\xd9"
+        )
+    # truncated hierarchical stream (DHP but no frame): corrupt
+    with pytest.raises(ValueError, match="no decoded frame"):
+        decode_jpeg(b"\xff\xd8" + _seg(0xDE, sof) + b"\xff\xd9")

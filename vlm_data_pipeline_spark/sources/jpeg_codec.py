@@ -15,13 +15,19 @@ T.81 Annex H — the DNG/medical profile) decodes natively at 2-16 bit
 precision: per-sample Huffman-coded differences against the seven
 Annex-H predictors, modulo-2^16 reconstruction, point transform,
 SSSS=16 special case; see _decode_lossless_scan for its documented
-seams (no restarts, 1x1 sampling only). Arithmetic coding and
-hierarchical (SOF5+) remain capability gaps → NotImplementedError
-(inject Pillow/cv2) — arithmetic needs T.81 Table D.3's exact 113-row
-state machine, which cannot be responsibly reproduced from memory (a
-self-consistent wrong table would round-trip tests yet silently
-mis-decode real files). Corrupt data → ValueError (the robust skip
-policy), same contract as png_codec/bmp_codec.
+seams (no restarts, 1x1 sampling only). Hierarchical mode (T.81 Annex
+J) decodes the NON-EXPANSIVE lossless refinement profile natively —
+DHP + an SOF3 first frame + SOF7 differential correction frames at the
+same resolution (the "lossy-capable base + lossless correction" shape
+medical/DNG profiles actually use): each SOF7 sample is a Huffman-coded
+correction added to the reference modulo 2^16, Ss=0 (no predictor).
+EXP resolution expansion (J.8 interpolation), differential DCT frames
+(SOF5/6), and arithmetic coding remain capability gaps →
+NotImplementedError (inject Pillow/cv2) — arithmetic needs T.81 Table
+D.3's exact 113-row state machine, which cannot be responsibly
+reproduced from memory (a self-consistent wrong table would round-trip
+tests yet silently mis-decode real files). Corrupt data → ValueError
+(the robust skip policy), same contract as png_codec/bmp_codec.
 
 Progressive design: each SOS scan deposits quantized coefficients into
 per-component int32 arrays (zigzag order) — interleaved-MCU traversal
@@ -500,6 +506,9 @@ def decode_jpeg(content: bytes) -> JpegImage:
     frame = None  # (height, width, comps) comps: (id, h, v, tq)
     progressive = False
     lossless = False
+    differential = False
+    hier = None  # (height, width, ncomp, prec) from DHP — hierarchical mode
+    hier_planes = None  # output-domain component planes across frames
     prog: _ProgState | None = None
     i = 2
     n = len(content)
@@ -510,6 +519,11 @@ def decode_jpeg(content: bytes) -> JpegImage:
         if marker is None:
             raise ValueError("truncated marker")
         if marker == 0xD9:  # EOI
+            if hier is not None:
+                if hier_planes is None:
+                    raise ValueError("hierarchical JPEG with no decoded frame")
+                hh, hw, _hn, hp = hier
+                return _planes_to_image8(hier_planes, hw, hh, hp)
             if prog is not None and prog.any_scan:
                 return prog.reconstruct(qtables)
             raise ValueError("EOI before SOS: no image data")
@@ -576,6 +590,11 @@ def decode_jpeg(content: bytes) -> JpegImage:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
                 if (hv >> 4) == 0 or (hv & 0x0F) == 0:
                     raise ValueError("zero sampling factor")
+            if hier is not None:
+                raise NotImplementedError(
+                    "DCT frames inside hierarchical mode not supported — "
+                    "lossless refinement profile (SOF3 + SOF7) only"
+                )
             frame = (h, w, comps, prec)
             progressive = marker == 0xC2
             if progressive:
@@ -600,11 +619,59 @@ def decode_jpeg(content: bytes) -> JpegImage:
                     raise ValueError("zero sampling factor")
             frame = (h, w, comps, prec)
             lossless = True
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            differential = False
+        elif marker == 0xC7:  # SOF7 differential lossless (Annex J frame)
+            if hier is None:
+                raise ValueError("differential frame (SOF7) outside DHP")
+            if hier_planes is None:
+                raise ValueError("differential frame with no reference")
+            prec = body[0]
+            if prec != hier[3]:
+                raise ValueError("differential frame precision != DHP")
+            h, w = struct.unpack(">HH", body[1:5])
+            if (h, w) != (hier[0], hier[1]):
+                raise NotImplementedError(
+                    "resolution change between hierarchical frames "
+                    "(needs EXP upsampling) not supported"
+                )
+            nc = body[5]
+            if nc != hier[2]:
+                raise ValueError("differential frame component count != DHP")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled hierarchical lossless not supported"
+                    )
+            frame = (h, w, comps, prec)
+            lossless = True
+            differential = True
+        elif marker in (0xC5, 0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "arithmetic/hierarchical JPEG needs an injected decoder "
-                "(Pillow/cv2); Huffman sequential + progressive + lossless "
-                "(SOF3) only"
+                "arithmetic JPEG and differential DCT frames need an "
+                "injected decoder (Pillow/cv2); Huffman sequential + "
+                "progressive + lossless (SOF3) + hierarchical lossless "
+                "refinement (DHP/SOF7) only"
+            )
+        elif marker == 0xDE:  # DHP — hierarchical mode (T.81 Annex J)
+            prec = body[0]
+            if not (2 <= prec <= 16):
+                raise ValueError(f"illegal DHP precision {prec}")
+            h, w = struct.unpack(">HH", body[1:5])
+            if h == 0 or w == 0:
+                raise ValueError("zero image dimension in DHP")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    "only 1- and 3-component hierarchical JPEG supported"
+                )
+            hier = (h, w, nc, prec)
+        elif marker == 0xDF:  # EXP — reference expansion before a frame
+            raise NotImplementedError(
+                "EXP (hierarchical resolution expansion, J.8 interpolation)"
+                " not supported — non-expansive refinement profile only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[0:2])[0]
@@ -627,9 +694,40 @@ def decode_jpeg(content: bytes) -> JpegImage:
                         "nonzero Ah in lossless SOS (T.81 H.1: "
                         "successive approximation is DCT-only)"
                     )
-                return _decode_lossless_scan(
-                    frame, scan, htables, restart_interval, segs, ss, pt
-                )
+                if hier is None:
+                    return _decode_lossless_scan(
+                        frame, scan, htables, restart_interval, segs, ss, pt
+                    )
+                # hierarchical: accumulate this frame, keep parsing
+                if differential:
+                    if pt != 0:
+                        raise NotImplementedError(
+                            "nonzero point transform in a differential "
+                            "lossless frame not supported"
+                        )
+                    hier_planes = _lossless_scan_planes(
+                        frame, scan, htables, restart_interval, segs,
+                        ss, pt, ref=hier_planes,
+                    )
+                else:
+                    if hier_planes is not None:
+                        raise ValueError(
+                            "second non-differential frame in "
+                            "hierarchical mode"
+                        )
+                    if (frame[0], frame[1]) != (hier[0], hier[1]):
+                        raise NotImplementedError(
+                            "first hierarchical frame smaller than DHP "
+                            "(needs EXP upsampling) not supported"
+                        )
+                    rx = _lossless_scan_planes(
+                        frame, scan, htables, restart_interval, segs, ss, pt
+                    )
+                    hier_planes = [
+                        [[v << pt for v in row] for row in p] for p in rx
+                    ]  # output domain: Rx * 2^Pt (H.2)
+                i = nxt
+                continue
             if not progressive:
                 return _decode_scan(
                     frame, scan, qtables, htables, restart_interval, segs
@@ -671,13 +769,42 @@ def _decode_lossless_scan(
     risks a self-consistent wrong reading) and sampling factors other
     than 1×1 (interleaved lossless MCUs with subsampling are absent
     from every DNG/medical profile this engine targets)."""
+    height, width, _comps, prec = frame
+    planes = _lossless_scan_planes(
+        frame, scan, htables, restart_interval, segs, sel, pt
+    )
+    out = [
+        [[v << pt for v in row] for row in p] for p in planes
+    ]  # decoder output is Rx * 2^Pt (H.2)
+    return _planes_to_image8(out, width, height, prec)
+
+
+def _lossless_scan_planes(
+    frame, scan, htables, restart_interval, segs, sel: int, pt: int, ref=None
+):
+    """Shared entropy+reconstruction core for lossless scans.
+
+    ``ref is None``: a NON-differential scan (T.81 Annex H) — samples
+    predict from neighbours per ``sel`` and the returned planes hold Rx
+    (point-transformed domain, NOT yet shifted by 2^Pt).
+
+    ``ref`` given (a list of per-component 2D int planes in the OUTPUT
+    sample domain): a DIFFERENTIAL scan (SOF7, hierarchical mode, T.81
+    Annex J) — there is no spatial predictor (Ss must be 0); each
+    decoded value is a correction added to the reference sample modulo
+    2^16, and the returned planes are output-domain samples."""
     height, width, comps, prec = frame
     by_id = {c[0]: c for c in comps}
     if len(scan) != len(comps):
         raise NotImplementedError(
             "multi-scan (non-interleaved) lossless JPEG not supported"
         )
-    if not (1 <= sel <= 7):
+    if ref is not None:
+        if sel != 0:
+            raise ValueError(
+                f"differential lossless scan requires Ss=0, got {sel}"
+            )
+    elif not (1 <= sel <= 7):
         raise ValueError(f"illegal lossless predictor {sel}")
     if pt >= prec:
         raise ValueError(f"point transform {pt} >= precision {prec}")
@@ -719,7 +846,9 @@ def _decode_lossless_scan(
                 else:
                     diff = _extend(reader.receive(t), t)
                 p = planes[c]
-                if y == 0 and x == 0:
+                if ref is not None:
+                    px = ref[c][y][x]  # Annex J: correction vs reference
+                elif y == 0 and x == 0:
                     px = default
                 elif y == 0:
                     px = p[0][x - 1]  # first line: Ra
@@ -742,14 +871,19 @@ def _decode_lossless_scan(
                     else:
                         px = (ra + rb) >> 1
                 p[y][x] = (px + diff) & 0xFFFF
+    return planes
+
+
+def _planes_to_image8(planes, width, height, prec) -> JpegImage:
+    """Map OUTPUT-domain component planes (already 2^Pt-shifted) to the
+    codec-wide 8-bit rows contract with round(v·255/(2^P−1))."""
     maxv = (1 << prec) - 1
 
     def to8(v: int) -> int:
-        v <<= pt  # decoder output is Rx * 2^Pt (H.2)
         v = maxv if v > maxv else v
         return round(v * 255 / maxv) if prec != 8 else v
 
-    if ncomp == 1:
+    if len(planes) == 1:
         rows = [[to8(v) for v in planes[0][y]] for y in range(height)]
         return JpegImage(width, height, 8, 1, rows)
     rows = [
