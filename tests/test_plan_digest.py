@@ -342,6 +342,28 @@ def test_fact_bc_hint_isolation(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
 
 
+def test_fact_bc_hint_residual_is_exactly_the_documented_set():
+    """The hint-forced fact-broadcast residual is SIX sites, each an
+    operator contract the detector cannot prove from the plan
+    (SURVEY §7.4-r11 #2): decontaminate's fixed-size benchmark grams
+    (clean/web pipelines + the standalone query), eval AP's
+    per-category GT counts (category dictionary), Count-Min's d×w cell
+    table, BM25's query-term DF table. Growth WITHIN a query is caught
+    by the per-query no-growth gate; this pins the set by NAME so a new
+    hinted site can't hide behind an old one being fixed."""
+    residual = {
+        n for n, d in _baseline().items() if d.get("fact_bc_hint", 0) > 0
+    }
+    assert residual == {
+        "curation_clean_pipeline",
+        "decontaminate_ngrams",
+        "eval_detection_ap",
+        "eval_detection_ap_exact_3d",
+        "retrieval_index_topk",
+        "sketch_countmin_tokens",
+    }, residual
+
+
 def test_compare_digests_fact_bc_hint_red_path():
     """Planted fact_bc_hint growth goes red; legacy baselines without
     the field stay green; shrinkage is green."""
