@@ -229,21 +229,29 @@ AUDIO_FEATURES = T.StructType(
 
 def _default_audio_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
     """REAL default for WAV payloads via ``sources.wav_codec`` (stdlib
-    struct + numpy; PCM 8/16/24/32 + float32): scalar loudness features
-    over the normalized [−1,1) frames. Compressed formats (mp3/flac/ogg)
-    need an injected decoder — ffmpeg/soundfile in production. Empty
-    payloads are corrupt DATA (ValueError → robust skip policy)."""
+    struct + numpy; PCM 8/16/24/32 + float32) and FLAC via
+    ``sources.flac_codec`` (RFC 9639; CRC-8/CRC-16/MD5 self-verified):
+    scalar loudness features over the normalized [−1,1) frames.
+    Remaining compressed formats (mp3/ogg — whose ISO tables cannot be
+    responsibly reproduced offline) need an injected decoder —
+    ffmpeg/soundfile in production. Empty payloads are corrupt DATA
+    (ValueError → robust skip policy)."""
     if not payload:
         raise ValueError("empty audio payload")
-    if (payload or b"")[:4] != b"RIFF":
+    if payload[:4] == b"fLaC":
+        from .flac_codec import decode_flac
+
+        au = decode_flac(payload)
+    elif payload[:4] != b"RIFF":
         raise NotImplementedError(
-            "audio decoding beyond RIFF/WAV needs ffmpeg/soundfile (not "
-            "installed in this container). Inject audio_features(..., "
+            "audio decoding beyond RIFF/WAV + FLAC needs ffmpeg/soundfile "
+            "(not installed in this container). Inject audio_features(..., "
             "decoder=...) — batching, schema, and partitioning are wired."
         )
-    from .wav_codec import decode_wav
+    else:
+        from .wav_codec import decode_wav
 
-    au = decode_wav(payload)
+        au = decode_wav(payload)
     x = au.samples
     return {
         "sample_rate": au.sample_rate,
