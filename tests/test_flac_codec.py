@@ -331,3 +331,35 @@ def test_audio_features_stage_routes_flac_and_wav(spark):
     assert out["f1"].peak == pytest.approx(0.5, abs=1e-9)
     assert out["w1"].sample_rate == 16000
     assert out["w1"].peak == pytest.approx(0.25, abs=1e-3)
+
+
+def test_package_encoder_round_trip_multiframe():
+    """The PACKAGE-side writer (verbatim, 4096-sample frames) must pass
+    the decoder's full self-verification across multiple frames."""
+    from vlm_data_pipeline_spark.sources.flac_codec import encode_flac as enc
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-(1 << 15), 1 << 15, 5000)
+    au = decode_flac(enc(mono, 22050, 16))
+    assert au.n_frames == 5000 and au.n_channels == 1
+    assert _ints(au, 16)[:, 0].tolist() == mono.tolist()
+    stereo = rng.integers(-(1 << 7), 1 << 7, (300, 2))
+    au2 = decode_flac(enc(stereo, 8000, 8))
+    assert _ints(au2, 8).tolist() == stereo.tolist()
+    with pytest.raises(ValueError, match="out of range"):
+        enc([300], 8000, 8)
+
+
+def test_coded_number_writer_inverse():
+    from vlm_data_pipeline_spark.sources.flac_codec import (
+        _Bits,
+        _BitsW,
+        _coded_number,
+        _write_coded_number,
+    )
+
+    for v in [0, 1, 127, 128, 255, 2047, 2048, 65535, 1 << 20, (1 << 31) - 1,
+              (1 << 36) - 1]:
+        bw = _BitsW()
+        _write_coded_number(bw, v)
+        assert _coded_number(_Bits(bw.bytes())) == v, v

@@ -4912,6 +4912,43 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_flac_roundtrip",
+    f"""
+WITH pcm AS (
+    SELECT doc_id, {_D_PCM_SAMPLES} AS samples FROM documents
+)
+SELECT doc_id,
+       CAST(len(samples) AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(samples,
+                                    x -> CAST(x AS BIGINT) * x)) AS BIGINT)
+           AS energy,
+       CAST(list_max(list_transform(samples, x -> abs(x))) AS INT) AS peak
+FROM pcm
+""",
+    "Native FLAC encode->decode round trip per document (extension; "
+    "the lossless-container path of an audio-corpus pipeline): the "
+    "deterministic integer PCM is written as a real FLAC stream "
+    "(sources.flac_codec.encode_flac — verbatim subframes, CRC-8/"
+    "CRC-16/MD5) and read back through the SELF-VERIFYING decoder, "
+    "then exact integer features are emitted. The oracle computes the "
+    "same features DIRECTLY on the PCM: losslessness makes the whole "
+    "codec pipe value-checkable — any bit error in writer packing, "
+    "framing, CRCs, or reader reconstruction breaks the equality. "
+    "Arrow-batched pandas_udf; one scan, no shuffle. Library: "
+    "sources.multimodal.flac_roundtrip_features + sources.flac_codec.",
+)
+def audio_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.multimodal import flac_roundtrip_features
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pcm = _pcm_demo(docs)
+    out = pcm.select(
+        "doc_id", flac_roundtrip_features(F.col("samples")).alias("r")
+    )
+    return out.select("doc_id", "r.n_samples", "r.energy", "r.peak")
+
+
+@register(
     "audio_silence_trim",
     f"""
 WITH pcm AS (

@@ -26,7 +26,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_flac", "FlacAudio"]
+__all__ = ["decode_flac", "encode_flac", "FlacAudio"]
 
 
 class FlacAudio:
@@ -394,3 +394,126 @@ def decode_flac(content: bytes) -> FlacAudio:
 
     arr = np.array(channels, dtype=np.float64).T / float(1 << (bps - 1))
     return FlacAudio(rate, nch, bps, arr)
+
+
+class _BitsW:
+    """MSB-first bit writer (encoder side)."""
+
+    __slots__ = ("acc", "n", "out")
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def u(self, v: int, n: int) -> None:
+        acc, nb = self.acc, self.n
+        for i in range(n - 1, -1, -1):
+            acc = (acc << 1) | ((v >> i) & 1)
+            nb += 1
+            if nb == 8:
+                self.out.append(acc)
+                acc, nb = 0, 0
+        self.acc, self.n = acc, nb
+
+    def s(self, v: int, n: int) -> None:
+        self.u(v & ((1 << n) - 1), n)
+
+    def align(self) -> None:
+        while self.n:
+            self.u(0, 1)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.out)
+
+
+def _write_coded_number(bw: _BitsW, v: int) -> None:
+    """The UTF-8-like frame-number coding (inverse of _coded_number)."""
+    if v < 0x80:
+        bw.u(v, 8)
+        return
+    # find the smallest n-byte form (2-7 bytes, 6 payload bits per tail)
+    for nbytes in range(2, 8):
+        if v < (1 << (5 * nbytes + 1)) or nbytes == 7:
+            break
+    lead_bits = 7 - nbytes
+    tail = [(v >> (6 * i)) & 0x3F for i in range(nbytes - 1)][::-1]
+    head = v >> (6 * (nbytes - 1))
+    bw.u((0xFF << (lead_bits + 1)) & 0xFF | head, 8)
+    for t in tail:
+        bw.u(0x80 | t, 8)
+
+
+def encode_flac(samples, sample_rate: int, bps: int = 16) -> bytes:
+    """Minimal native-FLAC writer: VERBATIM subframes (no prediction —
+    the lossless-container use this engine needs for fixture/sink
+    round-trips, not a compressor), independent channels, 4096-sample
+    frames, full CRC-8/CRC-16/STREAMINFO-MD5 so decode_flac's
+    self-verification passes. ``samples``: (n_frames, n_channels) int
+    array (or 1-D mono) of signed values fitting ``bps`` bits."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, nch = arr.shape
+    if not (1 <= nch <= 8):
+        raise ValueError("1-8 channels")
+    if n == 0:
+        raise ValueError("empty FLAC input")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if arr.min() < lo or arr.max() > hi:
+        raise ValueError(f"samples out of range for {bps}-bit FLAC")
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bps)
+    if ss_code is None:
+        raise ValueError(f"unsupported bits-per-sample {bps}")
+
+    block = 4096
+    nbytes = (bps + 7) // 8
+    md5 = hashlib.md5()
+    md5.update(
+        b"".join(
+            int(v).to_bytes(nbytes, "little", signed=True)
+            for row in arr for v in row
+        )
+    )
+    si = _BitsW()
+    si.u(min(block, n), 16)
+    si.u(min(block, n), 16)
+    si.u(0, 24)
+    si.u(0, 24)
+    si.u(sample_rate, 20)
+    si.u(nch - 1, 3)
+    si.u(bps - 1, 5)
+    si.u(n, 36)
+    info = si.bytes() + md5.digest()
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    for fno, start in enumerate(range(0, n, block)):
+        blk = arr[start : start + block]
+        bs = blk.shape[0]
+        hw = _BitsW()
+        hw.u(0x3FFE, 14)  # sync
+        hw.u(0, 1)  # reserved
+        hw.u(0, 1)  # fixed blocking
+        hw.u(7, 4)  # blocksize: 16-bit value follows
+        hw.u(0, 4)  # sample rate: from STREAMINFO
+        hw.u(nch - 1, 4)  # independent channels
+        hw.u(ss_code, 3)
+        hw.u(0, 1)  # reserved
+        _write_coded_number(hw, fno)
+        hw.u(bs - 1, 16)
+        hdr = hw.bytes()
+        hdr += bytes([_crc8(hdr)])
+        bw = _BitsW()
+        for c in range(nch):
+            bw.u(0, 1)  # padding
+            bw.u(1, 6)  # VERBATIM
+            bw.u(0, 1)  # no wasted bits
+            for v in blk[:, c]:
+                bw.s(int(v), bps)
+        bw.align()
+        frame = hdr + bw.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)

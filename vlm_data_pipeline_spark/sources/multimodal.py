@@ -263,6 +263,41 @@ def _default_audio_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
     }
 
 
+def flac_roundtrip_features(samples_col):
+    """Column op: integer PCM array -> native FLAC encode -> self-
+    verified decode -> exact integer features (n_samples, energy =
+    Σx², peak = max|x|). Because FLAC is lossless the features equal
+    the ones computed directly on the input PCM — which is what makes
+    the whole codec path (writer bit-packing, CRC-8/CRC-16 framing,
+    MD5, reader reconstruction) VALUE-ORACLEABLE: any bit disagreement
+    anywhere in the pipe breaks the equality. Arrow-batched; the
+    per-row loop only dispatches into the codec."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_samples:bigint,energy:bigint,peak:int>")
+    def rt(samples: pd.Series) -> pd.DataFrame:
+        from vlm_data_pipeline_spark.sources.flac_codec import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rows = []
+        for s in samples:
+            arr = np.asarray(s, dtype=np.int64)
+            au = decode_flac(encode_flac(arr, 16000, 16))
+            ints = np.rint(au.samples[:, 0] * (1 << 15)).astype(np.int64)
+            rows.append(
+                (
+                    len(ints),
+                    int((ints * ints).sum()),
+                    int(np.abs(ints).max()) if len(ints) else 0,
+                )
+            )
+        return pd.DataFrame(rows, columns=["n_samples", "energy", "peak"])
+
+    return rt(samples_col)
+
+
 def fake_audio_decoder(asset_id: str, payload: bytes) -> dict[str, Any]:
     """Deterministic stand-in: features derived from the payload digest —
     stable across runs, no decode."""
