@@ -1,0 +1,112 @@
+"""WebDataset tar-shard source/sink: pack determinism, member fan-out,
+first-dot sample grouping, binaryFile shard reading, and the full
+write->read round trip with binary payloads."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from vlm_data_pipeline_spark.sources import wds
+
+
+def _members_df(spark, rows):
+    return spark.createDataFrame(
+        [(sid, n, bytearray(p)) for sid, n, p in rows],
+        "shard_id long, name string, payload binary",
+    )
+
+
+def test_pack_shards_deterministic_and_valid_tar(spark):
+    rows = [
+        (0, "b.txt", b"beta"),
+        (0, "a.txt", b"alpha"),
+        (1, "c.bin", bytes(range(256))),
+    ]
+    out = {
+        r.shard_id: r for r in wds.pack_shards(_members_df(spark, rows)).collect()
+    }
+    assert out[0].n_members == 2 and out[1].n_members == 1
+    # byte-determinism: same input -> identical shard bytes
+    again = {
+        r.shard_id: r for r in wds.pack_shards(_members_df(spark, rows)).collect()
+    }
+    assert bytes(out[0].tar) == bytes(again[0].tar)
+    # the tar is a real USTAR archive, members sorted by name, zero mtime
+    with tarfile.open(fileobj=io.BytesIO(bytes(out[0].tar)), mode="r:") as tf:
+        names = [m.name for m in tf]
+        assert names == ["a.txt", "b.txt"]
+        m = tf.getmember("a.txt")
+        assert m.mtime == 0 and m.uid == 0 and m.gid == 0
+
+
+def test_tar_members_and_first_dot_grouping(spark):
+    rows = [
+        (7, "s1.jpg", b"\xff\xd8fakejpeg"),
+        (7, "s1.seg.png", b"\x89PNGfake"),  # multi-dot ext: "seg.png"
+        (7, "s1.txt", b"a caption"),
+        (7, "s2.txt", b"other"),
+    ]
+    shards = wds.pack_shards(_members_df(spark, rows))
+    members = wds.tar_members(shards)
+    got = {(r.shard_id, r.name): r for r in members.collect()}
+    assert len(got) == 4
+    assert bytes(got[(7, "s1.seg.png")].payload) == b"\x89PNGfake"
+    assert got[(7, "s1.txt")].size == len(b"a caption")
+    samples = {r.key: r for r in wds.wds_samples(members).collect()}
+    assert set(samples) == {"s1", "s2"}
+    s1 = samples["s1"].exts
+    assert set(s1) == {"jpg", "seg.png", "txt"}
+    assert bytes(s1["jpg"]) == b"\xff\xd8fakejpeg"
+    assert bytes(samples["s2"].exts["txt"]) == b"other"
+
+
+def test_read_tar_shards_binaryfile(spark, tmp_path):
+    p = tmp_path / "shard-000000.tar"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo("x.txt")
+        info.size = 5
+        tf.addfile(info, io.BytesIO(b"hello"))
+    p.write_bytes(buf.getvalue())
+    df = wds.read_tar_shards(spark, str(tmp_path / "*.tar"))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].shard_path.endswith("shard-000000.tar")
+    members = wds.tar_members(
+        df.select(F_lit_shard(df), "tar"), shard_col="shard_id"
+    )
+    got = members.collect()
+    assert len(got) == 1
+    assert got[0].name == "x.txt" and bytes(got[0].payload) == b"hello"
+
+
+def F_lit_shard(df):
+    from pyspark.sql import functions as F
+
+    return F.lit(0).cast("long").alias("shard_id")
+
+
+def test_non_regular_members_skipped(spark):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        info = tarfile.TarInfo("dir/y.txt")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"ok"))
+    df = spark.createDataFrame(
+        [(3, bytearray(buf.getvalue()))], "shard_id long, tar binary"
+    )
+    got = wds.tar_members(df).collect()
+    assert [r.name for r in got] == ["dir/y.txt"]
+
+
+def test_corrupt_tar_raises(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"not a tar at all" * 40))], "shard_id long, tar binary"
+    )
+    with pytest.raises(Exception):
+        wds.tar_members(df).collect()

@@ -4912,6 +4912,73 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wds_shard_roundtrip",
+    """
+SELECT doc_id,
+       CAST(doc_id // 20 AS BIGINT) AS shard_id,
+       printf('doc_%09d', doc_id) AS key,
+       CAST(2 AS INT) AS n_members,
+       CAST(length(text) AS BIGINT) AS txt_chars,
+       lang
+FROM documents
+""",
+    "WebDataset tar-shard round trip (extension; S10/K-family sibling — "
+    "the de-facto container for 100 TB multimodal training corpora): "
+    "each document becomes a two-member sample ({key}.txt + {key}.json), "
+    "20 samples pack into one deterministic USTAR shard per group "
+    "(sources.wds.pack_shards, applyInPandas), the shards fan back out "
+    "to members (tar_members, mapInPandas) and regroup into samples by "
+    "the WebDataset first-dot rule (wds_samples, relational groupBy + "
+    "map_from_entries). The oracle recomputes every output column "
+    "directly from the source table: write->read determinism makes the "
+    "whole container pipe value-checkable. Shard = unit of parallelism "
+    "and of memory, the property that scales to 1000 executors. "
+    "Library: sources.wds.",
+)
+def wds_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import wds
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    key = F.format_string("doc_%09d", F.col("doc_id"))
+    members = (
+        docs.select(
+            F.expr("doc_id DIV 20").alias("shard_id"),
+            key.alias("key"),
+            F.array(
+                F.struct(
+                    F.concat(key, F.lit(".txt")).alias("name"),
+                    F.encode(F.col("text"), "UTF-8").alias("payload"),
+                ),
+                F.struct(
+                    F.concat(key, F.lit(".json")).alias("name"),
+                    F.encode(
+                        F.to_json(F.struct(F.col("lang"))), "UTF-8"
+                    ).alias("payload"),
+                ),
+            ).alias("ms"),
+        )
+        .select("shard_id", F.explode("ms").alias("m"))
+        .select("shard_id", "m.name", "m.payload")
+    )
+    shards = wds.pack_shards(members)
+    samples = wds.wds_samples(wds.tar_members(shards))
+    return samples.select(
+        F.regexp_extract(F.col("key"), r"doc_(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "shard_id",
+        "key",
+        F.size(F.col("exts")).alias("n_members"),
+        F.length(F.decode(F.element_at(F.col("exts"), "txt"), "UTF-8"))
+        .cast("long")
+        .alias("txt_chars"),
+        F.get_json_object(
+            F.decode(F.element_at(F.col("exts"), "json"), "UTF-8"), "$.lang"
+        ).alias("lang"),
+    )
+
+
+@register(
     "audio_flac_roundtrip",
     f"""
 WITH pcm AS (

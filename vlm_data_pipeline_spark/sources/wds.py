@@ -1,0 +1,174 @@
+"""WebDataset-style tar-shard source/sink (S10 sibling; extension).
+
+Tar shards are the de-facto container for multimodal training corpora
+at the 100 TB scale (WebDataset, the format behind LAION/OpenCLIP
+training): a shard is a plain tar of ~100 MB-1 GB whose members group
+into SAMPLES by basename — `000123.jpg`, `000123.txt`, `000123.json`
+are one sample with three modalities. The engine-relevant properties:
+
+- **shard = unit of parallelism.** One task reads one shard
+  sequentially (tar has no random access, which is exactly why the
+  format is fast on object stores). Spark's `binaryFile` source gives
+  one row per shard; `tar_members` fans each shard out to member rows
+  inside an Arrow-batched stage. At 1000 executors the reader scales
+  with the shard count, never with a central index.
+- **memory = one shard**, by design — the same bound every WebDataset
+  loader has. Keep shards at the conventional 100 MB-1 GB and the
+  executor never holds more than one.
+- **grouping is relational.** Member→sample grouping (split the name
+  at the FIRST dot: key before, extension after — the WebDataset rule)
+  is a plain groupBy, so it shuffles only (shard, key, payload) rows
+  once and stays in whole-stage codegen.
+
+Writer (`pack_shards`) is the inverse: a deterministic USTAR tar per
+shard group (zeroed mtime/uid/gid, members in input order), so
+write→read round-trips bit-exactly — which is what lets the registered
+demo value-oracle the whole pipe against the source table.
+
+Uses only stdlib ``tarfile`` over in-memory buffers; no native deps.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "read_tar_shards",
+    "tar_members",
+    "wds_samples",
+    "pack_shards",
+]
+
+
+def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """One row per shard file: (path, length, content). Backed by the
+    built-in ``binaryFile`` source — partition pruning and listing
+    parallelism come for free; each shard's bytes land in exactly one
+    task, the WebDataset contract."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.col("path").alias("shard_path"),
+            F.col("length").alias("shard_bytes"),
+            F.col("content").alias("tar"),
+        )
+    )
+
+
+_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def tar_members(
+    shards: DataFrame, shard_col: str = "shard_id", tar_col: str = "tar"
+) -> DataFrame:
+    """Fan each shard's tar payload out to one row per regular member.
+    Arrow-batched mapInPandas; the per-row loop only dispatches into
+    stdlib ``tarfile`` over an in-memory buffer (sequential read — the
+    only access pattern tar supports). Non-regular members (dirs, pax
+    headers) are skipped, matching WebDataset readers."""
+    cols = shards.select(shard_col, tar_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"shard_id": [], "name": [], "size": [], "payload": []}
+            for sid, blob in zip(pdf[shard_col], pdf[tar_col]):
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(blob)), mode="r:"
+                ) as tf:
+                    for m in tf:
+                        if not m.isreg():
+                            continue
+                        data = tf.extractfile(m).read()
+                        out["shard_id"].append(sid)
+                        out["name"].append(m.name)
+                        out["size"].append(m.size)
+                        out["payload"].append(data)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=_MEMBER_SCHEMA)
+
+
+def wds_samples(members: DataFrame) -> DataFrame:
+    """Group member rows into WebDataset samples: the key is the member
+    name up to the FIRST dot, the extension everything after it; one
+    output row per (shard_id, key) with an ext→payload map. Pure
+    relational (split + groupBy + map_from_entries) — the one shuffle
+    of the read path, on rows that already carry the payloads."""
+    key = F.substring_index(F.col("name"), ".", 1)
+    ext = F.expr("substring(name, length(substring_index(name, '.', 1)) + 2)")
+    return (
+        members.select(
+            "shard_id",
+            key.alias("key"),
+            F.struct(ext.alias("ext"), F.col("payload")).alias("kv"),
+        )
+        .groupBy("shard_id", "key")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list("kv"))
+            ).alias("exts")
+        )
+    )
+
+
+_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("tar", T.BinaryType()),
+    ]
+)
+
+
+def pack_shards(
+    members: DataFrame,
+    shard_col: str = "shard_id",
+    name_col: str = "name",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """The sink: one deterministic USTAR tar per shard group (members
+    sorted by name; mtime/uid/gid zeroed, empty uname/gname) so the
+    same input always yields byte-identical shards. applyInPandas per
+    shard — the write-side twin of the one-task-per-shard read
+    contract. Size the shard key so a group stays in the conventional
+    100 MB-1 GB band; the builder holds exactly one shard in memory."""
+    cols = members.select(shard_col, name_col, payload_col)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(name_col, kind="mergesort")
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for name, payload in zip(pdf[name_col], pdf[payload_col]):
+                info = tarfile.TarInfo(name=str(name))
+                data = bytes(payload)
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(data))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf[shard_col].iloc[0])],
+                "n_members": [len(pdf)],
+                "tar": [buf.getvalue()],
+            }
+        )
+
+    return cols.groupBy(shard_col).applyInPandas(build, schema=_SHARD_SCHEMA)
