@@ -418,3 +418,83 @@ def p9_project_box_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.y_max").alias("y_max"),
         )
     )
+
+
+@register(
+    "scd2_segment_upsert",
+    """
+    WITH latest AS (
+        SELECT o_custkey, o_orderpriority FROM (
+            SELECT o_custkey, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC,
+                                               o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    ), upd AS (
+        SELECT c_custkey AS k,
+               CASE WHEN substr(o_orderpriority, 1, 1) = '1'
+                    THEN c_mktsegment
+                    ELSE 'SEG-' || substr(o_orderpriority, 1, 1) END AS seg
+        FROM latest JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT c_custkey, c_mktsegment AS segment,
+           DATE '1990-01-01' AS valid_from,
+           CASE WHEN u.k IS NOT NULL AND u.seg <> c_mktsegment
+                THEN DATE '2024-01-01' END AS valid_to,
+           (u.k IS NULL OR u.seg = c_mktsegment) AS is_current
+    FROM customer LEFT JOIN upd u ON u.k = c_custkey
+    UNION ALL
+    SELECT c_custkey, u.seg, DATE '2024-01-01', NULL, TRUE
+    FROM customer JOIN upd u ON u.k = c_custkey
+    WHERE u.seg <> c_mktsegment
+    """,
+    "SCD type-2 dimension upsert (extension; the MERGE-INTO shape on "
+    "plain parquet — the interval-versioned sibling of K5's type-1 "
+    "codebook overwrite, producing the validity intervals J9 as-of "
+    "joins consume): the customer dimension is seeded as all-current, "
+    "an update batch derives each ordering customer's new segment from "
+    "their latest order's priority (priority '1-URGENT' keeps the old "
+    "segment, exercising the no-op branch), and scd2_apply closes "
+    "changed rows at the batch date, opens new current versions, and "
+    "passes unchanged rows through. One key-partitioned join; history "
+    "never shuffles; no broadcast hints — AQE sizes the batch. The "
+    "oracle re-derives the full post-state relationally. Library: "
+    "operators.scd.scd2_apply.",
+)
+def scd2_segment_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust, orders = t["customer"], t["orders"]
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    latest = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+            ).alias("m")
+        )
+        .select("o_custkey", F.col("m.o_orderpriority").alias("prio"))
+    )
+    updates = (
+        latest.join(cust, latest.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            F.when(
+                F.substring("prio", 1, 1) == "1", F.col("c_mktsegment")
+            )
+            .otherwise(F.concat(F.lit("SEG-"), F.substring("prio", 1, 1)))
+            .alias("segment"),
+            F.lit("2024-01-01").cast("date").alias("effective_date"),
+        )
+    )
+    return scd2_apply(
+        dim, updates, key_cols=["c_custkey"], attr_cols=["segment"]
+    )
