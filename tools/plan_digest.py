@@ -208,6 +208,15 @@ def digest_all(
     prev_meta = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    # Digest from a CLEAN cache: a cache entry created earlier in the
+    # session under AQE-on renders its full adaptive plan inside
+    # InMemoryTableScan, inflating exchange counts vs the committed
+    # baseline (found round 11 — the gate flaked when another test file
+    # had persisted the shared frames snapshot first). Clearing here
+    # means every cache entry the sweep observes was created inside
+    # this AQE-off context, making digests independent of prior
+    # session state.
+    spark.catalog.clearCache()
     out: dict[str, dict] = {}
     try:
         for name in names:

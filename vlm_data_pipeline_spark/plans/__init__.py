@@ -122,7 +122,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # Round-8: curation_quality_audit (green r03-r07) cedes to
     # curation_gopher_extended — the never-graded extended rule set
     # over the same feature program (strictly more rules graded)
-    "curation_gopher_extended",
     # Round-7 rotation, slots from text_lang_id / multimodal_binary_
     # stats / curation_stratified_sample / curation_scrub_pii /
     # curation_clean_lines / retrieval_bm25 / dedup_winnow_pairs /
@@ -212,11 +211,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # tail (new r9; closes the round-8 rows-only window exception via
     # an independent driver-side reference pass inlined as VALUES)
     "warc_parse_records",  # WARC record parser (stream-bounded scan)
-    "multimodal_phash_neardup",  # banded pHash near-dup pairs
     "layout_compaction_plan",  # small-file compaction planner
     "audio_frame_energy",  # frame-level RMS energy (audio family)
     "retrieval_hard_negatives",  # BM25 hard-negative mining funnel
-    "dedup_corpus_overlap",  # cross-corpus n-gram overlap report
     # Round-10 wave 2 seated entries: the FINAL eight never-driver-
     # graded oracled queries (every oracle-expressible entry in the
     # registry has now held a graded window slot at least once; all
@@ -268,6 +265,20 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "w2_first_per_group",  # W2 first-per-(frame,category) window
     "o4_deterministic_sample",  # O4 hash-seeded deterministic sampling
     "q1_pricing_summary",  # TPC-H Q1 pricing summary (A8 distribution)
+    # Round-11 late wave: the three operators BUILT this round seat
+    # immediately (all fully value-oracled — the never-driver-graded
+    # oracled pool stays at zero). Displaced: curation_gopher_extended
+    # (green r08-r10; the extended rule program stays value-checked
+    # in-window through curation_clean_pipeline's composed quality
+    # oracle), multimodal_phash_neardup (green r09-r10; banded-hamming
+    # machinery stays sim+pytest and the multimodal family keeps
+    # audio_frame_energy plus the two new container/codec rows),
+    # dedup_corpus_overlap (green r09-r10; the cross-corpus n-gram
+    # shape is re-proven by the just-seated curation_corpus_diff, and
+    # dedup keeps dedup_incremental_batch in-window).
+    "audio_flac_roundtrip",  # FLAC encode->decode pipe, value-oracled
+    "wds_shard_roundtrip",  # WebDataset tar-shard pack/unpack pipe
+    "scd2_segment_upsert",  # SCD2 interval-versioned dimension upsert
 )
 
 
