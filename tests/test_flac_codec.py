@@ -350,6 +350,21 @@ def test_package_encoder_round_trip_multiframe():
         enc([300], 8000, 8)
 
 
+def test_package_encoder_short_input_declares_conforming_blocksize():
+    """RFC 9639 §8.2: STREAMINFO min/max block size must be >= 16 even
+    for inputs shorter than 16 samples — the (short) last frame is
+    allowed below the declared minimum, a sub-16 declaration is not
+    (ADVICE r11)."""
+    from vlm_data_pipeline_spark.sources.flac_codec import encode_flac as enc
+
+    blob = enc([1, -2, 3], 8000, 16)
+    # STREAMINFO payload starts at byte 8: min blocksize u16, max u16
+    assert int.from_bytes(blob[8:10], "big") == 16
+    assert int.from_bytes(blob[10:12], "big") == 16
+    au = decode_flac(blob)  # full CRC-8/CRC-16/MD5 self-verification
+    assert _ints(au, 16)[:, 0].tolist() == [1, -2, 3]
+
+
 def test_coded_number_writer_inverse():
     from vlm_data_pipeline_spark.sources.flac_codec import (
         _Bits,

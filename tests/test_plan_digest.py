@@ -309,6 +309,22 @@ def test_agg_bounds_rules():
     )
     # not an aggregate line at all
     assert not _agg_bounds("Project [o_custkey#3L]")
+    # ADVICE r11: fact-derived 'n_'-prefixed columns must NOT exempt —
+    # the old prefix rule false-exempted documents.n_chars / n_members
+    assert not _agg_bounds(
+        "HashAggregate(keys=[n_chars#12L], functions=[count(1)])"
+    )
+    assert not _agg_bounds(
+        "HashAggregate(keys=[n_members#4, n_samples#6], functions=[])"
+    )
+    # ADVICE r11: SortAggregate renders `key=` singular — must match
+    assert _agg_bounds(
+        "SortAggregate(key=[n_name#5], functions=[max(r_name#9)])"
+    )
+    assert not _agg_bounds(
+        "SortAggregate(key=[o_custkey#3L], functions=[])"
+    )
+    assert _agg_bounds("SortAggregate(key=[], functions=[count(1)])")
 
 
 def test_fact_bc_hint_isolation(spark, sf_dir):

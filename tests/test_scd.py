@@ -81,6 +81,31 @@ def test_scd2_null_safe_attr_compare(spark):
     assert (1, None, 10, "2020-01-01", "2024-01-01", False) in _snap(out2)
 
 
+def test_scd2_history_only_key_reopens(spark):
+    """A key that exists ONLY as history (closed by an earlier batch,
+    no current row) must RE-OPEN as a new current row when an update
+    arrives — not silently vanish (ADVICE r11: the anti-join must key
+    on the current slice, not the whole dimension)."""
+    dim = _dim(
+        spark,
+        [
+            # k=1 was closed in 2021 and never re-opened: history only
+            (1, "old", 5, D(2019, 1, 1), D(2021, 1, 1), False),
+            # k=2 is a normal live key, untouched by the batch
+            (2, "y", 20, D(2020, 1, 1), None, True),
+        ],
+    )
+    upd = _upd(spark, [(1, "back", 6, D(2024, 1, 1))])
+    out = scd2_apply(dim, upd, ["k"], ["a", "b"])
+    assert _snap(out) == {
+        (1, "old", 5, "2019-01-01", "2021-01-01", False),  # history kept
+        (1, "back", 6, "2024-01-01", "None", True),  # re-opened
+        (2, "y", 20, "2020-01-01", "None", True),
+    }
+    cur = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
 def test_scd2_empty_batch_is_identity(spark):
     dim = _dim(
         spark,

@@ -63,6 +63,28 @@ def test_tar_members_and_first_dot_grouping(spark):
     assert bytes(samples["s2"].exts["txt"]) == b"other"
 
 
+def test_dotted_directory_components_group_by_basename(spark):
+    """ADVICE r11: a dot in a directory component must NOT truncate the
+    sample key — 'v1.2/000123.jpg' keys as 'v1.2/000123' (the WebDataset
+    basename rule), not 'v1' (which misgrouped unrelated members into
+    one sample and then aborted on duplicate extensions)."""
+    rows = [
+        (3, "v1.2/000123.jpg", b"img-a"),
+        (3, "v1.2/000123.txt", b"cap-a"),
+        (3, "v1.2/000456.jpg", b"img-b"),  # old rule: same key 'v1'
+        (3, "plain.txt", b"no-dir"),
+    ]
+    shards = wds.pack_shards(_members_df(spark, rows))
+    samples = {
+        r.key: r for r in wds.wds_samples(wds.tar_members(shards)).collect()
+    }
+    assert set(samples) == {"v1.2/000123", "v1.2/000456", "plain"}
+    a = samples["v1.2/000123"].exts
+    assert set(a) == {"jpg", "txt"} and bytes(a["txt"]) == b"cap-a"
+    assert set(samples["v1.2/000456"].exts) == {"jpg"}
+    assert bytes(samples["plain"].exts["txt"]) == b"no-dir"
+
+
 def test_read_tar_shards_binaryfile(spark, tmp_path):
     p = tmp_path / "shard-000000.tar"
     buf = io.BytesIO()

@@ -81,12 +81,23 @@ FACT_TABLES = (
 # so only aggregates that PROVABLY bound are exempt (see _agg_bounds).
 _BC_BOUNDING = ("Limit", "TakeOrdered")
 
-# Column prefixes of the two true dimension tables (25 / 5 rows, scale-
-# invariant). A grouped aggregate whose every key comes from these
-# bounds its output cardinality by construction.
-_DIM_COL_PREFIXES = ("n_", "r_")
+# Full column names of the two true dimension tables (25 / 5 rows,
+# scale-invariant). A grouped aggregate whose every key comes from these
+# bounds its output cardinality by construction. Exact names, not
+# prefixes (ADVICE r11): fact-derived columns like documents.n_chars /
+# n_members / n_samples would prefix-match 'n_' and false-exempt an
+# unbounded fact broadcast from the gate.
+_DIM_COLS = frozenset(
+    {
+        "n_nationkey", "n_name", "n_regionkey", "n_comment",
+        "r_regionkey", "r_name", "r_comment",
+    }
+)
 
-_AGG_KEYS = re.compile(r"Aggregate\(keys=\[([^\]]*)\]")
+# HashAggregate/ObjectHashAggregate render `keys=[...]`; SortAggregate
+# renders `key=[...]` (ADVICE r11: the keys=-only regex missed it,
+# flagging genuinely bounded SortAggregate subtrees).
+_AGG_KEYS = re.compile(r"Aggregate\(keys?=\[([^\]]*)\]")
 
 
 def _agg_bounds(node_first_line: str) -> bool:
@@ -101,8 +112,9 @@ def _agg_bounds(node_first_line: str) -> bool:
     keys = [k.strip() for k in m.group(1).split(",") if k.strip()]
     if not keys:
         return True  # global aggregate -> exactly one row
+    # a rendered key is `colname#exprId` (possibly `L`-suffixed typed id)
     return all(
-        k.lower().startswith(_DIM_COL_PREFIXES) for k in keys
+        k.split("#", 1)[0].lower() in _DIM_COLS for k in keys
     )
 
 

@@ -13,13 +13,20 @@ it runs on plain parquet and keeps the whole plan visible to Catalyst.
 Scale shape (the part that matters at a 100 TB dimension):
 
 - ONE shuffle: the current slice joins the update batch on the key
-  (left join); history NEVER shuffles — it unions back in untouched,
-  so a dimension with years of closed rows pays only for its current
-  slice plus the batch.
+  (left join); history NEVER shuffles — it unions back in untouched
+  and takes part in NO join (the new-key anti-join is against the
+  CURRENT slice's keys only), so a dimension with years of closed rows
+  pays only for its current slice plus the batch.
 - the anti-join for brand-new keys reuses the same key partitioning;
   AQE broadcasts the batch when it measures small (typical CDC batches
   are) and shuffles when it doesn't — no forced hints (VERDICT r10 #1
   discipline).
+- re-insert semantics: an update whose key exists ONLY as history (it
+  was closed by an earlier batch and has no current row) RE-OPENS as a
+  new current row — the anti-join keys on the current slice, so a
+  deleted-then-reappearing key in a CDC feed is never silently dropped
+  (it gets a fresh ``valid_from`` = the batch effective date; the old
+  closed intervals stay untouched).
 - change detection is a null-safe attribute comparison (`<=>`) in
   whole-stage codegen; no UDFs anywhere.
 
@@ -98,8 +105,12 @@ def scd2_apply(
         F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+    # Anti-join against CURRENT keys only: a key that exists solely as
+    # history (closed by an earlier batch) must re-open as a new current
+    # row, not vanish. Keying on `cur` (not `dim`) also keeps history
+    # out of every join in the plan.
     fresh = (
-        upd.join(dim.select(*key_cols).distinct(), key_cols, "left_anti")
+        upd.join(cur.select(*key_cols), key_cols, "left_anti")
         .select(
             *key_cols, *attr_cols,
             F.col(effective_col).alias("valid_from"),

@@ -74,6 +74,36 @@ def generate_all(
         # would double-execute the synthesis under AQE (df.rdd runs the
         # query stages eagerly).
         frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
+        # Corpus-level modality precheck — P1 at dataset granularity,
+        # exactly what the reference does before running generators
+        # (generate_qa.py:110-122 only schedules a dataset's task list
+        # when its records carry the needed box modality). One tiny
+        # aggregate over the snapshot (which must materialize anyway)
+        # decides which task families CAN yield; a task whose modality
+        # is absent corpus-wide is dropped instead of burning a full
+        # cache scan to produce zero rows. Output-identical by
+        # construction — the per-task routing filter below would have
+        # rejected every row. Measured: the four vacuous 2D branches
+        # cost ~2s of the 10-task union at sf0.1 (round 12). Skipped
+        # under persist=False (composability) and streaming (no action
+        # allowed); those paths keep the lazy per-task filters only.
+        flags = frames.agg(
+            F.max(F.size("bounding_boxes_3d")).alias("m3"),
+            F.max(F.size("bounding_boxes_2d")).alias("m2"),
+        ).first()
+        has_3d = (flags["m3"] or 0) > 0
+        has_2d = (flags["m2"] or 0) > 0
+        pruned = [
+            n for n in names
+            if (has_3d if n in TASKS_3D else has_2d)
+        ]
+        if not pruned:  # no modality present: provably-empty union
+            fr = frames.filter(F.lit(False))
+            return (
+                TASKS[names[0]](fr)
+                .withColumn("task", F.lit(names[0]))
+            )
+        names = pruned
     outs = []
     for name in names:
         fr = frames

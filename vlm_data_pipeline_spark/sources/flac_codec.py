@@ -476,9 +476,15 @@ def encode_flac(samples, sample_rate: int, bps: int = 16) -> bytes:
             for row in arr for v in row
         )
     )
+    # RFC 9639 §8.2: STREAMINFO min/max block size must be >= 16. The
+    # LAST frame is allowed to be shorter than the declared minimum, so
+    # for inputs under 16 samples we still declare 16 and write the one
+    # short frame (ADVICE r11: declaring min(4096, n) < 16 produced a
+    # technically non-conforming stream strict decoders may reject).
+    decl_block = max(16, min(block, n))
     si = _BitsW()
-    si.u(min(block, n), 16)
-    si.u(min(block, n), 16)
+    si.u(decl_block, 16)
+    si.u(decl_block, 16)
     si.u(0, 24)
     si.u(0, 24)
     si.u(sample_rate, 20)

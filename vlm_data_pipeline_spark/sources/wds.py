@@ -105,12 +105,26 @@ def tar_members(
 
 def wds_samples(members: DataFrame) -> DataFrame:
     """Group member rows into WebDataset samples: the key is the member
-    name up to the FIRST dot, the extension everything after it; one
-    output row per (shard_id, key) with an ext→payload map. Pure
-    relational (split + groupBy + map_from_entries) — the one shuffle
-    of the read path, on rows that already carry the payloads."""
-    key = F.substring_index(F.col("name"), ".", 1)
-    ext = F.expr("substring(name, length(substring_index(name, '.', 1)) + 2)")
+    path up to the first dot OF THE BASENAME (directory components keep
+    their dots — ``v1.2/000123.jpg`` keys as ``v1.2/000123``, the
+    WebDataset rule; ADVICE r11: splitting at the first dot of the full
+    path misgrouped under dotted directories), the extension everything
+    after that dot; one output row per (shard_id, key) with an
+    ext→payload map. Pure relational (split + groupBy +
+    map_from_entries) — the one shuffle of the read path, on rows that
+    already carry the payloads."""
+    base = F.substring_index(F.col("name"), "/", -1)
+    stem = F.substring_index(base, ".", 1)
+    dirp = F.expr(
+        "substring(name, 1, length(name) "
+        "- length(substring_index(name, '/', -1)))"
+    )
+    key = F.concat(dirp, stem)
+    ext = F.expr(
+        "substring(substring_index(name, '/', -1), "
+        "length(substring_index(substring_index(name, '/', -1), '.', 1))"
+        " + 2)"
+    )
     return (
         members.select(
             "shard_id",
