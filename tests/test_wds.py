@@ -8,6 +8,7 @@ import io
 import tarfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from vlm_data_pipeline_spark.sources import wds
 
@@ -83,6 +84,61 @@ def test_dotted_directory_components_group_by_basename(spark):
     assert set(a) == {"jpg", "txt"} and bytes(a["txt"]) == b"cap-a"
     assert set(samples["v1.2/000456"].exts) == {"jpg"}
     assert bytes(samples["plain"].exts["txt"]) == b"no-dir"
+
+
+def test_assign_shards_by_bytes_honors_target_under_skew(spark):
+    """VERDICT r11 #6: byte-targeted packing must keep every shard near
+    target_bytes even when payload sizes are heavily skewed (fixed-count
+    sharding packs 20 thumbnails in one shard and 20 videos in the
+    next). Bound: a shard never exceeds target + its one straddling
+    sample; both members of a sample land in the same shard; the
+    assignment is deterministic across runs."""
+    rows = []
+    for i in range(120):
+        # skew: every 10th sample is 100x bigger
+        size = 50_000 if i % 10 == 0 else 500
+        rows.append((0, f"s{i:04d}.bin", bytes(size)))
+        rows.append((0, f"s{i:04d}.txt", b"x" * 10))
+    m = _members_df(spark, rows)
+    target = 60_000
+    out = wds.assign_shards_by_bytes(m, target_bytes=target, n_buckets=4)
+    got = out.select("sample", "shard_id", "sample_bytes").collect()
+    by_sample = {}
+    for r in got:
+        by_sample.setdefault(r.sample, set()).add(r.shard_id)
+    # each sample maps to exactly one shard (both members co-located)
+    assert all(len(s) == 1 for s in by_sample.values())
+    # per-shard byte totals: never exceed target + one straddler
+    shard_bytes: dict = {}
+    max_sample = 0
+    seen = set()
+    for r in got:
+        if r.sample in seen:
+            continue
+        seen.add(r.sample)
+        shard_bytes[r.shard_id] = shard_bytes.get(r.shard_id, 0) + r.sample_bytes
+        max_sample = max(max_sample, r.sample_bytes)
+    assert max(shard_bytes.values()) <= target + max_sample
+    # the skewed corpus spreads across many shards, not a fixed count
+    assert len(shard_bytes) >= 4
+    # deterministic: identical re-run, identical assignment
+    again = {
+        (r.sample, r.shard_id)
+        for r in wds.assign_shards_by_bytes(
+            m, target_bytes=target, n_buckets=4
+        ).select("sample", "shard_id").collect()
+    }
+    assert again == {(r.sample, r.shard_id) for r in got}
+    # pack_shards over the assignment produces valid shards
+    shards = wds.pack_shards(out)
+    total = shards.agg(F.sum("n_members")).collect()[0][0]
+    assert total == 240
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="target_bytes"):
+        wds.assign_shards_by_bytes(m, target_bytes=0)
+    with _pt.raises(ValueError, match="n_buckets"):
+        wds.assign_shards_by_bytes(m, target_bytes=10, n_buckets=0)
 
 
 def test_read_tar_shards_binaryfile(spark, tmp_path):

@@ -4911,29 +4911,55 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Byte-targeted WDS demo knobs (VERDICT r11 #6): small enough that the
+# sf0.01 corpus spreads over dozens of shards, scale-free upward.
+_WDS_TARGET_BYTES = 16384
+_WDS_BUCKETS = 8
+
+
 @register(
     "wds_shard_roundtrip",
-    """
+    f"""
+WITH m AS (
+    SELECT doc_id, printf('doc_%09d', doc_id) AS sample,
+           CAST(strlen(text)
+                + strlen('{{"lang":"' || lang || '"}}') AS BIGINT)
+               AS sample_bytes,
+           CAST(length(text) AS BIGINT) AS txt_chars, lang
+    FROM documents
+), bkt AS (
+    SELECT *, {_d_hash32("sample")} % {_WDS_BUCKETS} AS _bkt FROM m
+), cum AS (
+    SELECT *, COALESCE(SUM(sample_bytes) OVER (
+                   PARTITION BY _bkt ORDER BY sample
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS _before
+    FROM bkt
+)
 SELECT doc_id,
-       CAST(doc_id // 20 AS BIGINT) AS shard_id,
-       printf('doc_%09d', doc_id) AS key,
+       CAST((_before // {_WDS_TARGET_BYTES}) * {_WDS_BUCKETS} + _bkt
+            AS BIGINT) AS shard_id,
+       sample AS key,
        CAST(2 AS INT) AS n_members,
-       CAST(length(text) AS BIGINT) AS txt_chars,
+       txt_chars,
        lang
-FROM documents
+FROM cum
 """,
     "WebDataset tar-shard round trip (extension; S10/K-family sibling — "
     "the de-facto container for 100 TB multimodal training corpora): "
     "each document becomes a two-member sample ({key}.txt + {key}.json), "
-    "20 samples pack into one deterministic USTAR shard per group "
-    "(sources.wds.pack_shards, applyInPandas), the shards fan back out "
-    "to members (tar_members, mapInPandas) and regroup into samples by "
-    "the WebDataset first-dot rule (wds_samples, relational groupBy + "
-    "map_from_entries). The oracle recomputes every output column "
-    "directly from the source table: write->read determinism makes the "
-    "whole container pipe value-checkable. Shard = unit of parallelism "
-    "and of memory, the property that scales to 1000 executors. "
-    "Library: sources.wds.",
+    "samples pack into ~16 KiB shards BY CUMULATIVE PAYLOAD BYTES "
+    "(sources.wds.assign_shards_by_bytes — md5-bucketed per-bucket "
+    "running totals, the pack_bins shape, so pack_shards honors its "
+    "memory contract under skewed payloads; VERDICT r11 #6), each "
+    "shard is a deterministic USTAR tar (pack_shards, applyInPandas), "
+    "the shards fan back out to members (tar_members, mapInPandas) and "
+    "regroup into samples by the WebDataset basename first-dot rule "
+    "(wds_samples). The oracle recomputes every output column — "
+    "INCLUDING the byte-derived shard assignment (hash bucket + window "
+    "running sum in SQL) — directly from the source table. Shard = "
+    "unit of parallelism and of memory at 1000 executors. Library: "
+    "sources.wds.",
 )
 def wds_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import wds
@@ -4942,8 +4968,6 @@ def wds_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.format_string("doc_%09d", F.col("doc_id"))
     members = (
         docs.select(
-            F.expr("doc_id DIV 20").alias("shard_id"),
-            key.alias("key"),
             F.array(
                 F.struct(
                     F.concat(key, F.lit(".txt")).alias("name"),
@@ -4957,10 +4981,13 @@ def wds_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("ms"),
         )
-        .select("shard_id", F.explode("ms").alias("m"))
-        .select("shard_id", "m.name", "m.payload")
+        .select(F.explode("ms").alias("m"))
+        .select("m.name", "m.payload")
     )
-    shards = wds.pack_shards(members)
+    sharded = wds.assign_shards_by_bytes(
+        members, target_bytes=_WDS_TARGET_BYTES, n_buckets=_WDS_BUCKETS
+    )
+    shards = wds.pack_shards(sharded)
     samples = wds.wds_samples(wds.tar_members(shards))
     return samples.select(
         F.regexp_extract(F.col("key"), r"doc_(\d+)", 1)

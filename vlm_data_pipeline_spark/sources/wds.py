@@ -35,7 +35,7 @@ import tarfile
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -43,8 +43,22 @@ __all__ = [
     "read_tar_shards",
     "tar_members",
     "wds_samples",
+    "sample_key",
+    "assign_shards_by_bytes",
     "pack_shards",
 ]
+
+
+def sample_key(name: Column) -> Column:
+    """WebDataset sample key of a member path: everything up to the
+    first dot OF THE BASENAME (directory components keep their dots).
+    Shared by :func:`wds_samples` (read-side grouping) and
+    :func:`assign_shards_by_bytes` (write-side packing) so both sides
+    agree on what a sample is."""
+    base = F.substring_index(name, "/", -1)
+    stem = F.substring_index(base, ".", 1)
+    dirp = F.substring(name, F.lit(1), F.length(name) - F.length(base))
+    return F.concat(dirp, stem)
 
 
 def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
@@ -113,13 +127,7 @@ def wds_samples(members: DataFrame) -> DataFrame:
     ext→payload map. Pure relational (split + groupBy +
     map_from_entries) — the one shuffle of the read path, on rows that
     already carry the payloads."""
-    base = F.substring_index(F.col("name"), "/", -1)
-    stem = F.substring_index(base, ".", 1)
-    dirp = F.expr(
-        "substring(name, 1, length(name) "
-        "- length(substring_index(name, '/', -1)))"
-    )
-    key = F.concat(dirp, stem)
+    key = sample_key(F.col("name"))
     ext = F.expr(
         "substring(substring_index(name, '/', -1), "
         "length(substring_index(substring_index(name, '/', -1), '.', 1))"
@@ -137,6 +145,84 @@ def wds_samples(members: DataFrame) -> DataFrame:
                 F.array_sort(F.collect_list("kv"))
             ).alias("exts")
         )
+    )
+
+
+def assign_shards_by_bytes(
+    members: DataFrame,
+    target_bytes: int,
+    n_buckets: int = 64,
+    name_col: str = "name",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Assign every member a ``shard_id`` such that each output shard
+    packs ~``target_bytes`` of payload — the helper that makes
+    :func:`pack_shards` honor its own 100 MB-1 GB memory contract under
+    SKEWED payload sizes (VERDICT r11 #6: a fixed-count shard key packs
+    one shard with 20 thumbnails and the next with 20 videos).
+
+    Same scale shape as ``operators.curation.pack_bins`` (the
+    token-budget sibling): samples hash into ``n_buckets`` deterministic
+    buckets (md5-derived ``hash32`` — partition-independent and
+    re-derivable by any engine), a PER-BUCKET running byte total
+    (bounded window — never a global sort) places each sample at
+    ``floor(bytes_before / target_bytes)`` within its bucket, and
+    ``shard_id = seq * n_buckets + bucket`` keeps ids injective.
+    Contiguous packing: a shard can overflow by its last straddling
+    sample (shards are ~target ± one sample); each bucket's final shard
+    may run short, so at most ``n_buckets`` underfull tails exist —
+    size ``n_buckets`` to taste (it is also the packing parallelism).
+    Members of one sample always land in one shard: assignment is per
+    SAMPLE (the basename rule via :func:`sample_key`), then joined back
+    onto the member rows — one key-partitioned join, no skew hazard
+    (sample keys are unique in the sizes table).
+
+    Returns the input columns + (``sample``, ``shard_id``,
+    ``sample_bytes``); pre-existing columns with those names are
+    REPLACED (re-sharding an already-sharded member table is the main
+    use)."""
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from ..functions.text import hash32
+
+    key = sample_key(F.col(name_col))
+    sized = (
+        members.select(
+            key.alias("sample"),
+            F.octet_length(F.col(payload_col)).alias("_b"),
+        )
+        .groupBy("sample")
+        .agg(F.sum("_b").alias("sample_bytes"))
+        .withColumn(
+            "_bkt", F.pmod(hash32(F.col("sample")), F.lit(n_buckets))
+        )
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("sample"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(
+        F.sum("sample_bytes").over(w), F.lit(0).cast("long")
+    )
+    assign = sized.select(
+        "sample",
+        "sample_bytes",
+        (
+            F.floor(before / F.lit(target_bytes)) * n_buckets
+            + F.col("_bkt")
+        ).alias("shard_id"),
+    )
+    reserved = [
+        c for c in ("sample", "shard_id", "sample_bytes")
+        if c in members.columns
+    ]
+    return (
+        members.drop(*reserved)
+        .withColumn("sample", sample_key(F.col(name_col)))
+        .join(assign, "sample")
     )
 
 
