@@ -329,14 +329,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    None,
+    f"""
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS n_results,
+       TRUE AS rerank_exact,
+       TRUE AS batch_recall_ge_half
+FROM embeddings
+WHERE vec_id % 100 = 0 AND vec_id < {_ANN_QUERY_CAP}
+""",
     "IVF ANN (extension; the scale path beyond LSH): KMeans coarse "
-    "quantizer (pyspark.ml, distributed fit) → inverted-list assignment → "
-    "probe nprobe nearest lists per query → exact integer-scaled rerank. "
-    "Rows-only driver check (the KMeans fit is iterative, not "
-    "SQL-expressible); recall vs the brute-force baseline is pinned in "
-    "tests/test_dedup_similarity.py. Library: operators.similarity."
-    "ivf_ann_topk.",
+    "quantizer (pyspark.ml, distributed fit, fixed seed) → inverted-"
+    "list assignment → probe nprobe nearest lists per query → exact "
+    "integer-scaled rerank. GUARANTEE-witness oracle (VERDICT r11 #5 — "
+    "the KMeans fit is iterative, not SQL-expressible, so the "
+    "NEIGHBORS are not oracle-comparable; the operator's contract is): "
+    "per query the row asserts k results returned, every returned "
+    "cosine EXACTLY equal to the brute-force cosine of that pair (the "
+    "rerank-exactness invariant — integer-scaled dot products, so "
+    "equality is exact, not approximate), and batch recall@5 vs brute "
+    "force >= 0.5 (the tests/test_dedup_similarity.py bound, here "
+    "driver-graded). A broken list assignment, lossy rerank, or "
+    "vanished query all fail the row set. Library: operators."
+    "similarity.ivf_ann_topk / brute_force_topk.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -344,7 +358,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_QUERY_CAP)
     ).limit(_ANN_QUERY_CAP // 100)  # no-op cap; plants a bounding Limit
     # node so the fact_bc/fact_bc_hint detector PROVES the batch bounded
-    return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, nprobe=4)
+    ivf = similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, nprobe=4)
+    brute = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id",
+        F.col("neighbor_id").alias("b_neighbor"),
+    )
+    # rerank-exactness: every IVF pair's cosine must equal the exact
+    # cosine of the SAME pair (IVF may legitimately return different
+    # neighbors than brute top-5; their scores must still be exact), so
+    # compare against a deep brute list covering every possible pair.
+    pair_cos = similarity.brute_force_topk(
+        emb, queries, k=1 << 30
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("cosine").alias("exact_cosine"),
+    )
+    checked = ivf.join(pair_cos, ["query_id", "neighbor_id"], "left")
+    per_query = checked.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.min(
+            F.col("exact_cosine").isNotNull()
+            & (F.col("cosine") == F.col("exact_cosine"))
+        ).alias("rerank_exact"),
+    )
+    hits = (
+        ivf.join(brute, ["query_id"])
+        .filter(F.col("neighbor_id") == F.col("b_neighbor"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = brute.agg(F.count("*").alias("n_brute"))
+    recall_flag = hits.crossJoin(totals).select(
+        (F.col("n_hits") * 2 >= F.col("n_brute")).alias(
+            "batch_recall_ge_half"
+        )
+    )
+    return per_query.crossJoin(recall_flag)
 
 
 # ---------------------------------------------------------------------------
@@ -3634,34 +3683,66 @@ def embeddings_pca_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embeddings_pca_project",
-    None,  # rows-only: eigendecomposition is not SQL-re-derivable
+    """
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                 * CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+            AS BIGINT) AS vec_norm2,
+       CAST(4 AS INT) AS pca_dim,
+       TRUE AS proj_contracts
+FROM embeddings WHERE embedding IS NOT NULL
+""",
     "End-to-end PCA (extension): fit on the embeddings table (one "
     "O(d²)-key scatter aggregation + driver numpy eigh of the 64x64 "
     "covariance — the KMeans/PQ driver-coordinated pattern) and "
     "project every vector to the top-4 components as a zero-shuffle "
-    "in-row fold with the 4x64 matrix riding the plan. The fit's "
-    "distributed aggregate is value-oracled by embeddings_pca_scatter; "
-    "fit+project numerics are numpy-parity-pinned in "
-    "tests/test_decomposition.py. Library: operators.decomposition.",
+    "in-row fold with the 4x64 matrix riding the plan. GUARANTEE-"
+    "witness oracle (VERDICT r11 #5 — the eigendecomposition is not "
+    "SQL-re-derivable, so pc values are not oracle-comparable; the "
+    "operator's invariants are): per vector the row asserts the exact "
+    "1e4-quantized integer squared norm (value-checked in both "
+    "engines — the float32 elements quantize identically, the _D_DOT "
+    "discipline), the "
+    "projected dimensionality, and the contraction property "
+    "||P(x - mean)|| <= ||x - mean|| + eps that any orthonormal "
+    "projection must satisfy — a wrong component matrix (non-"
+    "orthonormal rows, scale blowup) or a lost/duplicated vector fails "
+    "the row set. The fit's distributed aggregate is value-oracled by "
+    "embeddings_pca_scatter; fit+project numerics are numpy-parity-"
+    "pinned in tests/test_decomposition.py. Library: operators."
+    "decomposition.",
 )
 def embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.decomposition import pca_fit, pca_project
 
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].filter(
+        F.col("embedding").isNotNull()
+    )
     model = pca_fit(emb, k=4)
     out = pca_project(emb, model)
+    v = F.col("embedding")
+    sq = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    # the projection is of the CENTERED vector: compare against the
+    # centered norm, with a 1e-6 slack for the float fold (the exact
+    # inequality holds in real arithmetic for orthonormal components)
+    mean = F.array(*[F.lit(float(m)) for m in model.mean])
+    centered = F.zip_with(v, mean, lambda x, m: x.cast("double") - m)
     return out.select(
         "vec_id",
-        F.round(F.element_at("pca", 1), 6).alias("pc1"),
-        F.round(F.element_at("pca", 2), 6).alias("pc2"),
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.col("pca"), F.lit(0.0), lambda a, x: a + x * x
-                )
-            ),
-            6,
-        ).alias("pca_norm"),
+        F.aggregate(
+            v,
+            F.lit(0).cast("long"),
+            lambda a, x: a
+            + F.round(x.cast("double") * 10000).cast("long")
+            * F.round(x.cast("double") * 10000).cast("long"),
+        ).alias("vec_norm2"),
+        F.size("pca").alias("pca_dim"),
+        (sq(F.col("pca")) <= sq(centered) + F.lit(1e-6)).alias(
+            "proj_contracts"
+        ),
     )
 
 
@@ -4178,15 +4259,27 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_hll_cardinality",
-    None,  # rows-only: Datasketches register internals are not SQL-re-derivable
+    f"""
+WITH toks AS (
+    SELECT source, unnest({_D_TOKS}) AS w FROM documents
+)
+SELECT source,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct,
+       TRUE AS within_5pct
+FROM toks GROUP BY source
+""",
     "Per-source HyperLogLog distinct-token cardinality via the native "
     "Datasketches aggregate — the mergeable-store face of A-family "
-    "distinct counting (estimates carry the sketch's published ~1.6% "
-    "error at lg_k=12 and are deliberately NOT value-oracled: the "
-    "estimator is order/batching-sensitive within its envelope, see "
-    "operators.sketch docstring; merge/tolerance behavior is pinned in "
-    "tests/test_sketch.py). Library: operators.sketch."
-    "hll_group_sketches / hll_estimates.",
+    "distinct counting. GUARANTEE-witness oracle (VERDICT r11 #5): the "
+    "raw estimate is order/batching-sensitive within its envelope and "
+    "so not value-checkable (operators.sketch docstring), but the "
+    "published error bound IS — the query emits the exact per-group "
+    "distinct (countDistinct) next to a flag asserting the HLL "
+    "estimate landed within 5% of it (3 sigma at lg_k=12 is ~4.9%), "
+    "and the oracle re-derives the exact count and asserts the flag. "
+    "A wrong sketch (bad register merge, lost groups) fails the row; "
+    "merge/tolerance behavior is further pinned in tests/test_sketch."
+    "py. Library: operators.sketch.hll_group_sketches / hll_estimates.",
 )
 def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -4194,7 +4287,21 @@ def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(T.tokens(F.col("text"))).alias("w")
     )
     store = sketch_ops.hll_group_sketches(toks, "source", "w")
-    return sketch_ops.hll_estimates(store, "source")
+    est = sketch_ops.hll_estimates(store, "source")
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("w").alias("exact_distinct")
+    )
+    # integer-scaled tolerance compare (plans/exact.py discipline): the
+    # estimate is a double, so scale both sides by 100 and compare as
+    # |est - exact| * 100 <= 5 * exact, avoiding ratio division.
+    return exact.join(est, "source").select(
+        "source",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct")) * 100
+            <= F.col("exact_distinct") * 5
+        ).alias("within_5pct"),
+    )
 
 
 # ---------------------------------------------------------------------------
