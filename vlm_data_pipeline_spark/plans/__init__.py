@@ -150,7 +150,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # text-corpus report.
     "events_interval_rollup",  # interval-overlap weighted rollup
     "events_pivot_activity",  # pivot (long -> wide) per-type counts
-    "events_window_overlap",  # sliding-window overlap counts
     "text_corpus_report",  # composed corpus-statistics report
     "curation_mixing_plan",  # domain-mixing proportions (plan stage)
     "curation_apply_mixing",  # deterministic mixing sampler (apply)
@@ -220,10 +219,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # eight were green in the judge's 146-oracle full re-run in r9):
     "curation_lm_score",  # CCNet-style bigram-LM perplexity score
     "curation_chunk_documents",  # boundary-aligned document chunking
-    "curation_domain_blocklist",  # URL-domain blocklist filter
     "curation_dsir_sample",  # DSIR importance-resampled selection
     "curation_shuffle_shards",  # deterministic global shuffle-to-shards
-    "curation_pareto_select",  # GPT-3 Pareto-lottery doc selection
     "embeddings_pca_scatter",  # partial-Gram PCA projection scatter
     "eval_accuracy_under_threshold",  # thresholded accuracy eval curve
     # ------------------------------------------------------------------
@@ -249,22 +246,60 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # store (countmin re-seats, bloom_probe stays), curation_compression_
     # flags (superseded by the seated full-value compression gate),
     # audio_silence_trim (audio_frame_energy stays).
-    "qa_pipeline_summary",  # E1/A9 per-task union summary (value oracle)
-    "lm_unigram_encode",  # unigram-LM Viterbi encode (witness oracle)
-    "curation_compression_gate",  # zlib compression-ratio gate (value oracle)
-    "chat_validate_flags",  # SFT structural validation flags
-    "chat_template_flatten",  # chat-template flattening
-    "chat_prompt_dedup",  # first-turn prompt dedup
     "chat_preference_pairs",  # DPO preference-pair construction
-    "warc_ingest_pipeline",  # WARC -> text ingest funnel
-    "curation_corpus_diff",  # corpus snapshot diff
-    "curation_hash_split",  # deterministic train/val/test hash split
     "code_corpus_stats",  # code-corpus language/size statistics
-    "sketch_countmin_tokens",  # Count-Min token frequency sketch
-    "w1_rank_topk",  # W1 rank-by-distance window
-    "w2_first_per_group",  # W2 first-per-(frame,category) window
-    "o4_deterministic_sample",  # O4 hash-seeded deterministic sampling
-    "q1_pricing_summary",  # TPC-H Q1 pricing summary (A8 distribution)
+    # ------------------------------------------------------------------
+    # Round-12 rotation (VERDICT r11 #2/#3/#4/#5): 18 seats turn over.
+    # Seated, wave 1 — the staleness-report fundamentals (all r01-r03,
+    # staleness 8-10 per tools/window_staleness.py) plus the priority
+    # re-seat: j2_semi_anti_split's DE-HINTED plan (r11's own fix) has
+    # never held a driver row.
+    "j2_semi_anti_split",  # E2/J2 semi+anti split, de-hinted r11
+    "frames_dataset_summary",  # K2/A4 rollup (r01; on the #1 lineage)
+    "frames_parameter_audit",  # A10 audit (r01; on the #1 lineage)
+    "j11_scene_sequences",  # J11 scene/sequence grouping (r02)
+    "eval_iou_2d",  # 2D IoU eval (r02)
+    "eval_average_precision",  # AP eval (r02)
+    "qa_object_count",  # A1 entry() flagship (r03)
+    "e1_union_entities",  # E1/E3 union (r03)
+    "word_histogram",  # F2 token histogram (r03)
+    "cube_order_stats",  # A8 cube rollup (r03)
+    "a3_median_percentile",  # A3 percentile stats (r03)
+    "sessionize_events",  # session windows (r03)
+    "text_fingerprints",  # rolling-hash fingerprints (r03)
+    # Seated, wave 2 — queries that gained oracles THIS round (the
+    # never-driver-graded oracled pool stays at zero): the two flagship
+    # full-output twins (VERDICT r11 #4) and the three guarantee-witness
+    # conversions (VERDICT r11 #5).
+    "qa_pipeline_full_check",  # full 10-task union, value-oracled twin
+    "qa_pipeline_2d_full_check",  # 2D union, value-oracled twin
+    "ann_ivf_topk",  # IVF ANN guarantee witness (rerank-exact + recall)
+    "sketch_hll_cardinality",  # HLL error-bound witness + exact counts
+    "embeddings_pca_project",  # PCA projection invariant witness
+    # Displaced to make room (every one green in CORRECTNESS_r11 with
+    # an in-window sibling keeping the family represented, + full-sim +
+    # pytest as always): qa_pipeline_summary (the summary shape stays
+    # via qa_pipeline_summary_oracle/qa_pipeline_2d_summary and the
+    # seated full_check twin is strictly stronger), lm_unigram_encode
+    # (lm_bpe_top_pairs stays), curation_compression_gate +
+    # curation_domain_blocklist + curation_pareto_select +
+    # curation_corpus_diff + curation_hash_split (curation keeps
+    # clean_pipeline, mixing x2, lm_score, chunk, dsir_sample,
+    # shuffle_shards), chat_validate_flags/template_flatten/
+    # prompt_dedup (chat_preference_pairs stays), warc_ingest_pipeline
+    # (warc_parse_records stays), sketch_countmin_tokens (bloom_probe
+    # stays + hll seats), w1_rank_topk/w2_first_per_group (W shapes
+    # re-proven by the qa_task rows and the seated cube/median pair),
+    # o4_deterministic_sample (hash-seeded draws graded inside
+    # qa_pipeline_full_check's object_3d_size options),
+    # q1_pricing_summary (A8 re-seats via cube_order_stats +
+    # a3_median_percentile), events_window_overlap (events family keeps
+    # interval_rollup, pivot, the VARIANT pair, plus sessionize_events
+    # seats), audio_flac_roundtrip (audio_frame_energy stays; the codec
+    # is pytest-pinned end-to-end). wds_shard_roundtrip and
+    # scd2_segment_upsert keep their seats: both CHANGED this round
+    # (byte-targeted shard oracle; history-only re-insert fix) and need
+    # a fresh grade under the new semantics.
     # Round-11 late wave: the three operators BUILT this round seat
     # immediately (all fully value-oracled — the never-driver-graded
     # oracled pool stays at zero). Displaced: curation_gopher_extended
@@ -276,7 +311,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_corpus_overlap (green r09-r10; the cross-corpus n-gram
     # shape is re-proven by the just-seated curation_corpus_diff, and
     # dedup keeps dedup_incremental_batch in-window).
-    "audio_flac_roundtrip",  # FLAC encode->decode pipe, value-oracled
     "wds_shard_roundtrip",  # WebDataset tar-shard pack/unpack pipe
     "scd2_segment_upsert",  # SCD2 interval-versioned dimension upsert
 )
