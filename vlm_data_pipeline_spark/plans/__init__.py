@@ -149,7 +149,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # BPE pair statistics, broadcast Bloom probe, and the composed
     # text-corpus report.
     "events_interval_rollup",  # interval-overlap weighted rollup
-    "events_pivot_activity",  # pivot (long -> wide) per-type counts
     "text_corpus_report",  # composed corpus-statistics report
     "curation_mixing_plan",  # domain-mixing proportions (plan stage)
     "curation_apply_mixing",  # deterministic mixing sampler (apply)
@@ -273,6 +272,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # conversions (VERDICT r11 #5).
     "qa_pipeline_full_check",  # full 10-task union, value-oracled twin
     "qa_pipeline_2d_full_check",  # 2D union, value-oracled twin
+    "qa_task_object_count_meta",  # metadata-JSON value oracle (last
+    # unchecked output column class; displaces events_pivot_activity —
+    # events keeps interval_rollup, the VARIANT pair, and the seated
+    # sessionize_events)
     "ann_ivf_topk",  # IVF ANN guarantee witness (rerank-exact + recall)
     "sketch_hll_cardinality",  # HLL error-bound witness + exact counts
     "embeddings_pca_project",  # PCA projection invariant witness

@@ -639,6 +639,67 @@ def qa_task_object_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "question", "answer", "answer_type")
 
 
+_QA_COUNT_META_ORACLE = r"""
+WITH boxes AS (
+    SELECT l_orderkey, string_split(p_name, ' ')[2] AS cat
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+), counts AS (
+    SELECT l_orderkey, cat, count(*) AS cnt FROM boxes GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                 ORDER BY cnt DESC, cat) AS rn
+    FROM counts
+), top AS (
+    SELECT l_orderkey, cat AS top_cat FROM ranked WHERE rn = 1
+), pf AS (
+    SELECT l_orderkey, sum(cnt) AS total, count(*) AS n_cats
+    FROM counts GROUP BY 1
+), cc AS (
+    SELECT l_orderkey,
+           '{' || string_agg('"' || cat || '":' || cnt, ',' ORDER BY cat)
+               || '}' AS cc_json
+    FROM counts GROUP BY l_orderkey
+)
+SELECT
+    'synthetic_object_count_' ||
+        md5('synthetic' || chr(31) || 'object_count' || chr(31)
+            || 'ord_' || pf.l_orderkey) AS id,
+    '{"category_counts":"' || replace(cc.cc_json, '"', '\"')
+    || '","frame_id":"","image_id":"ord_' || pf.l_orderkey
+    || '","question_type":"'
+    || CASE WHEN pf.n_cats = 1 OR pf.total <= 10
+            THEN 'category_specific' ELSE 'total_count' END
+    || '","scene_id":"","target_category":"'
+    || CASE WHEN pf.n_cats = 1 OR pf.total <= 10
+            THEN t.top_cat ELSE 'all_objects' END
+    || '","total_objects":"' || pf.total
+    || '","unit":"count"}' AS metadata
+FROM pf JOIN top t USING (l_orderkey) JOIN cc USING (l_orderkey)
+"""
+
+
+@register(
+    "qa_task_object_count_meta",
+    _QA_COUNT_META_ORACLE,
+    "Metadata-JSON VALUE oracle (round 12; closes the LAST unchecked "
+    "output column class of the QA surface): the object_count task's "
+    "to_json(metadata) string — nested category_counts JSON with its "
+    "embedded-quote escaping, sorted map key order, branch-dependent "
+    "question_type/target_category, and every stringified numeric — "
+    "re-derived character-for-character in SQL. Pins both the meta() "
+    "helper's stable key order and Spark's to_json map rendering "
+    "against an independent engine.",
+)
+def qa_task_object_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..qa import tasks3d
+
+    frames = synthetic_frames(spark, sf_dir)
+    out = tasks3d.object_count(
+        frames.filter(F.size("bounding_boxes_3d") > 0)
+    )
+    return out.select("id", F.to_json("metadata").alias("metadata"))
+
+
 _QA_CAMDIST_ORACLE = """
 WITH boxes AS (
     SELECT l_orderkey, l_linenumber,
