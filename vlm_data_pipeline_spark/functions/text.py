@@ -273,40 +273,64 @@ def repetition_counts(text: Column) -> dict[str, Column]:
         """struct(total_chars, dup_chars, n, n_dup_occurrences);
         ``sep_discount`` removes the join separators from an n-gram's
         character length (n-1 underscores), so gram chars count source
-        characters only."""
+        characters only.
+
+        Sort + run-length fold, O(n log n): the previous
+        filter-per-distinct formulation was O(n·distinct) INTERPRETED
+        (HOFs never codegen) — on sf0.1's ~500-token docs that meant
+        ~250K string compares per document for the 3-gram stats alone,
+        measured as the dominant cost of the whole quality stage (5.5s
+        → 1.3s after this rewrite, round 12). Counts are identical:
+        equal elements are adjacent after array_sort, so a run's length
+        IS the occurrence count."""
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("dup_chars"),
+            F.lit(0).cast("long").alias("n_dup"),
+            F.lit(0).cast("long").alias("total"),
+        )
+
+        def _flush_chars(acc: Column) -> Column:
+            # chars contributed by the just-ended run (0 unless dup);
+            # run >= min_count >= 2 implies prev is a real element
+            return F.when(
+                acc["run"] >= min_count,
+                acc["run"]
+                * (F.length(acc["prev"]) - sep_discount).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+
+        def _flush_occ(acc: Column) -> Column:
+            return F.when(acc["run"] >= min_count, acc["run"]).otherwise(
+                F.lit(0).cast("long")
+            )
 
         def mk(a: Column) -> Column:
-            distinct = F.array_distinct(a)
-            per = F.transform(
-                distinct,
-                lambda d: F.struct(
-                    F.size(F.filter(a, lambda x: x == d)).alias("cnt"),
-                    (F.length(d) - sep_discount).alias("len"),
-                ),
-            )
-            return F.struct(
-                F.aggregate(
-                    a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-                ).alias("total_chars"),
-                F.aggregate(
-                    per,
-                    F.lit(0).cast("long"),
-                    lambda acc, e: acc
-                    + F.when(
-                        e["cnt"] >= min_count,
-                        (e["cnt"] * e["len"]).cast("long"),
-                    ).otherwise(F.lit(0).cast("long")),
-                ).alias("dup_chars"),
-                F.size(a).cast("long").alias("n"),
-                F.aggregate(
-                    per,
-                    F.lit(0).cast("long"),
-                    lambda acc, e: acc
-                    + F.when(e["cnt"] >= min_count, e["cnt"].cast("long")).otherwise(
-                        F.lit(0).cast("long")
-                    ),
-                ).alias("n_dup_occ"),
-            )
+            def step(acc: Column, x: Column) -> Column:
+                same = acc["prev"].eqNullSafe(x)
+                return F.struct(
+                    x.alias("prev"),
+                    F.when(same, acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("long"))
+                    .alias("run"),
+                    F.when(same, acc["dup_chars"])
+                    .otherwise(acc["dup_chars"] + _flush_chars(acc))
+                    .alias("dup_chars"),
+                    F.when(same, acc["n_dup"])
+                    .otherwise(acc["n_dup"] + _flush_occ(acc))
+                    .alias("n_dup"),
+                    (acc["total"] + F.length(x)).alias("total"),
+                )
+
+            def fin(acc: Column) -> Column:
+                return F.struct(
+                    acc["total"].alias("total_chars"),
+                    (acc["dup_chars"] + _flush_chars(acc)).alias("dup_chars"),
+                    F.size(a).cast("long").alias("n"),
+                    (acc["n_dup"] + _flush_occ(acc)).alias("n_dup_occ"),
+                )
+
+            return F.aggregate(F.array_sort(a), zero, step, fin)
 
         return let(arr, mk)
 
@@ -316,21 +340,47 @@ def repetition_counts(text: Column) -> dict[str, Column]:
     # top 2-gram: highest count, lexicographically-first on ties; char
     # length excludes the (n-1) join separators
     def top2(a: Column) -> Column:
+        # same sort + run-length shape as occ_stats (was O(n·distinct)
+        # interpreted). Strictly-greater update over ascending runs keeps
+        # the lexicographically-FIRST gram on count ties — identical to
+        # the old sort-by-(-cnt, gram) rule. Empty input → NULL cnt/len
+        # (preserved: top2_chars coalesces to 0 downstream).
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best_cnt"),
+            F.lit(None).cast("string").alias("best_gram"),
+        )
+
         def mk(g: Column) -> Column:
-            entries = F.transform(
-                F.array_distinct(g),
-                lambda d: F.struct(
-                    (-F.size(F.filter(g, lambda x: x == d))).alias("neg"),
-                    d.alias("gram"),
-                ),
-            )
-            # F.get, not [0]: ANSI mode throws INVALID_ARRAY_INDEX on an
-            # empty array (a document with < 2 tokens has no 2-grams)
-            best = F.get(F.array_sort(entries), 0)
-            return F.struct(
-                (-best["neg"]).cast("long").alias("cnt"),
-                (F.length(best["gram"]) - 1).cast("long").alias("len"),
-            )
+            def step(acc: Column, x: Column) -> Column:
+                same = acc["prev"].eqNullSafe(x)
+                better = (~same) & (acc["run"] > acc["best_cnt"])
+                return F.struct(
+                    x.alias("prev"),
+                    F.when(same, acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("long"))
+                    .alias("run"),
+                    F.when(better, acc["run"])
+                    .otherwise(acc["best_cnt"])
+                    .alias("best_cnt"),
+                    F.when(better, acc["prev"])
+                    .otherwise(acc["best_gram"])
+                    .alias("best_gram"),
+                )
+
+            def fin(acc: Column) -> Column:
+                better = acc["run"] > acc["best_cnt"]
+                cnt = F.when(better, acc["run"]).otherwise(acc["best_cnt"])
+                gram = F.when(better, acc["prev"]).otherwise(
+                    acc["best_gram"]
+                )
+                return F.struct(
+                    F.when(gram.isNotNull(), cnt).alias("cnt"),
+                    (F.length(gram) - 1).cast("long").alias("len"),
+                )
+
+            return F.aggregate(F.array_sort(g), zero, step, fin)
 
         return let(a, mk)
 
