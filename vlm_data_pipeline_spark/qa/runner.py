@@ -73,26 +73,37 @@ def generate_all(
         # — see session.get_spark; probing/repartitioning here instead
         # would double-execute the synthesis under AQE (df.rdd runs the
         # query stages eagerly).
-        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
         # Corpus-level modality precheck — P1 at dataset granularity,
         # exactly what the reference does before running generators
         # (generate_qa.py:110-122 only schedules a dataset's task list
-        # when its records carry the needed box modality). One tiny
-        # aggregate over the snapshot (which must materialize anyway)
-        # decides which task families CAN yield; a task whose modality
-        # is absent corpus-wide is dropped instead of burning a full
-        # cache scan to produce zero rows. Output-identical by
+        # when its records carry the needed box modality): a task whose
+        # modality is absent corpus-wide is dropped instead of burning a
+        # full cache scan to produce zero rows. Output-identical by
         # construction — the per-task routing filter below would have
         # rejected every row. Measured: the four vacuous 2D branches
-        # cost ~2s of the 10-task union at sf0.1 (round 12). Skipped
-        # under persist=False (composability) and streaming (no action
-        # allowed); those paths keep the lazy per-task filters only.
-        flags = frames.agg(
-            F.max(F.size("bounding_boxes_3d")).alias("m3"),
-            F.max(F.size("bounding_boxes_2d")).alias("m2"),
-        ).first()
-        has_3d = (flags["m3"] or 0) > 0
-        has_2d = (flags["m2"] or 0) > 0
+        # cost ~2s of the 10-task union at sf0.1 (round 12).
+        #
+        # The check runs on the UNPERSISTED lineage with a limit-1
+        # short-circuit, NOT as an aggregate over the snapshot: an
+        # eager action on the persisted frames force-materializes the
+        # ENTIRE cache before any task work, and at sf10 that serial
+        # build-then-read measured 382-660s vs 254s for the pipelined
+        # cache fill inside the union job (A/B, round 12). On the
+        # unpersisted lineage a PRESENT modality exits at its first
+        # hit, a literal-NULL modality column constant-folds to an
+        # empty relation (zero scan), and only a real-data absent
+        # modality pays one column-pruned pass — with no cache side
+        # effects either way. Skipped under persist=False
+        # (composability) and streaming (no action allowed); those
+        # paths keep the lazy per-task filters only.
+        raw = frames
+        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
+        has_3d = bool(
+            raw.filter(F.size("bounding_boxes_3d") > 0).limit(1).take(1)
+        )
+        has_2d = bool(
+            raw.filter(F.size("bounding_boxes_2d") > 0).limit(1).take(1)
+        )
         pruned = [
             n for n in names
             if (has_3d if n in TASKS_3D else has_2d)
