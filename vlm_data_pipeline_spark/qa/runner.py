@@ -83,27 +83,41 @@ def generate_all(
         # rejected every row. Measured: the four vacuous 2D branches
         # cost ~2s of the 10-task union at sf0.1 (round 12).
         #
-        # The check runs on the UNPERSISTED lineage with a limit-1
-        # short-circuit, NOT as an aggregate over the snapshot: an
-        # eager action on the persisted frames force-materializes the
-        # ENTIRE cache before any task work, and at sf10 that serial
-        # build-then-read measured 382-660s vs 254s for the pipelined
-        # cache fill inside the union job (A/B, round 12). On the
-        # unpersisted lineage a PRESENT modality exits at its first
-        # hit, a literal-NULL modality column constant-folds to an
-        # empty relation (zero scan), and only a real-data absent
-        # modality pays one column-pruned pass — with no cache side
-        # effects either way. Skipped under persist=False
-        # (composability) and streaming (no action allowed); those
-        # paths keep the lazy per-task filters only.
+        # HOW the probe runs matters more than that it runs (all three
+        # variants A/B'd at sf10, round 12):
+        # - an eager aggregate over the persisted snapshot force-
+        #   materializes the ENTIRE cache before any task work: 382-660s
+        #   vs 254s for the pipelined cache fill inside the union job;
+        # - a limit-1 probe on the UNPERSISTED lineage still pays the
+        #   synthesis's full shuffle MAP stage (limit only short-
+        #   circuits the result stage), ~400s of un-cached work at sf10.
+        # So the probe is two-tier: (1) Catalyst first — when the
+        # modality column is a literal NULL (this corpus family), the
+        # filtered-limit plan optimizes to an empty LocalRelation and
+        # absence is proven WITHOUT running any job; (2) otherwise a
+        # limit-1 probe on the PERSISTED frames — a present modality
+        # materializes ~one cache partition (which the union job
+        # reuses), and only a real-data absent modality pays the full
+        # cache build, the price of proving a negative over real rows.
+        # Skipped under persist=False (composability) and streaming (no
+        # action allowed); those paths keep the lazy per-task filters.
         raw = frames
         frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
-        has_3d = bool(
-            raw.filter(F.size("bounding_boxes_3d") > 0).limit(1).take(1)
-        )
-        has_2d = bool(
-            raw.filter(F.size("bounding_boxes_2d") > 0).limit(1).take(1)
-        )
+
+        def _has_modality(col: str) -> bool:
+            static = raw.filter(F.size(col) > 0).limit(1)
+            jplan = static._jdf.queryExecution().optimizedPlan()
+            if (
+                jplan.getClass().getSimpleName() == "LocalRelation"
+                and jplan.data().isEmpty()
+            ):
+                return False  # absence proven by constant folding
+            return bool(
+                frames.filter(F.size(col) > 0).limit(1).take(1)
+            )
+
+        has_3d = _has_modality("bounding_boxes_3d")
+        has_2d = _has_modality("bounding_boxes_2d")
         pruned = [
             n for n in names
             if (has_3d if n in TASKS_3D else has_2d)
