@@ -84,6 +84,51 @@ def test_lsh_ann_results_subset_of_brute_force_universe(spark, sf_dir):
         assert abs(b[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
 
 
+def test_exact_pair_cosine_matches_brute_force(spark, sf_dir):
+    """exact_pair_cosine scores ONLY the requested pairs (ADVICE r12 —
+    replaces the k=2^30 brute sweep in the ivf witness) and must agree
+    bit-for-bit with brute_force_topk's integer-scaled arithmetic, in
+    both the unhinted and the bounded-broadcast (max_pairs) shape; a
+    pair whose ids are absent from the corpus yields no row (the
+    caller's left-join then sees NULL → rerank_exact false)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = similarity.brute_force_topk(emb, queries, k=3)
+    expected = {
+        (r.query_id, r.neighbor_id): r.cosine for r in brute.collect()
+    }
+    pairs = brute.select("query_id", "neighbor_id")
+    for kw in ({}, {"max_pairs": len(expected)}):
+        got = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in similarity.exact_pair_cosine(emb, pairs, **kw).collect()
+        }
+        assert got == expected, kw
+    # unknown ids drop out instead of fabricating a score
+    ghost = spark.createDataFrame(
+        [(-1, -2)], "query_id long, neighbor_id long"
+    )
+    assert similarity.exact_pair_cosine(emb, ghost, max_pairs=4).count() == 0
+
+
+def test_exact_pair_cosine_bounded_plan_broadcasts_pairs(spark, sf_dir):
+    """With max_pairs the pair side must be the broadcast build side —
+    the 100 TB shape: two broadcast probes of the bounded pair list
+    against the streaming corpus, corpus scans never under an
+    unbounded BroadcastExchange (tools/plan_digest.py gate rationale)."""
+    from tools.plan_digest import count_fact_scan_broadcasts
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    pairs = similarity.brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    out = similarity.exact_pair_cosine(emb, pairs, max_pairs=1 << 20)
+    jplan = out._jdf.queryExecution().executedPlan()
+    assert count_fact_scan_broadcasts(jplan) == 0
+    assert jplan.toString().count("BroadcastHashJoin") >= 2
+
+
 def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     """IVF with nprobe lists probed: cosines must agree exactly with the
     brute-force path on shared pairs, and recall@5 must be reasonable

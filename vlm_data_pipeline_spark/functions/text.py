@@ -282,7 +282,14 @@ def repetition_counts(text: Column) -> dict[str, Column]:
         measured as the dominant cost of the whole quality stage (5.5s
         → 1.3s after this rewrite, round 12). Counts are identical:
         equal elements are adjacent after array_sort, so a run's length
-        IS the occurrence count."""
+        IS the occurrence count.
+
+        NULL elements are filtered before the fold: eqNullSafe would
+        group them into a run and _flush_chars would then compute
+        run × (length(NULL) − sep), poisoning dup_chars/n_dup to NULL —
+        the old filter-per-distinct formulation contributed 0 for nulls
+        (ADVICE r12). No current caller produces null tokens/grams, but
+        the helper is generic."""
         zero = F.struct(
             F.lit(None).cast("string").alias("prev"),
             F.lit(0).cast("long").alias("run"),
@@ -332,7 +339,7 @@ def repetition_counts(text: Column) -> dict[str, Column]:
 
             return F.aggregate(F.array_sort(a), zero, step, fin)
 
-        return let(arr, mk)
+        return let(F.filter(arr, lambda x: x.isNotNull()), mk)
 
     line_stats = occ_stats(lines, 2)
     g3_stats = occ_stats(word_ngrams(toks, 3), 2, sep_discount=2)
@@ -382,7 +389,8 @@ def repetition_counts(text: Column) -> dict[str, Column]:
 
             return F.aggregate(F.array_sort(g), zero, step, fin)
 
-        return let(a, mk)
+        # null grams filtered for the same reason as occ_stats above
+        return let(F.filter(a, lambda x: x.isNotNull()), mk)
 
     t2 = top2(word_ngrams(toks, 2))
     tok_chars = F.aggregate(

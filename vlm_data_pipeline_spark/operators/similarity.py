@@ -138,6 +138,54 @@ def brute_force_topk(
     )
 
 
+def exact_pair_cosine(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """Exact integer-scaled cosine for an EXPLICIT (query_id, neighbor_id)
+    pair list: two id-equi-joins back to the corpus plus one in-row dot —
+    O(|pairs|) lookup work, no scored cross join, no per-query window.
+
+    This is the right shape for verifying an ANN result's rerank exactness
+    (ADVICE r12): the pair list is |Q|·k rows, so scoring only those pairs
+    beats materializing |Q|·|corpus| candidates just to look a handful up.
+    Same SCALE²-denominated formula as brute_force_topk, so equality
+    against its cosines is exact, not approximate.
+
+    ``max_pairs`` — when the caller KNOWS a pair-count bound (an ANN
+    result is ≤ |Q|·k by contract), pass it: each lookup becomes a
+    broadcast of the pair side against the streaming corpus with a
+    planted no-op ``Limit`` proving the bound to the plan gate (the
+    registry's planted-Limit idiom) — the 100 TB plan: two broadcast
+    probes, zero corpus shuffle. Without it the joins stay unhinted and
+    AQE picks sides at runtime.
+    """
+    qv = corpus.select(
+        F.col(id_col).alias("query_id"), _int_vec(F.col(vec_col)).alias("_qv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _int_vec(F.col(vec_col)).alias("_nv")
+    )
+    p = pairs.select("query_id", "neighbor_id")
+    if max_pairs is not None:
+        # no-op caps (max_pairs >= true cardinality by contract): each
+        # plants a bounding Limit so broadcasting the pair side is
+        # PROVABLY bounded regardless of the corpus scans beneath it
+        p = p.limit(max_pairs)
+        j1 = qv.join(F.broadcast(p), "query_id")
+        # j1 <= max_pairs rows too (vec_id unique in corpus) — re-plant
+        j2 = nv.join(F.broadcast(j1.limit(max_pairs)), "neighbor_id")
+    else:
+        j2 = p.join(qv, "query_id").join(nv, "neighbor_id")
+    return j2.withColumn(
+        "cosine",
+        _dot(F.col("_qv"), F.col("_nv")).cast("double") / float(SCALE * SCALE),
+    ).select("query_id", "neighbor_id", "cosine")
+
+
 def srp_bucket(vec_col: Column, dim: int, planes: int = 8) -> Column:
     """Signed-random-projection bucket id from deterministic hyperplanes.
 

@@ -297,8 +297,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # qa_pipeline_full_check's object_3d_size options),
     # q1_pricing_summary (A8 re-seats via cube_order_stats +
     # a3_median_percentile), events_window_overlap (events family keeps
-    # interval_rollup, pivot, the VARIANT pair, plus sessionize_events
-    # seats), audio_flac_roundtrip (audio_frame_energy stays; the codec
+    # interval_rollup, the VARIANT pair, plus sessionize_events seats —
+    # events_pivot_activity itself rotates out this same round,
+    # displaced by qa_task_object_count_meta),
+    # audio_flac_roundtrip (audio_frame_energy stays; the codec
     # is pytest-pinned end-to-end). wds_shard_roundtrip and
     # scd2_segment_upsert keep their seats: both CHANGED this round
     # (byte-targeted shard oracle; history-only re-insert fix) and need

@@ -365,10 +365,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rerank-exactness: every IVF pair's cosine must equal the exact
     # cosine of the SAME pair (IVF may legitimately return different
-    # neighbors than brute top-5; their scores must still be exact), so
-    # compare against a deep brute list covering every possible pair.
-    pair_cos = similarity.brute_force_topk(
-        emb, queries, k=1 << 30
+    # neighbors than brute top-5; their scores must still be exact).
+    # Score ONLY the IVF result's pairs — two id-equi-joins back to the
+    # embeddings table + one in-row dot, O(|ivf results|) — instead of a
+    # |Q|×|corpus| scored cross join with a per-query window (ADVICE r12).
+    pair_cos = similarity.exact_pair_cosine(
+        emb, ivf, max_pairs=(_ANN_QUERY_CAP // 100) * 5
     ).select(
         "query_id",
         "neighbor_id",

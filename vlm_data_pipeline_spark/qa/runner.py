@@ -105,13 +105,22 @@ def generate_all(
         frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
 
         def _has_modality(col: str) -> bool:
-            static = raw.filter(F.size(col) > 0).limit(1)
-            jplan = static._jdf.queryExecution().optimizedPlan()
-            if (
-                jplan.getClass().getSimpleName() == "LocalRelation"
-                and jplan.data().isEmpty()
-            ):
-                return False  # absence proven by constant folding
+            # Tier 1 reaches into py4j internals (_jdf / optimizedPlan),
+            # which do not exist under Spark Connect and may drift across
+            # Spark versions. The probe is a pure optimization, so any
+            # failure here degrades to tier 2 (the limit-1 probe), which
+            # is output-identical — never fail the pipeline over it
+            # (ADVICE r12).
+            try:
+                static = raw.filter(F.size(col) > 0).limit(1)
+                jplan = static._jdf.queryExecution().optimizedPlan()
+                if (
+                    jplan.getClass().getSimpleName() == "LocalRelation"
+                    and jplan.data().isEmpty()
+                ):
+                    return False  # absence proven by constant folding
+            except Exception:
+                pass  # Connect / version drift → fall through to tier 2
             return bool(
                 frames.filter(F.size(col) > 0).limit(1).take(1)
             )

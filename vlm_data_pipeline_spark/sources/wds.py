@@ -207,11 +207,20 @@ def assign_shards_by_bytes(
     before = F.coalesce(
         F.sum("sample_bytes").over(w), F.lit(0).cast("long")
     )
+    # exact LONG integral division (ADVICE r12): floor(a / b) on doubles
+    # silently diverges from the DuckDB oracle's exact `//` once the
+    # per-bucket cumulative byte total passes 2^53 — real at the 100 TB
+    # scale this docstring pitches. SQL `div` keeps it exact at any scale.
     assign = sized.select(
         "sample",
         "sample_bytes",
+        "_bkt",
+        before.alias("_before"),
+    ).select(
+        "sample",
+        "sample_bytes",
         (
-            F.floor(before / F.lit(target_bytes)) * n_buckets
+            F.expr(f"_before div {int(target_bytes)}L") * n_buckets
             + F.col("_bkt")
         ).alias("shard_id"),
     )
