@@ -77,6 +77,41 @@ def test_obj_obj_distance_filters_and_value(frames):
     assert "f4" not in by_img
 
 
+def test_box_pairs_max_boxes_bound(spark, frames):
+    """J8 pair bound (SURVEY §7.3; VERDICT r12 #2): a pathological
+    heavy frame must not materialize an n² in-row pair array. With
+    max_boxes=N a 3,000-box frame yields exactly N·(N−1)/2 pairs (the
+    unbounded form would build ~4.5M structs in ONE array cell), the
+    survivors are the N largest-volume boxes, and pair ids keep their
+    ORIGINAL array positions."""
+    from tests.fixtures import box3, frame as mk_frame
+    from vlm_data_pipeline_spark.schemas import FRAME
+
+    n_boxes, cap = 3000, 32
+    # volumes descend with i → top-`cap` by volume = the first `cap`
+    boxes = [
+        box3(float(i % 50), float(i // 50) * 0.1, 2.0,
+             xl=1.0 + (n_boxes - i) * 1e-3, cat=f"c{i}")
+        for i in range(n_boxes)
+    ]
+    heavy = spark.createDataFrame([mk_frame("big", b3=boxes)], schema=FRAME)
+    got = tasks3d._box_pairs(heavy, max_boxes=cap).collect()
+    assert len(got) == cap * (cap - 1) // 2
+    # survivors = largest volumes = original positions 0..cap-1,
+    # enumerated i<j over ORIGINAL indices
+    assert {(r.pos_a, r.pos_b) for r in got} == {
+        (i, j) for i in range(cap) for j in range(i + 1, cap)
+    }
+    # under the cap the bounded path is row-identical to unbounded —
+    # the default (None) stays exact reference parity
+    base = tasks3d.obj_obj_distance(frames).collect()
+    capped = tasks3d.obj_obj_distance(frames, max_boxes=64).collect()
+    assert sorted(map(str, base)) == sorted(map(str, capped))
+    rel_base = tasks3d.obj_obj_rel_pos(frames).collect()
+    rel_capped = tasks3d.obj_obj_rel_pos(frames, max_boxes=64).collect()
+    assert sorted(map(str, rel_base)) == sorted(map(str, rel_capped))
+
+
 def test_obj_obj_rel_pos(frames):
     rows = tasks3d.obj_obj_rel_pos(frames).collect()
     by_img = _by_image(rows)

@@ -190,7 +190,11 @@ def cam_obj_distance(frames: DataFrame) -> DataFrame:
     )
 
 
-def _box_pairs(frames: DataFrame, with_verts: bool = False) -> DataFrame:
+def _box_pairs(
+    frames: DataFrame,
+    with_verts: bool = False,
+    max_boxes: int | None = None,
+) -> DataFrame:
     """J8: all unordered in-frame box pairs (i < j).
 
     The reference iterates box pairs inside one frame's record
@@ -203,22 +207,73 @@ def _box_pairs(frames: DataFrame, with_verts: bool = False) -> DataFrame:
     ``with_verts`` precomputes the 8 oriented vertices once per BOX before
     pairing; downstream 8×8 distance kernels would otherwise re-run the
     trig once per PAIR (each box sits in ~n/2 pairs).
+
+    ``max_boxes`` — per-frame pair bound (SURVEY §7.3 hard-parts list;
+    VERDICT r12 #2): the in-row comprehension materializes all n(n−1)/2
+    pair structs in ONE array cell before the explode — right for the
+    reference's ~23 boxes/frame, but a pathological 90K-box frame would
+    build billions of structs in a single row. With a cap, each frame
+    keeps only its ``max_boxes`` largest boxes (volume-descending,
+    original array position breaking ties — deterministic on any
+    engine) BEFORE pairing, so a row materializes at most
+    max_boxes·(max_boxes−1)/2 structs regardless of corpus shape.
+    Survivors keep their ORIGINAL array positions as pos_a/pos_b and
+    pair in original order, so on every frame with ≤ max_boxes boxes
+    the output is row-identical to the unbounded path (the default,
+    None, which is exact reference parity).
     """
-    if with_verts:
-        enriched = F.transform(
-            F.col("bounding_boxes_3d"),
-            lambda b: F.struct(b.alias("box"), G.box_vertices(b).alias("verts")),
+    boxes = F.col("bounding_boxes_3d")
+    if max_boxes is not None:
+        # top-N by volume, ties → lowest original index; then back to
+        # index order so the i<j pair enumeration matches the unbounded
+        # path wherever the cap doesn't bite. Comparator returns are
+        # clamped to ±1 ints; volumes compared exactly (same doubles).
+        indexed = F.transform(
+            boxes, lambda b, i: F.struct(b.alias("box"), i.alias("idx"))
+        )
+        vol = lambda s: s["box"]["xl"] * s["box"]["yl"] * s["box"]["zl"]  # noqa: E731
+        by_vol = F.array_sort(
+            indexed,
+            lambda a, b: F.when(vol(a) > vol(b), -1)
+            .when(vol(a) < vol(b), 1)
+            .otherwise(
+                F.when(a["idx"] < b["idx"], -1)
+                .when(a["idx"] > b["idx"], 1)
+                .otherwise(0)
+            )
+            .cast("int"),
+        )
+        kept = F.array_sort(
+            F.slice(by_vol, 1, max_boxes),
+            lambda a, b: F.when(a["idx"] < b["idx"], -1)
+            .when(a["idx"] > b["idx"], 1)
+            .otherwise(0)
+            .cast("int"),
         )
     else:
-        enriched = F.transform(
-            F.col("bounding_boxes_3d"), lambda b: F.struct(b.alias("box"))
+        kept = F.transform(
+            boxes, lambda b, i: F.struct(b.alias("box"), i.alias("idx"))
         )
+    if with_verts:
+        # vertices computed AFTER the cap: survivors only pay the trig
+        enriched = F.transform(
+            kept,
+            lambda s: F.struct(
+                s["box"].alias("box"),
+                s["idx"].alias("idx"),
+                G.box_vertices(s["box"]).alias("verts"),
+            ),
+        )
+    else:
+        enriched = kept
 
     def mk_pairs(bv: F.Column) -> F.Column:
         n = F.size(bv)
         pair = lambda i, j: F.struct(  # noqa: E731
-            i.alias("pos_a"),
-            j.alias("pos_b"),
+            # pos_a/pos_b report positions in the ORIGINAL box array so
+            # pair identities survive the cap (== i/j when uncapped)
+            F.element_at(bv, (i + 1).cast("int"))["idx"].alias("pos_a"),
+            F.element_at(bv, (j + 1).cast("int"))["idx"].alias("pos_b"),
             F.element_at(bv, (i + 1).cast("int")).alias("a"),
             F.element_at(bv, (j + 1).cast("int")).alias("b"),
         )
@@ -259,9 +314,13 @@ def _box_pairs(frames: DataFrame, with_verts: bool = False) -> DataFrame:
     return pairs.select(*cols)
 
 
-def obj_obj_distance(frames: DataFrame) -> DataFrame:
+def obj_obj_distance(
+    frames: DataFrame, max_boxes: int | None = None
+) -> DataFrame:
     """Min vertex-pair distance per in-frame pair, 0.2–20 m, 1 decimal
     (tasks_3d/obj_obj_distance_qa.py:52-92, geometry.py:98-118).
+    ``max_boxes`` bounds the per-frame pair expansion (see _box_pairs);
+    default None = exact reference parity.
 
     The distance band is applied to the distance QUANTIZED to 6 dp, not
     the raw double: the raw value depends on the platform's last-ulp
@@ -270,7 +329,7 @@ def obj_obj_distance(frames: DataFrame) -> DataFrame:
     reproducibility rule detrandom applies to draws, applied to float
     predicates (observed live: one exactly-0.2 pair flips between JVM
     and DuckDB trig)."""
-    pairs = _box_pairs(frames, with_verts=True)
+    pairs = _box_pairs(frames, with_verts=True, max_boxes=max_boxes)
     band = F.round(F.col("dist_m"), 6)
     d = (
         # Column fold, DELIBERATELY not the Arrow kernel: the two are
@@ -314,11 +373,17 @@ def obj_obj_distance(frames: DataFrame) -> DataFrame:
     )
 
 
-def obj_obj_rel_pos(frames: DataFrame, require_extrinsics: bool = True) -> DataFrame:
+def obj_obj_rel_pos(
+    frames: DataFrame,
+    require_extrinsics: bool = True,
+    max_boxes: int | None = None,
+) -> DataFrame:
     """Center-diff spatial relation per pair; one aspect chosen by a
     hash-seeded draw among the non-'Same' aspects
-    (tasks_3d/obj_obj_rel_pos_qa.py:55-140, geometry.py:424-495)."""
-    pairs = _box_pairs(frames)
+    (tasks_3d/obj_obj_rel_pos_qa.py:55-140, geometry.py:424-495).
+    ``max_boxes`` bounds the per-frame pair expansion (see _box_pairs);
+    default None = exact reference parity."""
+    pairs = _box_pairs(frames, max_boxes=max_boxes)
     if require_extrinsics:
         pairs = pairs.filter(G.uses_extrinsics(F.col("camera")))
     rel = pairs.withColumn(
