@@ -66,13 +66,16 @@ def test_driver_window_is_all_flagship_oracles():
     # round-9 rotation: four more QA-task variants (object_3d_size,
     # obj_obj_rel_pos, cam_obj_rel_dist, object_count_mc — each green
     # six straight driver rounds) ceded slots to first-time-graded
-    # flagships; the two kept below are the family flagships, and the
-    # rotated-out tasks stay value-checked in-window through
-    # qa_pipeline_summary_oracle's per-task union counts (plus full
-    # simulation and pytest)
-    flagship = {f"qa_task_{t}" for t in (
-        "object_count", "obj_obj_distance",
-    )} | {"qa_pipeline_summary_oracle", "curation_clean_pipeline"}
+    # flagships; round-13 rotated qa_task_object_count out too — its
+    # lineage stays value-pinned in-window by qa_task_object_count_meta
+    # (id/question/answer AND metadata JSON) plus the full_check union.
+    flagship = {
+        "qa_task_obj_obj_distance",
+        "qa_task_object_count_meta",
+        "qa_pipeline_full_check",
+        "qa_pipeline_summary_oracle",
+        "curation_clean_pipeline",
+    }
     assert flagship <= set(_DRIVER_WINDOW)
 
 

@@ -46,7 +46,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # per-task union counts (+ full simulation and pytest as always),
     # and O4's deterministic draws stay window-proven via
     # eval_detection_ap's MC IoU sampling.
-    "qa_task_object_count",
     "qa_task_obj_obj_distance",
     # full-pipeline value checks
     "qa_pipeline_summary_oracle",  # per-task counts/answer-type mix (E1 union)
@@ -108,7 +107,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # Round-8: ann_ivf_fixed_topk (green r03-r07) cedes the ANN slot to
     # ann_pq_topk — the never-graded product-quantization path, a
     # DIFFERENT algorithm (subspace codebooks + ADC), not a re-proof
-    "ann_pq_topk",
     # composed web-ingest funnel (round-6 third wave): URL dedup →
     # TrustRank gate → Bloom decontam → quality rules, one CASE oracle;
     # takes text_quality_features' slot (green r05 — the quality
@@ -149,12 +147,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # BPE pair statistics, broadcast Bloom probe, and the composed
     # text-corpus report.
     "events_interval_rollup",  # interval-overlap weighted rollup
-    "text_corpus_report",  # composed corpus-statistics report
-    "curation_mixing_plan",  # domain-mixing proportions (plan stage)
-    "curation_apply_mixing",  # deterministic mixing sampler (apply)
     "dedup_incremental_batch",  # batch-vs-seen incremental dedup
     "lm_bpe_top_pairs",  # BPE symbol-pair frequency statistics
-    "sketch_bloom_probe_broadcast",  # broadcast Bloom membership probe
     # (round-9: curation_ccnet_buckets and text_html_extract — both
     # green r07+r08 — cede slots; perplexity bucketing stays covered by
     # curation_web_pipeline's quality program and HTML extraction by
@@ -205,22 +199,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # rows, every one fully oracled — no rows-only entry spends a
     # window slot):
     "events_props_variant",  # VARIANT typed scalar extraction (r8 op)
-    "events_props_variant_explode",  # VARIANT array explode (new r9)
     # tail (new r9; closes the round-8 rows-only window exception via
     # an independent driver-side reference pass inlined as VALUES)
     "warc_parse_records",  # WARC record parser (stream-bounded scan)
     "layout_compaction_plan",  # small-file compaction planner
-    "audio_frame_energy",  # frame-level RMS energy (audio family)
     "retrieval_hard_negatives",  # BM25 hard-negative mining funnel
     # Round-10 wave 2 seated entries: the FINAL eight never-driver-
     # graded oracled queries (every oracle-expressible entry in the
     # registry has now held a graded window slot at least once; all
     # eight were green in the judge's 146-oracle full re-run in r9):
-    "curation_lm_score",  # CCNet-style bigram-LM perplexity score
-    "curation_chunk_documents",  # boundary-aligned document chunking
     "curation_dsir_sample",  # DSIR importance-resampled selection
-    "curation_shuffle_shards",  # deterministic global shuffle-to-shards
-    "embeddings_pca_scatter",  # partial-Gram PCA projection scatter
     "eval_accuracy_under_threshold",  # thresholded accuracy eval curve
     # ------------------------------------------------------------------
     # Round-11 rotation (VERDICT r10 #3/#6): with the never-driver-graded
@@ -254,12 +242,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # re-seat: j2_semi_anti_split's DE-HINTED plan (r11's own fix) has
     # never held a driver row.
     "j2_semi_anti_split",  # E2/J2 semi+anti split, de-hinted r11
-    "frames_dataset_summary",  # K2/A4 rollup (r01; on the #1 lineage)
     "frames_parameter_audit",  # A10 audit (r01; on the #1 lineage)
     "j11_scene_sequences",  # J11 scene/sequence grouping (r02)
-    "eval_iou_2d",  # 2D IoU eval (r02)
     "eval_average_precision",  # AP eval (r02)
-    "qa_object_count",  # A1 entry() flagship (r03)
     "e1_union_entities",  # E1/E3 union (r03)
     "word_histogram",  # F2 token histogram (r03)
     "cube_order_stats",  # A8 cube rollup (r03)
@@ -318,6 +303,54 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # dedup keeps dedup_incremental_batch in-window).
     "wds_shard_roundtrip",  # WebDataset tar-shard pack/unpack pipe
     "scd2_segment_upsert",  # SCD2 interval-versioned dimension upsert
+    # ------------------------------------------------------------------
+    # Round-13 rotation (VERDICT r12 #3): 15 seats turn over to the
+    # staleness frontier — tools/window_staleness.py ranks the r02-r04
+    # block as the oldest evidence in the registry (the r06-r07 names
+    # the verdict guessed were already re-seated in earlier waves).
+    # Seated, oldest first; two carry lineages CHANGED this round and
+    # need a grade under the new code (text_repetition_signals: the
+    # null-filtered run-length folds; ann_lsh_topk shares similarity.py
+    # with the rewritten ivf witness).
+    "event_session_window_native",  # native session_window agg (r02)
+    "m1_heuristic_lift_2d_to_3d",  # M1 depth-lift relational tail (r02)
+    "decontaminate_ngrams",  # benchmark n-gram decontamination (r03)
+    "text_subword_count",  # BPE-ish subword counting (r03)
+    "dedup_components",  # connected-components dedup clusters (r03)
+    "dedup_retention_survivors",  # canonical-survivor retention (r03)
+    "dedup_exact_groups",  # exact hash-group dedup (r04)
+    "dedup_simhash",  # SimHash fingerprint near-dup (r04)
+    "dedup_ngram_jaccard",  # n-gram Jaccard pair dedup (r04)
+    "dedup_embedding_cosine",  # embedding-cosine near-dup (r04)
+    "ann_lsh_topk",  # hyperplane-LSH ANN (r04)
+    "text_repetition_signals",  # Gopher repetition stats (r04; null-
+    # safe fold rewrite this round)
+    "o2_topn_orders",  # O2 head-N limit fundamental (r04)
+    "f11_json_props",  # F11 JSON wrangling fundamental (r04)
+    "p9_project_box_2d",  # P9 3D→2D projection predicate (r04)
+    # Displaced to make room (every one green in CORRECTNESS_r12 with
+    # an in-window sibling keeping the family represented, + full-sim +
+    # pytest as always): qa_task_object_count + qa_object_count (the
+    # lineage stays value-pinned in-window by qa_task_object_count_meta
+    # — id/question/answer AND the metadata JSON — plus the full_check
+    # union), ann_pq_topk (ANN keeps ann_ivf_topk — rewritten this
+    # round — and the seated ann_lsh_topk), curation_mixing_plan +
+    # curation_apply_mixing + curation_lm_score +
+    # curation_chunk_documents + curation_shuffle_shards (curation
+    # keeps clean_pipeline's composed oracle + dsir_sample),
+    # events_props_variant_explode (the VARIANT pair keeps
+    # events_props_variant; events also keeps interval_rollup +
+    # sessionize_events), embeddings_pca_scatter (the stronger
+    # invariant witness embeddings_pca_project stays), eval_iou_2d
+    # (eval keeps average_precision + accuracy_under_threshold),
+    # sketch_bloom_probe_broadcast (sketches keep hll_cardinality; the
+    # Bloom probe stays pinned by curation pipelines + pytest),
+    # frames_dataset_summary (the K2 rollup shape re-proves through
+    # cube_order_stats and the audit lineage keeps
+    # frames_parameter_audit), audio_frame_energy (multimodal keeps
+    # warc_parse_records; codecs stay pytest-pinned end-to-end),
+    # text_corpus_report (the text family seats repetition_signals +
+    # subword_count this round, keeps word_histogram + fingerprints).
 )
 
 
