@@ -188,3 +188,50 @@ def test_corrupt_tar_raises(spark):
     )
     with pytest.raises(Exception):
         wds.tar_members(df).collect()
+
+
+def test_shard_manifest_prune_roundtrip(spark, tmp_path):
+    """Shard-index pushdown (VERDICT r12 stretch): the manifest written
+    beside the shards prunes a shard table by sample key WITHOUT
+    opening tars — the pruned set is exactly the shards holding wanted
+    keys, every wanted sample is recoverable from the pruned tars
+    alone, and the parquet round trip keeps the index queryable with a
+    pushed-down key predicate."""
+    rows = [
+        (sid, f"s{sid}_{i}.txt", f"payload {sid} {i}".encode())
+        for sid in range(6)
+        for i in range(4)
+    ]
+    members = _members_df(spark, rows)
+    manifest = wds.shard_manifest(members)
+    # parquet round trip — the on-disk listing contract
+    path = str(tmp_path / "manifest.parquet")
+    manifest.write.parquet(path)
+    man = spark.read.parquet(path)
+    assert man.count() == len(rows)
+    # the key predicate reaches the parquet reader (a few-MB columnar
+    # scan at 100 TB, never a tar open)
+    plan = (
+        man.filter(F.col("sample") == "s3_1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "sample" in plan.split(
+        "PushedFilters"
+    )[1][:80]
+    shards = wds.pack_shards(members)
+    wanted = spark.createDataFrame(
+        [("s1_2",), ("s4_0",), ("s4_3",)], "sample string"
+    )
+    pruned = wds.shards_for_samples(shards, man, wanted)
+    got = pruned.collect()
+    assert {r.shard_id for r in got} == {1, 4}
+    # the wanted samples are all recoverable from the pruned tars alone
+    keys = {r.key for r in wds.wds_samples(wds.tar_members(pruned)).collect()}
+    assert {"s1_2", "s4_0", "s4_3"} <= keys
+    # and nothing outside the pruned shards was touched
+    assert all(k.startswith(("s1_", "s4_")) for k in keys)
+    # a wanted key absent from the corpus prunes to zero shards
+    ghost = spark.createDataFrame([("nope",)], "sample string")
+    assert wds.shards_for_samples(shards, man, ghost).count() == 0

@@ -250,7 +250,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "cube_order_stats",  # A8 cube rollup (r03)
     "a3_median_percentile",  # A3 percentile stats (r03)
     "sessionize_events",  # session windows (r03)
-    "text_fingerprints",  # rolling-hash fingerprints (r03)
     # Seated, wave 2 — queries that gained oracles THIS round (the
     # never-driver-graded oracled pool stays at zero): the two flagship
     # full-output twins (VERDICT r11 #4) and the three guarantee-witness
@@ -328,6 +327,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "o2_topn_orders",  # O2 head-N limit fundamental (r04)
     "f11_json_props",  # F11 JSON wrangling fundamental (r04)
     "p9_project_box_2d",  # P9 3D→2D projection predicate (r04)
+    # Round-13 late wave: the shard-index manifest BUILT this round
+    # (VERDICT r12 stretch #8) seats immediately, fully value-oracled —
+    # the never-driver-graded oracled pool stays at zero. Displaced:
+    # text_fingerprints (green r12; the text family seats
+    # repetition_signals + subword_count this round and keeps
+    # word_histogram, and the rolling-hash machinery stays pinned by
+    # dedup_winnow/pytest + full sim).
+    "wds_manifest_prune",  # manifest-pruned WDS shard read (new r13)
     # Displaced to make room (every one green in CORRECTNESS_r12 with
     # an in-window sibling keeping the family represented, + full-sim +
     # pytest as always): qa_task_object_count + qa_object_count (the

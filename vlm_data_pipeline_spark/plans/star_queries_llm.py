@@ -5115,6 +5115,114 @@ def wds_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wds_manifest_prune",
+    f"""
+WITH m AS (
+    SELECT doc_id, printf('doc_%09d', doc_id) AS sample,
+           CAST(strlen(text)
+                + strlen('{{"lang":"' || lang || '"}}') AS BIGINT)
+               AS sample_bytes
+    FROM documents
+), bkt AS (
+    SELECT *, {_d_hash32("sample")} % {_WDS_BUCKETS} AS _bkt FROM m
+), cum AS (
+    SELECT *, COALESCE(SUM(sample_bytes) OVER (
+                   PARTITION BY _bkt ORDER BY sample
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS _before
+    FROM bkt
+), assigned AS (
+    SELECT doc_id, sample,
+           CAST((_before // {_WDS_TARGET_BYTES}) * {_WDS_BUCKETS} + _bkt
+                AS BIGINT) AS shard_id
+    FROM cum
+), hit AS (
+    SELECT DISTINCT shard_id FROM assigned
+    WHERE doc_id % 97 = 0 AND doc_id < 100000
+)
+SELECT a.shard_id, a.sample AS key,
+       CAST(2 AS INT) AS n_members,
+       (a.doc_id % 97 = 0 AND a.doc_id < 100000) AS is_wanted
+FROM assigned a JOIN hit USING (shard_id)
+""",
+    "Shard-index pushdown for WDS (VERDICT r12 stretch — the LAION-"
+    "style listing contract): pack_shards' input also yields a skinny "
+    "parquet manifest (shard_id, sample, name, size; sources.wds."
+    "shard_manifest), and shards_for_samples prunes the shard table to "
+    "the shards holding wanted sample keys via two semi-joins on the "
+    "manifest — NO tar is opened to decide. The demo then opens ONLY "
+    "the pruned tars and reports per-shard member totals, so the "
+    "output proves three things at once: the pruned shard set is "
+    "EXACTLY the shards containing wanted keys (the oracle re-derives "
+    "the byte-packed assignment and the pruned set in SQL), the "
+    "manifest agrees with the tars it indexes (n_members comes from "
+    "actually opening the pruned tars), and unwanted shards were "
+    "never touched. At 1000 executors the manifest scan is a few MB "
+    "of columnar index against a TB of tar. Library: sources.wds.",
+)
+def wds_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import wds
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    key = F.format_string("doc_%09d", F.col("doc_id"))
+    members = (
+        docs.select(
+            F.array(
+                F.struct(
+                    F.concat(key, F.lit(".txt")).alias("name"),
+                    F.encode(F.col("text"), "UTF-8").alias("payload"),
+                ),
+                F.struct(
+                    F.concat(key, F.lit(".json")).alias("name"),
+                    F.encode(
+                        F.to_json(F.struct(F.col("lang"))), "UTF-8"
+                    ).alias("payload"),
+                ),
+            ).alias("ms"),
+        )
+        .select(F.explode("ms").alias("m"))
+        .select("m.name", "m.payload")
+    )
+    sharded = wds.assign_shards_by_bytes(
+        members, target_bytes=_WDS_TARGET_BYTES, n_buckets=_WDS_BUCKETS
+    )
+    shards = wds.pack_shards(sharded)
+    manifest = wds.shard_manifest(sharded)
+    # the realistic lookup contract: a SCALE-FIXED key set against a
+    # growing corpus — doc_id < 100000 admits at most 1,031 keys at any
+    # SF (make_scale shifts replica ids by 10^7), so the planted limit
+    # and max_shards bound are no-ops that PROVE the broadcast bounded
+    # to the plan gate (the exact_pair_cosine idiom).
+    wanted = (
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 100000))
+        .select(F.format_string("doc_%09d", F.col("doc_id")).alias("sample"))
+        .limit(1031)
+    )
+    pruned = wds.shards_for_samples(
+        shards, manifest, wanted, max_shards=1031
+    )
+    # open ONLY the pruned tars; every sample found in them is a row,
+    # so the result proves the pruned set exact AND the tars' contents
+    samples = wds.wds_samples(wds.tar_members(pruned))
+    return samples.select(
+        "shard_id",
+        "key",
+        F.size("exts").alias("n_members"),
+        (
+            (
+                F.regexp_extract(F.col("key"), r"doc_(\d+)", 1).cast("long")
+                % 97
+                == 0
+            )
+            & (
+                F.regexp_extract(F.col("key"), r"doc_(\d+)", 1).cast("long")
+                < 100000
+            )
+        ).alias("is_wanted"),
+    )
+
+
+@register(
     "audio_flac_roundtrip",
     f"""
 WITH pcm AS (
