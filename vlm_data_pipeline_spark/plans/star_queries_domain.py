@@ -351,10 +351,14 @@ def m1_heuristic_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "qa_pipeline_full",
     # rows-only BY PAIRING (VERDICT r11 #4): the metadata JSON column is
-    # the one non-SQL-re-derivable output; the ENTIRE relational surface
-    # (ids, tasks, questions, answers, types, options) is value-oracled
-    # row-for-row by the qa_pipeline_full_check twin over the identical
-    # generate_all lineage, and the summary by qa_pipeline_summary.
+    # the one output not SQL-re-derivable across ALL ten tasks; the
+    # ENTIRE relational surface (ids, tasks, questions, answers, types,
+    # options) is value-oracled row-for-row by the qa_pipeline_full_check
+    # twin over the identical generate_all lineage, the summary by
+    # qa_pipeline_summary, and one task's metadata JSON is pinned
+    # character-for-character by qa_task_object_count_meta (r12) — the
+    # remaining nine tasks' metadata shapes are fixture-pinned in
+    # tests/test_qa_tasks.py.
     None,
     "SURVEY §3.3 end-to-end: all ten QA task generators over frames "
     "synthesized from the star schema (one frame per order, one box per "
