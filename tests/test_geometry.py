@@ -116,10 +116,15 @@ def test_min_vertex_distance_arrow_bit_parity(spark):
         "i",
         G.min_vertex_distance(F.col("va"), F.col("vb")).alias("fold"),
         G.min_vertex_distance_arrow(F.col("va"), F.col("vb")).alias("arrow"),
+        G.min_vertex_distance_codegen(F.col("va"), F.col("vb")).alias("unr"),
     ).collect()
     assert len(out) == 500
     for r in out:
         assert r.fold == r.arrow, (r.i, r.fold, r.arrow)  # exact, not approx
+        # the unrolled codegen kernel (the shipped obj_obj_distance path,
+        # round 13) computes the identical 64 squared distances + one
+        # least + one sqrt — bit-equal to the fold, not approximately
+        assert r.fold == r.unr, (r.i, r.fold, r.unr)
 
 
 def test_min_vertex_distance_analytic(box_df):

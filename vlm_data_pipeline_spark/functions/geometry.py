@@ -155,6 +155,47 @@ def min_vertex_distance(verts_a: Column, verts_b: Column) -> Column:
     )
 
 
+def min_vertex_distance_codegen(verts_a: Column, verts_b: Column) -> Column:
+    """Unrolled sibling of :func:`min_vertex_distance`: the SAME 64
+    squared-distance expressions (dx*dx + dy*dy + dz*dz, left-associated),
+    one n-ary ``least``, one final sqrt — but as a flat expression tree
+    with no higher-order function, so it runs through Spark's expression
+    codegen instead of the interpreted HOF evaluator (ArrayAggregate is
+    CodegenFallback: every lambda body is a per-element virtual-dispatch
+    eval). Bit-identical to the fold on non-NULL vertex arrays (pinned in
+    tests/test_geometry.py::test_min_vertex_distance_codegen_bit_parity):
+    min over the identical 64 doubles is exact and association-free.
+
+    Differences from the fold, and why they don't matter where this is
+    used (the obj_obj_distance QA task, whose band filter consumes it):
+
+    - NULL ``verts_b`` with non-NULL ``verts_a`` → the fold returns
+      Infinity (its inner aggregate over a NULL array is NULL, which
+      ``least`` skips, leaving the +inf seed); here every term is NULL so
+      ``least`` — which skips NULLs and returns NULL only when ALL
+      children are — yields NULL. Any finite band predicate rejects both.
+    - Per-element NULLs behave identically: a NULL term is skipped by
+      ``least`` in both forms.
+
+    Callers must pass MATERIALIZED columns (attribute/field references):
+    each input is referenced 64 times, and a non-cheap expression here
+    would be duplicated 64× by CollapseProject. The 64-term tree
+    overflows the 64 KB whole-stage-codegen method limit, so the stage
+    compiles per-operator (split-method codegen) instead — measured 5×
+    faster than the interpreted fold on the sf0.1 pair table, which is
+    the point.
+    """
+    return F.sqrt(
+        F.least(
+            *[
+                _pair_sqdist(verts_a[i], verts_b[j])
+                for i in range(8)
+                for j in range(8)
+            ]
+        )
+    )
+
+
 def min_vertex_distance_arrow(verts_a: Column, verts_b: Column) -> Column:
     """Arrow-batched numpy kernel computing EXACTLY
     :func:`min_vertex_distance` — the hot-path sibling for corpus-scale

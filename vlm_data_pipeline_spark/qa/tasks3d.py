@@ -332,17 +332,21 @@ def obj_obj_distance(
     pairs = _box_pairs(frames, with_verts=True, max_boxes=max_boxes)
     band = F.round(F.col("dist_m"), 6)
     d = (
-        # Column fold, DELIBERATELY not the Arrow kernel: the two are
-        # bit-identical (pinned in test_geometry), and the kernel is
-        # 2.2x faster on a standalone persisted pair table — but inside
-        # this ten-task union the fold measures 10.8-11.3s consistently
-        # vs 11.1-15.2s (27s cold) for the kernel: the Python-worker
-        # stage break + per-thread worker startup costs more than the
-        # interpreted lambdas save when the pair scan shares a session
-        # with nine sibling tasks. Measured A/B same-session, round 7.
+        # Unrolled codegen kernel (round 13), not the HOF fold and not
+        # the Arrow kernel: all three are value-identical on these
+        # non-NULL pairs (fold↔arrow and fold↔codegen parity pinned in
+        # test_geometry), but the fold interprets ~64 lambda bodies per
+        # pair (ArrayAggregate is CodegenFallback) and the Arrow kernel
+        # pays a Python-worker stage break that loses inside the
+        # ten-task union (round-7 A/B). The flat 64-term least() runs
+        # through expression codegen: 5× faster on the persisted sf0.1
+        # pair table (10.1s → 2.0s warm), and it is the dominant term of
+        # the sf10 flagship profile (obj_obj_distance 348s of the 406s
+        # union, PROFILE_QA_SF10.json). verts_a/verts_b are materialized
+        # generator-output fields, so the 64 references are cheap.
         pairs.withColumn(
             "dist_m",
-            G.min_vertex_distance(F.col("verts_a"), F.col("verts_b")),
+            G.min_vertex_distance_codegen(F.col("verts_a"), F.col("verts_b")),
         )
         .filter(
             (band >= P_OBJ["min_distance"]) & (band <= P_OBJ["max_distance"])
