@@ -127,6 +127,110 @@ def test_min_vertex_distance_arrow_bit_parity(spark):
         assert r.fold == r.unr, (r.i, r.fold, r.unr)
 
 
+def test_box_vertices_flat_hof_bit_parity(spark):
+    """box_vertices_flat_hof (the let-bound flat-24 form shipped inside
+    the _box_pairs HOF lambda, round 13) must equal the box_vertices
+    unroll BIT-FOR-BIT after flattening: the same multiplies and adds in
+    the same association on the same doubles, only factored through
+    lambda variables so an interpreted evaluation computes each trig
+    value once instead of per coordinate. Both are evaluated INSIDE a
+    transform lambda here — the interpreted context the variant
+    targets."""
+    rng = np.random.default_rng(1234)
+    rows = [
+        {
+            "i": i,
+            "b": dict(zip(
+                ["x", "y", "z", "xl", "yl", "zl", "pitch", "yaw", "roll"],
+                [
+                    float(rng.uniform(-5, 5)), float(rng.uniform(-5, 5)),
+                    float(rng.uniform(0.5, 8)), float(rng.uniform(0.1, 3)),
+                    float(rng.uniform(0.1, 3)), float(rng.uniform(0.1, 3)),
+                    float(rng.uniform(-1.5, 1.5)), float(rng.uniform(-3.1, 3.1)),
+                    float(rng.uniform(-1.5, 1.5)),
+                ],
+            )) | {"category": "c", "label_id": None, "object_id": None,
+                  "confidence": None, "method": None},
+        }
+        for i in range(300)
+    ]
+    from pyspark.sql import types as T
+
+    from vlm_data_pipeline_spark.schemas import BBOX_3D
+
+    schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("b", BBOX_3D),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    def in_hof(fn):
+        return F.element_at(
+            F.transform(F.array(F.col("b")), lambda bx: fn(bx)), 1
+        )
+
+    out = df.select(
+        "i",
+        in_hof(G.box_vertices).alias("flat"),
+        in_hof(G.box_vertices_flat_hof).alias("flat24"),
+    ).collect()
+    assert len(out) == 300
+    for r in out:
+        # flat24 = the same 24 doubles, row-major flattened (the
+        # _box_pairs pair-payload layout, round 13)
+        flattened = [c for v in r.flat for c in v]
+        assert flattened == r.flat24, r.i
+
+
+def test_min_vertex_distance_flat_bit_parity(spark):
+    """min_vertex_distance_flat over box_vertices_flat_hof (the shipped
+    obj_obj_distance path, round 13) must equal the nested codegen
+    kernel over box_vertices BIT-FOR-BIT on random oriented pairs: the
+    same 64 squared-distance terms on the same doubles, only indexed
+    v[3i+c] instead of v[i][c]."""
+    rng = np.random.default_rng(77)
+
+    def b():
+        geom = dict(zip(
+            ["x", "y", "z", "xl", "yl", "zl", "pitch", "yaw", "roll"],
+            [
+                float(rng.uniform(-5, 5)), float(rng.uniform(-5, 5)),
+                float(rng.uniform(0.5, 8)), float(rng.uniform(0.1, 3)),
+                float(rng.uniform(0.1, 3)), float(rng.uniform(0.1, 3)),
+                float(rng.uniform(-1.5, 1.5)), float(rng.uniform(-3.1, 3.1)),
+                float(rng.uniform(-1.5, 1.5)),
+            ],
+        ))
+        return geom | {"category": "c", "label_id": None, "object_id": None,
+                       "confidence": None, "method": None}
+
+    rows = [{"i": i, "ba": b(), "bb": b()} for i in range(500)]
+    from pyspark.sql import types as T
+
+    from vlm_data_pipeline_spark.schemas import BBOX_3D
+
+    schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("ba", BBOX_3D),
+        T.StructField("bb", BBOX_3D),
+    ])
+    df = spark.createDataFrame(rows, schema).select(
+        "i",
+        G.box_vertices(F.col("ba")).alias("va"),
+        G.box_vertices(F.col("bb")).alias("vb"),
+        G.box_vertices_flat_hof(F.col("ba")).alias("fa"),
+        G.box_vertices_flat_hof(F.col("bb")).alias("fb"),
+    )
+    out = df.select(
+        "i",
+        G.min_vertex_distance_codegen(F.col("va"), F.col("vb")).alias("unr"),
+        G.min_vertex_distance_flat(F.col("fa"), F.col("fb")).alias("flat"),
+    ).collect()
+    assert len(out) == 500
+    for r in out:
+        assert r.unr == r.flat, (r.i, r.unr, r.flat)  # exact equality
+
+
 def test_min_vertex_distance_analytic(box_df):
     """Two axis-aligned unit cubes 3 m apart on x → nearest faces 2 m."""
     a = box_df.filter("i = 0").select(F.col("box").alias("ba"))

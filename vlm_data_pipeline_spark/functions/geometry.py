@@ -111,6 +111,70 @@ def box_vertices(box: Column) -> Column:
     return F.array(*verts)
 
 
+def box_vertices_flat_hof(box: Column) -> Column:
+    """:func:`box_vertices` for use INSIDE higher-order-function lambdas
+    (``transform(boxes, b -> ...)``), emitting a FLAT ``array<double>``
+    of 24 (x0,y0,z0,x1,y1,z1,...) instead of the nested 8×3 shape.
+
+    Two differences from the row-space unroll, both aimed at the pair
+    stage where each box's vertex array is copied into every pair struct
+    the in-row comprehension materializes (~n/2 copies per box):
+
+    - the 6 trig values and 9 rotation entries are let-bound (lambda
+      variables evaluate ONCE at binding) — HOF lambdas run interpreted
+      with no codegen CSE, so the flat unroll would re-evaluate ~290
+      SIN/COS per box here;
+    - one array header + one primitive buffer per box instead of nine
+      array objects — the allocation shape is what dominates the copied
+      payload: flat verts measured 14.0→11.2 s min-of-4 interleaved on
+      the 11.9M-pair sf1 stage vs the nested form (round 13).
+
+    The i-th vertex's coordinates are the IDENTICAL doubles
+    ``box_vertices(box)[i][0..2]`` — same multiplies/adds in the same
+    association, only factored through lambda variables (pinned in
+    test_box_vertices_flat_hof_bit_parity). Pair with
+    :func:`min_vertex_distance_flat`.
+
+    Keep using :func:`box_vertices` in ROW space (projections, the
+    cam_obj_rel_dist per-box transform), where whole-stage codegen CSEs
+    the duplicates natively — measured at sf1: a let-bound variant is
+    ~10% SLOWER in cam_obj_rel_dist's one-array-per-box lambda, where
+    nothing copies the payload and the extra nested HOF layers cost
+    more than the repeated trig (round 13).
+    """
+    p, yw, r = box["pitch"], box["yaw"], box["roll"]
+
+    def with_trig(t: Column) -> Column:
+        cp, sp = t[0], t[1]
+        cy, sy = t[2], t[3]
+        cr, sr = t[4], t[5]
+        # R = Rz(roll) @ Ry(yaw) @ Rx(pitch) — entries in row-major order
+        rot = [
+            cr * cy, cr * sy * sp - sr * cp, cr * sy * cp + sr * sp,
+            sr * cy, sr * sy * sp + cr * cp, sr * sy * cp - cr * sp,
+            -sy, cy * sp, cy * cp,
+        ]
+
+        def with_rot(R: Column) -> Column:
+            hx, hy, hz = box["xl"] / 2, box["yl"] / 2, box["zl"] / 2
+            coords = []
+            for sx, sy_, sz in _CORNER_SIGNS:
+                lx, ly, lz = sx * hx, sy_ * hy, sz * hz
+                coords += [
+                    box["x"] + R[0] * lx + R[1] * ly + R[2] * lz,
+                    box["y"] + R[3] * lx + R[4] * ly + R[5] * lz,
+                    box["z"] + R[6] * lx + R[7] * ly + R[8] * lz,
+                ]
+            return F.array(*coords)
+
+        return let(F.array(*rot), with_rot)
+
+    return let(
+        F.array(F.cos(p), F.sin(p), F.cos(yw), F.sin(yw), F.cos(r), F.sin(r)),
+        with_trig,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distances
 # ---------------------------------------------------------------------------
@@ -194,6 +258,26 @@ def min_vertex_distance_codegen(verts_a: Column, verts_b: Column) -> Column:
             ]
         )
     )
+
+
+def min_vertex_distance_flat(verts_a: Column, verts_b: Column) -> Column:
+    """:func:`min_vertex_distance_codegen` over FLAT 24-double vertex
+    arrays (:func:`box_vertices_flat_hof` layout): the same 64
+    ``dx*dx + dy*dy + dz*dz`` terms on the same doubles, indexed
+    ``v[3*i + c]`` instead of ``v[i][c]`` — each term reads two
+    primitive-array slots with no intermediate 3-double array header.
+    Value-identical to the codegen kernel on matching vertices (pinned
+    in test_min_vertex_distance_flat_bit_parity); the same NULL-handling
+    notes apply. Same caller contract: pass MATERIALIZED columns only.
+    """
+
+    def sq(i: int, j: int) -> Column:
+        dx = verts_a[3 * i] - verts_b[3 * j]
+        dy = verts_a[3 * i + 1] - verts_b[3 * j + 1]
+        dz = verts_a[3 * i + 2] - verts_b[3 * j + 2]
+        return dx * dx + dy * dy + dz * dz
+
+    return F.sqrt(F.least(*[sq(i, j) for i in range(8) for j in range(8)]))
 
 
 def min_vertex_distance_arrow(verts_a: Column, verts_b: Column) -> Column:

@@ -255,13 +255,30 @@ def _box_pairs(
             boxes, lambda b, i: F.struct(b.alias("box"), i.alias("idx"))
         )
     if with_verts:
-        # vertices computed AFTER the cap: survivors only pay the trig
+        # vertices computed AFTER the cap: survivors only pay the trig.
+        # The pair payload is SLIM — {idx, cat, verts}, not the full
+        # 15-field box struct: every field here is copied into ~n/2 pair
+        # structs per box by the in-row comprehension, and the only box
+        # field the distance task consumes post-explode is category
+        # (guide §2.3 "project before the expensive operation", applied
+        # in row space). box_vertices_flat_hof, not box_vertices: (a)
+        # inside this interpreted transform lambda the flat unroll
+        # re-evaluates its trig per coordinate (~290 SIN/COS per box;
+        # the let-bound form computes 6), and (b) the flat 24-double
+        # layout (one array header, one primitive buffer) beats nested
+        # 8×3 (nine headers) on allocation alone. Measured on the
+        # 11.9M-pair sf1 stage, min-of-4 interleaved (round 13): nested
+        # full-box 14.0 → flat-verts full-box 11.2 → flat-verts slim
+        # payload every-round faster (13.3→12.3 min through the full
+        # task). Coordinates are the identical doubles (parity pinned
+        # in test_geometry); the slim union is value-identical
+        # (exceptAll symdiff 0 on all 118,830 sf0.01 rows).
         enriched = F.transform(
             kept,
             lambda s: F.struct(
-                s["box"].alias("box"),
                 s["idx"].alias("idx"),
-                G.box_vertices(s["box"]).alias("verts"),
+                s["box"]["category"].alias("cat"),
+                G.box_vertices_flat_hof(s["box"]).alias("verts"),
             ),
         )
     else:
@@ -303,13 +320,19 @@ def _box_pairs(
         "camera",
         F.col("p.pos_a").alias("pos_a"),
         F.col("p.pos_b").alias("pos_b"),
-        F.col("p.a.box").alias("box_a"),
-        F.col("p.b.box").alias("box_b"),
     ]
     if with_verts:
+        # slim payload (see above): categories + flat verts, no box structs
         cols += [
+            F.col("p.a.cat").alias("cat_a"),
+            F.col("p.b.cat").alias("cat_b"),
             F.col("p.a.verts").alias("verts_a"),
             F.col("p.b.verts").alias("verts_b"),
+        ]
+    else:
+        cols += [
+            F.col("p.a.box").alias("box_a"),
+            F.col("p.b.box").alias("box_b"),
         ]
     return pairs.select(*cols)
 
@@ -334,19 +357,22 @@ def obj_obj_distance(
     d = (
         # Unrolled codegen kernel (round 13), not the HOF fold and not
         # the Arrow kernel: all three are value-identical on these
-        # non-NULL pairs (fold↔arrow and fold↔codegen parity pinned in
-        # test_geometry), but the fold interprets ~64 lambda bodies per
-        # pair (ArrayAggregate is CodegenFallback) and the Arrow kernel
-        # pays a Python-worker stage break that loses inside the
-        # ten-task union (round-7 A/B). The flat 64-term least() runs
-        # through expression codegen: 5× faster on the persisted sf0.1
-        # pair table (10.1s → 2.0s warm), and it is the dominant term of
-        # the sf10 flagship profile (obj_obj_distance 348s of the 406s
-        # union, PROFILE_QA_SF10.json). verts_a/verts_b are materialized
+        # non-NULL pairs (fold↔arrow, fold↔codegen and codegen↔flat
+        # parity pinned in test_geometry), but the fold interprets ~64
+        # lambda bodies per pair (ArrayAggregate is CodegenFallback) and
+        # the Arrow kernel pays a Python-worker stage break that loses
+        # inside the ten-task union (round-7 A/B). The flat 64-term
+        # least() runs through expression codegen: 5× faster on the
+        # persisted sf0.1 pair table (10.1s → 2.0s warm), and it is the
+        # dominant term of the sf10 flagship profile (obj_obj_distance
+        # 348s of the 406s union, PROFILE_QA_SF10.json). The _flat
+        # variant matches _box_pairs' flat 24-double vertex layout
+        # (one allocation per box instead of nine — another 20% off the
+        # sf1 pair stage, round 13). verts_a/verts_b are materialized
         # generator-output fields, so the 64 references are cheap.
         pairs.withColumn(
             "dist_m",
-            G.min_vertex_distance_codegen(F.col("verts_a"), F.col("verts_b")),
+            G.min_vertex_distance_flat(F.col("verts_a"), F.col("verts_b")),
         )
         .filter(
             (band >= P_OBJ["min_distance"]) & (band <= P_OBJ["max_distance"])
@@ -357,8 +383,8 @@ def obj_obj_distance(
         image_id=F.col("image_id"),
         scene_id=F.coalesce(F.col("scene_id"), F.lit("")),
         frame_id=F.coalesce(F.col("frame_id"), F.lit("")),
-        object1_category=F.col("box_a.category"),
-        object2_category=F.col("box_b.category"),
+        object1_category=F.col("cat_a"),
+        object2_category=F.col("cat_b"),
         distance_meters=F.col("dist_r"),
         unit=F.lit("meters"),
     )
@@ -368,8 +394,8 @@ def obj_obj_distance(
         ["image_id", "pos_a", "pos_b"],
         F.format_string(
             "What is the distance between the %s and the %s in meters?",
-            F.col("box_a.category"),
-            F.col("box_b.category"),
+            F.col("cat_a"),
+            F.col("cat_b"),
         ),
         F.col("dist_r"),
         "numerical",
@@ -493,6 +519,13 @@ def cam_obj_rel_dist(frames: DataFrame) -> DataFrame:
         F.col("bounding_boxes_3d"),
         lambda b: F.array_min(
             F.transform(
+                # flat unroll, NOT a let-bound variant: measured at sf1
+                # (min-of-4 interleaved, round 13) the let-bound form is
+                # ~10% SLOWER here — the two extra nested HOF layers per
+                # box cost more than the repeated interpreted trig saves
+                # on this one-vertex-array-per-box shape (contrast
+                # _box_pairs, where each verts array is copied into ~n/2
+                # pair structs and slimming the payload is what pays)
                 G.box_vertices(b),
                 lambda v: F.sqrt(
                     (v[0] - cam[0]) ** 2 + (v[1] - cam[1]) ** 2 + (v[2] - cam[2]) ** 2
