@@ -140,30 +140,46 @@ def pagerank(
         ).select(
             "node", F.coalesce(F.col("is_tgt"), F.lit(False)).alias("is_tgt")
         ).localCheckpoint()
+    # Loop-invariant precomputation (round 13, guide §2.4 "remove
+    # shuffles outright"): out-degree depends only on the edge list, so
+    # attach it to the edges ONCE instead of joining ranks⋈outdeg every
+    # sweep, and fold a per-vertex is_dang flag (no outgoing edges) into
+    # the verts dimension so the dangling-mass aggregate is a FILTER on
+    # ranks instead of the od-IS-NULL side of that per-sweep join. Each
+    # sweep drops from three joins to two (e_od⋈ranks, verts⋈contrib);
+    # contributions (r div od per edge) and the dangling sum are the
+    # same integers, oracle-identical (the SQL mirror is
+    # formulation-agnostic). At bench scale the win is small (curation's
+    # sf0.1 trust stage 1.93→1.82 s min-of-3 — the demo graph is
+    # overhead-bound); the point is the per-sweep shuffle count, which
+    # is what iteration cost scales with on a real edge list.
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    e_od = e.join(outdeg, "src").localCheckpoint()
+    verts = verts.join(
+        outdeg.select(F.col("src").alias("node"), F.lit(False).alias("_has_out")),
+        "node",
+        "left",
+    ).select(
+        "node", "is_tgt", F.col("_has_out").isNull().alias("is_dang")
+    ).localCheckpoint()
     tele = ((100 - damping_pct) * (scale // s)) // 100
     ranks = verts.select(
         "node",
+        "is_dang",
         F.when(F.col("is_tgt"), F.lit(scale // s))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("r"),
     )
     for it in range(iterations):
-        with_od = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
-        ).select("node", "r", "od")
-        # per-source contribution; dangling vertices (od NULL) emit none
+        # per-source contribution; dangling vertices have no e_od row
         contrib = (
-            e.join(
-                with_od.filter(F.col("od").isNotNull()),
-                e["src"] == with_od["node"],
-            )
+            e_od.join(ranks, e_od["src"] == ranks["node"])
             .select("dst", F.expr("r div od").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        dangling = with_od.filter(F.col("od").isNull()).agg(
+        dangling = ranks.filter(F.col("is_dang")).agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dsum")
         )
         ranks = (
@@ -171,6 +187,7 @@ def pagerank(
             .crossJoin(dangling)  # 1-row mass total, never collected
             .select(
                 "node",
+                "is_dang",
                 (
                     F.when(F.col("is_tgt"), F.lit(tele)).otherwise(F.lit(0))
                     + F.expr(

@@ -407,9 +407,10 @@ def j8_pairwise_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index, hypersim_processor.py:71-80): for each purchase event, the most "
     "recent prior view event of the same user. Equi-join on the user key "
     "(one co-partitioned shuffle, both sides prunable by event_type at the "
-    "scan) + windowed argmax — no O(n*m) range blowup; ties broken on "
-    "event_id. At cluster scale the per-user group is the skew unit: AQE "
-    "skew-join splits hot users.",
+    "scan) + max-of-struct argmax (partial map-side agg; the window "
+    "form shuffled the full pair fanout into a sort) — no O(n*m) range "
+    "blowup; ties broken on event_id. At cluster scale the per-user "
+    "group is the skew unit: AQE skew-join splits hot users.",
 )
 def j9_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"]
@@ -426,18 +427,25 @@ def j9_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = p.join(
         v, (F.col("v_user_id") == F.col("user_id")) & (F.col("view_ts") <= F.col("p_ts"))
     )
-    w = W.partitionBy("purchase_id").orderBy(
-        F.col("view_ts").desc(), F.col("view_id").desc()
+    # max-of-struct instead of the row_number window (round 13, guide
+    # §2.3): max(struct(view_ts, view_id)) IS the first row of the
+    # window's (view_ts DESC, view_id DESC) order — same tie rule,
+    # value-identical (exceptAll symdiff 0 at sf0.1). The join output
+    # (every prior view per purchase) now hits a map-side PARTIAL
+    # aggregate, so the second exchange carries one candidate per
+    # (purchase × map task) instead of the full pair fanout into a
+    # sort-window — sf1 min-of-4 interleaved 0.54→0.45 s; at scale the
+    # fanout is |views-before-purchase| per user, the skew unit AQE
+    # splits. user_id rides in the group key (functionally dependent on
+    # purchase_id).
+    best = joined.groupBy("purchase_id", "user_id").agg(
+        F.max(F.struct(F.col("view_ts"), F.col("view_id"))).alias("b")
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "purchase_id",
-            "user_id",
-            "view_id",
-            F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
-        )
+    return best.select(
+        "purchase_id",
+        "user_id",
+        F.col("b.view_id").alias("view_id"),
+        F.date_format(F.col("b.view_ts"), "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
     )
 
 
@@ -500,20 +508,30 @@ def w1_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w2_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data — the
-    # ordering must cover every projected column or the pick is tie-dependent
-    w = W.partitionBy("l_orderkey").orderBy(
-        F.col("l_linenumber").asc(), F.col("l_partkey").asc(), F.col("l_quantity").asc()
-    )
-    return (
-        li.select("l_orderkey", "l_partkey", "l_quantity", "l_linenumber")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("l_orderkey").alias("orderkey"),
-            F.col("l_partkey").alias("first_partkey"),
-            F.round("l_quantity", 2).alias("first_qty"),
+    # min-of-struct instead of row_number window (round 13, guide §2.3
+    # "aggregate before you shuffle"): struct ordering is lexicographic
+    # on its fields, so min(struct(l_linenumber, l_partkey, l_quantity))
+    # IS the first row of the window's (l_linenumber, l_partkey,
+    # l_quantity) ascending order — the same tie-covering key, value-
+    # identical output (exceptAll symdiff 0 at sf0.1). The plan gains
+    # map-side PARTIAL aggregation: the exchange carries one candidate
+    # struct per (group × map task) instead of every row into a
+    # sort-window — sf1 min-of-4 interleaved 0.72→0.47 s, and at scale
+    # shuffle bytes track |groups|, not |rows|. (The original tie note
+    # stands: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    # data — the struct must cover every projected column or the pick
+    # is tie-dependent.)
+    first = (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(F.struct("l_linenumber", "l_partkey", "l_quantity")).alias("f")
         )
+    )
+    return first.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("f.l_partkey").alias("first_partkey"),
+        F.round(F.col("f.l_quantity"), 2).alias("first_qty"),
     )
 
 
