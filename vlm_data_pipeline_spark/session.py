@@ -17,6 +17,24 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# JVM options for every JVM that executes generated code (round 13).
+# Catalyst codegen for wide expression trees — the 64-term min-vertex
+# kernel is the extreme case — emits methods past HotSpot's
+# DontCompileHugeMethods limit (8000 bytecode bytes): such methods are
+# NEVER JIT-compiled and run in the bytecode interpreter forever, which
+# measured as 4-8x run-to-run swings on the flagship (qa_pipeline_full
+# 8.9-51s for the identical plan depending on which generated methods
+# happened to stay under the limit; janino compile time and GC were
+# ruled out with CodegenMetrics — 0 new compiles on a 39s warm run).
+# -XX:-DontCompileHugeMethods lets C2 compile them (flagship steady at
+# 7.7-9.4s, stable across sessions); the code cache is raised to hold
+# the compiled giants. Overridable per deployment; on a cluster the
+# executor JVMs run this code, so both roles carry the flags.
+JVM_CODEGEN_OPTS = os.environ.get(
+    "SPARK_GRAFT_JVM_OPTS",
+    "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+)
+
 
 def get_spark(
     app_name: str = "vlm_data_pipeline_spark",
@@ -59,6 +77,8 @@ def get_spark(
         # refuses by default; read as long and convert at the source wrapper
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.extraJavaOptions", JVM_CODEGEN_OPTS)
+        .config("spark.executor.extraJavaOptions", JVM_CODEGEN_OPTS)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
