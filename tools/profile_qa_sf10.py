@@ -85,6 +85,10 @@ def main() -> int:
         "contaminated": foreign > 0,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        # 14.7M frames persist MEMORY_AND_DISK during the fill: the 8g
+        # bench default heap OOMs at this scale (measured round 13) —
+        # record what this run actually had so walls are comparable.
+        "driver_mem": spark.conf.get("spark.driver.memory"),
     }
 
     # JIT warmup: identical expression trees at toy scale (bench protocol)

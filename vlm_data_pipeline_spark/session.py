@@ -79,6 +79,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.extraJavaOptions", JVM_CODEGEN_OPTS)
         .config("spark.executor.extraJavaOptions", JVM_CODEGEN_OPTS)
+        # Align Spark's whole-stage-codegen bytecode ceiling with
+        # HotSpot's huge-method JIT limit (the config's documented
+        # purpose): a WSCG method over this size falls back to
+        # per-operator codegen, whose expression splitter emits small
+        # JIT-able methods. Parameterized for A/B; see ledger §8.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "65535"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
