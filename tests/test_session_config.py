@@ -1,38 +1,55 @@
-"""Pin the round-13 JVM/codegen session configuration.
+"""Pin the round-14 JVM/codegen session configuration.
 
-The unrolled min-vertex kernel emits generated methods past HotSpot's
-DontCompileHugeMethods limit (8000 bytecode bytes); without the flag
-override such methods NEVER JIT and the flagship swings 4-8x run to run
-(OPTIMIZATION_r13.md section 8). These tests pin the fix so a session.py
-edit cannot silently drop it.
+Round 13 shipped ``-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize``
+to rescue a 64-term generated kernel; under the driver's cold-JVM
+protocol those flags made C2 chew giant generated methods for the whole
+suite (18/19 bench queries 2x slower — VERDICT r13). Round 14 removed
+the flags and replaced the kernel (the obj_obj pair stage now computes
+distances in a vectorized Arrow kernel), so the DEFAULT session must
+carry NO JVM flag overrides. These tests pin the removal so a session.py
+edit cannot silently reintroduce a suite-wide tax.
 """
 
 from __future__ import annotations
 
+import os
 
-def test_jvm_codegen_opts_configured(spark):
-    """Driver and executor JVM options carry the huge-method JIT fix."""
+import pytest
+
+
+def test_no_jvm_flag_overrides_by_default(spark):
+    """No -XX overrides ride the driver/executor JVMs unless a
+    deployment explicitly passes SPARK_GRAFT_JVM_OPTS."""
+    if os.environ.get("SPARK_GRAFT_JVM_OPTS", "").strip():
+        pytest.skip("deployment supplied SPARK_GRAFT_JVM_OPTS")
     for role in ("driver", "executor"):
-        opts = spark.conf.get(f"spark.{role}.extraJavaOptions")
-        assert "-XX:-DontCompileHugeMethods" in opts, (role, opts)
-        assert "-XX:ReservedCodeCacheSize=" in opts, (role, opts)
+        try:
+            opts = spark.conf.get(f"spark.{role}.extraJavaOptions")
+        except Exception:
+            opts = ""  # unset = exactly what we want
+        assert "-XX:-DontCompileHugeMethods" not in (opts or ""), (role, opts)
 
 
-def test_jvm_flags_reached_the_driver(spark):
-    """The local-mode driver JVM actually launched with the flags (they
-    are launch-time options — a builder config set after JVM start would
-    silently not apply; this reads the live JVM's input arguments)."""
+def test_live_driver_jvm_has_no_huge_method_flag(spark):
+    """The live driver JVM really launched without the r13 flag (they
+    are launch-time options; this reads the JVM's input arguments)."""
+    if os.environ.get("SPARK_GRAFT_JVM_OPTS", "").strip():
+        pytest.skip("deployment supplied SPARK_GRAFT_JVM_OPTS")
     args = (
         spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
         .getInputArguments()
     )
     live = {args.get(i) for i in range(args.size())}
-    assert "-XX:-DontCompileHugeMethods" in live
+    assert "-XX:-DontCompileHugeMethods" not in live
 
 
 def test_huge_method_limit_default_is_spark_default(spark):
     """The WSCG bytecode ceiling stays at Spark's default: the
     per-operator-fallback alternative measured 2x slower steady-state
-    (ledger section 8) — the env knob exists for JIT-constrained
-    deployments, but the default must not drift."""
+    (r13 ledger section 8) — the env knob exists for JIT-constrained
+    deployments, but the default must not drift. (Skipped when the env
+    knob itself is set: then the session reflects the deployment, not
+    the default — ADVICE r13.)"""
+    if os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT"):
+        pytest.skip("SPARK_GRAFT_HUGE_METHOD_LIMIT set by deployment")
     assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "65535"

@@ -45,8 +45,11 @@ def main() -> None:
             q.build(spark, args.warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except Exception:
-            pass  # warmup is best-effort (a query may need sf-specific data)
+        except Exception as e:  # noqa: BLE001
+            # warmup is best-effort (a query may need sf-specific data),
+            # but a genuinely broken query should be visible here, not
+            # only when the timed run repeats the failure (ADVICE r13)
+            print(f"warmup failed for {name}: {e}", file=sys.stderr)
         best = None
         try:
             for _ in range(max(1, args.runs)):
@@ -58,10 +61,13 @@ def main() -> None:
                 ).save()
                 w = time.perf_counter() - t0
                 best = w if best is None else min(best, w)
-            walls[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001
             errs[name] = f"{type(e).__name__}: {e}"[:200]
         finally:
+            # keep the partial best from completed runs (ADVICE r13):
+            # an exception on run k used to discard runs 0..k-1
+            if best is not None:
+                walls[name] = round(best, 3)
             spark.sparkContext.setJobDescription(None)
     for name, w in sorted(walls.items(), key=lambda kv: -kv[1]):
         print(f"{w:8.3f}s  {name}")

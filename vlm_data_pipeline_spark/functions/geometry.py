@@ -243,11 +243,15 @@ def min_vertex_distance_codegen(verts_a: Column, verts_b: Column) -> Column:
 
     Callers must pass MATERIALIZED columns (attribute/field references):
     each input is referenced 64 times, and a non-cheap expression here
-    would be duplicated 64× by CollapseProject. The 64-term tree
-    overflows the 64 KB whole-stage-codegen method limit, so the stage
-    compiles per-operator (split-method codegen) instead — measured 5×
-    faster than the interpreted fold on the sf0.1 pair table, which is
-    the point.
+    would be duplicated 64× by CollapseProject.
+
+    CAUTION (round 14): this shape is steady-state-fast ONLY when the
+    JVM compiles its >8000-bytecode generated methods — HotSpot's
+    default refuses, and the `-XX:-DontCompileHugeMethods` rescue taxed
+    the whole round-13 suite 2× (VERDICT r13). obj_obj_distance ships
+    the per-frame Arrow kernel instead (tasks3d._box_pair_distances);
+    this and the _flat sibling remain as parity witnesses and for
+    JIT-flag-tuned deployments (SPARK_GRAFT_OBJOBJ_KERNEL=flat).
     """
     return F.sqrt(
         F.least(
@@ -278,6 +282,59 @@ def min_vertex_distance_flat(verts_a: Column, verts_b: Column) -> Column:
         return dx * dx + dy * dy + dz * dz
 
     return F.sqrt(F.least(*[sq(i, j) for i in range(8) for j in range(8)]))
+
+
+def min_vertex_distance_flat_fold(verts_a: Column, verts_b: Column) -> Column:
+    """:func:`min_vertex_distance` (the interpreted HOF fold) over FLAT
+    24-double vertex arrays (:func:`box_vertices_flat_hof` layout): the
+    same 64 ``dx*dx + dy*dy + dz*dz`` terms on the same doubles as
+    :func:`min_vertex_distance_flat`, folded through two nested
+    ``aggregate`` calls over the base-offset sequence (0,3,...,21)
+    instead of unrolled into one 64-term ``least`` tree.
+
+    Why this shape exists (round 14): the unrolled tree is the fastest
+    *steady-state* kernel but its whole-stage-codegen method exceeds
+    HotSpot's ``DontCompileHugeMethods`` limit (8000 bytecode bytes), so
+    it only performs when the JVM is told to compile huge methods — a
+    global flag that round 13 measured as a 2× tax on every query
+    sharing the session (VERDICT r13). The fold's lambda bodies are
+    small, JIT-friendly methods: slower per pair, stable across
+    sessions. Value-identical to the unrolled kernel on matching
+    vertices (min over the identical 64 doubles; parity pinned in
+    test_min_vertex_distance_flat_fold_bit_parity) with one NULL-shape
+    difference inherited from :func:`min_vertex_distance`: NULL
+    ``verts_b`` with non-NULL ``verts_a`` folds to Infinity while the
+    unrolled form yields NULL — both rejected by any finite band
+    predicate (same note on the codegen sibling).
+    ``verts_b`` is let-bound so its producing expression evaluates once,
+    not once per outer vertex.
+    """
+    inf = F.lit(float("inf"))
+    base = F.sequence(F.lit(0), F.lit(21), F.lit(3))  # 0,3,...,21
+
+    def sq(va: Column, vb: Column, i: Column, j: Column) -> Column:
+        dx = va[i] - vb[j]
+        dy = va[i + 1] - vb[j + 1]
+        dz = va[i + 2] - vb[j + 2]
+        return dx * dx + dy * dy + dz * dz
+
+    return let(
+        verts_b,
+        lambda vb: F.sqrt(
+            F.aggregate(
+                base,
+                inf,
+                lambda acc, i: F.least(
+                    acc,
+                    F.aggregate(
+                        base,
+                        inf,
+                        lambda acc2, j: F.least(acc2, sq(verts_a, vb, i, j)),
+                    ),
+                ),
+            )
+        ),
+    )
 
 
 def min_vertex_distance_arrow(verts_a: Column, verts_b: Column) -> Column:

